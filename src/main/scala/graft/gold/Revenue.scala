@@ -1,0 +1,96 @@
+package graft.gold
+
+import graft.util.Cols._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold-layer revenue aggregations, re-expressing the reference's
+  * revenue_daily / revenue_hourly / product_metrics / top-customer KPIs.
+  * Ref: /root/reference/spark_jobs/gold/revenue_aggregations.py
+  *
+  * All sums are exact decimal partial-aggregates (map-side combine), so a
+  * single shuffle per groupBy; medians use Spark's exact `percentile`
+  * (matches DuckDB quantile_cont for the oracle).
+  */
+object Revenue {
+
+  /** Daily revenue KPIs by order date × status (reference: revenue_daily by
+    * date × country × method — same shape over our dims). */
+  def revenueDaily(cleanOrders: DataFrame): DataFrame =
+    cleanOrders
+      .groupBy(col("order_date"), col("status_normalized"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        sumMoney(col("o_totalprice")).as("gmv"),
+        avgMoney(col("o_totalprice")).as("avg_order_value"),
+        percentile(col("o_totalprice"), lit(0.5)).as("median_order_value"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95_order_value"),
+        countDistinct(col("o_custkey")).as("unique_customers"),
+        sum(when(col("amount_tier") === "premium", 1L).otherwise(0L)).as("premium_orders"))
+      .withColumn("premium_rate",
+        col("premium_orders").cast("double") / col("total_orders"))
+
+  /** Hourly event-revenue rollup (reference: revenue_hourly via
+    * date_trunc('hour')) over the events stream's purchase values. */
+  def revenueHourly(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("event_hour", date_trunc("hour", col("ts")))
+      .groupBy(col("event_hour"))
+      .agg(
+        count(lit(1)).as("purchase_count"),
+        sumMoney(col("value")).as("hourly_gmv"),
+        avgMoney(col("value")).as("avg_purchase"),
+        countDistinct(col("user_id")).as("active_users"))
+      .withColumn("hour_ts", unix_timestamp(col("event_hour")))
+      .drop("event_hour")
+
+  /** Product/category metrics (reference: product_metrics explodes order
+    * items; here lineitem IS the exploded item table — join part dim). */
+  def productMetrics(cleanLineitem: DataFrame, part: DataFrame): DataFrame =
+    cleanLineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        sumExact6(col("net_price")).as("type_revenue"),
+        sumMoney(col("l_quantity")).as("units_sold"),
+        avgMoney(col("l_extendedprice")).as("avg_line_price"),
+        sum(when(col("is_refund"), 1L).otherwise(0L)).as("refund_lines"))
+      .withColumn("refund_rate",
+        col("refund_lines").cast("double") / col("line_count"))
+
+  /** Top-N customers by lifetime revenue with dense ranking. */
+  def topCustomers(cleanOrders: DataFrame, customer: DataFrame, n: Int): DataFrame = {
+    val perCust = cleanOrders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("revenue_rank", row_number().over(w))
+      .filter(col("revenue_rank") <= n)
+      .select("revenue_rank", "o_custkey", "c_name", "c_mktsegment",
+        "order_count", "revenue")
+  }
+
+  /** Share-of-total per market segment via window-over-aggregate
+    * (reference: fraud_gmv_rate / share ratios). */
+  def marketShare(cleanOrders: DataFrame, customer: DataFrame): DataFrame = {
+    val seg = cleanOrders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sumMoney(col("o_totalprice")).as("segment_revenue"),
+        count(lit(1)).as("segment_orders"))
+    seg.withColumn("revenue_share",
+      col("segment_revenue") / sum(col("segment_revenue").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+        .over(Window.partitionBy()).cast("double"))
+  }
+}
