@@ -1,7 +1,8 @@
 package graft
 
-import graft.gold.{Revenue, StarSchema}
-import graft.operators.{Bronze, Cleaning, Enrichment}
+import graft.gold.{DataQuality, FraudSummary, Revenue, StarSchema}
+import graft.ml.FraudScore
+import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, RangeJoin, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,9 +49,49 @@ object Queries {
       |  WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_discount >= 0 AND l_discount <= 1
       |)""".stripMargin
 
+  // Enriched orders + window features, shared by q_feature_vector/q_fraud_score.
+  private val EnrichedFeaturesCte = CleanOrdersCte +
+    """
+    |, enr AS (
+    |  SELECT co.o_orderkey, co.o_custkey, co.o_totalprice, co.amount_tier, co.order_date,
+    |    c.c_acctbal,
+    |    CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
+    |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) AS region_risk
+    |  FROM clean_orders co
+    |  JOIN customer c ON co.o_custkey = c.c_custkey
+    |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    |  JOIN region r ON n.n_regionkey = r.r_regionkey
+    |), fx AS (
+    |  SELECT o_orderkey, o_custkey, o_totalprice, amount_tier, region_risk, c_acctbal,
+    |    CAST(ln(1.0 + o_totalprice) AS FLOAT) AS amount_log,
+    |    CAST(month(order_date) AS BIGINT) AS order_month,
+    |    CAST(dayofweek(order_date) + 1 AS BIGINT) AS order_dow,
+    |    CAST(dayofweek(order_date) IN (0, 6) AS BIGINT) AS is_weekend,
+    |    count(*) OVER w AS user_order_count,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS user_avg_amount,
+    |    o_totalprice / (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w) AS amount_vs_user_avg
+    |  FROM enr WINDOW w AS (PARTITION BY o_custkey)
+    |), fv AS (
+    |  SELECT o_orderkey, o_custkey, o_totalprice AS total_amount, amount_log, order_month, order_dow,
+    |    is_weekend, user_order_count, user_avg_amount, amount_vs_user_avg, region_risk,
+    |    CAST(region_risk > 0.05 AS BIGINT) AS is_high_risk_region,
+    |    CAST(c_acctbal < 0 AS BIGINT) AS negative_balance,
+    |    c_acctbal AS account_balance,
+    |    CAST((amount_vs_user_avg > 2.5 AND region_risk > 0.05)
+    |         OR (amount_tier = 'premium' AND region_risk >= 0.09) AS BIGINT) AS label
+    |  FROM fx
+    |)""".stripMargin
+
+  private val EventsUsCte =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+      |)""".stripMargin
+
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = Seq(
+  val registry: Seq[QueryDef] = batch1 ++ batch2
+
+  private lazy val batch1: Seq[QueryDef] = Seq(
 
     QueryDef("q_pricing_summary",
       (s, d) => {
@@ -289,6 +330,297 @@ object Queries {
         |  'file-stream' AS _source_system,
         |  '1.0.0' AS _pipeline_version
         |FROM events ORDER BY event_id""".stripMargin))
+  )
+
+  private lazy val batch2: Seq[QueryDef] = Seq(
+
+    QueryDef("q_txn_features",
+      (s, d) => Features.txnFeatures(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "amount_log",
+          "order_month", "order_dow", "is_weekend", "user_order_count",
+          "user_avg_amount", "user_max_amount", "user_min_amount", "amount_vs_user_avg")
+        .orderBy("o_orderkey"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ln(1.0 + o_totalprice) AS FLOAT) AS amount_log,
+        |  CAST(month(order_date) AS BIGINT) AS order_month,
+        |  CAST(dayofweek(order_date) + 1 AS BIGINT) AS order_dow,
+        |  (dayofweek(order_date) IN (0, 6)) AS is_weekend,
+        |  count(*) OVER w AS user_order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS user_avg_amount,
+        |  max(o_totalprice) OVER w AS user_max_amount,
+        |  min(o_totalprice) OVER w AS user_min_amount,
+        |  o_totalprice / (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w) AS amount_vs_user_avg
+        |FROM clean_orders WINDOW w AS (PARTITION BY o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_user_percentiles",
+      (s, d) => Features.userPercentiles(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("o_custkey"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT o_custkey, count(*) AS order_count,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_amount,
+        |  quantile_cont(o_totalprice, 0.95) AS p95_amount,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM clean_orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_velocity",
+      (s, d) => Features.velocity(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type", "value", "ts_us",
+          "velocity_1h", "velocity_24h", "velocity_7d", "value_sum_24h")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w1 AS velocity_1h,
+        |  count(*) OVER w24 AS velocity_24h,
+        |  count(*) OVER w7d AS velocity_7d,
+        |  COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE), 0.0) AS value_sum_24h
+        |FROM events
+        |WINDOW
+        |  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+        |  w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING),
+        |  w7d AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_lag_lead",
+      (s, d) => Features.lagLead(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type", "ts_us", "prev_ts_us",
+          "prev_event_type", "next_event_type", "micros_since_prev", "seq_in_user")
+        .orderBy("event_id"),
+      Some(EventsUsCte +
+        """
+        |SELECT event_id, user_id, event_type, ts_us,
+        |  lag(ts_us, 1) OVER w AS prev_ts_us,
+        |  lag(event_type, 1) OVER w AS prev_event_type,
+        |  lead(event_type, 1) OVER w AS next_event_type,
+        |  ts_us - lag(ts_us, 1) OVER w AS micros_since_prev,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq_in_user
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_rank_ntile",
+      (s, d) => Features.spendRanking(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("o_custkey"),
+      Some(CleanOrdersCte +
+        """
+        |, per_cust AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM clean_orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, revenue,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS revenue_decile,
+        |  CAST(rank() OVER w AS BIGINT) AS revenue_rank,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS revenue_dense_rank,
+        |  CAST(row_number() OVER w AS BIGINT) AS revenue_row
+        |FROM per_cust WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+        |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_running_totals",
+      (s, d) => Features.runningTotals(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .select("status_normalized", "order_date", "daily_orders", "gmv",
+          "cumulative_gmv", "cumulative_orders")
+        .orderBy("status_normalized", "order_date"),
+      Some(CleanOrdersCte +
+        """
+        |, daily AS (
+        |  SELECT status_normalized, order_date,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv_dec,
+        |    count(*) AS daily_orders
+        |  FROM clean_orders GROUP BY 1, 2
+        |)
+        |SELECT status_normalized, order_date, daily_orders,
+        |  CAST(gmv_dec AS DOUBLE) AS gmv,
+        |  CAST(sum(gmv_dec) OVER w AS DOUBLE) AS cumulative_gmv,
+        |  CAST(sum(daily_orders) OVER w AS BIGINT) AS cumulative_orders
+        |FROM daily
+        |WINDOW w AS (PARTITION BY status_normalized ORDER BY order_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY status_normalized, order_date""".stripMargin)),
+
+    QueryDef("q_sessionize",
+      (s, d) => Sessionize.sessionStats(Tables.events(s, d))
+        .select("user_id", "session_idx", "event_count", "session_start_us",
+          "session_end_us", "duration_us", "session_value", "purchases", "errors")
+        .orderBy("user_id", "session_idx"),
+      Some(EventsUsCte +
+        """
+        |, b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_boundary
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS event_count,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM sx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)),
+
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+        AsOfJoin.asOf(
+          ev.filter(col("event_type") === "error").drop("event_type"),
+          ev.filter(col("event_type") === "purchase").drop("event_type"))
+          .select("event_id", "user_id", "ts_us", "value", "asof_value",
+            "asof_ts_us", "micros_since_match")
+          .orderBy("event_id")
+      },
+      Some(EventsUsCte +
+        """
+        |, e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |  p.value AS asof_value, p.ts_us AS asof_ts_us,
+        |  e.ts_us - p.ts_us AS micros_since_match
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef("q_range_join",
+      (s, d) => RangeJoin.partPriceBands(s, Tables.part(s, d)).orderBy("p_partkey"),
+      Some("""WITH bands(band_name, band_lo, band_hi) AS (VALUES
+        |  ('p0_cheap', 0.0, 500.0), ('p1_low', 500.0, 900.0), ('p2_mid', 900.0, 1300.0),
+        |  ('p3_high', 1300.0, 1700.0), ('p4_premium', 1700.0, 1e308))
+        |SELECT p_partkey, p_type, p_retailprice, band_name
+        |FROM part JOIN bands ON p_retailprice >= band_lo AND p_retailprice < band_hi
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("q_dq_checks",
+      (s, d) => DataQuality.suite(Tables.orders(s, d), Tables.lineitem(s, d),
+          Tables.customer(s, d), Tables.events(s, d))
+        .orderBy("check_name"),
+      Some("""SELECT * FROM (
+        |  SELECT 'orders_orderkey_not_null' AS check_name, 'orders' AS table_name,
+        |    count(*) AS violation_count, count(*) = 0 AS passed FROM orders WHERE o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT 'orders_amount_positive', 'orders', count(*), count(*) = 0 FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'orders_amount_upper_bound', 'orders', count(*), count(*) = 0 FROM orders WHERE o_totalprice >= 10000000
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', 'orders', count(*), count(*) = 0 FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', 'orders', count(*), count(*) = 0 FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_positive', 'lineitem', count(*), count(*) = 0 FROM lineitem WHERE l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', 'lineitem', count(*), count(*) = 0 FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |  UNION ALL
+        |  SELECT 'lineitem_returnflag_domain', 'lineitem', count(*), count(*) = 0 FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_not_null', 'customer', count(*), count(*) = 0 FROM customer WHERE c_acctbal IS NULL
+        |  UNION ALL
+        |  SELECT 'events_type_domain', 'events', count(*), count(*) = 0 FROM events WHERE event_type NOT IN ('click','view','signup','purchase','error')
+        |  UNION ALL
+        |  SELECT 'events_value_not_negative', 'events', count(*), count(*) = 0 FROM events WHERE value < 0
+        |) t ORDER BY check_name""".stripMargin)),
+
+    QueryDef("q_dq_referential",
+      (s, d) => DataQuality.referential(Tables.orders(s, d), Tables.lineitem(s, d),
+          Tables.customer(s, d), Tables.events(s, d))
+        .orderBy("check_name"),
+      Some("""SELECT * FROM (
+        |  SELECT 'lineitem_orderkey_in_orders' AS check_name, 'lineitem' AS table_name,
+        |    count(*) AS violation_count, count(*) = 0 AS passed
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_in_customer', 'orders', count(*), count(*) = 0
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'events_userid_in_customer', 'events', count(*), count(*) = 0
+        |  FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        |) t ORDER BY check_name""".stripMargin)),
+
+    QueryDef("q_feature_vector",
+      (s, d) => FraudScore.featureVector(Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
+        .orderBy("o_orderkey"),
+      Some(EnrichedFeaturesCte +
+        """
+        |SELECT * FROM fv ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_fraud_score",
+      (s, d) => FraudScore.score(FraudScore.featureVector(Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))))
+        .select("o_orderkey", "z", "fraud_score", "risk_label", "predicted_fraud", "label")
+        .orderBy("o_orderkey"),
+      Some(EnrichedFeaturesCte +
+        """
+        |, zed AS (
+        |  SELECT o_orderkey, label,
+        |    CAST(CAST(-4.0 AS DOUBLE) + amount_vs_user_avg * CAST(0.9 AS DOUBLE)
+        |         + region_risk * CAST(11.0 AS DOUBLE)
+        |         + CAST(is_high_risk_region AS DOUBLE) * CAST(0.8 AS DOUBLE)
+        |         + CAST(negative_balance AS DOUBLE) * CAST(0.6 AS DOUBLE)
+        |         + CAST(is_weekend AS DOUBLE) * CAST(0.15 AS DOUBLE)
+        |         + CAST(amount_log AS DOUBLE) * CAST(0.12 AS DOUBLE) AS FLOAT) AS z
+        |  FROM fv
+        |), scored AS (
+        |  SELECT o_orderkey, label, z, CAST(1.0 / (1.0 + exp(-z)) AS FLOAT) AS fraud_score FROM zed
+        |)
+        |SELECT o_orderkey, z, fraud_score,
+        |  CASE WHEN fraud_score >= 0.50 THEN 'high'
+        |       WHEN fraud_score >= 0.20 THEN 'medium'
+        |       ELSE 'low' END AS risk_label,
+        |  CAST(fraud_score >= 0.5 AS BIGINT) AS predicted_fraud,
+        |  label
+        |FROM scored ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_fraud_summary",
+      (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))
+        .select("event_date", "total_events", "error_events", "purchase_events",
+          "purchase_value", "error_value", "active_users", "error_rate", "error_value_rate")
+        .orderBy("event_date"),
+      Some("""SELECT CAST(ts AS DATE) AS event_date,
+        |  count(*) AS total_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS error_value,
+        |  count(DISTINCT user_id) AS active_users,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |    / (CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |       + CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)) AS error_value_rate
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q_user_risk_scores",
+      (s, d) => FraudSummary.userRiskScores(Tables.events(s, d))
+        .select("user_id", "events_total", "errors_total", "purchases_total",
+          "purchase_value", "avg_event_value", "error_rate", "purchase_rate",
+          "composite_risk_score", "risk_label")
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        |  count(*) AS events_total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors_total,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases_total,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_event_value,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purchase_rate,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 0.55
+        |    + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
+        |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 AS composite_risk_score,
+        |  CASE WHEN CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 0.55
+        |    + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
+        |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 >= 0.50 THEN 'high'
+        |       WHEN CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 0.55
+        |    + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
+        |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 >= 0.30 THEN 'medium'
+        |       ELSE 'low' END AS risk_label
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
