@@ -1,8 +1,11 @@
 package graft
 
-import graft.gold.{DataQuality, FraudSummary, Revenue, StarSchema}
+import graft.gold.{DataQuality, FraudSummary, Pipelines, Revenue, StarSchema}
 import graft.ml.FraudScore
-import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, RangeJoin, Sessionize}
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Sessionize}
+import graft.sim.Similarity
+import graft.text.{Dedup, MinHash, SimHash, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,7 +92,7 @@ object Queries {
 
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = batch1 ++ batch2
+  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3
 
   private lazy val batch1: Seq[QueryDef] = Seq(
 
@@ -621,6 +624,257 @@ object Queries {
         |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 >= 0.30 THEN 'medium'
         |       ELSE 'low' END AS risk_label
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+
+  // ---- DuckDB helpers for similarity oracles (sequential double fold —
+  //      mirrors Similarity.dot exactly) ----
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def bucketSql(v: String): String =
+    "CAST(" + (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  private lazy val batch3: Seq[QueryDef] = Seq(
+
+    QueryDef("q_ship_priority",
+      (s, d) => Pipelines.shipPriority(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)).orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef("q_local_volume",
+      (s, d) => Pipelines.localVolume(Tables.region(s, d), Tables.nation(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)).orderBy("n_name"),
+      Some("""SELECT n_name, r_name AS region_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name""".stripMargin)),
+
+    QueryDef("q_order_denorm",
+      (s, d) => Pipelines.orderDenorm(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |SELECT l_orderkey, l_linenumber, o_custkey, status_normalized, amount_tier, order_date,
+        |  l_quantity, net_price, charge, is_refund
+        |FROM clean_lineitem JOIN clean_orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_merge_upsert",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "status_normalized")
+        val target = clean.filter(col("o_orderkey") % 2 === 0)
+        val source = clean.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+          .withColumn("status_normalized", lit("P"))
+        MergeUpsert.merge(target, source, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 2 = 0
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |    'P' AS status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT t.*, 'kept' AS _merge_action FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, 'updated' FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, 'inserted' FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exactDups(Tables.documents(s, d)).orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS doc_count, count(*) - 1 AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    QueryDef("q_dedup_norm",
+      (s, d) => Dedup.normalizedDups(Tables.documents(s, d)).orderBy("norm_hash"),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        |  min(doc_id) AS canonical_doc_id,
+        |  count(*) AS doc_count, count(*) - 1 AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
+
+    QueryDef("q_fingerprint",
+      (s, d) => Dedup.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fingerprint,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS total_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS regex_tokens,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS non_space_chars,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_text_quality",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT *,
+           |    CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+           |    CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           |    CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+           |         WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+           |         ELSE CAST(200.0 AS DOUBLE) / n_tokens END AS len_score
+           |  FROM t
+           |), t3 AS (
+           |  SELECT *,
+           |    len_score * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - dup_ratio) * CAST(0.4 AS DOUBLE)
+           |      + stopword_ratio * CAST(0.2 AS DOUBLE) AS quality_score
+           |  FROM t2
+           |)
+           |SELECT doc_id, lang, n_tokens, n_distinct, dup_ratio, stopword_hits, stopword_ratio,
+           |  len_score, quality_score,
+           |  CASE WHEN quality_score >= 0.7 THEN 'high'
+           |       WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+           |FROM t3 ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q_lang_id",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        def mk(lang: String): String = {
+          val list = TextAnalysis.LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT) AS s_$lang"
+        }
+        s"""WITH t AS (
+           |  SELECT doc_id, lang AS actual_lang,
+           |    ${Seq("de", "en", "es", "fr", "zh").map(mk).mkString(",\n    ")}
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT *,
+           |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |         WHEN s_fr >= s_zh THEN 'fr'
+           |         ELSE 'zh' END AS predicted_lang
+           |  FROM t
+           |)
+           |SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh, predicted_lang,
+           |  (predicted_lang = actual_lang) AS correct
+           |FROM t2 ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q_simhash",
+      (s, d) => SimHash.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(SimHash.oracleSql)),
+
+    QueryDef("q_minhash_sig",
+      (s, d) => MinHash.signatures(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(MinHash.signaturesOracleSql)),
+
+    QueryDef("q_neardup_pairs",
+      (s, d) => MinHash.nearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+      Some(MinHash.nearDupOracleSql)),
+
+    QueryDef("q_ngram_jaccard",
+      (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+      Some(MinHash.exactJaccardOracleSql())),
+
+    QueryDef("q_knn_brute",
+      (s, d) => Similarity.knnBrute(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    ${cosSql("q.qv", "e.embedding")} AS cos_sim
+        |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q_knn_bucketed",
+      (s, d) => Similarity.knnBucketed(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label, c.bucket,
+        |    ${cosSql("q.qv", "c.embedding")} AS cos_sim
+        |  FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim, bucket,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q_embed_neardup",
+      (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.35)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, label, cos_sim FROM p
+        |WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    QueryDef("q_multimodal_meta",
+      (s, d) => Multimodal.mediaMetadata(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, source, lang,
+        |  'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_count,
+        |  sha256(text) AS checksum,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS stub_width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS stub_height
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

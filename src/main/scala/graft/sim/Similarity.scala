@@ -1,0 +1,84 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (Array[Float] column).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * (tiny) query set against the corpus — a map-side nested loop, no
+  * shuffle of the corpus. The scale path is sign-LSH bucketing (an
+  * IVF-style coarse quantizer): corpus and queries hash to a bucket key
+  * and only same-bucket candidates are scored — candidate count drops
+  * ~2^bits-fold for random vectors.
+  *
+  * Dot products run in double via sequential fold (aggregate over
+  * zip_with) — element order is fixed, so results are deterministic and
+  * engine-portable (float-accumulated built-ins are not).
+  */
+object Similarity {
+
+  /** Deterministic double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k for queries (vec_id < numQueries). */
+  def knnBrute(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos_sim")
+  }
+
+  /** Sign-LSH bucket key: one bit per leading dimension. */
+  def bucketKey(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: score only same-bucket candidates (scale path). */
+  def knnBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                  bits: Int = 8): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        bucketKey(col("embedding"), bits).as("bucket"))
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus
+      .join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
+  }
+
+  /** Embedding near-duplicate pairs: cosine above threshold, blocked by
+    * label (the blocking key bounds the pair explosion; at scale the
+    * blocker would be an LSH bucket). */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") > threshold)
+      .select("vec_a", "vec_b", "label", "cos_sim")
+  }
+}
