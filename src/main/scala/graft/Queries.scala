@@ -866,6 +866,14 @@ object Queries {
         |SELECT vec_a, vec_b, label, cos_sim FROM p
         |WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    QueryDef("q_stream_tumbling",
+      (s, d) => graft.streaming.StreamOps.tumblingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q_multimodal_meta",
       (s, d) => Multimodal.mediaMetadata(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, source, lang,

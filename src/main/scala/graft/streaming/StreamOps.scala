@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.util.Cols._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's streaming layer:
+  * Kafka→bronze becomes file/memory-source → the same transforms; windowed
+  * aggregation gets a watermark; sessionization carries custom state with
+  * flatMapGroupsWithState.
+  * Ref: /root/reference/spark_jobs/bronze/ingest_stream.py.
+  *
+  * Every transform here is written against DataFrame/Dataset so the SAME
+  * function runs in batch (oracle-checked via SparkEntry) and as a
+  * streaming query (exercised in StreamingSpec with memory sinks) — the
+  * batch/stream parity the lakehouse medallion depends on.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour aggregation by event type. In streaming the watermark
+    * bounds state (2h lateness); in batch it is a no-op — one definition,
+    * both modes. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sumMoney(col("value")).as("value_sum"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("event_count"), col("value_sum"))
+
+  /** Bronze shaping as a streaming transform (same columns as
+    * operators.Bronze.bronzeEvents, minus the raw-nanos dependency). */
+  def bronzeShape(events: DataFrame): DataFrame =
+    events
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .withColumn("_source_system", lit("file-stream"))
+      .withColumn("_pipeline_version", lit("1.0.0"))
+
+  // ---- stateful sessionization ----
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+                value: Double)
+  case class SessionOut(user_id: Long, session_idx: Long, event_count: Long,
+                        session_start_us: Long, session_end_us: Long,
+                        purchases: Long, errors: Long)
+  /** The open session for a user: idx is 1-based to match the batch
+    * operator's cumulative-boundary numbering. */
+  case class SessState(openIdx: Long, startTs: Long, lastTs: Long, count: Long,
+                       purchases: Long, errors: Long)
+
+  /** Gap-based sessionization with explicit state (streaming mirror of
+    * operators.Sessionize). Emits a session when the gap closes it; the
+    * open session stays in GroupState across micro-batches. Events inside
+    * a batch are sorted per user (micro-batch iterators are unordered). */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          val out = Vector.newBuilder[SessionOut]
+          var st = state.getOption
+          for (e <- sorted) {
+            val p = if (e.event_type == "purchase") 1L else 0L
+            val er = if (e.event_type == "error") 1L else 0L
+            st match {
+              case Some(open) if e.ts_us - open.lastTs <= gapUs =>
+                st = Some(open.copy(lastTs = e.ts_us, count = open.count + 1,
+                  purchases = open.purchases + p, errors = open.errors + er))
+              case Some(open) =>
+                out += SessionOut(userId, open.openIdx, open.count, open.startTs,
+                  open.lastTs, open.purchases, open.errors)
+                st = Some(SessState(open.openIdx + 1, e.ts_us, e.ts_us, 1L, p, er))
+              case None =>
+                st = Some(SessState(1L, e.ts_us, e.ts_us, 1L, p, er))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Flush marker: an event far past every real timestamp closes all open
+    * sessions (test/drain helper). */
+  val FlushTsUs: Long = Long.MaxValue / 2
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{AsOfJoin, Cleaning, MergeUpsert, Sessionize}
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, MinHash}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("deterministicDedup keeps exactly one row per key, lowest tiebreak") {
+    import spark.implicits._
+    val df = Seq((1L, "b"), (1L, "a"), (2L, "z")).toDF("k", "v")
+    val out = Cleaning.deterministicDedup(df, Seq("k"), Seq("v")).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "z")))
+  }
+
+  test("asOf picks the most recent right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 100L, 5.0), (11L, 1L, 200L, 6.0), (12L, 2L, 50L, 7.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val right = Seq((20L, 1L, 100L, 1.5), (21L, 1L, 150L, 2.5), (22L, 3L, 10L, 9.9))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val out = AsOfJoin.asOf(left, right)
+      .select("event_id", "asof_value", "asof_ts_us").orderBy("event_id")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (10L, Some(1.5), Some(100L)),   // equal ts matches
+      (11L, Some(2.5), Some(150L)),   // most recent prior
+      (12L, None, None)))             // no right rows for user 2
+  }
+
+  test("merge upsert: source wins, target survives, inserts appear") {
+    import spark.implicits._
+    val target = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
+    val source = Seq((2L, "new"), (3L, "new")).toDF("k", "v")
+    val out = MergeUpsert.merge(target, source, Seq("k"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "old", "kept"), (2L, "new", "updated"), (3L, "new", "inserted")))
+  }
+
+  test("merge upsert is idempotent: re-merging the same source is a fixpoint") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val source = Seq((2L, "x")).toDF("k", "v")
+    val once = MergeUpsert.merge(target, source, Seq("k")).drop("_merge_action")
+    val twice = MergeUpsert.merge(once, source, Seq("k")).drop("_merge_action")
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("exact dedup groups identical texts under the lowest doc_id") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDups(docs).orderBy("canonical_doc_id")
+      .select("canonical_doc_id", "doc_count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+    assert(Dedup.dedupedDocs(docs).count() == 2)
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, (100 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs)
+      .select("doc_a", "doc_b", "exact_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("sessionize splits on gap and aggregates within session") {
+    import spark.implicits._
+    val us = 1000000L
+    val events = Seq(
+      (1L, 1L, 0L * us, "view", 1.0), (2L, 1L, 60L * us, "purchase", 5.0),
+      (3L, 1L, 4000L * us, "view", 2.0) // > 30min later → new session
+    ).toDF("event_id", "user_id", "ts_ns_ignored", "event_type", "value")
+      .withColumn("ts_ns", col("ts_ns_ignored") * 1000)
+    val out = Sessionize.sessionStats(events, Sessionize.DefaultGapUs)
+      .orderBy("session_idx")
+      .select("session_idx", "event_count", "purchases")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
+  }
+
+  test("multimodal mapPartitions pipeline produces per-record features") {
+    val docs = Tables.documents(spark, TinySf).limit(10)
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaTable(docs)).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.byte_count > 0 && f.checksum.length == 64))
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.frame_count >= 1))
+  }
+}

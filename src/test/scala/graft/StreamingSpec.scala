@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming↔batch parity: the same transforms produce the same results
+  * whether driven by a streaming query or a batch job. */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling watermark aggregation matches its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "event_type", "value", "user_id")
+    val rows = events.as[(java.sql.Timestamp, String, Double, Long)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    stream.addData(rows)
+    val q = StreamOps.tumblingCounts(
+        stream.toDF.toDF("ts", "event_type", "value", "user_id"))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamOps.tumblingCounts(events)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful sessionization carries open sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    // user 1: events at t=0,60s | batch boundary | t=120s (same session),
+    // then t=4000s (new session). Flush closes the last open session.
+    val batchA = Seq(Ev(1L, 1L, 0L, "view", 1.0), Ev(1L, 2L, 60 * us, "purchase", 5.0))
+    val batchB = Seq(Ev(1L, 3L, 120 * us, "view", 2.0), Ev(1L, 4L, 4000 * us, "error", 0.0))
+    val flush = Seq(Ev(1L, 99L, StreamOps.FlushTsUs, "view", 0.0))
+
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionize(stream.toDS(), gapUs = 30 * 60 * us)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    stream.addData(batchA); q.processAllAvailable()
+    stream.addData(batchB); q.processAllAvailable()
+    stream.addData(flush); q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_out").as[SessionOut]
+      .collect().toSeq.sortBy(_.session_idx)
+    // session 1: 3 events (0,60,120s) spanning the batch boundary; session 2: 1 event
+    assert(sessions.map(s => (s.session_idx, s.event_count, s.purchases, s.errors)) ==
+      Seq((1L, 3L, 1L, 0L), (2L, 1L, 0L, 1L)))
+    assert(sessions.head.session_start_us == 0L)
+    assert(sessions.head.session_end_us == 120 * us)
+  }
+
+  test("streaming sessionization agrees with the batch operator on real data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, TinySf)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val users = evs.map(_.user_id).distinct
+    val flush = users.map(u => Ev(u, 9999999L, StreamOps.FlushTsUs, "view", 0.0))
+
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionize(stream.toDS(), Sessionize2.gapUs)
+      .writeStream.format("memory").queryName("sessions_real")
+      .outputMode("append").start()
+    stream.addData(evs); q.processAllAvailable()
+    stream.addData(flush); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_real")
+      .select("user_id", "session_idx", "event_count", "purchases", "errors")
+      .orderBy("user_id", "session_idx").collect().toSeq
+    val batch = graft.operators.Sessionize.sessionStats(Tables.events(spark, TinySf))
+      .select("user_id", "session_idx", "event_count", "purchases", "errors")
+      .orderBy("user_id", "session_idx").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.size > 100)
+  }
+
+  test("bronze shaping runs as a file-source streaming query") {
+    import spark.implicits._
+    val batchDf = Tables.events(spark, TinySf).select("event_id", "ts", "event_type", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = StreamOps.bronzeShape(streamIn)
+      .writeStream.format("memory").queryName("bronze_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bronze_out")
+    assert(out.count() == batchDf.count())
+    assert(out.where(col("prop_k").isNull).count() == 0)
+    assert(out.select("event_date").distinct().count() >= 28)
+  }
+}
+
+private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
