@@ -36,6 +36,15 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings feed CPU-heavy per-row operators (regex, md5
+    * shingling, dot products). The testdata ships as one parquet row group
+    * = one input split, which would serialize that work on a single core;
+    * an explicit round-robin repartition fans it out. (At 100 TB inputs
+    * arrive as many splits and this is a no-op cost-wise — the repartition
+    * write is a few MB here, and correctness never depends on layout.) */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String): DataFrame = fanOut(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(s, load(s, d, "embeddings"))
 }

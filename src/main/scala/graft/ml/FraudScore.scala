@@ -25,16 +25,21 @@ object FraudScore {
   /** Numeric feature vector at order grain (reference: 25 numeric cols,
     * all coalesce-defaulted). */
   def featureVector(enrichedOrders: DataFrame): DataFrame = {
-    val fx = Features.txnFeatures(
-      enrichedOrders.select("o_orderkey", "o_custkey", "o_totalprice",
-        "order_date", "amount_tier"))
-      .select("o_orderkey", "amount_log", "order_month", "order_dow",
-        "is_weekend", "user_order_count", "user_avg_amount", "amount_vs_user_avg")
+    // Window features computed inline over the enriched rows — one shuffle
+    // on o_custkey, no re-join of a separate feature table (the enrichment
+    // join is 1:1, so window stats over enriched == over clean orders).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
     enrichedOrders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("amount_tier"), col("region_risk"), col("is_high_risk_region"),
-        col("negative_balance_flag"), col("c_acctbal"))
-      .join(fx, "o_orderkey")
+        col("order_date"), col("amount_tier"), col("region_risk"),
+        col("is_high_risk_region"), col("negative_balance_flag"), col("c_acctbal"))
+      .withColumn("amount_log", log(lit(1.0) + col("o_totalprice")).cast("float"))
+      .withColumn("order_month", month(col("order_date")).cast("long"))
+      .withColumn("order_dow", dayofweek(col("order_date")).cast("long"))
+      .withColumn("is_weekend", dayofweek(col("order_date")).isin(1, 7))
+      .withColumn("user_order_count", count(lit(1)).over(w))
+      .withColumn("user_avg_amount", Features.winAvg(col("o_totalprice"), w))
+      .withColumn("amount_vs_user_avg", col("o_totalprice") / col("user_avg_amount"))
       .select(
         col("o_orderkey"),
         col("o_custkey"),

@@ -20,7 +20,7 @@ object Features {
 
   private val Money = DecimalType(18, 2)
 
-  private def winAvg(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+  def winAvg(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     sum(c.cast(Money)).over(w).cast("double") / count(lit(1)).over(w)
 
   /** Per-customer transaction features over the orders fact. */

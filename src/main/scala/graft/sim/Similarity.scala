@@ -28,14 +28,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k for queries (vec_id < numQueries). */
+  /** Brute-force cosine top-k for queries (vec_id < numQueries).
+    * Norms are projected once per vector BEFORE the pair join — at n
+    * queries × m corpus pairs that saves (n·m − n − m) norm computations
+    * (the dominant cost of naive cosine at scale). */
   def knnBrute(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = embeddings
+    val corpus = embeddings
       .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("embedding")))
+      .withColumn("cos_sim", dot(col("qv"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -55,14 +61,15 @@ object Similarity {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
         bucketKey(col("embedding"), bits).as("bucket"))
+      .withColumn("nrm", norm(col("embedding")))
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("q_bucket"))
+        col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
     corpus
       .join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("embedding")))
+      .withColumn("cos_sim", dot(col("qv"), col("embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
@@ -73,11 +80,13 @@ object Similarity {
     * blocker would be an LSH bucket). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"),
+      col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("vb"))
+      col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") > threshold)
       .select("vec_a", "vec_b", "label", "cos_sim")
   }

@@ -29,29 +29,62 @@ object MinHash {
     expr("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
       "j -> concat_ws(' ', slice(split(text, ' '), j, 3)))")
 
-  /** doc_id + sig_0..sig_{k-1} minhash signature columns. */
-  def signatures(documents: DataFrame): DataFrame = {
-    val withShingles = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), s => md5(concat(lit(i.toString), lit("|"), s))))
-        .as(s"sig_$i")
-    }
-    withShingles.select(col("doc_id") +: sigCols: _*)
+  /** Mersenne-prime modulus for the integer permutation family. */
+  val M: Long = 2147483647L
+
+  /** Multiplier/offset per hash function: h_i(x) = (x·p_i + c_i) mod M.
+    * One md5 per shingle feeds all k permutations — 16× fewer digest
+    * calls than hashing (seed,shingle) pairs, same minhash guarantees. */
+  val Perms: Seq[(Long, Long)] =
+    (0 until NumHashes).map(i => (1000003L + 2L * i, 12289L * (i + 1)))
+
+  /** Base 60-bit shingle hash (md5 hex prefix), reduced mod M — portable
+    * to the oracle engine via hex casting. */
+  private val BaseHashExpr =
+    "transform(sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647)"
+
+  /** doc_id + sigs array<long>[k] — the compact form every downstream
+    * stage uses (one column through shuffles, small codegen). */
+  def signaturesArr(documents: DataFrame): DataFrame = {
+    val withHashes = documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), expr(BaseHashExpr).as("hs"))
+    val sigArray = array(Perms.map { case (p, c) =>
+      expr(s"array_min(transform(hs, h -> (h * $p + $c) % $M))")
+    }: _*)
+    withHashes.select(col("doc_id"), sigArray.as("sigs"))
   }
 
-  /** (doc_id, band_idx, band_hash) — one row per band. */
-  def bands(sigs: DataFrame): DataFrame = {
-    val bandRows = (0 until Bands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"sig_$i"))
-      sigs.select(col("doc_id"), lit(b.toLong).as("band_idx"),
-        md5(concat_ws("|", cols: _*)).as("band_hash"))
+  /** doc_id + sig_0..sig_{k-1} minhash signature columns (bigint). */
+  def signatures(documents: DataFrame): DataFrame =
+    signaturesArr(documents).select(
+      col("doc_id") +: (0 until NumHashes).map(i => col("sigs")(i).as(s"sig_$i")): _*)
+
+  /** (doc_id, band_idx, band_hash) — one row per band, via a single
+    * explode so the signature subtree is computed ONCE (a per-band union
+    * would replicate the whole shingle+minhash computation Bands times). */
+  def bands(sigs: DataFrame): DataFrame =
+    bandsCarryingSigs(sigs).select("doc_id", "band_idx", "band_hash")
+
+  /** Band rows that also carry the signature array (lets the LSH
+    * self-join estimate Jaccard without re-joining signatures). Input must
+    * have a `sigs` array column (signaturesArr). */
+  private def bandsCarryingSigs(sigsArr: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val hash = md5(array_join(
+        transform(slice(col("sigs"), b * RowsPerBand + 1, RowsPerBand),
+          x => x.cast("string")), "|"))
+      struct(lit(b.toLong).as("band_idx"), hash.as("band_hash"))
     }
-    bandRows.reduce(_.unionByName(_))
+    sigsArr.withColumn("b", explode(array(bandStructs: _*)))
+      .withColumn("band_idx", col("b.band_idx"))
+      .withColumn("band_hash", col("b.band_hash"))
+      .drop("b")
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket. */
   def candidatePairs(documents: DataFrame): DataFrame = {
-    val b = bands(signatures(documents))
+    val b = bands(signaturesArr(documents))
     val l = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = b.select(col("band_idx").as("r_band_idx"), col("band_hash").as("r_band_hash"),
       col("doc_id").as("doc_b"))
@@ -89,32 +122,41 @@ object MinHash {
       |  FROM documents
       |)""".stripMargin
 
-  private def sigExpr(i: Int): String =
-    s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS sig_$i"
+  private val BaseHashSqlCte =
+    """, hsx AS (
+      |  SELECT doc_id,
+      |    list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+      |  FROM sh
+      |)""".stripMargin
+
+  private def sigExpr(i: Int): String = {
+    val (p, c) = Perms(i)
+    s"list_aggregate(list_transform(hs, h -> (h * $p + $c) % $M), 'min') AS sig_$i"
+  }
 
   /** Oracle for `signatures`. */
   def signaturesOracleSql: String =
-    ShinglesSqlCte +
+    ShinglesSqlCte + BaseHashSqlCte +
       s"""
          |SELECT doc_id, ${(0 until NumHashes).map(sigExpr).mkString(",\n  ")}
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM hsx ORDER BY doc_id""".stripMargin
 
   /** Oracle for `nearDupPairs`. */
   def nearDupOracleSql: String = {
     val sigList = (0 until NumHashes).map(sigExpr).mkString(",\n    ")
     val bandSelects = (0 until Bands).map { bnd =>
       val cols = (bnd * RowsPerBand until (bnd + 1) * RowsPerBand)
-        .map(i => s"sig_$i").mkString(" || '|' || ")
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, CAST($bnd AS BIGINT) AS band_idx, md5($cols) AS band_hash FROM sig"
     }.mkString("\n    UNION ALL ")
     val agreement = (0 until NumHashes)
       .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    ShinglesSqlCte +
+    ShinglesSqlCte + BaseHashSqlCte +
       s"""
          |, sig AS (
          |  SELECT doc_id, $sigList
-         |  FROM sh
+         |  FROM hsx
          |), band AS (
          |    $bandSelects
          |), pairs AS (
@@ -157,17 +199,25 @@ object MinHash {
   /** Candidates + estimated (signature agreement) and exact n-gram Jaccard.
     * Exact set ops run only on LSH candidates. */
   def nearDupPairs(documents: DataFrame): DataFrame = {
-    val sigs = signatures(documents)
-    val sigAgreement = (0 until NumHashes)
-      .map(i => when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / lit(NumHashes.toDouble)
+    // Banded signatures are cached: the self-join references the subtree
+    // twice and the shingle+md5 computation is the dominant cost — the
+    // cached table is only (doc_id, sigs[16], band cols) per band row.
+    val banded = bandsCarryingSigs(signaturesArr(documents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigAgreement =
+      expr(s"aggregate(zip_with(a.sigs, b.sigs, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        .cast("double") / lit(NumHashes.toDouble)
     val docsW = documents.select(col("doc_id"), array_distinct(wordsCol).as("vocab"))
 
-    candidatePairs(documents)
-      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("est_jaccard", sigAgreement)
-      .select("doc_a", "doc_b", "est_jaccard")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sigAgreement.as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))   // a pair can match in several bands
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .join(docsW.select(col("doc_id").as("doc_a"), col("vocab").as("va")), "doc_a")
       .join(docsW.select(col("doc_id").as("doc_b"), col("vocab").as("vb")), "doc_b")
       .withColumn("inter_size",
