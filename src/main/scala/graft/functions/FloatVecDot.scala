@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over two float-vector columns in double
+  * precision — the inner loop of every similarity operator.
+  *
+  * Composing built-ins (`aggregate(zip_with(a, b, (x,y) -> x*y), ...)`)
+  * allocates an intermediate 64-element array per row pair and drives a
+  * HOF interpreter loop; at n·m candidate pairs that allocation IS the
+  * workload. This expression generates a tight allocation-free loop inside
+  * whole-stage codegen. Accumulation order is strictly left-to-right, so
+  * results are bit-identical to the HOF formulation (and to the DuckDB
+  * oracle's sequential list_reduce).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  ${ev.value}_acc += ((double) $a.getFloat(${ev.value}_i))
+         |                   * ((double) $b.getFloat(${ev.value}_i));
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions. Operators call `register`
+  * idempotently on their session; deployments that prefer config wiring
+  * can set spark.sql.extensions=graft.functions.GraftExtensions. */
+object GraftFunctions {
+  val builder: Seq[Expression] => Expression = exprs => FloatVecDot(exprs.head, exprs(1))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", builder, "built-in")
+}
+
+/** SparkSessionExtensions entry point (spark.sql.extensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      GraftFunctions.builder))
+}

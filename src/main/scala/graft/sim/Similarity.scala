@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic double dot product of two float arrays. */
+  /** Deterministic double dot product via built-in HOFs — the composable
+    * baseline (and the semantics contract for FloatVecDot). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -28,20 +29,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd dot (graft.functions.FloatVecDot) — bit-identical to
+    * `dot`, allocation-free in the pair loop. Callers must have invoked
+    * GraftFunctions.register on the session. */
+  private def fastDot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
+
   /** Brute-force cosine top-k for queries (vec_id < numQueries).
     * Norms are projected once per vector BEFORE the pair join — at n
     * queries × m corpus pairs that saves (n·m − n − m) norm computations
     * (the dominant cost of naive cosine at scale). */
   def knnBrute(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val corpus = embeddings
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("q_nrm"))
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -58,10 +65,11 @@ object Similarity {
   /** Bucketed ANN: score only same-bucket candidates (scale path). */
   def knnBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
                   bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val corpus = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
         bucketKey(col("embedding"), bits).as("bucket"))
-      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
@@ -69,7 +77,7 @@ object Similarity {
     corpus
       .join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
@@ -79,14 +87,15 @@ object Similarity {
     * label (the blocking key bounds the pair explosion; at scale the
     * blocker would be an LSH bucket). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"),
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos_sim", fastDot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cos_sim") > threshold)
       .select("vec_a", "vec_b", "label", "cos_sim")
   }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("vec_dot is bit-identical to the HOF dot baseline on real vectors") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TinySf)
+    val both = e.select(
+      col("vec_id"),
+      expr("vec_dot(embedding, embedding)").as("fast"),
+      Similarity.dot(col("embedding"), col("embedding")).as("slow"))
+    val diffs = both.filter(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+    assert(both.count() > 0)
+  }
+
+  test("vec_dot handles nulls and empty arrays") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+    val out = df.select(expr("vec_dot(a, b)")).as[Option[Double]].collect()
+    assert(out(0).contains(11.0))
+    assert(out(1).isEmpty)
+    assert(out(2).contains(0.0))
+  }
+
+  test("vec_dot participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TinySf)
+    val df = e.select(expr("vec_dot(embedding, embedding)"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print as "*(n) Op" in the AQE tree
+    assert("\\*\\(\\d+\\) Project \\[vec_dot".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+}
