@@ -874,6 +874,69 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("q_pivot",
+      (s, d) => gold.Olap.eventTypePivot(Tables.events(s, d)).orderBy("user_id"),
+      Some {
+        val cols = gold.Olap.EventTypes.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+          .mkString(",\n  ")
+        s"""SELECT user_id,
+           |  $cols
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }),
+
+    QueryDef("q_rollup",
+      (s, d) => gold.Olap.revenueRollup(Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
+        .orderBy("region_name", "nation_name", "gid"),
+      Some(CleanOrdersCte +
+        """
+        |, enr AS (
+        |  SELECT n.n_name AS nation_name, r.r_name AS region_name, co.o_totalprice
+        |  FROM clean_orders co
+        |  JOIN customer c ON co.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |)
+        |SELECT COALESCE(region_name, 'ALL') AS region_name,
+        |  COALESCE(nation_name, 'ALL') AS nation_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count,
+        |  CAST(GROUPING(region_name, nation_name) AS BIGINT) AS gid
+        |FROM enr GROUP BY ROLLUP(region_name, nation_name)
+        |ORDER BY region_name, nation_name, gid""".stripMargin)),
+
+    QueryDef("q_cube",
+      (s, d) => gold.Olap.statusTierCube(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized", "amount_tier", "gid"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT COALESCE(status_normalized, 'ALL') AS status_normalized,
+        |  COALESCE(amount_tier, 'ALL') AS amount_tier,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(status_normalized, amount_tier) AS BIGINT) AS gid
+        |FROM clean_orders GROUP BY CUBE(status_normalized, amount_tier)
+        |ORDER BY status_normalized, amount_tier, gid""".stripMargin)),
+
+    // Sketch queries are engine-specific (DataSketches HLL / KLL-style
+    // percentile_approx) → rows-only gate; SketchesSpec bounds the error.
+    QueryDef("q_hll_daily",
+      (s, d) => gold.Sketches.dailyUserSketches(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
+    QueryDef("q_hll_total",
+      (s, d) => gold.Sketches.mergedDistinctUsers(Tables.events(s, d)),
+      None),
+
+    QueryDef("q_approx_quantiles",
+      (s, d) => gold.Sketches.approxOrderQuantiles(
+          Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized"),
+      None),
+
     QueryDef("q_multimodal_meta",
       (s, d) => Multimodal.mediaMetadata(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, source, lang,

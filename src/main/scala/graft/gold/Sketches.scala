@@ -1,0 +1,48 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the 100 TB path for distinct
+  * counts and quantiles. Exact countDistinct shuffles every key; the HLL
+  * pipeline pre-aggregates a fixed-size sketch per partition/day and
+  * merges sketches at query time (classic lambda/medallion pattern:
+  * sketches are stored in the gold layer and re-aggregated along any
+  * dimension without touching raw data).
+  *
+  * Results are engine-specific (DataSketches HLL), so these are rows-only
+  * queries; SketchesSpec bounds their error against exact answers.
+  */
+object Sketches {
+
+  /** Per-day user sketches + estimate (what gold would persist). */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events
+      .select(col("ts").cast("date").as("event_date"), col("user_id"))
+      .groupBy(col("event_date"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"),
+        count(lit(1)).as("event_count"))
+      .select(col("event_date"),
+        hll_sketch_estimate(col("user_sketch")).as("approx_users"),
+        col("event_count"))
+
+  /** Merge daily sketches to total distinct users — no rescan of events
+    * (the re-aggregation step that makes sketches worth storing). */
+  def mergedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("ts").cast("date").as("event_date"), col("user_id"))
+      .groupBy(col("event_date"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+        .as("approx_total_users"))
+
+  /** Approximate quantiles per group (percentile_approx with bounded
+    * accuracy parameter — mergeable, single-pass). */
+  def approxOrderQuantiles(cleanOrders: DataFrame): DataFrame =
+    cleanOrders
+      .groupBy(col("status_normalized"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("approx_p95"),
+        count(lit(1)).as("order_count"))
+}
