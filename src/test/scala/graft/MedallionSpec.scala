@@ -1,0 +1,41 @@
+package graft
+
+import graft.pipeline.Medallion
+import org.apache.spark.sql.functions._
+
+class MedallionSpec extends SparkSpec {
+
+  test("bronze→silver→gold materializes partitioned layers end to end") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runAll()
+
+    // bronze partitioned by event_date
+    val bronzeDirs = new java.io.File(s"$wh/bronze/events").list()
+    assert(bronzeDirs.count(_.startsWith("event_date=")) >= 28)
+
+    val silver = m.readSilver("orders_enriched")
+    assert(silver.count() == Tables.orders(spark, TinySf).count())
+    assert(silver.columns.contains("region_risk"))
+
+    val gold = m.readGold("revenue_daily")
+    assert(gold.count() > 0)
+    val scores = m.readGold("fraud_scores")
+    assert(scores.where(col("fraud_score").isNull).count() == 0)
+  }
+
+  test("silver re-processing is idempotent (MERGE contract)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze()
+    m.runSilver()
+    val first = m.readSilver("orders_enriched")
+      .drop("_merge_action").orderBy("o_orderkey").collect()
+    m.runSilver() // re-run: every row re-merges
+    val second = m.readSilver("orders_enriched")
+      .drop("_merge_action").orderBy("o_orderkey").collect()
+    assert(first.toSeq == second.toSeq)
+    assert(m.readSilver("orders_enriched")
+      .where(col("_merge_action") === "updated").count() == first.length)
+  }
+}
