@@ -874,6 +874,91 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("q_pii_masking",
+      (s, d) => operators.Masking.maskCustomers(Tables.customer(s, d))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, c_mktsegment,
+        |  substr(c_name, 1, 9) || '***' AS name_masked,
+        |  sha256(c_name || '${operators.Masking.Pepper}') AS name_token,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS acctbal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_refund_summary",
+      (s, d) => {
+        val li = Cleaning.cleanLineitem(Tables.lineitem(s, d))
+        val ord = Cleaning.cleanOrders(Tables.orders(s, d))
+        li.join(ord.select("o_orderkey", "order_date"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("order_date"))
+          .agg(
+            count(lit(1)).as("total_lines"),
+            sum(when(col("is_refund"), 1L).otherwise(0L)).as("refund_lines"),
+            graft.util.Cols.sumExact6(
+              when(col("is_refund"), col("net_price")).otherwise(lit(0.0)))
+              .as("refund_amount"))
+          .withColumn("refund_rate",
+            col("refund_lines").cast("double") / col("total_lines"))
+          .orderBy("order_date")
+      },
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |SELECT order_date, count(*) AS total_lines,
+        |  CAST(sum(CASE WHEN is_refund THEN 1 ELSE 0 END) AS BIGINT) AS refund_lines,
+        |  CAST(sum(CAST(CASE WHEN is_refund THEN net_price ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS refund_amount,
+        |  CAST(sum(CASE WHEN is_refund THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS refund_rate
+        |FROM clean_lineitem JOIN clean_orders ON l_orderkey = o_orderkey
+        |GROUP BY order_date ORDER BY order_date""".stripMargin)),
+
+    QueryDef("q_salted_agg",
+      (s, d) => operators.SaltedAgg.userEventStats(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q_returned_customers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val perCust = li
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(graft.util.Cols.sumMoneyTimes(col("l_extendedprice"),
+            lit(1) - col("l_discount")).as("returned_revenue"),
+            count(lit(1)).as("returned_lines"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("returned_revenue").desc, col("o_custkey").asc)
+        perCust
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+            col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("rank", "o_custkey", "c_name", "n_name", "returned_lines", "returned_revenue")
+          .orderBy("rank")
+      },
+      Some("""WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS returned_revenue,
+        |    count(*) AS returned_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY returned_revenue DESC, o_custkey ASC) AS BIGINT) AS rank,
+        |    o_custkey, c_name, n_name, returned_lines, returned_revenue
+        |  FROM per_cust
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |) t WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     QueryDef("q_pivot",
       (s, d) => gold.Olap.eventTypePivot(Tables.events(s, d)).orderBy("user_id"),
       Some {
