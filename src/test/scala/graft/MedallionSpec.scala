@@ -24,6 +24,19 @@ class MedallionSpec extends SparkSpec {
     assert(scores.where(col("fraud_score").isNull).count() == 0)
   }
 
+  test("date filters prune bronze partitions at the scan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze()
+    val q = spark.read.parquet(s"$wh/bronze/events")
+      .filter(col("event_date") === "2024-01-05")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(800))
+    // only one partition directory is read
+    assert(q.select(col("event_date")).distinct().count() == 1)
+  }
+
   test("silver re-processing is idempotent (MERGE contract)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val m = new Medallion(spark, TinySf, wh)

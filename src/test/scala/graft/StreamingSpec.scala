@@ -89,6 +89,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size > 100)
   }
 
+  test("checkpointed stream restarts without duplicating output") {
+    import spark.implicits._
+    val batchDf = Tables.events(spark, TinySf)
+      .select("event_id", "ts", "event_type", "props").limit(500)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ckpt_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    batchDf.write.mode("overwrite").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val q = StreamOps.bronzeShape(
+          spark.readStream.schema(batchDf.schema).parquet(inDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    runOnce() // restart from checkpoint: input already committed → no new rows
+    val afterSecond = spark.read.parquet(outDir).count()
+    assert(afterFirst == 500L)
+    assert(afterSecond == 500L)
+    assert(spark.read.parquet(outDir).select("event_id").distinct().count() == 500L)
+  }
+
   test("bronze shaping runs as a file-source streaming query") {
     import spark.implicits._
     val batchDf = Tables.events(spark, TinySf).select("event_id", "ts", "event_type", "props")
