@@ -489,6 +489,30 @@ object Queries {
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin)),
 
+    QueryDef("q_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+        graft.plans.NativeAsOf.asOf(
+            ev.filter(col("event_type") === "error").drop("event_type"),
+            ev.filter(col("event_type") === "purchase").drop("event_type"),
+            "user_id", "ts_us", "value")
+          .withColumn("micros_since_match", col("ts_us") - col("asof_ts_us"))
+          .select("event_id", "user_id", "ts_us", "value", "asof_value",
+            "asof_ts_us", "micros_since_match")
+          .orderBy("event_id")
+      },
+      Some(EventsUsCte +
+        """
+        |, e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |  p.value AS asof_value, p.ts_us AS asof_ts_us,
+        |  e.ts_us - p.ts_us AS micros_since_match
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
     QueryDef("q_range_join",
       (s, d) => RangeJoin.partPriceBands(s, Tables.part(s, d)).orderBy("p_partkey"),
       Some("""WITH bands(band_name, band_lo, band_hi) AS (VALUES

@@ -65,13 +65,26 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
+
+  /** Runtime installation of graft's optimizer rules (for sessions not
+    * configured with spark.sql.extensions). Idempotent. */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseVecDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseVecDot
+    }
 }
 
-/** SparkSessionExtensions entry point (spark.sql.extensions). */
+/** SparkSessionExtensions entry point (spark.sql.extensions): the
+  * vec_dot function, the FuseVecDot optimizer rule, and the as-of join
+  * planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       GraftFunctions.builder))
+    ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

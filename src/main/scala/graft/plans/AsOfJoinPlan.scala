@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Whole-operator as-of join as a first-class Catalyst citizen: a custom
+  * LogicalPlan node, planned by a SparkStrategy into a custom SparkPlan
+  * that merge-scans co-partitioned, co-sorted children.
+  *
+  * Semantics: for each left row, the most recent right row with
+  * right.time <= left.time and the same key (LEFT OUTER: nulls when none).
+  *
+  * Why a custom operator (preference (c) in the design ladder): the
+  * composed form (union + last(ignoreNulls) window, operators.AsOfJoin)
+  * materializes the union and runs window-function machinery; this plan
+  * declares ClusteredDistribution + per-partition ordering, so Catalyst
+  * inserts exactly one exchange + sort per side, and execution is a
+  * streaming two-pointer merge holding ONE buffered right row — O(1)
+  * memory per partition regardless of key cardinality or history depth.
+  * At 100 TB both sides stream; nothing is collected or windowed.
+  *
+  * v1 scope: Long key and Long time columns, one Double payload column —
+  * the (entity_id, epoch, value) shape every event-stream as-of needs.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    keyName: String, timeName: String, valueName: String,
+    // constructor params (not body vals) so exprIds survive tree copies
+    asofValue: AttributeReference = AttributeReference("asof_value", DoubleType)(),
+    asofTs: AttributeReference = AttributeReference("asof_ts_us", LongType)()) extends BinaryNode {
+
+  // Columns are carried by NAME and re-resolved from the children on every
+  // access: the analyzer (DeduplicateRelations) may re-id a child's
+  // attributes (self-joins), and name-based resolution always tracks the
+  // children's current output.
+  private def attr(side: LogicalPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"AsOfJoinNode: no column $name in ${side.output}"))
+  def leftKey: Attribute = attr(left, keyName)
+  def rightKey: Attribute = attr(right, keyName)
+  def leftTime: Attribute = attr(left, timeName)
+  def rightTime: Attribute = attr(right, timeName)
+  def rightValue: Attribute = attr(right, valueName)
+
+  override def output: Seq[Attribute] = left.output :+ asofValue :+ asofTs
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(asofValue, asofTs))
+
+  // keep the key/time/value columns alive through column pruning
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      Seq(leftKey, leftTime, rightKey, rightTime, rightValue))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightValue: Expression,
+    asofValue: Attribute, asofTs: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asofValue :+ asofTs
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(asofValue, asofTs))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rValue = BindReferences.bindReference(rightValue, right.output)
+
+    val outputAttrs = output
+    left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outputAttrs, outputAttrs)
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val matchRow = new GenericInternalRow(2)
+        private val nullRow = {
+          val r = new GenericInternalRow(2); r.setNullAt(0); r.setNullAt(1); r
+        }
+        private val rIt = rightIt.buffered
+        // the single buffered "most recent right row at-or-before" state
+        private var haveMatch = false
+        private var matchKey = 0L
+        private var matchTs = 0L
+        private var matchVal = 0.0
+
+        override def hasNext: Boolean = leftIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = leftIt.next()
+          val k = lKey.eval(l).asInstanceOf[Long]
+          val t = lTime.eval(l).asInstanceOf[Long]
+          // advance the right side through every row at-or-before (k, t)
+          while (rIt.hasNext && {
+            val rk = rKey.eval(rIt.head).asInstanceOf[Long]
+            rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] <= t)
+          }) {
+            val r = rIt.next()
+            matchKey = rKey.eval(r).asInstanceOf[Long]
+            matchTs = rTime.eval(r).asInstanceOf[Long]
+            matchVal = rValue.eval(r).asInstanceOf[Double]
+            haveMatch = true
+          }
+          if (haveMatch && matchKey == k) {
+            matchRow.update(0, matchVal)
+            matchRow.update(1, matchTs)
+            toUnsafe(joined(l, matchRow))
+          } else {
+            toUnsafe(joined(l, nullRow))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinNode → AsOfJoinExec. Injected via GraftExtensions or
+  * runtime `spark.experimental.extraStrategies`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKey, n.rightKey, n.leftTime, n.rightTime, n.rightValue,
+        n.asofValue, n.asofTs) :: Nil
+    case _ => Nil
+  }
+}
+
+object NativeAsOf {
+  /** As-of join `left` to `right` on key/time (Long cols), carrying
+    * right's `valueCol` (Double). */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+           valueCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val node = AsOfJoinNode(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      keyCol, timeCol, valueCol)
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
+  }
+}
