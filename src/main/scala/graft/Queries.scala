@@ -1046,6 +1046,28 @@ object Queries {
         .orderBy("status_normalized"),
       None),
 
+    QueryDef("q_stream_join",
+      (s, d) => graft.streaming.StreamOps.purchaseErrorJoin(Tables.events(s, d))
+        .select(col("p_event_id"), col("e_event_id"), col("p_user").as("user_id"),
+          unix_timestamp(date_trunc("second", col("p_ts"))).as("p_ts_s"),
+          unix_timestamp(date_trunc("second", col("e_ts"))).as("e_ts_s"),
+          col("p_value"))
+        .orderBy("p_event_id", "e_event_id"),
+      Some("""WITH p AS (
+        |  SELECT ts AS p_ts, user_id, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT ts AS e_ts, user_id, event_id AS e_event_id
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT p.p_event_id, e.e_event_id, p.user_id,
+        |  CAST(epoch(date_trunc('second', p.p_ts)) AS BIGINT) AS p_ts_s,
+        |  CAST(epoch(date_trunc('second', e.e_ts)) AS BIGINT) AS e_ts_s,
+        |  p.p_value
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.e_ts >= p.p_ts - INTERVAL 1 HOUR AND e.e_ts <= p.p_ts
+        |ORDER BY p.p_event_id, e.e_event_id""".stripMargin)),
+
     QueryDef("q_multimodal_meta",
       (s, d) => Multimodal.mediaMetadata(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, source, lang,

@@ -92,4 +92,34 @@ object StreamOps {
   /** Flush marker: an event far past every real timestamp closes all open
     * sessions (test/drain helper). */
   val FlushTsUs: Long = Long.MaxValue / 2
+
+  /** Streaming dedup on event_id with a watermark bounding the id-set
+    * state to the lateness horizon (the streaming twin of
+    * Cleaning.deterministicDedup for append-only streams). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
+  /** Stream-stream interval join: purchases enriched with any error by the
+    * same user within the preceding hour. Watermarks on both sides + the
+    * time-range predicate bound the join state — the Structured Streaming
+    * shape of the reference's fraud-signal correlation.
+    * (Inner interval join; at scale state size = 1 h of events per side.) */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("ts").as("e_ts"), col("user_id").as("e_user"),
+        col("event_id").as("e_event_id"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"))
+  }
 }

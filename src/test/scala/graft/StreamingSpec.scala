@@ -115,6 +115,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).select("event_id").distinct().count() == 500L)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+    val rows = events
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    stream.addData(rows)
+    val q = StreamOps.purchaseErrorJoin(
+        stream.toDF.toDF("ts", "user_id", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssj_out")
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    val batch = StreamOps.purchaseErrorJoin(events)
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("watermarked streaming dedup drops replayed events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "event_id", "event_type").limit(200)
+    val rows = events.as[(java.sql.Timestamp, Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.dedupStream(
+        stream.toDF.toDF("ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(rows); q.processAllAvailable()
+    stream.addData(rows); q.processAllAvailable() // replay the same batch
+    q.stop()
+    assert(spark.table("dedup_out").count() == 200)
+  }
+
   test("bronze shaping runs as a file-source streaming query") {
     import spark.implicits._
     val batchDf = Tables.events(spark, TinySf).select("event_id", "ts", "event_type", "props")
