@@ -1029,6 +1029,21 @@ object Queries {
         |FROM clean_orders GROUP BY CUBE(status_normalized, amount_tier)
         |ORDER BY status_normalized, amount_tier, gid""".stripMargin)),
 
+    QueryDef("q_grouping_sets",
+      (s, d) => gold.Olap.statusTierGroupingSets(
+          Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized", "amount_tier", "gid"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT COALESCE(status_normalized, 'ALL') AS status_normalized,
+        |  COALESCE(amount_tier, 'ALL') AS amount_tier,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(status_normalized, amount_tier) AS BIGINT) AS gid
+        |FROM clean_orders
+        |GROUP BY GROUPING SETS ((status_normalized), (amount_tier))
+        |ORDER BY status_normalized, amount_tier, gid""".stripMargin)),
+
     // Sketch queries are engine-specific (DataSketches HLL / KLL-style
     // percentile_approx) → rows-only gate; SketchesSpec bounds the error.
     QueryDef("q_hll_daily",

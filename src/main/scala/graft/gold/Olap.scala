@@ -42,6 +42,23 @@ object Olap {
         coalesce(col("nation_name"), lit("ALL")).as("nation_name"),
         col("revenue"), col("order_count"), col("gid"))
 
+  /** Explicit GROUPING SETS: exactly the two marts the dashboards need
+    * (by-status and by-tier), one pass — no wasted cube cells. */
+  def statusTierGroupingSets(cleanOrders: DataFrame): DataFrame =
+    cleanOrders
+      .select(col("status_normalized"), col("amount_tier"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("status_normalized")), Seq(col("amount_tier"))),
+        col("status_normalized"), col("amount_tier"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sumMoney(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("status_normalized"), lit("ALL")).as("status_normalized"),
+        coalesce(col("amount_tier"), lit("ALL")).as("amount_tier"),
+        col("order_count"), col("revenue"), col("gid"))
+
   /** Order-count cube over status × tier (all marginals). */
   def statusTierCube(cleanOrders: DataFrame): DataFrame =
     cleanOrders

@@ -56,18 +56,35 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       graft.Tables.nation(spark, sfDir),
       graft.Tables.region(spark, sfDir))
 
-    val target = path("silver", "orders_enriched")
     val merged =
-      if (fileExists(target)) {
+      if (latestVersion("orders_enriched").isDefined) {
         MergeUpsert.merge(
-          spark.read.parquet(target).drop("_merge_action"),
+          readSilver("orders_enriched").drop("_merge_action"),
           enriched, Seq("o_orderkey"))
       } else enriched.withColumn("_merge_action", lit("inserted"))
-    // write via temp dir: the merge reads the target it overwrites
-    val tmp = target + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("order_date").parquet(tmp)
-    replaceDir(target, tmp)
+    // versioned snapshot write (Delta-style time travel without Delta):
+    // each silver run lands in v=N; readers pin a version for point-in-time
+    // correctness (the reference leans on Delta time travel for this).
+    val next = latestVersion("orders_enriched").getOrElse(0L) + 1
+    merged.write.mode(SaveMode.Overwrite).partitionBy("order_date")
+      .parquet(path("silver", "orders_enriched") + s"/v=$next")
   }
+
+  /** Highest committed silver version, if any. */
+  def latestVersion(table: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path("silver", table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Point-in-time read of a specific silver snapshot. */
+  def readSilverVersion(table: String, version: Long): DataFrame =
+    spark.read.parquet(path("silver", table) + s"/v=$version")
 
   // ---- gold: aggregates, sorted-within-partition on the filter axis ----
 
@@ -88,17 +105,9 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   def runAll(): Unit = { runBronze(); runSilver(); runGold() }
 
   def readGold(table: String): DataFrame = spark.read.parquet(path("gold", table))
-  def readSilver(table: String): DataFrame = spark.read.parquet(path("silver", table))
 
-  private def fileExists(p: String): Boolean =
-    new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(p))
-
-  private def replaceDir(target: String, tmp: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val t = new org.apache.hadoop.fs.Path(target)
-    if (fs.exists(t)) fs.delete(t, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), t)
-  }
+  /** Latest silver snapshot. */
+  def readSilver(table: String): DataFrame =
+    readSilverVersion(table, latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no silver versions for $table")))
 }

@@ -51,4 +51,20 @@ class MedallionSpec extends SparkSpec {
     assert(m.readSilver("orders_enriched")
       .where(col("_merge_action") === "updated").count() == first.length)
   }
+
+  test("silver snapshots are versioned and point-in-time readable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh4").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze()
+    m.runSilver()
+    assert(m.latestVersion("orders_enriched").contains(1L))
+    m.runSilver()
+    assert(m.latestVersion("orders_enriched").contains(2L))
+    // v1 still readable after v2 lands (time travel), same logical content
+    val v1 = m.readSilverVersion("orders_enriched", 1L)
+      .drop("_merge_action").orderBy("o_orderkey").collect()
+    val v2 = m.readSilverVersion("orders_enriched", 2L)
+      .drop("_merge_action").orderBy("o_orderkey").collect()
+    assert(v1.nonEmpty && v1.toSeq == v2.toSeq)
+  }
 }
