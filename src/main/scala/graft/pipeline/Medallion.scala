@@ -89,10 +89,11 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   // ---- gold: aggregates, sorted-within-partition on the filter axis ----
 
   def runGold(): Unit = {
-    val silver = spark.read.parquet(path("silver", "orders_enriched"))
+    val silver = readSilver("orders_enriched")
     Revenue.revenueDaily(silver)
-      .sortWithinPartitions("order_date", "status_normalized")
-      .write.mode(SaveMode.Overwrite).parquet(path("gold", "revenue_daily"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("order_date")
+      .parquet(path("gold", "revenue_daily"))
 
     FraudScore.score(FraudScore.featureVector(silver))
       .sortWithinPartitions("risk_label")
@@ -100,6 +101,23 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
 
     FraudSummary.userRiskScores(graft.Tables.events(spark, sfDir))
       .write.mode(SaveMode.Overwrite).parquet(path("gold", "user_risk_scores"))
+  }
+
+  /** Incremental gold maintenance: recompute revenue_daily ONLY for the
+    * given dates and overwrite just those partitions (dynamic partition
+    * overwrite). The daily-scheduled path at 100 TB — a late-arriving
+    * slice re-aggregates one partition, never the full history. */
+  def runGoldIncremental(dates: Seq[String]): Unit = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val silverSlice = readSilver("orders_enriched")
+        .filter(col("order_date").isin(dates: _*))
+      Revenue.revenueDaily(silverSlice)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("order_date")
+        .parquet(path("gold", "revenue_daily"))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   def runAll(): Unit = { runBronze(); runSilver(); runGold() }
