@@ -605,6 +605,42 @@ object Queries {
         |  label
         |FROM scored ORDER BY o_orderkey""".stripMargin)),
 
+    QueryDef("q_model_eval",
+      (s, d) => FraudScore.evaluate(FraudScore.score(FraudScore.featureVector(
+          Enrichment.enrichOrders(
+            Cleaning.cleanOrders(Tables.orders(s, d)),
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))))),
+      Some(EnrichedFeaturesCte +
+        """
+        |, zed AS (
+        |  SELECT o_orderkey, label,
+        |    CAST(CAST(-4.0 AS DOUBLE) + amount_vs_user_avg * CAST(0.9 AS DOUBLE)
+        |         + region_risk * CAST(11.0 AS DOUBLE)
+        |         + CAST(is_high_risk_region AS DOUBLE) * CAST(0.8 AS DOUBLE)
+        |         + CAST(negative_balance AS DOUBLE) * CAST(0.6 AS DOUBLE)
+        |         + CAST(is_weekend AS DOUBLE) * CAST(0.15 AS DOUBLE)
+        |         + CAST(amount_log AS DOUBLE) * CAST(0.12 AS DOUBLE) AS FLOAT) AS z
+        |  FROM fv
+        |), scored AS (
+        |  SELECT o_orderkey, label,
+        |    CAST(CAST(1.0 / (1.0 + exp(-z)) AS FLOAT) >= 0.5 AS BIGINT) AS predicted_fraud
+        |  FROM zed
+        |), test AS (
+        |  SELECT * FROM scored WHERE o_orderkey % 5 = 0
+        |), cm AS (
+        |  SELECT count(*) AS n_test,
+        |    CAST(sum(CASE WHEN predicted_fraud = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN predicted_fraud = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN predicted_fraud = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN predicted_fraud = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM test
+        |)
+        |SELECT n_test, tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  CAST(tp + tn AS DOUBLE) / n_test AS accuracy
+        |FROM cm""".stripMargin)),
+
     QueryDef("q_fraud_summary",
       (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))
         .select("event_date", "total_events", "error_events", "purchase_events",

