@@ -17,9 +17,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up: JVM, codegen, parquet footer reads
+    // warm up: JVM, codegen (agg/window/sort paths), parquet footer reads
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(10000L).selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("percentile(v, 0.5)"),
+        org.apache.spark.sql.functions.expr("count(distinct v)"))
+      .orderBy("k").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
