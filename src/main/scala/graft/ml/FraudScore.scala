@@ -44,7 +44,7 @@ object FraudScore {
         col("o_orderkey"),
         col("o_custkey"),
         coalesce(col("o_totalprice"), lit(0.0)).as("total_amount"),
-        coalesce(col("amount_log"), lit(0.0)).as("amount_log"),
+        coalesce(col("amount_log"), lit(0.0f)).as("amount_log"),
         col("order_month"),
         col("order_dow"),
         col("is_weekend").cast("long").as("is_weekend"),
