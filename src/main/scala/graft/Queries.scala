@@ -577,6 +577,84 @@ object Queries {
         """
         |SELECT * FROM fv ORDER BY o_orderkey""".stripMargin)),
 
+    QueryDef("q_feature_vector_full",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)))
+          .orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |, enr2 AS (
+        |  SELECT co.o_orderkey, co.o_custkey, co.o_totalprice, co.amount_tier, co.order_date,
+        |    co.o_orderpriority, c.c_acctbal,
+        |    CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
+        |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) AS region_risk
+        |  FROM clean_orders co
+        |  JOIN customer c ON co.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |), fx2 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, amount_tier, o_orderpriority, region_risk, c_acctbal,
+        |    CAST(ln(1.0 + o_totalprice) AS FLOAT) AS amount_log,
+        |    CAST(month(order_date) AS BIGINT) AS order_month,
+        |    CAST(dayofweek(order_date) + 1 AS BIGINT) AS order_dow,
+        |    CAST(dayofweek(order_date) IN (0, 6) AS BIGINT) AS is_weekend,
+        |    count(*) OVER w AS user_order_count,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS user_avg_amount,
+        |    max(o_totalprice) OVER w AS user_max_amount,
+        |    min(o_totalprice) OVER w AS user_min_amount,
+        |    quantile_cont(o_totalprice, 0.95) OVER w AS user_p95_amount,
+        |    o_totalprice / (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w) AS amount_vs_user_avg,
+        |    o_totalprice / (quantile_cont(o_totalprice, 0.95) OVER w + CAST(0.01 AS DOUBLE)) AS amount_vs_user_p95,
+        |    CAST(order_date - min(order_date) OVER w AS BIGINT) AS account_age_days
+        |  FROM enr2 WINDOW w AS (PARTITION BY o_custkey)
+        |), tall AS (
+        |  SELECT o_custkey AS uid, order_date - DATE '1970-01-01' AS day,
+        |    CAST(1 AS BIGINT) AS w_order, CAST(0 AS BIGINT) AS w_refund, o_orderkey AS v_okey
+        |  FROM clean_orders
+        |  UNION ALL
+        |  SELECT co.o_custkey, cl.ship_date - DATE '1970-01-01',
+        |    CAST(0 AS BIGINT), CAST(1 AS BIGINT), NULL
+        |  FROM clean_lineitem cl JOIN clean_orders co ON cl.l_orderkey = co.o_orderkey
+        |  WHERE cl.is_refund
+        |), vel AS (
+        |  SELECT v_okey,
+        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS velocity_7d,
+        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS velocity_30d,
+        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING), 0) AS velocity_90d,
+        |    COALESCE(sum(w_refund) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS refund_count_30d,
+        |    sum(w_refund) OVER (PARTITION BY uid) AS user_refund_count
+        |  FROM tall
+        |)
+        |SELECT fx2.o_orderkey, fx2.o_custkey,
+        |  COALESCE(o_totalprice, CAST(0.0 AS DOUBLE)) AS total_amount,
+        |  COALESCE(amount_log, CAST(0.0 AS FLOAT)) AS amount_log,
+        |  order_month, order_dow, is_weekend, user_order_count,
+        |  COALESCE(user_avg_amount, CAST(0.0 AS DOUBLE)) AS user_avg_amount,
+        |  user_max_amount, user_min_amount,
+        |  COALESCE(amount_vs_user_avg, CAST(1.0 AS DOUBLE)) AS amount_vs_user_avg,
+        |  user_p95_amount,
+        |  COALESCE(amount_vs_user_p95, CAST(1.0 AS DOUBLE)) AS amount_vs_user_p95,
+        |  account_age_days,
+        |  velocity_7d, velocity_30d, velocity_90d, refund_count_30d, user_refund_count,
+        |  CAST(user_refund_count AS DOUBLE) / CAST(user_order_count + 1 AS DOUBLE) AS refund_rate,
+        |  CAST(CASE amount_tier WHEN 'micro' THEN 0 WHEN 'low' THEN 1 WHEN 'medium' THEN 2
+        |       WHEN 'high' THEN 3 ELSE 4 END AS BIGINT) AS tier_encoded,
+        |  CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS is_priority_order,
+        |  COALESCE(region_risk, CAST(0.05 AS DOUBLE)) AS region_risk,
+        |  CAST(region_risk > 0.05 AS BIGINT) AS is_high_risk_region,
+        |  CAST(c_acctbal < 0 AS BIGINT) AS negative_balance,
+        |  COALESCE(c_acctbal, CAST(0.0 AS DOUBLE)) AS account_balance,
+        |  CAST((amount_vs_user_avg > 2.5 AND region_risk > 0.05)
+        |       OR (amount_tier = 'premium' AND region_risk >= 0.09) AS BIGINT) AS label
+        |FROM fx2 JOIN vel ON fx2.o_orderkey = vel.v_okey
+        |ORDER BY fx2.o_orderkey""".stripMargin)),
+
     QueryDef("q_fraud_score",
       (s, d) => FraudScore.score(FraudScore.featureVector(Enrichment.enrichOrders(
           Cleaning.cleanOrders(Tables.orders(s, d)),
