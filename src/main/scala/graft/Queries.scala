@@ -412,11 +412,13 @@ object Queries {
         |  FROM clean_orders GROUP BY o_custkey
         |)
         |SELECT o_custkey, revenue,
-        |  CAST(ntile(10) OVER w AS BIGINT) AS revenue_decile,
-        |  CAST(rank() OVER w AS BIGINT) AS revenue_rank,
-        |  CAST(dense_rank() OVER w AS BIGINT) AS revenue_dense_rank,
-        |  CAST(row_number() OVER w AS BIGINT) AS revenue_row
-        |FROM per_cust WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+        |  CAST(ntile(10) OVER wt AS BIGINT) AS revenue_decile,
+        |  CAST(rank() OVER wv AS BIGINT) AS revenue_rank,
+        |  CAST(dense_rank() OVER wv AS BIGINT) AS revenue_dense_rank,
+        |  CAST(row_number() OVER wt AS BIGINT) AS revenue_row
+        |FROM per_cust
+        |WINDOW wv AS (ORDER BY revenue DESC),
+        |       wt AS (ORDER BY revenue DESC, o_custkey ASC)
         |ORDER BY o_custkey""".stripMargin)),
 
     QueryDef("q_running_totals",

@@ -63,19 +63,25 @@ object Revenue {
       .withColumn("refund_rate",
         col("refund_lines").cast("double") / col("line_count"))
 
-  /** Top-N customers by lifetime revenue with dense ranking. */
+  /** Top-N customers by lifetime revenue with ranking.
+    *
+    * Two-phase top-N: `orderBy().limit(n)` plans as TakeOrderedAndProject
+    * (per-partition top-n, then a merge of only partitions×n rows) — never
+    * a global sort or a single-partition window over the full per-customer
+    * aggregate. The customer dim joins AFTER the cut, so only n rows are
+    * broadcast against it; the ranking window's input is bounded at n. */
   def topCustomers(cleanOrders: DataFrame, customer: DataFrame, n: Int): DataFrame = {
     val perCust = cleanOrders
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("order_count"),
         sumMoney(col("o_totalprice")).as("revenue"))
+    val top = perCust.orderBy(col("revenue").desc, col("o_custkey").asc).limit(n)
     val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
-    perCust
+    broadcast(top)
       .join(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .withColumn("revenue_rank", row_number().over(w))
-      .filter(col("revenue_rank") <= n)
       .select("revenue_rank", "o_custkey", "c_name", "c_mktsegment",
         "order_count", "revenue")
   }

@@ -85,19 +85,22 @@ object Features {
       .withColumn("seq_in_user", row_number().over(w).cast("long"))
   }
 
-  /** Customer spend ranking: ntile deciles + rank/dense_rank/row_number.
-    * Global window — at 100 TB this becomes a two-phase ranked top-N or a
-    * range-partitioned sort; the operator contract stays the same. */
+  /** Customer spend ranking: ntile deciles + rank/dense_rank/row_number —
+    * computed by [[ScalableRank]] (range-partitioned sort + local rank +
+    * constant-size offset merge), never a single-partition window over the
+    * unbounded per-customer aggregate. */
   def spendRanking(cleanOrders: DataFrame): DataFrame = {
     val perCust = cleanOrders
       .groupBy(col("o_custkey"))
       .agg(graft.util.Cols.sumMoney(col("o_totalprice")).as("revenue"))
-    val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
-    perCust
-      .withColumn("revenue_decile", ntile(10).over(w).cast("long"))
-      .withColumn("revenue_rank", rank().over(w).cast("long"))
-      .withColumn("revenue_dense_rank", dense_rank().over(w).cast("long"))
-      .withColumn("revenue_row", row_number().over(w).cast("long"))
+    ScalableRank.ranked(perCust, col("revenue"), col("o_custkey"), 10,
+        rowCol = "revenue_row", rankCol = "revenue_rank",
+        denseCol = "revenue_dense_rank", ntileCol = "revenue_decile")
+      .select(col("o_custkey"), col("revenue"),
+        col("revenue_decile").cast("long").as("revenue_decile"),
+        col("revenue_rank").cast("long").as("revenue_rank"),
+        col("revenue_dense_rank").cast("long").as("revenue_dense_rank"),
+        col("revenue_row").cast("long").as("revenue_row"))
   }
 
   /** Running (cumulative) daily revenue per status — exact decimal running

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-partition sort.
+  *
+  * `Window.orderBy` with no partition spec funnels the whole input into ONE
+  * partition — fine for bounded inputs, a scale-killer on an unbounded
+  * aggregate (10⁸ per-customer rows at 100 TB). This operator computes an
+  * exact global row_number with only balanced exchanges:
+  *
+  *  1. `repartitionByRange` on the sort key (range exchange, sampled
+  *     bounds, all partitions balanced) + `sortWithinPartitions`;
+  *  2. partition-local index from `monotonically_increasing_id`'s
+  *     documented layout (partition id in the upper bits, per-partition
+  *     record number in the lower 33) — assigned AFTER the local sort, so
+  *     it is the local rank, with no extra exchange (the nondeterministic
+  *     expression is never pushed below the sort by Catalyst);
+  *  3. per-partition row counts → prefix-sum offsets. This frame has one
+  *     row per shuffle partition (constant in data size, NOT data-bound),
+  *     so its single-partition window is bounded by config, and it
+  *     broadcast-joins back to the ranged data.
+  *
+  * Total cost: one range exchange of the data + one constant-size side
+  * plan, vs. the naive plan's everything-into-one-task sort.
+  */
+object ScalableRank {
+
+  /** Adds an exact global 1-based row number `out` under `order` (which
+    * must be a total order — include a unique tiebreaker column). */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pcnt"))
+    // One row per shuffle partition: the empty-partition window below is
+    // over a config-bounded frame, never over the data.
+    val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_poff", coalesce(sum(col("_pcnt")).over(wOff), lit(0L)))
+      .select(col("_pid").as("_opid"), col("_poff"))
+    ranged.join(broadcast(offsets), col("_pid") === col("_opid"))
+      .withColumn(out, col("_lrn") + col("_poff"))
+      .drop("_mid", "_pid", "_lrn", "_opid", "_poff")
+  }
+
+  /** Full ranking suite over a total order `(value desc, tiebreak asc)`:
+    * row_number / rank / dense_rank / ntile(n), all exact, no unbounded
+    * single-partition stage.
+    *
+    *  - rank = first row_number of each value tie-group (`min` over a
+    *    hash-partitioned window on the value — balanced exchange);
+    *  - dense_rank = the tie-group's index among groups: a recursive
+    *    global row_number over the distinct-value table (≤ one row per
+    *    distinct value), joined back on the value;
+    *  - ntile = closed-form from row_number + total count (standard
+    *    first-buckets-larger split, identical to SQL NTILE).
+    */
+  def ranked(df: DataFrame, value: Column, tiebreak: Column, ntiles: Int,
+             rowCol: String = "rn", rankCol: String = "rank",
+             denseCol: String = "dense_rank", ntileCol: String = "ntile"): DataFrame = {
+    val order = Seq(value.desc, tiebreak.asc)
+    val rn = withGlobalRowNumber(df, order, rowCol)
+    val wVal = Window.partitionBy(value)
+    val ranked = rn.withColumn(rankCol, min(col(rowCol)).over(wVal))
+    val groups = ranked.select(value.as("_grev"), col(rankCol).as("_grank")).distinct()
+    val groupIdx = withGlobalRowNumber(groups, Seq(col("_grank").asc), denseCol)
+    val dense = ranked.join(groupIdx, value === col("_grev")).drop("_grev", "_grank")
+    val totals = df.agg(count(lit(1)).as("_total"))
+    dense.crossJoin(broadcast(totals))
+      .withColumn("_tbase", expr(s"_total div $ntiles"))
+      .withColumn("_trem", expr(s"_total % $ntiles"))
+      .withColumn(ntileCol,
+        when(col(rowCol) <= col("_trem") * (col("_tbase") + 1),
+          expr(s"($rowCol - 1) div (_tbase + 1) + 1"))
+          .otherwise(expr(s"_trem + ($rowCol - _trem * (_tbase + 1) - 1) div greatest(_tbase, 1) + 1")))
+      .drop("_total", "_tbase", "_trem")
+  }
+}

@@ -37,6 +37,66 @@ class PlansSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan.take(1200))
   }
 
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def emptyPartitionWindows(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+
+  test("ScalableRank matches global-window ranking exactly, incl. ties") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toDouble)).toDF("k", "v")
+    val got = graft.operators.ScalableRank
+      .ranked(df, col("v"), col("k"), 10)
+      .select("k", "v", "rn", "rank", "dense_rank", "ntile")
+      .orderBy("k").collect().toSeq
+    // rank/dense_rank rank the VALUE (ties are peers) — their window orders
+    // by v alone; row_number/ntile need the total order incl. tiebreaker.
+    val wT = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("k").asc)
+    val wV = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc)
+    val want = df
+      .withColumn("rn", row_number().over(wT).cast("long"))
+      .withColumn("rank", rank().over(wV).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(wV).cast("long"))
+      .withColumn("ntile", ntile(10).over(wT).cast("long"))
+      .orderBy("k").collect().toSeq
+    assert(got == want)
+  }
+
+  test("spendRanking plans no single-partition window over the data") {
+    withoutAqe {
+      val df = graft.operators.Features.spendRanking(
+        graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf)))
+      val wins = emptyPartitionWindows(df)
+      assert(wins.nonEmpty) // the constant-size offset windows
+      // every unpartitioned window must sit over the per-shuffle-partition
+      // count frame (one row per partition), never over the data itself
+      wins.foreach { w =>
+        assert(w.child.toString.contains("_pid"), w.child.toString.take(600))
+      }
+    }
+  }
+
+  test("topCustomers ranks over a limit-bounded input, not a global sort") {
+    withoutAqe {
+      val df = graft.gold.Revenue.topCustomers(
+        graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf)),
+        Tables.customer(spark, TinySf), 25)
+      val wins = emptyPartitionWindows(df)
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        assert(w.child.toString.contains("TakeOrderedAndProject"),
+          w.child.toString.take(600))
+      }
+    }
+  }
+
   test("FuseVecDot rewrites the HOF dot pattern into the native expression") {
     GraftFunctions.installOptimizations(spark)
     val e = Tables.embeddings(spark, TinySf)
