@@ -174,25 +174,41 @@ object Queries {
         |ORDER BY co.o_orderkey""".stripMargin)),
 
     QueryDef("q_revenue_daily",
-      (s, d) => Revenue.revenueDaily(Cleaning.cleanOrders(Tables.orders(s, d)))
-        .select("order_date", "status_normalized", "total_orders", "gmv",
-          "avg_order_value", "median_order_value", "p95_order_value",
-          "unique_customers", "premium_orders", "premium_rate")
-        .orderBy("order_date", "status_normalized"),
+      (s, d) => Revenue.revenueDaily(Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
+        .select("order_date", "region_name", "status_normalized", "amount_tier",
+          "total_orders", "gmv", "net_revenue", "fraud_amount", "fraud_orders",
+          "failed_payments", "avg_order_value", "median_order_value",
+          "p95_order_value", "unique_customers", "fraud_rate", "payment_failure_rate")
+        .orderBy("order_date", "region_name", "status_normalized", "amount_tier"),
       Some(CleanOrdersCte +
         """
-        |SELECT order_date, status_normalized,
+        |, enr AS (
+        |  SELECT co.*, r.r_name AS region_name,
+        |    (CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
+        |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END) > 0.05 AS is_high_risk
+        |  FROM clean_orders co
+        |  JOIN customer c ON co.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |)
+        |SELECT order_date, region_name, status_normalized, amount_tier,
         |  count(*) AS total_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |  CAST(sum(CAST(CASE WHEN status_normalized = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS net_revenue,
+        |  CAST(sum(CAST(CASE WHEN is_high_risk THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS fraud_amount,
+        |  CAST(sum(CASE WHEN is_high_risk THEN 1 ELSE 0 END) AS BIGINT) AS fraud_orders,
+        |  CAST(sum(CASE WHEN status_normalized = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS failed_payments,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_value,
         |  quantile_cont(o_totalprice, 0.5) AS median_order_value,
         |  quantile_cont(o_totalprice, 0.95) AS p95_order_value,
         |  count(DISTINCT o_custkey) AS unique_customers,
-        |  CAST(sum(CASE WHEN amount_tier = 'premium' THEN 1 ELSE 0 END) AS BIGINT) AS premium_orders,
-        |  CAST(sum(CASE WHEN amount_tier = 'premium' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS premium_rate
-        |FROM clean_orders
-        |GROUP BY order_date, status_normalized
-        |ORDER BY order_date, status_normalized""".stripMargin)),
+        |  CAST(sum(CASE WHEN is_high_risk THEN 1 ELSE 0 END) AS BIGINT) / (count(*) + CAST(0.001 AS DOUBLE)) AS fraud_rate,
+        |  CAST(sum(CASE WHEN status_normalized = 'P' THEN 1 ELSE 0 END) AS BIGINT) / (count(*) + CAST(0.001 AS DOUBLE)) AS payment_failure_rate
+        |FROM enr
+        |GROUP BY order_date, region_name, status_normalized, amount_tier
+        |ORDER BY order_date, region_name, status_normalized, amount_tier""".stripMargin)),
 
     QueryDef("q_revenue_hourly",
       (s, d) => Revenue.revenueHourly(Tables.events(s, d))
@@ -997,13 +1013,13 @@ object Queries {
       (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.35)
         .orderBy("vec_a", "vec_b"),
       Some(s"""WITH e AS (
-        |  SELECT vec_id, label, embedding FROM embeddings
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
         |), p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
         |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |)
-        |SELECT vec_a, vec_b, label, cos_sim FROM p
+        |SELECT vec_a, vec_b, bucket, cos_sim FROM p
         |WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
     QueryDef("q_stream_tumbling",

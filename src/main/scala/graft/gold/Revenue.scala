@@ -15,21 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object Revenue {
 
-  /** Daily revenue KPIs by order date × status (reference: revenue_daily by
-    * date × country × method — same shape over our dims). */
-  def revenueDaily(cleanOrders: DataFrame): DataFrame =
-    cleanOrders
-      .groupBy(col("order_date"), col("status_normalized"))
+  /** Daily revenue KPIs at reference dimensionality: order date × region ×
+    * status × amount tier, with conditional revenue splits and ratio KPIs
+    * (reference: revenue_daily by event_date × shipping_country × currency
+    * × payment_method × amount_tier with net_revenue / fraud_amount /
+    * fraud_rate / payment_failure_rate, revenue_aggregations.py:46–91).
+    * Mapping: region ↔ shipping_country, status F/P ↔ payment success/
+    * failure, the high-risk-region flag ↔ the is_fraud label. Ratio
+    * denominators use the reference's +0.001 guard; no round() on computed
+    * doubles (determinism contract, SURVEY.md §4). */
+  def revenueDaily(enrichedOrders: DataFrame): DataFrame =
+    enrichedOrders
+      .groupBy(col("order_date"), col("region_name"),
+        col("status_normalized"), col("amount_tier"))
       .agg(
         count(lit(1)).as("total_orders"),
         sumMoney(col("o_totalprice")).as("gmv"),
+        sumMoney(when(col("status_normalized") === "F", col("o_totalprice"))
+          .otherwise(lit(0))).as("net_revenue"),
+        sumMoney(when(col("is_high_risk_region"), col("o_totalprice"))
+          .otherwise(lit(0))).as("fraud_amount"),
+        sum(when(col("is_high_risk_region"), 1L).otherwise(0L)).as("fraud_orders"),
+        sum(when(col("status_normalized") === "P", 1L).otherwise(0L)).as("failed_payments"),
         avgMoney(col("o_totalprice")).as("avg_order_value"),
         percentile(col("o_totalprice"), lit(0.5)).as("median_order_value"),
         percentile(col("o_totalprice"), lit(0.95)).as("p95_order_value"),
-        countDistinct(col("o_custkey")).as("unique_customers"),
-        sum(when(col("amount_tier") === "premium", 1L).otherwise(0L)).as("premium_orders"))
-      .withColumn("premium_rate",
-        col("premium_orders").cast("double") / col("total_orders"))
+        countDistinct(col("o_custkey")).as("unique_customers"))
+      .withColumn("fraud_rate",
+        col("fraud_orders") / (col("total_orders") + lit(0.001)))
+      .withColumn("payment_failure_rate",
+        col("failed_payments") / (col("total_orders") + lit(0.001)))
 
   /** Hourly event-revenue rollup (reference: revenue_hourly via
     * date_trunc('hour')) over the events stream's purchase values. */

@@ -84,19 +84,27 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, blocked by
-    * label (the blocking key bounds the pair explosion; at scale the
-    * blocker would be an LSH bucket). */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    * the sign-LSH bucket (same coarse quantizer as [[knnBucketed]]).
+    *
+    * The blocking key is data-derived, not a payload attribute: a skewed
+    * label would make label-blocking quadratic in the hot label, while
+    * sign buckets split ~2^bits-ways regardless of labels. The self-join
+    * shuffles on the bucket key only; candidates are same-bucket pairs
+    * (near-identical vectors agree on sign bits with high probability —
+    * the standard LSH recall/cost trade, same as MinHash banding). */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9,
+                        bits: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bucket", bucketKey(col("embedding"), bits))
       .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("bucket"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", fastDot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cos_sim") > threshold)
-      .select("vec_a", "vec_b", "label", "cos_sim")
+      .select("vec_a", "vec_b", "bucket", "cos_sim")
   }
 }

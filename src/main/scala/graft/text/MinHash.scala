@@ -196,14 +196,49 @@ object MinHash {
          |  CAST(inter_size AS DOUBLE) / (na + nb - inter_size) AS jaccard
          |FROM j ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Band buckets larger than this are dropped from the pair join: a
+    * degenerate bucket (boilerplate text hashing identically for millions
+    * of docs) is quadratic in its size regardless of banding. Dropped
+    * buckets are logged; their members are by construction mutual
+    * near-dups of a huge cluster — at 100 TB those are handled by exact
+    * dedup on the text hash, not by pairwise enumeration. */
+  val DefaultMaxBucket = 1000
+
+  /** Unpersist the previous call's banded-signature cache (bounds cache
+    * growth when the library is embedded in a long-lived session). */
+  @volatile private var lastBanded: Option[DataFrame] = None
+  def releaseCache(): Unit = synchronized {
+    lastBanded.foreach(_.unpersist(blocking = false))
+    lastBanded = None
+  }
+
   /** Candidates + estimated (signature agreement) and exact n-gram Jaccard.
     * Exact set ops run only on LSH candidates. */
-  def nearDupPairs(documents: DataFrame): DataFrame = {
+  def nearDupPairs(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Banded signatures are cached: the self-join references the subtree
     // twice and the shingle+md5 computation is the dominant cost — the
     // cached table is only (doc_id, sigs[16], band cols) per band row.
-    val banded = bandsCarryingSigs(signaturesArr(documents))
+    releaseCache()
+    val bandedAll = bandsCarryingSigs(signaturesArr(documents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { lastBanded = Some(bandedAll) }
+    // Bucket-size governor: count members per band bucket, keep only
+    // bounded buckets. The count also warms the cache, so the diagnostic
+    // is not an extra pass over the expensive subtree.
+    val sizes = bandedAll.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bsz"))
+    val hot = sizes.filter(col("_bsz") > maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum(col("_bsz")), lit(0L)).as("rows"))
+      .collect()(0)
+    if (hot.getLong(0) > 0)
+      System.err.println(s"[graft] nearDupPairs: dropped ${hot.getLong(0)} band " +
+        s"buckets over $maxBucket docs (${hot.getLong(1)} member rows) from pair join")
+    // The HOT set is what is small (bounded by corpus/maxBucket) — anti-join
+    // against it broadcast, rather than materializing the huge kept set.
+    val banded = bandedAll.join(
+      broadcast(sizes.filter(col("_bsz") > maxBucket).select("band_idx", "band_hash")),
+      Seq("band_idx", "band_hash"), "left_anti")
     val sigAgreement =
       expr(s"aggregate(zip_with(a.sigs, b.sigs, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
         .cast("double") / lit(NumHashes.toDouble)

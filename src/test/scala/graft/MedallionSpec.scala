@@ -56,14 +56,15 @@ class MedallionSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh5").toString
     val m = new Medallion(spark, TinySf, wh)
     m.runAll()
+    val dims = Seq("order_date", "region_name", "status_normalized", "amount_tier")
     val full = m.readGold("revenue_daily")
-      .orderBy("order_date", "status_normalized").collect().toSeq
+      .orderBy(dims.head, dims.tail: _*).collect().toSeq
     val someDates = m.readGold("revenue_daily")
       .select(col("order_date").cast("string")).distinct()
       .limit(3).collect().map(_.getString(0)).toSeq
     m.runGoldIncremental(someDates)
     val after = m.readGold("revenue_daily")
-      .orderBy("order_date", "status_normalized").collect().toSeq
+      .orderBy(dims.head, dims.tail: _*).collect().toSeq
     // re-aggregating a slice from the same silver must be a no-op overall
     assert(after == full)
     // and untouched partitions still present

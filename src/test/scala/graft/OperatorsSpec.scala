@@ -71,6 +71,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash LSH bucket cap drops hot buckets but keeps normal pairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"w$i").mkString(" ")
+    // 20 identical boilerplate docs → one hot bucket per band
+    val boiler = (10L to 29L).map(i => (i, (1 to 40).map(j => s"b$j").mkString(" ")))
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ boiler).toDF("doc_id", "text")
+    val capped = MinHash.nearDupPairs(docs, maxBucket = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(capped.contains((1L, 2L)))                      // normal pair kept
+    assert(!capped.exists { case (a, _) => a >= 10L })     // hot bucket dropped
+    val uncapped = MinHash.nearDupPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(uncapped.count { case (a, b) => a >= 10L && b >= 10L } == 20 * 19 / 2)
+  }
+
   test("sessionize splits on gap and aggregates within session") {
     import spark.implicits._
     val us = 1000000L
