@@ -1,7 +1,7 @@
 package graft
 
 import graft.gold.{DataQuality, FraudSummary, Pipelines, Revenue, StarSchema}
-import graft.ml.FraudScore
+import graft.ml.{FraudScore, TrainedModel}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Sessionize}
 import graft.sim.Similarity
@@ -586,6 +586,86 @@ object Queries {
         |  FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
         |) t ORDER BY check_name""".stripMargin)),
 
+    QueryDef("q_dq_marts",
+      (s, d) => DataQuality.martsSuite(
+          StarSchema.dimCustomers(Tables.customer(s, d), Tables.nation(s, d),
+            Tables.region(s, d)),
+          StarSchema.dimDates(Tables.orders(s, d)),
+          StarSchema.factOrders(Tables.orders(s, d), Tables.lineitem(s, d)),
+          StarSchema.factEvents(Tables.events(s, d)))
+        .orderBy("check_name"),
+      Some("""WITH dim_customers AS (
+        |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_sk, c_custkey AS customer_id,
+        |    r_name AS region_name, c_mktsegment AS market_segment
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |), dim_dates AS (
+        |  SELECT md5(CAST(date_day AS VARCHAR)) AS date_sk,
+        |    CAST(year(date_day) AS BIGINT) AS year,
+        |    CAST(dayofweek(date_day) + 1 AS BIGINT) AS day_of_week,
+        |    (dayofweek(date_day) IN (0, 6)) AS is_weekend
+        |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders) t
+        |), line_rollup AS (
+        |  SELECT l_orderkey, count(*) AS line_count,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines
+        |  FROM lineitem GROUP BY l_orderkey
+        |), fact_orders AS (
+        |  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS order_sk,
+        |    CAST(o_orderdate AS DATE) AS order_date, o_orderstatus AS order_status,
+        |    o_totalprice AS order_amount,
+        |    COALESCE(line_count, 0) AS line_count,
+        |    COALESCE(net_revenue, 0.0) AS net_revenue,
+        |    COALESCE(returned_lines, 0) AS returned_lines
+        |  FROM orders LEFT JOIN line_rollup ON o_orderkey = l_orderkey
+        |), fact_events AS (
+        |  SELECT md5(CAST(event_id AS VARCHAR)) AS event_sk, CAST(ts AS DATE) AS event_date,
+        |    (event_type = 'error') AS is_error, (event_type = 'purchase') AS is_purchase
+        |  FROM events
+        |), checks AS (
+        |  SELECT 'dim_customers_sk_not_null' AS check_name, 'dim_customers' AS table_name,
+        |    CAST(sum(CASE WHEN customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violation_count FROM dim_customers
+        |  UNION ALL SELECT 'dim_customers_id_not_null', 'dim_customers',
+        |    CAST(sum(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dim_customers
+        |  UNION ALL SELECT 'dim_customers_segment_domain', 'dim_customers',
+        |    CAST(sum(CASE WHEN market_segment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) FROM dim_customers
+        |  UNION ALL SELECT 'dim_customers_region_domain', 'dim_customers',
+        |    CAST(sum(CASE WHEN region_name NOT IN ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST') THEN 1 ELSE 0 END) AS BIGINT) FROM dim_customers
+        |  UNION ALL SELECT 'dim_dates_sk_not_null', 'dim_dates',
+        |    CAST(sum(CASE WHEN date_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM dim_dates
+        |  UNION ALL SELECT 'dim_dates_year_bounds', 'dim_dates',
+        |    CAST(sum(CASE WHEN year < 1990 OR year > 2010 THEN 1 ELSE 0 END) AS BIGINT) FROM dim_dates
+        |  UNION ALL SELECT 'dim_dates_weekend_consistent', 'dim_dates',
+        |    CAST(sum(CASE WHEN is_weekend != (day_of_week IN (1, 7)) THEN 1 ELSE 0 END) AS BIGINT) FROM dim_dates
+        |  UNION ALL SELECT 'fact_orders_sk_not_null', 'fact_orders',
+        |    CAST(sum(CASE WHEN order_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_orders_date_not_null', 'fact_orders',
+        |    CAST(sum(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_orders_amount_nonneg', 'fact_orders',
+        |    CAST(sum(CASE WHEN order_amount < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_orders_net_revenue_nonneg', 'fact_orders',
+        |    CAST(sum(CASE WHEN net_revenue < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_orders_status_domain', 'fact_orders',
+        |    CAST(sum(CASE WHEN order_status NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_orders_returns_bounded', 'fact_orders',
+        |    CAST(sum(CASE WHEN returned_lines > line_count THEN 1 ELSE 0 END) AS BIGINT) FROM fact_orders
+        |  UNION ALL SELECT 'fact_events_sk_not_null', 'fact_events',
+        |    CAST(sum(CASE WHEN event_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_events
+        |  UNION ALL SELECT 'fact_events_date_not_null', 'fact_events',
+        |    CAST(sum(CASE WHEN event_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_events
+        |  UNION ALL SELECT 'fact_events_flags_exclusive', 'fact_events',
+        |    CAST(sum(CASE WHEN is_error AND is_purchase THEN 1 ELSE 0 END) AS BIGINT) FROM fact_events
+        |  UNION ALL SELECT 'dim_customers_sk_unique', 'dim_customers',
+        |    count(customer_sk) - count(DISTINCT customer_sk) FROM dim_customers
+        |  UNION ALL SELECT 'dim_dates_sk_unique', 'dim_dates',
+        |    count(date_sk) - count(DISTINCT date_sk) FROM dim_dates
+        |  UNION ALL SELECT 'fact_orders_sk_unique', 'fact_orders',
+        |    count(order_sk) - count(DISTINCT order_sk) FROM fact_orders
+        |  UNION ALL SELECT 'fact_events_sk_unique', 'fact_events',
+        |    count(event_sk) - count(DISTINCT event_sk) FROM fact_events
+        |)
+        |SELECT check_name, table_name, violation_count, violation_count = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin)),
+
     QueryDef("q_feature_vector",
       (s, d) => FraudScore.featureVector(Enrichment.enrichOrders(
           Cleaning.cleanOrders(Tables.orders(s, d)),
@@ -736,6 +816,20 @@ object Queries {
         |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
         |  CAST(tp + tn AS DOUBLE) / n_test AS accuracy
         |FROM cm""".stripMargin)),
+
+    // Trained-model metrics: learned LR weights aren't cross-engine
+    // reproducible → rows-only for the driver; MlSpec asserts the trained
+    // metrics beat the literal-weight scorer on the same held-out split.
+    QueryDef("q_model_trained_eval",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        TrainedModel.trainEval(FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))))
+      },
+      None),
 
     QueryDef("q_fraud_summary",
       (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))

@@ -68,6 +68,50 @@ object DataQuality {
       .reduce(_.unionByName(_))
   }
 
+  /** dbt-marts-parity suite over graft's OWN gold outputs (not the inputs):
+    * not_null / unique / accepted_values / bounds / consistency checks on
+    * the star-schema tables, mirroring the reference's
+    * dbt/models/marts/schema.yml test list. Row-predicate checks fuse into
+    * one scan per mart; surrogate-key uniqueness is count − countDistinct
+    * (one exact-distinct aggregate per mart). */
+  def martsSuite(dimCustomers: DataFrame, dimDates: DataFrame,
+                 factOrders: DataFrame, factEvents: DataFrame): DataFrame = {
+    val dimCustChecks = fused("dim_customers", dimCustomers, Seq(
+      "dim_customers_sk_not_null" -> col("customer_sk").isNull,
+      "dim_customers_id_not_null" -> col("customer_id").isNull,
+      "dim_customers_segment_domain" -> !col("market_segment").isin(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+      "dim_customers_region_domain" -> !col("region_name").isin(
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))
+    val dimDateChecks = fused("dim_dates", dimDates, Seq(
+      "dim_dates_sk_not_null" -> col("date_sk").isNull,
+      "dim_dates_year_bounds" -> (col("year") < 1990 || col("year") > 2010),
+      "dim_dates_weekend_consistent" ->
+        (col("is_weekend") =!= col("day_of_week").isin(1, 7))))
+    val factOrderChecks = fused("fact_orders", factOrders, Seq(
+      "fact_orders_sk_not_null" -> col("order_sk").isNull,
+      "fact_orders_date_not_null" -> col("order_date").isNull,
+      "fact_orders_amount_nonneg" -> (col("order_amount") < 0),
+      "fact_orders_net_revenue_nonneg" -> (col("net_revenue") < 0),
+      "fact_orders_status_domain" -> !col("order_status").isin("O", "F", "P"),
+      "fact_orders_returns_bounded" -> (col("returned_lines") > col("line_count"))))
+    val factEventChecks = fused("fact_events", factEvents, Seq(
+      "fact_events_sk_not_null" -> col("event_sk").isNull,
+      "fact_events_date_not_null" -> col("event_date").isNull,
+      "fact_events_flags_exclusive" -> (col("is_error") && col("is_purchase"))))
+    val unique = Seq(
+      ("dim_customers_sk_unique", "dim_customers", dimCustomers, "customer_sk"),
+      ("dim_dates_sk_unique", "dim_dates", dimDates, "date_sk"),
+      ("fact_orders_sk_unique", "fact_orders", factOrders, "order_sk"),
+      ("fact_events_sk_unique", "fact_events", factEvents, "event_sk")
+    ).map { case (n, t, df, c) =>
+      check(n, t, df.agg(
+        (count(col(c)) - countDistinct(col(c))).as("violation_count")))
+    }
+    (Seq(dimCustChecks, dimDateChecks, factOrderChecks, factEventChecks) ++ unique)
+      .reduce(_.unionByName(_))
+  }
+
   /** Referential-integrity orphan counts (dbt: relationships tests).
     * Anti-joins with the small side broadcast. */
   def referential(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,

@@ -33,6 +33,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("kafka parse path round-trips events through the connector schema") {
+    import graft.sources.KafkaSource
+    // Mock the kafka connector's fixed output schema (key/value BINARY,
+    // topic/partition/offset/timestamp) from real events serialized to JSON.
+    val ev = Tables.events(spark, TinySf).limit(200)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"),
+        col("value"), col("props"))
+    val mocked = ev
+      .select(
+        col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("value"), col("props"))).cast("binary").as("value"),
+        lit("events").as("topic"),
+        (col("event_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        timestamp_micros(col("ts_us")).as("timestamp"))
+    val parsed = KafkaSource.parseAndEnrich(mocked)
+    // lineage + partition contract
+    assert(Seq("_kafka_topic", "_kafka_offset", "_raw_payload", "event_date",
+      "_source_system", "prop_k").forall(parsed.columns.contains))
+    // payload fields survive the JSON round-trip bit-exactly
+    val got = parsed.select("event_id", "user_id", "ts_us", "event_type", "value")
+      .orderBy("event_id").collect().toSeq
+    val want = ev.select("event_id", "user_id", "ts_us", "event_type", "value")
+      .orderBy("event_id").collect().toSeq
+    assert(got == want)
+    assert(parsed.where(col("_source_system") === "kafka").count() == 200)
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
