@@ -1103,6 +1103,70 @@ object Queries {
         |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    QueryDef("q_knn_multiprobe",
+      (s, d) => Similarity.knnMultiProbe(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label, c.bucket,
+        |    ${cosSql("q.qv", "c.embedding")} AS cos_sim
+        |  FROM c JOIN q ON bit_count(xor(c.bucket, q.q_bucket)) <= 1 AND c.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim, bucket,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q_knn_recall",
+      (s, d) => Similarity.knnRecall(Tables.embeddings(s, d))
+        .orderBy("method", "query_id"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), brute AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |), m_bucketed AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |), m_multi AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON bit_count(xor(c.bucket, q.q_bucket)) <= 1 AND c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |)
+        |SELECT method, query_id, golden_k, hits,
+        |  CAST(hits AS DOUBLE) / golden_k AS recall_at_k
+        |FROM (
+        |  SELECT 'bucketed' AS method, g.query_id, count(*) AS golden_k,
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM brute g LEFT JOIN m_bucketed r
+        |    ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+        |  GROUP BY g.query_id
+        |  UNION ALL
+        |  SELECT 'multiprobe', g.query_id, count(*),
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM brute g LEFT JOIN m_multi r
+        |    ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+        |  GROUP BY g.query_id
+        |) t ORDER BY method, query_id""".stripMargin)),
+
     QueryDef("q_embed_neardup",
       (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.35)
         .orderBy("vec_a", "vec_b"),

@@ -49,6 +49,32 @@ object ScalableRank {
       .drop("_mid", "_pid", "_lrn", "_opid", "_poff")
   }
 
+  /** Exact per-group top-k without concentrating each group into one
+    * partition. `Window.partitionBy(group)` funnels a group's entire row
+    * set into a single task — unbounded when a group spans the corpus
+    * (e.g. ANN candidates per query). Two phases instead:
+    *
+    *  1. local top-k per (physical input partition × group) — the window
+    *     key includes `spark_partition_id()`, so the exchange it induces is
+    *     hash-balanced over P×|groups| keys and every window frame is
+    *     bounded by one partition's slice of one group;
+    *  2. final top-k per group over the survivors — ≤ P·k rows per group,
+    *     bounded by config × k, never by data.
+    *
+    * Any global top-k row is necessarily top-k within its partition, so
+    * phase 1 loses nothing. `order` must be a total order within a group. */
+  def topKPerGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
+                   k: Int, rankCol: String): DataFrame = {
+    val wLocal = Window.partitionBy(col("_tkpid") +: groups: _*).orderBy(order: _*)
+    val local = df.withColumn("_tkpid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(wLocal))
+      .filter(col("_lrk") <= k)
+      .drop("_tkpid", "_lrk")
+    val wFinal = Window.partitionBy(groups: _*).orderBy(order: _*)
+    local.withColumn(rankCol, row_number().over(wFinal).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Full ranking suite over a total order `(value desc, tiebreak asc)`:
     * row_number / rank / dense_rank / ntile(n), all exact, no unbounded
     * single-partition stage.

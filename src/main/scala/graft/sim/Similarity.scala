@@ -34,6 +34,13 @@ object Similarity {
     * GraftFunctions.register on the session. */
   private def fastDot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
+  /** Per-query exact top-k via the two-phase ranked cut (never a
+    * one-partition-per-query window: a query's candidate set spans the
+    * corpus, so per-query partitions are unbounded at scale). */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.ScalableRank.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k, "rank")
+
   /** Brute-force cosine top-k for queries (vec_id < numQueries).
     * Norms are projected once per vector BEFORE the pair join — at n
     * queries × m corpus pairs that saves (n·m − n − m) norm computations
@@ -49,11 +56,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "label", "cos_sim")
+    topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
   }
 
   /** Sign-LSH bucket key: one bit per leading dimension. */
@@ -62,25 +65,68 @@ object Similarity {
       when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN: score only same-bucket candidates (scale path). */
-  def knnBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-                  bits: Int = 8): DataFrame = {
+  private def corpusWithBucket(embeddings: DataFrame, bits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val corpus = embeddings
+    embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
         bucketKey(col("embedding"), bits).as("bucket"))
       .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
-    val queries = corpus.filter(col("vec_id") < numQueries)
+  }
+
+  private def queriesOf(corpus: DataFrame, numQueries: Int): DataFrame =
+    corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    corpus
-      .join(broadcast(queries),
+
+  /** Bucketed ANN: score only same-bucket candidates (scale path). */
+  def knnBucketed(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                  bits: Int = 8): DataFrame = {
+    val corpus = corpusWithBucket(embeddings, bits)
+    val scored = corpus
+      .join(broadcast(queriesOf(corpus, numQueries)),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
+    topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
+  }
+
+  /** Multi-probe bucketed ANN: candidates are all vectors whose bucket is
+    * within Hamming distance `probes` of the query's bucket — the standard
+    * recall lever for sign-LSH (a near-neighbor differing on one borderline
+    * sign lands one bit away). Candidate count grows ~(1 + bits·probes)×
+    * the single-bucket path, still ~2^bits-fold below brute force. The
+    * queries stay broadcast, so the non-equi bucket predicate evaluates
+    * map-side over the streamed corpus — no shuffle of the corpus. */
+  def knnMultiProbe(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                    bits: Int = 8, probes: Int = 1): DataFrame = {
+    val corpus = corpusWithBucket(embeddings, bits)
+    val scored = corpus
+      .join(broadcast(queriesOf(corpus, numQueries)),
+        expr(s"bit_count(bucket ^ q_bucket) <= $probes") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
+    topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
+  }
+
+  /** Recall@k of the approximate paths against the brute-force golden
+    * top-k — the measurement that makes the ANN recall/cost trade explicit
+    * (one row per method × query + the hit counts). */
+  def knnRecall(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                bits: Int = 8, probes: Int = 1): DataFrame = {
+    val golden = knnBrute(embeddings, numQueries, k).select("query_id", "vec_id")
+    def recallOf(method: String, res: DataFrame): DataFrame =
+      golden
+        .join(res.select(col("query_id").as("r_qid"), col("vec_id").as("r_vid")),
+          col("query_id") === col("r_qid") && col("vec_id") === col("r_vid"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("golden_k"),
+          sum(when(col("r_vid").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(lit(method).as("method"), col("query_id"), col("golden_k"),
+          col("hits"),
+          (col("hits").cast("double") / col("golden_k")).as("recall_at_k"))
+    recallOf("bucketed", knnBucketed(embeddings, numQueries, k, bits))
+      .unionByName(recallOf("multiprobe",
+        knnMultiProbe(embeddings, numQueries, k, bits, probes)))
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, blocked by

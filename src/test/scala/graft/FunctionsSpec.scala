@@ -41,4 +41,16 @@ class FunctionsSpec extends SparkSpec {
     // codegen'd operators print as "*(n) Op" in the AQE tree
     assert("\\*\\(\\d+\\) Project \\[vec_dot".r.findFirstIn(plan).isDefined, plan.take(800))
   }
+
+  test("multi-probe recall dominates single-bucket recall (superset candidates)") {
+    val rec = Similarity.knnRecall(Tables.embeddings(spark, TinySf))
+      .select("method", "query_id", "hits").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val queries = rec.keys.map(_._2).toSeq.distinct
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      assert(rec(("multiprobe", q)) >= rec(("bucketed", q)),
+        s"query $q: multiprobe ${rec(("multiprobe", q))} < bucketed ${rec(("bucketed", q))}")
+    }
+  }
 }
