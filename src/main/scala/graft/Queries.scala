@@ -5,7 +5,7 @@ import graft.ml.{FraudScore, TrainedModel}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Sessionize}
 import graft.sim.Similarity
-import graft.text.{Dedup, MinHash, SimHash, TextAnalysis}
+import graft.text.{Components, Dedup, MinHash, SimHash, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -975,6 +975,37 @@ object Queries {
         |  min(doc_id) AS canonical_doc_id,
         |  count(*) AS doc_count, count(*) - 1 AS dup_count
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
+
+    QueryDef("q_sample_stratified",
+      (s, d) => operators.Sampling.sampleStratified(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"),
+          Map("en" -> 3000, "zh" -> 5000), defaultBp = 1000)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |  < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000 ELSE 1000 END)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_dedup_clusters",
+      (s, d) => Components.dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
+        """
+        |, edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), walk(node, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        |), lab AS (
+        |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+        |), sz AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+        |)
+        |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+        |  l.doc_id = l.cluster_id AS is_canonical
+        |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin)),
 
     QueryDef("q_fingerprint",
       (s, d) => Dedup.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),

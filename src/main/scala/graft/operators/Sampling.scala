@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample()`-style RNG sampling is not reproducible across runs, engines,
+  * or repartitionings — a corpus pipeline needs the SAME sample every time
+  * the job reruns (and on every engine that audits it). Here membership is
+  * a pure function of the row key: an md5-derived integer in [0, 10000)
+  * ("basis points") compared against the stratum's threshold. Integer
+  * compare, no floats, no RNG state; adding data never flips membership of
+  * existing rows. Scale shape: a filter — no shuffle, pushes past column
+  * pruning, linear.
+  */
+object Sampling {
+
+  /** md5-derived uniform integer in [0, 10000) from the row key (same
+    * 60-bit-hex-prefix construction as MinHash's portable hashing). */
+  def hashBp(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 10000
+
+  /** Stratified deterministic sample: per-stratum sampling rates in basis
+    * points (e.g. "en" → 3000 keeps 30% of English docs), `defaultBp` for
+    * unlisted strata. */
+  def sampleStratified(df: DataFrame, stratum: Column, key: Column,
+                       ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    val threshold = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (s, bp)) =>
+      when(stratum === s, lit(bp)).otherwise(acc)
+    }
+    df.filter(hashBp(key) < threshold)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-duplicate candidate graph: the
+  * cluster step of an LLM-corpus dedup pipeline (LSH pairs → components →
+  * one canonical document per component).
+  *
+  * Algorithm: iterative min-label propagation — every node starts labeled
+  * with its own id; each round replaces a node's label with the minimum
+  * over itself and its neighbors; fixpoint = every node carries its
+  * component's minimum id. Rounds needed = graph diameter, and near-dup
+  * components are dense/shallow (pairs share LSH buckets), so convergence
+  * is a handful of rounds. Each round is one balanced edge-join shuffle +
+  * a map-side-combined min aggregate — no single-partition stage; lineage
+  * is truncated per round (localCheckpoint; at cluster scale a
+  * reliable-storage checkpoint). Convergence is detected by the exact sum
+  * of labels (strictly decreasing until fixpoint — one cheap scalar
+  * aggregate per round, no change-count join).
+  */
+object Components {
+
+  /** (id, cluster_id) for every node; cluster_id = min node id reachable.
+    * `edges` is one row per undirected edge (src, dst). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym
+        .join(labels.select(col("id").as("m_src"), col("label").as("m_label")),
+          col("src") === col("m_src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("m_label")).as("nmin"))
+      val next = labels
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(
+        col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+      labels = next
+      converged = BigDecimal(sum) == prevSum
+      prevSum = BigDecimal(sum)
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Dedup clustering over documents: LSH candidate pairs → components →
+    * cluster size + canonical flag (keep is_canonical, drop the rest — the
+    * group-dedup contract of a corpus pipeline). */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val nodes = documents.select(col("doc_id").as("id"))
+    val edges = MinHash.candidatePairs(documents)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = connectedComponents(nodes, edges)
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+}

@@ -141,17 +141,15 @@ object MinHash {
          |SELECT doc_id, ${(0 until NumHashes).map(sigExpr).mkString(",\n  ")}
          |FROM hsx ORDER BY doc_id""".stripMargin
 
-  /** Oracle for `nearDupPairs`. */
-  def nearDupOracleSql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — the LSH candidate set,
+    * shared by the near-dup and cluster oracles. */
+  def candidatePairsSqlCtes: String = {
     val sigList = (0 until NumHashes).map(sigExpr).mkString(",\n    ")
     val bandSelects = (0 until Bands).map { bnd =>
       val cols = (bnd * RowsPerBand until (bnd + 1) * RowsPerBand)
         .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, CAST($bnd AS BIGINT) AS band_idx, md5($cols) AS band_hash FROM sig"
     }.mkString("\n    UNION ALL ")
-    val agreement = (0 until NumHashes)
-      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
     ShinglesSqlCte + BaseHashSqlCte +
       s"""
          |, sig AS (
@@ -163,7 +161,17 @@ object MinHash {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b ON a.band_idx = b.band_idx
          |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |), est AS (
+         |)""".stripMargin
+  }
+
+  /** Oracle for `nearDupPairs`. */
+  def nearDupOracleSql: String = {
+    val agreement = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    candidatePairsSqlCtes +
+      s"""
+         |, est AS (
          |  SELECT doc_a, doc_b,
          |    CAST($agreement AS DOUBLE) / CAST(${NumHashes}.0 AS DOUBLE) AS est_jaccard
          |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id

@@ -87,6 +87,20 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a >= 10L && b >= 10L } == 20 * 19 / 2)
   }
 
+  test("connected components converge across a long chain") {
+    import spark.implicits._
+    // path graph 1-2-...-10 (diameter 9 forces multiple propagation rounds)
+    // plus isolated node 11 and a separate pair 20-21
+    val nodes = ((1L to 11L) ++ Seq(20L, 21L)).toDF("id")
+    val edges = ((1L until 10L).map(i => (i, i + 1)) ++ Seq((20L, 21L)))
+      .toDF("src", "dst")
+    val cc = graft.text.Components.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(cc(_) == 1L))
+    assert(cc(11L) == 11L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
   test("sessionize splits on gap and aggregates within session") {
     import spark.implicits._
     val us = 1000000L
