@@ -43,7 +43,12 @@ object TrainedModel {
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(20).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(assembled.filter(!col("is_test")))
+    // Cache the train split: every L-BFGS iteration is a full pass over it,
+    // and without this each pass would recompute the whole feature-vector
+    // pipeline (windows + velocity union + joins) from the source scans.
+    val train = assembled.filter(!col("is_test"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = try lr.fit(train) finally train.unpersist(blocking = false)
     model.transform(assembled.filter(col("is_test")))
       .withColumn("predicted_fraud", col("prediction").cast("long"))
       .select(col("o_orderkey"), col("label").cast("long").as("label"),
