@@ -531,6 +531,56 @@ object Queries {
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin)),
 
+    // Forward as-of: each error joined to the user's EARLIEST purchase
+    // at-or-after it (same custom exec, direction flipped).
+    QueryDef("q_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+        graft.plans.NativeAsOf.asOf(
+            ev.filter(col("event_type") === "error").drop("event_type"),
+            ev.filter(col("event_type") === "purchase").drop("event_type"),
+            "user_id", "ts_us", "value", forward = true)
+          .withColumn("micros_to_match", col("asof_ts_us") - col("ts_us"))
+          .select("event_id", "user_id", "ts_us", "value", "asof_value",
+            "asof_ts_us", "micros_to_match")
+          .orderBy("event_id")
+      },
+      Some(EventsUsCte +
+        """
+        |, e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |  p.value AS asof_value, p.ts_us AS asof_ts_us,
+        |  p.ts_us - e.ts_us AS micros_to_match
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us <= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // Tolerance as-of: backward match nulled when older than 1 hour
+    // (pandas merge_asof tolerance semantics, same single-pass merge).
+    QueryDef("q_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+        graft.plans.NativeAsOf.asOf(
+            ev.filter(col("event_type") === "error").drop("event_type"),
+            ev.filter(col("event_type") === "purchase").drop("event_type"),
+            "user_id", "ts_us", "value", toleranceUs = 3600000000L)
+          .select("event_id", "user_id", "ts_us", "value", "asof_value", "asof_ts_us")
+          .orderBy("event_id")
+      },
+      Some(EventsUsCte +
+        """
+        |, e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |  CASE WHEN e.ts_us - p.ts_us <= 3600000000 THEN p.value END AS asof_value,
+        |  CASE WHEN e.ts_us - p.ts_us <= 3600000000 THEN p.ts_us END AS asof_ts_us
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
     QueryDef("q_range_join",
       (s, d) => RangeJoin.partPriceBands(s, Tables.part(s, d)).orderBy("p_partkey"),
       Some("""WITH bands(band_name, band_lo, band_hi) AS (VALUES
@@ -1025,6 +1075,42 @@ object Queries {
         |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_top_docs_per_lang",
+      (s, d) => TextAnalysis.topDocsPerLang(Tables.documents(s, d))
+        .orderBy("lang", "rank_in_lang"),
+      Some {
+        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT *,
+           |    CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+           |    CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           |    CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+           |         WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+           |         ELSE CAST(200.0 AS DOUBLE) / n_tokens END AS len_score
+           |  FROM t
+           |), t3 AS (
+           |  SELECT *,
+           |    len_score * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - dup_ratio) * CAST(0.4 AS DOUBLE)
+           |      + stopword_ratio * CAST(0.2 AS DOUBLE) AS quality_score
+           |  FROM t2
+           |), ranked AS (
+           |  SELECT lang,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank_in_lang,
+           |    doc_id, quality_score,
+           |    CASE WHEN quality_score >= 0.7 THEN 'high'
+           |         WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+           |  FROM t3
+           |)
+           |SELECT lang, rank_in_lang, doc_id, quality_score, quality_bucket
+           |FROM ranked WHERE rank_in_lang <= 5 ORDER BY lang, rank_in_lang""".stripMargin
+      }),
 
     QueryDef("q_text_quality",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),

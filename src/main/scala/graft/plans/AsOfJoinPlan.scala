@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * memory per partition regardless of key cardinality or history depth.
   * At 100 TB both sides stream; nothing is collected or windowed.
   *
-  * v1 scope: Long key and Long time columns, one Double payload column —
-  * the (entity_id, epoch, value) shape every event-stream as-of needs.
+  * Scope: Long key and Long time columns, one Double payload column — the
+  * (entity_id, epoch, value) shape every event-stream as-of needs. Both
+  * directions (backward = most recent at-or-before, forward = earliest
+  * at-or-after) and an optional time tolerance (matches further than
+  * `toleranceUs` from the probe time become nulls — pandas
+  * merge_asof-style) run in the same single-pass merge.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     keyName: String, timeName: String, valueName: String,
+    forward: Boolean = false, toleranceUs: Long = -1L,
     // constructor params (not body vals) so exprIds survive tree copies
     asofValue: AttributeReference = AttributeReference("asof_value", DoubleType)(),
     asofTs: AttributeReference = AttributeReference("asof_ts_us", LongType)()) extends BinaryNode {
@@ -69,6 +74,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightValue: Expression,
+    forward: Boolean, toleranceUs: Long,
     asofValue: Attribute, asofTs: Attribute) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofValue :+ asofTs
@@ -118,23 +124,47 @@ case class AsOfJoinExec(
           val l = leftIt.next()
           val k = lKey.eval(l).asInstanceOf[Long]
           val t = lTime.eval(l).asInstanceOf[Long]
-          // advance the right side through every row at-or-before (k, t)
-          while (rIt.hasNext && {
-            val rk = rKey.eval(rIt.head).asInstanceOf[Long]
-            rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] <= t)
-          }) {
-            val r = rIt.next()
-            matchKey = rKey.eval(r).asInstanceOf[Long]
-            matchTs = rTime.eval(r).asInstanceOf[Long]
-            matchVal = rValue.eval(r).asInstanceOf[Double]
-            haveMatch = true
-          }
-          if (haveMatch && matchKey == k) {
-            matchRow.update(0, matchVal)
-            matchRow.update(1, matchTs)
-            toUnsafe(joined(l, matchRow))
+          if (!forward) {
+            // advance the right side through every row at-or-before (k, t);
+            // the last one consumed is the most recent match
+            while (rIt.hasNext && {
+              val rk = rKey.eval(rIt.head).asInstanceOf[Long]
+              rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] <= t)
+            }) {
+              val r = rIt.next()
+              matchKey = rKey.eval(r).asInstanceOf[Long]
+              matchTs = rTime.eval(r).asInstanceOf[Long]
+              matchVal = rValue.eval(r).asInstanceOf[Double]
+              haveMatch = true
+            }
+            if (haveMatch && matchKey == k &&
+                (toleranceUs < 0 || t - matchTs <= toleranceUs)) {
+              matchRow.update(0, matchVal)
+              matchRow.update(1, matchTs)
+              toUnsafe(joined(l, matchRow))
+            } else {
+              toUnsafe(joined(l, nullRow))
+            }
           } else {
-            toUnsafe(joined(l, nullRow))
+            // advance PAST every row strictly before (k, t); then PEEK the
+            // head without consuming — it may be the earliest at-or-after
+            // match for this left row AND for later probes at the same key
+            // (left times ascend, so the advance frontier is monotone)
+            while (rIt.hasNext && {
+              val rk = rKey.eval(rIt.head).asInstanceOf[Long]
+              rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] < t)
+            }) rIt.next()
+            var ok = false
+            if (rIt.hasNext && rKey.eval(rIt.head).asInstanceOf[Long] == k) {
+              val hts = rTime.eval(rIt.head).asInstanceOf[Long]
+              if (toleranceUs < 0 || hts - t <= toleranceUs) {
+                matchRow.update(0, rValue.eval(rIt.head).asInstanceOf[Double])
+                matchRow.update(1, hts)
+                ok = true
+              }
+            }
+            if (ok) toUnsafe(joined(l, matchRow))
+            else toUnsafe(joined(l, nullRow))
           }
         }
       }
@@ -153,16 +183,19 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKey, n.rightKey, n.leftTime, n.rightTime, n.rightValue,
-        n.asofValue, n.asofTs) :: Nil
+        n.forward, n.toleranceUs, n.asofValue, n.asofTs) :: Nil
     case _ => Nil
   }
 }
 
 object NativeAsOf {
   /** As-of join `left` to `right` on key/time (Long cols), carrying
-    * right's `valueCol` (Double). */
+    * right's `valueCol` (Double). `forward` picks the earliest at-or-after
+    * match instead of the most recent at-or-before; `toleranceUs >= 0`
+    * nulls matches further than that from the probe time. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-           valueCol: String): DataFrame = {
+           valueCol: String, forward: Boolean = false,
+           toleranceUs: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -170,7 +203,7 @@ object NativeAsOf {
     }
     val node = AsOfJoinNode(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      keyCol, timeCol, valueCol)
+      keyCol, timeCol, valueCol, forward, toleranceUs)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
   }
 }

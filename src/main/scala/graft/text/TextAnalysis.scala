@@ -58,6 +58,16 @@ object TextAnalysis {
       .drop("text")
   }
 
+  /** Per-language top-k documents by quality score — the corpus-curation
+    * cut ("keep the best k per stratum"), computed with the two-phase
+    * grouped top-k (no per-language single-partition window: a language can
+    * span most of a 100 TB corpus). */
+  def topDocsPerLang(documents: DataFrame, k: Int = 5): DataFrame =
+    graft.operators.ScalableRank.topKPerGroup(
+        qualityScore(documents), Seq(col("lang")),
+        Seq(col("quality_score").desc, col("doc_id").asc), k, "rank_in_lang")
+      .select("lang", "rank_in_lang", "doc_id", "quality_score", "quality_bucket")
+
   /** Marker-word lists per language for the ID heuristic. */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("table", "scan", "merge", "window"),

@@ -27,6 +27,36 @@ class PlansSpec extends SparkSpec {
     assert(native == windowed)
   }
 
+  test("native as-of forward direction and tolerance semantics") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 12L), (3L, 1L, 25L), (4L, 2L, 5L))
+      .toDF("event_id", "user_id", "ts_us")
+    val r = Seq((1L, 12L, 1.5), (1L, 20L, 2.5), (2L, 1L, 9.0))
+      .toDF("user_id", "ts_us", "value")
+    // forward: probes 10 and 12 SHARE the ts=12 match (peek, not consume)
+    val fwd = NativeAsOf.asOf(l, r, "user_id", "ts_us", "value", forward = true)
+      .select("event_id", "asof_value", "asof_ts_us")
+      .orderBy("event_id").collect().toSeq.map(x =>
+        (x.getLong(0), Option(x.get(1)), Option(x.get(2))))
+    assert(fwd == Seq(
+      (1L, Some(1.5), Some(12L)), (2L, Some(1.5), Some(12L)),
+      (3L, None, None), (4L, None, None)))
+    // backward with tolerance 5: ts=25 matches 20 (gap 5), ts=5 matches 1
+    // (gap 4); ts=10/12 have no at-or-before rows at all for user 1... the
+    // earliest right row for user 1 is ts=12, so probe 12 matches exactly
+    val tol = NativeAsOf.asOf(l, r, "user_id", "ts_us", "value", toleranceUs = 5L)
+      .select("event_id", "asof_value").orderBy("event_id").collect().toSeq
+      .map(x => (x.getLong(0), Option(x.get(1))))
+    assert(tol == Seq(
+      (1L, None), (2L, Some(1.5)), (3L, Some(2.5)), (4L, Some(9.0))))
+    // tighter tolerance 3 drops the gap-5 and gap-4 matches
+    val tol3 = NativeAsOf.asOf(l, r, "user_id", "ts_us", "value", toleranceUs = 3L)
+      .select("event_id", "asof_value").orderBy("event_id").collect().toSeq
+      .map(x => (x.getLong(0), Option(x.get(1))))
+    assert(tol3 == Seq(
+      (1L, None), (2L, Some(1.5)), (3L, None), (4L, None)))
+  }
+
   test("native as-of plan is the custom exec with one exchange+sort per side") {
     val (err, pur) = eventSides
     val df = NativeAsOf.asOf(err, pur, "user_id", "ts_us", "value")
