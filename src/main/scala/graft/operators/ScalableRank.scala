@@ -28,15 +28,32 @@ import org.apache.spark.sql.functions._
   */
 object ScalableRank {
 
+  // Subtrees below the local-index projection contain a nondeterministic
+  // expression (monotonically_increasing_id), which disables AQE exchange
+  // reuse — every branch that references the ranked frame would recompute
+  // it from the source scans. Persisting the ranged frame (and the rn
+  // output in `ranked`) makes each materialize exactly once; the registry
+  // bounds cache growth across calls in a long-lived session.
+  private val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  def releaseCache(): Unit = synchronized {
+    cached.foreach(_.unpersist(blocking = false))
+    cached.clear()
+  }
+  private def persisted(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached += p
+    p
+  }
+
   /** Adds an exact global 1-based row number `out` under `order` (which
     * must be a total order — include a unique tiebreaker column). */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
-    val ranged = df
+    val ranged = persisted(df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
-      .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .withColumn("_lrn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L)))
     val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pcnt"))
     // One row per shuffle partition: the empty-partition window below is
     // over a config-bounded frame, never over the data.
@@ -90,8 +107,11 @@ object ScalableRank {
   def ranked(df: DataFrame, value: Column, tiebreak: Column, ntiles: Int,
              rowCol: String = "rn", rankCol: String = "rank",
              denseCol: String = "dense_rank", ntileCol: String = "ntile"): DataFrame = {
+    releaseCache()
     val order = Seq(value.desc, tiebreak.asc)
-    val rn = withGlobalRowNumber(df, order, rowCol)
+    // rn feeds three branches (rank window, dense groups, final join) —
+    // persist so the range+sort+index pipeline runs once.
+    val rn = persisted(withGlobalRowNumber(df, order, rowCol))
     val wVal = Window.partitionBy(value)
     val ranked = rn.withColumn(rankCol, min(col(rowCol)).over(wVal))
     val groups = ranked.select(value.as("_grev"), col(rankCol).as("_grank")).distinct()
