@@ -1026,6 +1026,28 @@ object Queries {
         |  count(*) AS doc_count, count(*) - 1 AS dup_count
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
 
+    QueryDef("q_chunk_documents",
+      (s, d) => graft.text.Chunking.chunkDocuments(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, toks, n_tokens,
+        |    greatest(1, (n_tokens - 16 + 47) // 48) AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, lang, toks, n_tokens,
+        |    unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS chunk_tokens,
+        |  n_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     QueryDef("q_sample_stratified",
       (s, d) => operators.Sampling.sampleStratified(
           Tables.documents(s, d).select(col("doc_id"), col("lang")),
