@@ -1026,6 +1026,27 @@ object Queries {
         |  count(*) AS doc_count, count(*) - 1 AS dup_count
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
 
+    QueryDef("q_multimodal_frames",
+      (s, d) => Multimodal.frameSamplePlan(Tables.documents(s, d))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS w,
+        |    64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS h,
+        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 16 AS frame_count
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, w, h, frame_count,
+        |    unnest(range(0, frame_count, 4)) AS frame_idx
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_count AS BIGINT) AS frame_count,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(w * 224 // greatest(w, h) AS BIGINT) AS out_w,
+        |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin)),
+
     QueryDef("q_chunk_documents",
       (s, d) => graft.text.Chunking.chunkDocuments(Tables.documents(s, d))
         .orderBy("doc_id", "chunk_idx"),

@@ -61,10 +61,15 @@ case class FloatVecDot(left: Expression, right: Expression)
   * can set spark.sql.extensions=graft.functions.GraftExtensions. */
 object GraftFunctions {
   val builder: Seq[Expression] => Expression = exprs => FloatVecDot(exprs.head, exprs(1))
+  val intersectBuilder: Seq[Expression] => Expression =
+    exprs => SortedIntersectCount(exprs.head, exprs(1))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", intersectBuilder, "built-in")
+  }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
     * configured with spark.sql.extensions). Idempotent. */
@@ -84,6 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       GraftFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      GraftFunctions.intersectBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -63,6 +63,54 @@ object Multimodal {
     }
   }
 
+  case class FrameFeature(doc_id: Long, frame_idx: Int, out_w: Int, out_h: Int,
+                          frame_checksum: String)
+
+  /** Frame sampling + resize planning: every `everyN`-th frame of each
+    * decoded media record becomes its own row (flatMap = the explode after
+    * the per-partition decode), with aspect-preserving integer resize dims
+    * (longest side → `target`) and a per-frame deterministic stub checksum
+    * (a real pipeline would emit the decoded+resized tensor bytes here).
+    * Row amplification is frames/everyN per record — bounded by media
+    * length, never by corpus size. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int = 4,
+                   target: Int = 224): Dataset[FrameFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { rec =>
+        val (w, h, frames) = decodeStub(rec.payload)
+        val longest = math.max(w, h)
+        val (ow, oh) = (w * target / longest, h * target / longest)
+        (0 until frames by everyN).iterator.map { f =>
+          digest.reset()
+          digest.update(rec.payload)
+          digest.update(f.toByte)
+          val sum = digest.digest().take(8).map("%02x".format(_)).mkString
+          FrameFeature(rec.doc_id, f, ow, oh, sum)
+        }
+      }
+    }
+  }
+
+  /** SQL-expressible frame-sample/resize plan (stub dims are arithmetic on
+    * byte_count, so the whole frame explosion is oracle-checkable). */
+  def frameSamplePlan(documents: DataFrame, everyN: Int = 4,
+                      target: Int = 224): DataFrame =
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        (lit(64L) + (length(col("payload")) % 1024)).as("w"),
+        (lit(64L) + (expr("length(payload) div 7") % 1024)).as("h"),
+        (lit(1L) + (length(col("payload")) % 16)).as("frame_count"))
+      .select(col("doc_id"), col("w"), col("h"), col("frame_count"),
+        explode(sequence(lit(0L), col("frame_count") - 1, lit(everyN.toLong)))
+          .as("frame_idx"))
+      .withColumn("out_w", expr(s"w * $target div greatest(w, h)"))
+      .withColumn("out_h", expr(s"h * $target div greatest(w, h)"))
+      .select("doc_id", "frame_idx", "frame_count", "w", "h", "out_w", "out_h")
+
   /** SQL-expressible metadata view (checksums/sizes) — the part of the
     * multimodal pipeline an oracle can check. */
   def mediaMetadata(documents: DataFrame): DataFrame =

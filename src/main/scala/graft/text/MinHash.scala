@@ -97,13 +97,14 @@ object MinHash {
     * — the standalone n-gram Jaccard operator, bounded blocking keeps the
     * pair count constant per lang at any corpus size. */
   def exactJaccardPairs(documents: DataFrame, maxDocId: Long = 40): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val d = documents.filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), col("lang"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(shingles(col("text")))).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sha"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("shb"))
     a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-      .withColumn("inter_size",
-        size(filter(col("sha"), t => array_contains(col("shb"), t))).cast("long"))
+      .withColumn("inter_size", expr("sorted_intersect_count(sha, shb)"))
       .withColumn("union_size",
         size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter_size"))
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
@@ -250,7 +251,12 @@ object MinHash {
     val sigAgreement =
       expr(s"aggregate(zip_with(a.sigs, b.sigs, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
         .cast("double") / lit(NumHashes.toDouble)
-    val docsW = documents.select(col("doc_id"), array_distinct(wordsCol).as("vocab"))
+    // sorted ONCE per document so the per-pair exact intersection is the
+    // native O(n+m) two-pointer merge (sorted_intersect_count), not an
+    // O(n·m) HOF scan
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val docsW = documents.select(col("doc_id"),
+      array_sort(array_distinct(wordsCol)).as("vocab"))
 
     banded.as("a")
       .join(banded.as("b"),
@@ -263,8 +269,7 @@ object MinHash {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .join(docsW.select(col("doc_id").as("doc_a"), col("vocab").as("va")), "doc_a")
       .join(docsW.select(col("doc_id").as("doc_b"), col("vocab").as("vb")), "doc_b")
-      .withColumn("inter_size",
-        size(filter(col("va"), t => array_contains(col("vb"), t))).cast("long"))
+      .withColumn("inter_size", expr("sorted_intersect_count(va, vb)"))
       .withColumn("union_size",
         size(col("va")).cast("long") + size(col("vb")).cast("long") - col("inter_size"))
       .withColumn("exact_jaccard",

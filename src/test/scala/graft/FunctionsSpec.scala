@@ -42,6 +42,20 @@ class FunctionsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project \\[vec_dot".r.findFirstIn(plan).isDefined, plan.take(800))
   }
 
+  test("sorted_intersect_count matches the HOF filter baseline on real vocab") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, TinySf)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("v"))
+    val a = d.select(col("doc_id").as("da"), col("v").as("va"))
+    val b = d.select(col("doc_id").as("db"), col("v").as("vb"))
+    val pairs = a.join(b, col("da") < col("db") && col("da") < 15 && col("db") < 30)
+    val both = pairs.select(
+      expr("sorted_intersect_count(va, vb)").as("fast"),
+      size(filter(col("va"), t => array_contains(col("vb"), t))).cast("long").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(both.filter(col("fast") > 0).count() > 0) // nontrivial overlap exists
+  }
+
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
     val rec = Similarity.knnRecall(Tables.embeddings(spark, TinySf))
       .select("method", "query_id", "hits").collect()

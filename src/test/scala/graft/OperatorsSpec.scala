@@ -123,4 +123,21 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.forall(f => f.byte_count > 0 && f.checksum.length == 64))
     assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.frame_count >= 1))
   }
+
+  test("multimodal frame sampler matches the SQL frame plan") {
+    // deterministic slice (limit after fanOut repartition is arbitrary)
+    val docs = Tables.documents(spark, TinySf).filter(col("doc_id") < 25)
+    val ds = Multimodal.sampleFrames(Multimodal.asMediaTable(docs))
+      .collect().map(f => (f.doc_id, f.frame_idx.toLong, f.out_w.toLong, f.out_h.toLong))
+      .toSet
+    val sql = Multimodal.frameSamplePlan(docs)
+      .select("doc_id", "frame_idx", "out_w", "out_h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(ds == sql)
+    assert(ds.nonEmpty)
+    // per-frame checksums are distinct across frames of the same doc
+    val sums = Multimodal.sampleFrames(Multimodal.asMediaTable(docs)).collect()
+    assert(sums.map(f => (f.doc_id, f.frame_checksum)).distinct.length == sums.length)
+  }
 }
