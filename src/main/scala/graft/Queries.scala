@@ -1282,6 +1282,14 @@ object Queries {
         |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF ANN with a trained KMeans coarse quantizer: learned centroids
+    // aren't cross-engine reproducible → rows-only; FunctionsSpec asserts
+    // recall@k dominates the data-oblivious sign-LSH bucket path.
+    QueryDef("q_knn_ivf",
+      (s, d) => Similarity.knnIvf(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      None),
+
     QueryDef("q_knn_recall",
       (s, d) => Similarity.knnRecall(Tables.embeddings(s, d))
         .orderBy("method", "query_id"),

@@ -107,6 +107,57 @@ object Similarity {
     topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
   }
 
+  /** IVF ANN: a trained coarse quantizer (Spark-ML KMeans, fixed seed)
+    * replaces the data-oblivious sign-LSH bucket. Corpus rows are assigned
+    * to their nearest centroid once; each query probes its `nprobe`
+    * nearest cells, so the candidate set is ~nprobe/nlist of the corpus —
+    * the recall/cost dial real vector stores use (FAISS IVF). Centroids
+    * are a driver-side nlist×dim array after fit (tiny), shipped back as
+    * a broadcast-joined cells table; the corpus is scanned once for
+    * assignment and once for scoring. Learned centroids are not
+    * cross-engine reproducible → rows-only for the oracle; recall@k vs
+    * brute is the test contract. */
+  def knnIvf(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.select("fv"))
+    val corpus = model.transform(base)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("cell").cast("long").as("cell"))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
+    // centroids: nlist rows — a literal-backed DataFrame, broadcast below
+    val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }.toSeq
+    import spark.implicits._
+    val cells = centroidRows.toDF("c_cell", "centroid")
+    // each query's nprobe nearest cells (|queries|×nlist tiny cross join)
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("q_nrm"))
+    val probes = graft.operators.ScalableRank.topKPerGroup(
+        queries.crossJoin(broadcast(cells))
+          .withColumn("dist2",
+            fastDot("qv", "qv") - lit(2.0) * fastDot("qv", "centroid")
+              + fastDot("centroid", "centroid")),
+        Seq(col("query_id")), Seq(col("dist2").asc, col("c_cell").asc),
+        nprobe, "probe_rank")
+      .select(col("query_id").as("p_qid"), col("c_cell"))
+    val scored = corpus
+      .join(broadcast(probes.join(queries, col("p_qid") === col("query_id"))),
+        col("cell") === col("c_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
+    topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "cell")
+  }
+
   /** Recall@k of the approximate paths against the brute-force golden
     * top-k — the measurement that makes the ANN recall/cost trade explicit
     * (one row per method × query + the hit counts). */

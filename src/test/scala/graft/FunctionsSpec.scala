@@ -56,6 +56,19 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("fast") > 0).count() > 0) // nontrivial overlap exists
   }
 
+  test("IVF (trained quantizer) recall dominates the sign-LSH bucket path") {
+    val e = Tables.embeddings(spark, TinySf)
+    def hits(res: org.apache.spark.sql.DataFrame): Long = {
+      val golden = Similarity.knnBrute(e).select("query_id", "vec_id")
+      golden.join(res.select(col("query_id").as("q"), col("vec_id").as("v")),
+        col("query_id") === col("q") && col("vec_id") === col("v")).count()
+    }
+    val ivfHits = hits(Similarity.knnIvf(e))
+    val bucketedHits = hits(Similarity.knnBucketed(e))
+    assert(ivfHits >= bucketedHits, s"ivf $ivfHits < bucketed $bucketedHits")
+    assert(ivfHits > 0, "IVF found no golden neighbors at all")
+  }
+
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
     val rec = Similarity.knnRecall(Tables.embeddings(spark, TinySf))
       .select("method", "query_id", "hits").collect()
