@@ -101,12 +101,18 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
 
     FraudSummary.userRiskScores(graft.Tables.events(spark, sfDir))
       .write.mode(SaveMode.Overwrite).parquet(path("gold", "user_risk_scores"))
+
+    FraudSummary.fraudSummaryDaily(graft.Tables.events(spark, sfDir))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path("gold", "fraud_summary"))
   }
 
-  /** Incremental gold maintenance: recompute revenue_daily ONLY for the
-    * given dates and overwrite just those partitions (dynamic partition
-    * overwrite). The daily-scheduled path at 100 TB — a late-arriving
-    * slice re-aggregates one partition, never the full history. */
+  /** Incremental gold maintenance: recompute date-partitioned gold tables
+    * ONLY for the given dates and overwrite just those partitions (dynamic
+    * partition overwrite). The daily-scheduled path at 100 TB — a
+    * late-arriving slice re-aggregates its partitions, never the full
+    * history. */
   def runGoldIncremental(dates: Seq[String]): Unit = {
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -117,6 +123,12 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("order_date")
         .parquet(path("gold", "revenue_daily"))
+      val eventsSlice = graft.Tables.events(spark, sfDir)
+        .filter(col("ts").cast("date").isin(dates: _*))
+      FraudSummary.fraudSummaryDaily(eventsSlice)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_date")
+        .parquet(path("gold", "fraud_summary"))
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 

@@ -59,14 +59,19 @@ class MedallionSpec extends SparkSpec {
     val dims = Seq("order_date", "region_name", "status_normalized", "amount_tier")
     val full = m.readGold("revenue_daily")
       .orderBy(dims.head, dims.tail: _*).collect().toSeq
+    val fullFs = m.readGold("fraud_summary").orderBy("event_date").collect().toSeq
     val someDates = m.readGold("revenue_daily")
       .select(col("order_date").cast("string")).distinct()
       .limit(3).collect().map(_.getString(0)).toSeq
-    m.runGoldIncremental(someDates)
+    val someEventDates = m.readGold("fraud_summary")
+      .select(col("event_date").cast("string")).distinct()
+      .limit(2).collect().map(_.getString(0)).toSeq
+    m.runGoldIncremental(someDates ++ someEventDates)
     val after = m.readGold("revenue_daily")
       .orderBy(dims.head, dims.tail: _*).collect().toSeq
     // re-aggregating a slice from the same silver must be a no-op overall
     assert(after == full)
+    assert(m.readGold("fraud_summary").orderBy("event_date").collect().toSeq == fullFs)
     // and untouched partitions still present
     assert(m.readGold("revenue_daily").select("order_date").distinct().count() > 3)
   }

@@ -187,6 +187,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 200)
   }
 
+  test("deterministic stratified sampler is batch/stream identical") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "lang")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val rates = Map("en" -> 3000, "zh" -> 5000)
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows)
+    val q = Sampling.sampleStratified(
+        stream.toDF.toDF("doc_id", "lang"),
+        col("lang"), col("doc_id"), rates, defaultBp = 1000)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sample_out").orderBy("doc_id").collect().toSeq
+    val batch = Sampling.sampleStratified(docs, col("lang"), col("doc_id"),
+      rates, defaultBp = 1000).orderBy("doc_id").collect().toSeq
+    // membership is a pure key function — replaying in a stream, on any
+    // partitioning, yields the exact same sample
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("bronze shaping runs as a file-source streaming query") {
     import spark.implicits._
     val batchDf = Tables.events(spark, TinySf).select("event_id", "ts", "event_type", "props")
