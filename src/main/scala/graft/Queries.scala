@@ -54,12 +54,11 @@ object Queries {
 
   // Enriched orders + window features, shared by q_feature_vector/q_fraud_score.
   private val EnrichedFeaturesCte = CleanOrdersCte +
-    """
+    s"""
     |, enr AS (
     |  SELECT co.o_orderkey, co.o_custkey, co.o_totalprice, co.amount_tier, co.order_date,
     |    c.c_acctbal,
-    |    CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
-    |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) AS region_risk
+    |    CAST(${Enrichment.riskCaseSql("r.r_name")} AS DOUBLE) AS region_risk
     |  FROM clean_orders co
     |  JOIN customer c ON co.o_custkey = c.c_custkey
     |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -159,13 +158,11 @@ object Queries {
           "negative_balance_flag")
         .orderBy("o_orderkey"),
       Some(CleanOrdersCte +
-        """
+        s"""
         |SELECT co.o_orderkey, co.o_custkey, co.o_totalprice, co.status_normalized, co.amount_tier, co.order_date,
         |  c.c_name, c.c_acctbal, c.c_mktsegment, n.n_name AS nation_name, r.r_name AS region_name,
-        |  CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
-        |       WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) AS region_risk,
-        |  (CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
-        |       WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) > 0.05) AS is_high_risk_region,
+        |  CAST(${Enrichment.riskCaseSql("r.r_name")} AS DOUBLE) AS region_risk,
+        |  (CAST(${Enrichment.riskCaseSql("r.r_name")} AS DOUBLE) > 0.05) AS is_high_risk_region,
         |  (c.c_acctbal < 0) AS negative_balance_flag
         |FROM clean_orders co
         |JOIN customer c ON co.o_custkey = c.c_custkey
@@ -183,11 +180,10 @@ object Queries {
           "p95_order_value", "unique_customers", "fraud_rate", "payment_failure_rate")
         .orderBy("order_date", "region_name", "status_normalized", "amount_tier"),
       Some(CleanOrdersCte +
-        """
+        s"""
         |, enr AS (
         |  SELECT co.*, r.r_name AS region_name,
-        |    (CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
-        |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END) > 0.05 AS is_high_risk
+        |    (${Enrichment.riskCaseSql("r.r_name")}) > 0.05 AS is_high_risk
         |  FROM clean_orders co
         |  JOIN customer c ON co.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -736,12 +732,11 @@ object Queries {
           .orderBy("o_orderkey")
       },
       Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
-        """
+        s"""
         |, enr2 AS (
         |  SELECT co.o_orderkey, co.o_custkey, co.o_totalprice, co.amount_tier, co.order_date,
         |    co.o_orderpriority, c.c_acctbal,
-        |    CAST(CASE r.r_name WHEN 'AFRICA' THEN 0.12 WHEN 'AMERICA' THEN 0.03 WHEN 'ASIA' THEN 0.05
-        |         WHEN 'EUROPE' THEN 0.02 WHEN 'MIDDLE EAST' THEN 0.09 ELSE 0.05 END AS DOUBLE) AS region_risk
+        |    CAST(${Enrichment.riskCaseSql("r.r_name")} AS DOUBLE) AS region_risk
         |  FROM clean_orders co
         |  JOIN customer c ON co.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1458,7 +1453,7 @@ object Queries {
           Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
         .orderBy("region_name", "nation_name", "gid"),
       Some(CleanOrdersCte +
-        """
+        s"""
         |, enr AS (
         |  SELECT n.n_name AS nation_name, r.r_name AS region_name, co.o_totalprice
         |  FROM clean_orders co

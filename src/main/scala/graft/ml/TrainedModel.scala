@@ -31,24 +31,35 @@ object TrainedModel {
     "is_priority_order", "region_risk", "is_high_risk_region",
     "negative_balance", "account_balance")
 
+  /** Previous call's assembled-features cache (released on the next call —
+    * the returned predictions are lazy, so an in-call unpersist would drop
+    * the cache before the test split is ever scored). */
+  @volatile private var lastAssembled: Option[DataFrame] = None
+  def releaseCache(): Unit = synchronized {
+    lastAssembled.foreach(_.unpersist(blocking = false))
+    lastAssembled = None
+  }
+
   /** Train on the 80% split, score the 20% split. Returns per-row
     * predictions (o_orderkey, label, predicted_fraud, p_fraud). */
   def scoreHeldOut(fullFeatures: DataFrame): DataFrame = {
+    releaseCache()
     val data = FraudScore.withSplit(fullFeatures)
       .select(col("o_orderkey") +: col("label").cast("double").as("label") +:
         col("is_test") +: FeatureCols.map(c => col(c).cast("double").as(c)): _*)
+    // Cache the assembled frame: every L-BFGS iteration is a full pass over
+    // the train split, and the test-split scoring pass reuses the SAME
+    // materialization instead of recomputing the whole feature-vector
+    // pipeline (windows + velocity union + joins) from the source scans.
     val assembled = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("fv")
       .transform(data)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { lastAssembled = Some(assembled) }
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(20).setRegParam(0.01).setStandardization(true)
-    // Cache the train split: every L-BFGS iteration is a full pass over it,
-    // and without this each pass would recompute the whole feature-vector
-    // pipeline (windows + velocity union + joins) from the source scans.
-    val train = assembled.filter(!col("is_test"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = try lr.fit(train) finally train.unpersist(blocking = false)
+    val model = lr.fit(assembled.filter(!col("is_test")))
     model.transform(assembled.filter(col("is_test")))
       .withColumn("predicted_fraud", col("prediction").cast("long"))
       .select(col("o_orderkey"), col("label").cast("long").as("label"),

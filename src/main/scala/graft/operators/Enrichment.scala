@@ -29,6 +29,14 @@ object Enrichment {
       when(regionName === name, lit(risk)).otherwise(acc)
     }
 
+  /** DuckDB CASE fragment generated from the SAME RegionRisk map, so
+    * oracle SQL can never drift from the Spark lookup. */
+  def riskCaseSql(regionCol: String): String =
+    s"CASE $regionCol" +
+      RegionRisk.toSeq.sortBy(_._1)
+        .map { case (n, r) => s" WHEN '$n' THEN $r" }.mkString +
+      s" ELSE $DefaultRisk END"
+
   /** Orders enriched with customer geo dims + risk signals. */
   def enrichOrders(cleanOrders: DataFrame, customer: DataFrame,
                    nation: DataFrame, region: DataFrame): DataFrame = {

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, cluster_id) for every node; cluster_id = min node id reachable.
-    * `edges` is one row per undirected edge (src, dst). */
+    * `edges` is one row per undirected edge (src, dst).
+    *
+    * Throws if the fixpoint is not reached within `maxIter` rounds
+    * (component diameter > maxIter) — a partial result would silently
+    * mislabel clusters; failing loud keeps the correctness contract. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -43,14 +47,19 @@ object Components {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(
+      val sumRaw = next.agg(org.apache.spark.sql.functions.sum(
         col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
+      val sum = if (sumRaw == null) BigDecimal(0) else BigDecimal(sumRaw)
       labels = next
-      converged = BigDecimal(sum) == prevSum
-      prevSum = BigDecimal(sum)
+      converged = sum == prevSum
+      prevSum = sum
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter) — refusing to return partial labels")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -143,7 +143,10 @@ object MinHash {
          |FROM hsx ORDER BY doc_id""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b)` — the LSH candidate set,
-    * shared by the near-dup and cluster oracles. */
+    * shared by the near-dup and cluster oracles. Mirrors the Spark-side
+    * bucket-size governor (generated from the same DefaultMaxBucket
+    * constant), so oracle parity holds even when a corpus has a hot
+    * boilerplate bucket. */
   def candidatePairsSqlCtes: String = {
     val sigList = (0 until NumHashes).map(sigExpr).mkString(",\n    ")
     val bandSelects = (0 until Bands).map { bnd =>
@@ -156,8 +159,15 @@ object MinHash {
          |, sig AS (
          |  SELECT doc_id, $sigList
          |  FROM hsx
-         |), band AS (
+         |), band_all AS (
          |    $bandSelects
+         |), hot AS (
+         |  SELECT band_idx, band_hash FROM band_all
+         |  GROUP BY band_idx, band_hash HAVING count(*) > $DefaultMaxBucket
+         |), band AS (
+         |  SELECT ba.* FROM band_all ba
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |    WHERE h.band_idx = ba.band_idx AND h.band_hash = ba.band_hash)
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b ON a.band_idx = b.band_idx
