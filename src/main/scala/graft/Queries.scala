@@ -632,6 +632,49 @@ object Queries {
         |  FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
         |) t ORDER BY check_name""".stripMargin)),
 
+    QueryDef("q_profile_lineitem",
+      (s, d) => operators.Profiling.profileNumeric(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column_name"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS row_count,
+             |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+             |    count(DISTINCT $c) AS distinct_count,
+             |    CAST(min($c) AS DOUBLE) AS min_value, CAST(max($c) AS DOUBLE) AS max_value,
+             |    CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |    CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_value
+             |  FROM lineitem""".stripMargin
+        val union = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("\n  UNION ALL ")
+        s"""SELECT column_name, row_count, null_count, distinct_count, min_value,
+           |  max_value, sum_value,
+           |  sum_value / row_count AS mean,
+           |  (sumsq_value - sum_value * sum_value / row_count) / row_count AS variance,
+           |  sqrt((sumsq_value - sum_value * sum_value / row_count) / row_count) AS stddev
+           |FROM (
+           |  $union
+           |) t ORDER BY column_name""".stripMargin
+      }),
+
+    QueryDef("q_corr_lineitem",
+      (s, d) => operators.Profiling.correlation(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice"),
+      Some("""SELECT 'l_quantity' AS x_column, 'l_extendedprice' AS y_column, n,
+        |  sum_xy / n - (sum_x / n) * (sum_y / n) AS covariance,
+        |  (sum_xy / n - (sum_x / n) * (sum_y / n))
+        |    / (sqrt(sum_x2 / n - (sum_x / n) * (sum_x / n))
+        |     * sqrt(sum_y2 / n - (sum_y / n) * (sum_y / n))) AS corr
+        |FROM (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2
+        |  FROM lineitem
+        |) t""".stripMargin)),
+
     QueryDef("q_dq_marts",
       (s, d) => DataQuality.martsSuite(
           StarSchema.dimCustomers(Tables.customer(s, d), Tables.nation(s, d),

@@ -126,9 +126,14 @@ object Similarity {
     val base = embeddings
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.select("fv"))
+    // cache the training vectors: every KMeans iteration passes over them
+    val trainVecs = base.select("fv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(trainVecs)
+      finally trainVecs.unpersist(blocking = false)
     val corpus = model.transform(base)
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cell").cast("long").as("cell"))
