@@ -632,6 +632,27 @@ object Queries {
         |  FROM events e WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
         |) t ORDER BY check_name""".stripMargin)),
 
+    // Z-order layout key: sorting the fact by the interleaved code
+    // co-locates rows close in BOTH (date, customer) — the reference's
+    // Delta Z-ORDER BY re-expressed as a native codegen expression + sort.
+    QueryDef("q_zorder_orders",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Cleaning.cleanOrders(Tables.orders(s, d))
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("order_date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day_key"))
+          .withColumn("z_key", expr("morton2(day_key, o_custkey)"))
+          .orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        s"""
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(order_date - DATE '1970-01-01' AS BIGINT) AS day_key,
+        |  ${graft.functions.MortonSql.morton2Sql(
+             "CAST(order_date - DATE '1970-01-01' AS BIGINT)", "o_custkey")} AS z_key
+        |FROM clean_orders ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("q_profile_lineitem",
       (s, d) => operators.Profiling.profileNumeric(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))

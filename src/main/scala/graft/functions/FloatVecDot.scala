@@ -64,11 +64,16 @@ object GraftFunctions {
   val intersectBuilder: Seq[Expression] => Expression =
     exprs => SortedIntersectCount(exprs.head, exprs(1))
 
+  val mortonBuilder: Seq[Expression] => Expression =
+    exprs => Morton2(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", intersectBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton2", mortonBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not

@@ -56,6 +56,22 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("fast") > 0).count() > 0) // nontrivial overlap exists
   }
 
+  test("morton2 interleaves correctly and participates in codegen") {
+    import graft.functions.Morton2
+    assert(Morton2.interleave(1L, 0L) == 1L)
+    assert(Morton2.interleave(0L, 1L) == 2L)
+    assert(Morton2.interleave(3L, 3L) == 15L)
+    assert(Morton2.interleave(0x7FFFFFFFL, 0L) == 0x1555555555555555L)
+    // z-curve locality: a 2^k × 2^k aligned tile maps to one contiguous
+    // code range — the property row-group pruning relies on
+    val tile = for (a <- 4L to 7L; b <- 8L to 11L) yield Morton2.interleave(a, b)
+    assert(tile.max - tile.min == 15L && tile.distinct.length == 16)
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((5L, 9L)).toDF("a", "b").selectExpr("morton2(a, b)")
+    assert(df.collect()(0).getLong(0) == Morton2.interleave(5L, 9L))
+  }
+
   test("IVF (trained quantizer) recall dominates the sign-LSH bucket path") {
     val e = Tables.embeddings(spark, TinySf)
     def hits(res: org.apache.spark.sql.DataFrame): Long = {
