@@ -433,6 +433,38 @@ object Queries {
         |       wt AS (ORDER BY revenue DESC, o_custkey ASC)
         |ORDER BY o_custkey""".stripMargin)),
 
+    // Remaining analytic-window breadth: percent_rank/cume_dist + value
+    // navigation, all over PARTITIONED windows (per-customer — scale-safe).
+    QueryDef("q_window_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Cleaning.cleanOrders(Tables.orders(s, d))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume_dist", cume_dist().over(w))
+          .withColumn("largest_amount", first(col("o_totalprice")).over(wf))
+          .withColumn("smallest_amount", last(col("o_totalprice")).over(wf))
+          .withColumn("second_amount", nth_value(col("o_totalprice"), 2).over(wf))
+          .orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        """
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume_dist,
+        |  first_value(o_totalprice) OVER wf AS largest_amount,
+        |  last_value(o_totalprice) OVER wf AS smallest_amount,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_amount
+        |FROM clean_orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("q_running_totals",
       (s, d) => Features.runningTotals(Cleaning.cleanOrders(Tables.orders(s, d)))
         .select("status_normalized", "order_date", "daily_orders", "gmv",
