@@ -1447,6 +1447,29 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("q_session_window",
+      (s, d) => graft.streaming.StreamOps.sessionWindowStats(Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, ts, event_type, value, epoch_us(ts) AS ts_us FROM events
+        |), d AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sx AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        |  CAST(epoch(date_trunc('second', max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+        |  count(*) AS event_count,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM sx GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start""".stripMargin)),
+
     QueryDef("q_pii_masking",
       (s, d) => operators.Masking.maskCustomers(Tables.customer(s, d))
         .orderBy("c_custkey"),

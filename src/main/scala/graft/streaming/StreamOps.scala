@@ -42,6 +42,26 @@ object StreamOps {
       .withColumn("_source_system", lit("file-stream"))
       .withColumn("_pipeline_version", lit("1.0.0"))
 
+  /** Declarative gap sessionization via the built-in `session_window` —
+    * Structured Streaming's native merging-windows operator (state expiry
+    * from the watermark, no custom state machine). Complements the
+    * explicit flatMapGroupsWithState sessionizer below: same gap
+    * semantics (a new session starts when the gap is ≥ the window), one
+    * declaration for batch and stream. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sumMoney(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("event_count"), col("purchases"), col("value_sum"))
+
   // ---- stateful sessionization ----
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long, event_type: String,

@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.where(col("_source_system") === "kafka").count() == 200)
   }
 
+  test("session_window streaming matches its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "user_id", "event_type", "value")
+    val rows = events.as[(java.sql.Timestamp, Long, String, Double)].collect().toSeq
+    val maxTs = rows.map(_._1.getTime).max
+    // flush rows: far-future events advance the watermark past every
+    // session end (their own session, for a sentinel user, is filtered out)
+    def flush(h: Int) = (new java.sql.Timestamp(maxTs + h * 3600 * 1000L),
+      999999L, "view", 0.0)
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val q = graft.streaming.StreamOps.sessionWindowStats(
+        stream.toDF.toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("sessionwin_out")
+      .outputMode("append").start()
+    stream.addData(rows); q.processAllAvailable()
+    stream.addData(flush(10)); q.processAllAvailable()
+    stream.addData(flush(20)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessionwin_out")
+      .filter(col("user_id") =!= 999999L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = graft.streaming.StreamOps.sessionWindowStats(events)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
