@@ -679,32 +679,40 @@ object Queries {
       },
       Some(CleanOrdersCte +
         s"""
-        |SELECT o_orderkey, o_custkey,
-        |  CAST(order_date - DATE '1970-01-01' AS BIGINT) AS day_key,
-        |  ${graft.functions.MortonSql.morton2Sql(
-             "CAST(order_date - DATE '1970-01-01' AS BIGINT)", "o_custkey")} AS z_key
-        |FROM clean_orders ORDER BY o_orderkey""".stripMargin)),
+        |SELECT o_orderkey, o_custkey, day_key,
+        |  ${// the spread chain textually duplicates its input ~32×, so bind
+           // short aliases in a subquery instead of inlining the CAST
+           graft.functions.MortonSql.morton2Sql("sa", "sb")} AS z_key
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(order_date - DATE '1970-01-01' AS BIGINT) AS day_key,
+        |    CAST(order_date - DATE '1970-01-01' AS BIGINT) AS sa,
+        |    o_custkey AS sb
+        |  FROM clean_orders
+        |) t ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("q_profile_lineitem",
       (s, d) => operators.Profiling.profileNumeric(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("column_name"),
       Some {
+        // text-path decimal→double (exact text, one correctly-rounded
+        // parse) — second moments exceed the 2^53 direct-cast bound
         def one(c: String) =
-          s"""SELECT '$c' AS column_name, count(*) AS row_count,
+          s"""SELECT '$c' AS column_name, count(*) AS row_count, count($c) AS value_count,
              |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
              |    count(DISTINCT $c) AS distinct_count,
              |    CAST(min($c) AS DOUBLE) AS min_value, CAST(max($c) AS DOUBLE) AS max_value,
-             |    CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-             |    CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_value
+             |    CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+             |    CAST(CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sumsq_value
              |  FROM lineitem""".stripMargin
         val union = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(one).mkString("\n  UNION ALL ")
-        s"""SELECT column_name, row_count, null_count, distinct_count, min_value,
+        s"""SELECT column_name, row_count, value_count, null_count, distinct_count, min_value,
            |  max_value, sum_value,
-           |  sum_value / row_count AS mean,
-           |  (sumsq_value - sum_value * sum_value / row_count) / row_count AS variance,
-           |  sqrt((sumsq_value - sum_value * sum_value / row_count) / row_count) AS stddev
+           |  sum_value / value_count AS mean,
+           |  (sumsq_value - sum_value * sum_value / value_count) / value_count AS variance,
+           |  sqrt((sumsq_value - sum_value * sum_value / value_count) / value_count) AS stddev
            |FROM (
            |  $union
            |) t ORDER BY column_name""".stripMargin
@@ -720,12 +728,13 @@ object Queries {
         |     * sqrt(sum_y2 / n - (sum_y / n) * (sum_y / n))) AS corr
         |FROM (
         |  SELECT count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_y,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_xy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x2,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_y2
         |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         |) t""".stripMargin)),
 
     QueryDef("q_dq_marts",
@@ -1454,7 +1463,7 @@ object Queries {
         |  SELECT user_id, ts, event_type, value, epoch_us(ts) AS ts_us FROM events
         |), d AS (
         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
         |), sx AS (
         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       GraftFunctions.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("morton2"),
+      new ExpressionInfo(classOf[Morton2].getName, "morton2"),
+      GraftFunctions.mortonBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

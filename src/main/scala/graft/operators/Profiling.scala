@@ -1,8 +1,8 @@
 package graft.operators
 
+import graft.util.Cols
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic column profiling: count / nulls / distinct / min / max /
   * mean / variance / stddev per numeric column — the data-profiling pass a
@@ -11,51 +11,57 @@ import org.apache.spark.sql.types.DecimalType
   * Variance comes from exact decimal moments (Σx, Σx² summed as decimals —
   * order-independent under any shuffle schedule), combined in double with
   * single IEEE ops: identical operands + identical op sequence = identical
-  * bits in every engine (built-in `stddev` sums doubles and is
-  * run-to-run nondeterministic at scale). All per-column stats fuse into
-  * ONE scan (conditional aggregates + stack unpivot, same shape as the DQ
-  * suite); only the exact-distinct counts add expand overhead.
+  * bits in every engine (built-in `stddev` sums doubles and is run-to-run
+  * nondeterministic at scale). Second moments exceed the 2^53 exact
+  * decimal→double bound, so they convert via the text path
+  * (Cols.sumMoneyBig/sumMoneySqBig — one correctly-rounded parse in both
+  * engines). Statistics use the NON-NULL count as denominator (sums skip
+  * nulls); row_count/null_count report the raw shape. All per-column
+  * stats fuse into ONE scan (conditional aggregates + stack unpivot, same
+  * shape as the DQ suite); only the exact-distinct counts add expand
+  * overhead.
   */
 object Profiling {
-
-  private val Money = DecimalType(18, 2)
 
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"${c}__cnt"),
+      count(col(c)).as(s"${c}__nn"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"),
-      sum(col(c).cast(Money)).cast("double").as(s"${c}__sum"),
-      sum(col(c).cast(Money) * col(c).cast(Money)).cast("double").as(s"${c}__sumsq"))
+      Cols.sumMoneyBig(col(c)).as(s"${c}__sum"),
+      Cols.sumMoneySqBig(col(c), col(c)).as(s"${c}__sumsq"))
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr = cols.map(c =>
-      s"'$c', ${c}__cnt, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__sum, ${c}__sumsq")
+      s"'$c', ${c}__cnt, ${c}__nn, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__sum, ${c}__sumsq")
       .mkString(", ")
     agged
       .selectExpr(s"stack(${cols.size}, $stackExpr) as " +
-        "(column_name, row_count, null_count, distinct_count, min_value, max_value, sum_value, sumsq_value)")
-      .withColumn("mean", col("sum_value") / col("row_count"))
+        "(column_name, row_count, value_count, null_count, distinct_count, min_value, max_value, sum_value, sumsq_value)")
+      .withColumn("mean", col("sum_value") / col("value_count"))
       .withColumn("variance",
-        (col("sumsq_value") - col("sum_value") * col("sum_value") / col("row_count"))
-          / col("row_count"))
+        (col("sumsq_value") - col("sum_value") * col("sum_value") / col("value_count"))
+          / col("value_count"))
       .withColumn("stddev", sqrt(col("variance")))
       .drop("sumsq_value")
   }
 
   /** Pearson correlation from exact decimal cross-moments (built-in
     * `corr` double-sums and is order-dependent; this is deterministic):
-    * cov = Σxy/n − (Σx/n)(Σy/n), r = cov / (σx·σy). One scan. */
+    * cov = Σxy/n − (Σx/n)(Σy/n), r = cov / (σx·σy). One scan. Rows where
+    * either column is null are excluded (n counts complete pairs). */
   def correlation(df: DataFrame, x: String, y: String): DataFrame =
-    df.agg(
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .agg(
         count(lit(1)).as("n"),
-        sum(col(x).cast(Money)).cast("double").as("sum_x"),
-        sum(col(y).cast(Money)).cast("double").as("sum_y"),
-        sum(col(x).cast(Money) * col(y).cast(Money)).cast("double").as("sum_xy"),
-        sum(col(x).cast(Money) * col(x).cast(Money)).cast("double").as("sum_x2"),
-        sum(col(y).cast(Money) * col(y).cast(Money)).cast("double").as("sum_y2"))
+        Cols.sumMoneyBig(col(x)).as("sum_x"),
+        Cols.sumMoneyBig(col(y)).as("sum_y"),
+        Cols.sumMoneySqBig(col(x), col(y)).as("sum_xy"),
+        Cols.sumMoneySqBig(col(x), col(x)).as("sum_x2"),
+        Cols.sumMoneySqBig(col(y), col(y)).as("sum_y2"))
       .withColumn("covariance",
         col("sum_xy") / col("n") - (col("sum_x") / col("n")) * (col("sum_y") / col("n")))
       .withColumn("corr",

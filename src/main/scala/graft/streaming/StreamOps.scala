@@ -46,8 +46,9 @@ object StreamOps {
     * Structured Streaming's native merging-windows operator (state expiry
     * from the watermark, no custom state machine). Complements the
     * explicit flatMapGroupsWithState sessionizer below: same gap
-    * semantics (a new session starts when the gap is ≥ the window), one
-    * declaration for batch and stream. */
+    * semantics (events at most `gap` apart — inclusive — extend the
+    * session; a new one starts only when the gap strictly exceeds it),
+    * one declaration for batch and stream. */
   def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))

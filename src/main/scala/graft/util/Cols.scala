@@ -41,6 +41,21 @@ object Cols {
   def moneyTimes(money: Column, factor: Column): Column =
     (money.cast(Money) * factor.cast(Factor)).cast("double")
 
+  /** Exact money sum whose unscaled value may exceed 2^53 (e.g. sums of
+    * SQUARES) → double via the decimal's TEXT form: decimal→string is
+    * exact, and string→double parsing is correctly rounded to the nearest
+    * double in every engine (one rounding of the exact rational) — unlike
+    * direct decimal→double casts, whose internal path (int128→double then
+    * scale division in DuckDB vs BigDecimal.doubleValue in Spark) can
+    * differ by 1 ulp above 2^53. */
+  def sumMoneyBig(c: Column): Column =
+    sum(c.cast(Money)).cast("string").cast("double")
+
+  /** Exact sum of a money×money product (scale 4) via the text path —
+    * for second moments, which overflow the 2^53 exactness bound. */
+  def sumMoneySqBig(a: Column, b: Column): Column =
+    sum(a.cast(Money) * b.cast(Money)).cast("string").cast("double")
+
   /** Exact average: decimal sum cast double, one IEEE division by count. */
   def avgMoney(c: Column): Column =
     sumMoney(c) / count(lit(1))

@@ -67,9 +67,18 @@ class FunctionsSpec extends SparkSpec {
     val tile = for (a <- 4L to 7L; b <- 8L to 11L) yield Morton2.interleave(a, b)
     assert(tile.max - tile.min == 15L && tile.distinct.length == 16)
     GraftFunctions.register(spark)
-    import spark.implicits._
-    val df = Seq((5L, 9L)).toDF("a", "b").selectExpr("morton2(a, b)")
-    assert(df.collect()(0).getLong(0) == Morton2.interleave(5L, 9L))
+    // over a parquet scan (NOT a local relation, which would fold to the
+    // interpreted eval) so whole-stage codegen actually compiles doGenCode
+    val df = Tables.orders(spark, TinySf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("z", expr("morton2(o_orderkey, o_custkey)"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == Morton2.interleave(r.getLong(0), r.getLong(1)))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[.*morton2".r.findFirstIn(plan).isDefined, plan.take(800))
   }
 
   test("IVF (trained quantizer) recall dominates the sign-LSH bucket path") {
