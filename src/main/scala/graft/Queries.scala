@@ -1180,6 +1180,19 @@ object Queries {
         |  < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000 ELSE 1000 END)
         |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q_sample_fixed",
+      (s, d) => operators.Sampling.sampleFixedPerStratum(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), 20)
+        .orderBy("lang", "sample_rank"),
+      Some("""SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 ASC,
+        |      doc_id ASC) AS BIGINT) AS sample_rank
+        |  FROM documents
+        |) t WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin)),
+
     QueryDef("q_dedup_clusters",
       (s, d) => Components.dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
       Some("WITH RECURSIVE " + MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +

@@ -31,4 +31,16 @@ object Sampling {
     }
     df.filter(hashBp(key) < threshold)
   }
+
+  /** Exactly-k-per-stratum deterministic sample: rank rows within each
+    * stratum by (hash, key) — a uniform but reproducible order — and keep
+    * the first k. The deterministic replacement for reservoir sampling,
+    * built on the two-phase grouped top-k (no per-stratum single-partition
+    * window; a stratum can span most of a 100 TB corpus). */
+  def sampleFixedPerStratum(df: DataFrame, stratum: Column, key: Column,
+                            k: Int): DataFrame =
+    ScalableRank.topKPerGroup(
+        df.withColumn("_hbp", hashBp(key)),
+        Seq(stratum), Seq(col("_hbp").asc, key.asc), k, "sample_rank")
+      .drop("_hbp")
 }
