@@ -1213,6 +1213,48 @@ object Queries {
         |  l.doc_id = l.cluster_id AS is_canonical
         |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin)),
 
+    QueryDef("q_dedup_keep_best",
+      (s, d) => Components.dedupKeepBest(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+        "WITH RECURSIVE " + MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
+          s"""
+          |, edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs
+          |), walk(node, reach) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+          |), lab AS (
+          |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+          |), sz AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+          |), t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+          |  FROM documents
+          |), t3 AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+          |          WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+          |          ELSE CAST(200.0 AS DOUBLE) / n_tokens END) * CAST(0.4 AS DOUBLE)
+          |    + (CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens)) * CAST(0.4 AS DOUBLE)
+          |    + (CAST(stopword_hits AS DOUBLE) / n_tokens) * CAST(0.2 AS DOUBLE) AS quality_score
+          |  FROM t
+          |)
+          |SELECT doc_id, lang, cluster_id, cluster_size, quality_score FROM (
+          |  SELECT t3.doc_id, t3.lang, lab.cluster_id, sz.cluster_size, t3.quality_score,
+          |    row_number() OVER (PARTITION BY lab.cluster_id
+          |      ORDER BY t3.quality_score DESC, t3.doc_id ASC) AS rn
+          |  FROM t3
+          |  JOIN lab ON t3.doc_id = lab.doc_id
+          |  JOIN sz USING (cluster_id)
+          |) x WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("q_fingerprint",
       (s, d) => Dedup.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars,

@@ -63,6 +63,25 @@ object Components {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** The end-to-end dedup policy of a real corpus pipeline: LSH candidate
+    * pairs → connected components → keep the HIGHEST-QUALITY document of
+    * each cluster (not the lowest id — quality-aware representative
+    * selection). Returns one row per kept document with its cluster
+    * provenance; selection is a two-phase grouped top-1 (a boilerplate
+    * cluster can be huge). */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val clusters = dedupClusters(documents)
+      .select(col("doc_id").as("c_doc_id"), col("cluster_id"), col("cluster_size"))
+    val scored = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(clusters, col("doc_id") === col("c_doc_id"))
+    graft.operators.ScalableRank.topKPerGroup(
+        scored, Seq(col("cluster_id")),
+        Seq(col("quality_score").desc, col("doc_id").asc), 1, "keep_rank")
+      .select(col("doc_id"), col("lang"), col("cluster_id"),
+        col("cluster_size"), col("quality_score"))
+  }
+
   /** Dedup clustering over documents: LSH candidate pairs → components →
     * cluster size + canonical flag (keep is_canonical, drop the rest — the
     * group-dedup contract of a corpus pipeline). */
