@@ -31,9 +31,16 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() would let
       // Catalyst prune expensive projections and undermeasure the query).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[graft.Bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // failed queries report a NEGATED duration so a regression is
+      // visible in BENCH output instead of masquerading as a fast success
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

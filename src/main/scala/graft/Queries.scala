@@ -872,11 +872,11 @@ object Queries {
         |  WHERE cl.is_refund
         |), vel AS (
         |  SELECT v_okey,
-        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS velocity_7d,
-        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS velocity_30d,
-        |    COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING), 0) AS velocity_90d,
-        |    COALESCE(sum(w_refund) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS refund_count_30d,
-        |    sum(w_refund) OVER (PARTITION BY uid) AS user_refund_count
+        |    CAST(COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS velocity_7d,
+        |    CAST(COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS velocity_30d,
+        |    CAST(COALESCE(sum(w_order) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS velocity_90d,
+        |    CAST(COALESCE(sum(w_refund) OVER (PARTITION BY uid ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS refund_count_30d,
+        |    CAST(sum(w_refund) OVER (PARTITION BY uid) AS BIGINT) AS user_refund_count
         |  FROM tall
         |)
         |SELECT fx2.o_orderkey, fx2.o_custkey,

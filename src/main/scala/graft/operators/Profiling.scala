@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * stats fuse into ONE scan (conditional aggregates + stack unpivot, same
   * shape as the DQ suite); only the exact-distinct counts add expand
   * overhead.
+  *
+  * Contract: moment accumulators are money-scale decimals — profiled
+  * columns must carry at most 2 fractional digits (scale 2). Finer-scale
+  * values are truncated before summing, silently biasing sum/mean/
+  * variance. The TPC-H money columns profiled here satisfy this and the
+  * DuckDB oracle mirrors the same rounding; pass pre-rounded columns (or
+  * extend Cols with a wider-scale accumulator) for general numeric data.
   */
 object Profiling {
 

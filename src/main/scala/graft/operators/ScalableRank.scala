@@ -34,6 +34,13 @@ object ScalableRank {
   // it from the source scans. Persisting the ranged frame (and the rn
   // output in `ranked`) makes each materialize exactly once; the registry
   // bounds cache growth across calls in a long-lived session.
+  //
+  // Contract: calls are expected to be sequential, and the DataFrame a
+  // call returns should be executed before the NEXT call — each call
+  // unpersists the previous call's caches, so a still-unexecuted earlier
+  // result stays correct (Spark recomputes the lineage) but silently
+  // loses its cache; concurrent callers likewise thrash each other's
+  // caches without affecting correctness.
   private val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
   def releaseCache(): Unit = synchronized {
     cached.foreach(_.unpersist(blocking = false))

@@ -232,7 +232,13 @@ object MinHash {
   }
 
   /** Candidates + estimated (signature agreement) and exact n-gram Jaccard.
-    * Exact set ops run only on LSH candidates. */
+    * Exact set ops run only on LSH candidates.
+    *
+    * NOT a lazy builder: the bucket-size governor runs a Spark job at call
+    * time (count per band bucket, doubling as the cache warm-up) and logs
+    * any dropped hot buckets to stderr, before the caller executes the
+    * returned frame. Calls also follow the execute-before-next-call cache
+    * contract described on [[releaseCache]]. */
   def nearDupPairs(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Banded signatures are cached: the self-join references the subtree
     // twice and the shingle+md5 computation is the dominant cost — the
