@@ -91,7 +91,7 @@ object Queries {
 
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3
+  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4
 
   private lazy val batch1: Seq[QueryDef] = Seq(
 
@@ -1728,6 +1728,190 @@ object Queries {
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS stub_width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  // ---- round-3 additions: behavior analytics, SCD2, TF-IDF, anomaly ----
+
+  private lazy val batch4: Seq[QueryDef] = Seq(
+
+    QueryDef("q_funnel",
+      (s, d) => gold.Behavior.funnel(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us")),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      Some(EventsUsCte +
+        """
+        |, s0 AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    min(CASE WHEN event_type = 'signup' THEN ts_us END) OVER (PARTITION BY user_id) AS t0
+        |  FROM ev
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > t0 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM s0
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2
+        |), pu AS (
+        |  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM s3 GROUP BY user_id
+        |), c AS (
+        |  SELECT count(t0) AS u0, count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM pu
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage, u0 AS users_reached,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u0 AS DOUBLE) / CAST(u0 AS DOUBLE) END AS conversion_from_prev,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u0 AS DOUBLE) / CAST(u0 AS DOUBLE) END AS conversion_from_start
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'view', u1,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u1 AS DOUBLE) / CAST(u0 AS DOUBLE) END,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u1 AS DOUBLE) / CAST(u0 AS DOUBLE) END
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', u2,
+        |    CASE WHEN u1 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) END,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u2 AS DOUBLE) / CAST(u0 AS DOUBLE) END
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', u3,
+        |    CASE WHEN u2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE) END,
+        |    CASE WHEN u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(u3 AS DOUBLE) / CAST(u0 AS DOUBLE) END
+        |  FROM c
+        |) t ORDER BY stage_idx""".stripMargin)),
+
+    QueryDef("q_retention_cohorts",
+      (s, d) => gold.Behavior.retentionCohorts(
+          Tables.orders(s, d).select(col("o_custkey"),
+            to_date(col("o_orderdate")).as("order_date")),
+          "o_custkey", "order_date")
+        .orderBy("cohort_month", "months_since"),
+      Some("""WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS activity_month
+        |  FROM orders
+        |), w AS (
+        |  SELECT o_custkey, activity_month,
+        |    min(activity_month) OVER (PARTITION BY o_custkey) AS cohort_month
+        |  FROM o
+        |), a AS (
+        |  SELECT cohort_month,
+        |    CAST((year(activity_month) * 12 + month(activity_month))
+        |       - (year(cohort_month) * 12 + month(cohort_month)) AS BIGINT) AS months_since,
+        |    count(DISTINCT o_custkey) AS active_customers
+        |  FROM w GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, max(CASE WHEN months_since = 0 THEN active_customers END)
+        |    OVER (PARTITION BY cohort_month) AS cohort_size
+        |  FROM a
+        |)
+        |SELECT cohort_month, months_since, active_customers, cohort_size,
+        |  CAST(active_customers AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention_rate
+        |FROM r ORDER BY cohort_month, months_since""".stripMargin)),
+
+    QueryDef("q_scd2_tiers",
+      (s, d) => {
+        val daily = Cleaning.cleanOrders(Tables.orders(s, d))
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_custkey", "order_date").orderBy(col("o_orderkey").desc)))
+          .filter(col("_rn") === 1)
+          .select("o_custkey", "order_date", "amount_tier")
+        operators.Scd.scd2(daily, "o_custkey", "order_date", Seq("amount_tier"))
+          .select("o_custkey", "version", "amount_tier", "valid_from",
+            "last_observed", "observation_count", "valid_to", "is_current")
+          .orderBy("o_custkey", "version")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, daily AS (
+        |  SELECT o_custkey, order_date, amount_tier FROM (
+        |    SELECT o_custkey, order_date, amount_tier,
+        |      row_number() OVER (PARTITION BY o_custkey, order_date ORDER BY o_orderkey DESC) AS rn
+        |    FROM clean_orders) t WHERE rn = 1
+        |), flg AS (
+        |  SELECT o_custkey, order_date, amount_tier,
+        |    CASE WHEN lag(order_date) OVER w IS NULL
+        |           OR lag(amount_tier) OVER w IS DISTINCT FROM amount_tier
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date)
+        |), ver AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY order_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM flg
+        |), coll AS (
+        |  SELECT o_custkey, version, amount_tier,
+        |    min(order_date) AS valid_from, max(order_date) AS last_observed,
+        |    count(*) AS observation_count
+        |  FROM ver GROUP BY 1, 2, 3
+        |)
+        |SELECT o_custkey, version, amount_tier, valid_from, last_observed, observation_count,
+        |  COALESCE(lead(valid_from) OVER wv, DATE '9999-12-31') AS valid_to,
+        |  lead(valid_from) OVER wv IS NULL AS is_current
+        |FROM coll WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin)),
+
+    QueryDef("q_tfidf",
+      (s, d) => text.TfIdf.topTerms(Tables.documents(s, d), 5)
+        .orderBy("doc_id", "term_rank"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ln(CAST(1 + n.n_docs AS DOUBLE) / CAST(1 + dfreq.df AS DOUBLE)) + CAST(1.0 AS DOUBLE) AS idf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df, idf, CAST(tf AS DOUBLE) * idf AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) * idf DESC, term) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, idf, tfidf
+        |FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    QueryDef("q_amount_outliers",
+      (s, d) => {
+        val enriched = Cleaning.cleanOrders(Tables.orders(s, d))
+          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("n_name"), col("o_totalprice"))
+        operators.Anomaly.outliers(enriched, Seq("n_name"), "o_totalprice", 1.75)
+          .select("o_orderkey", "o_custkey", "n_name", "o_totalprice",
+            "group_mean", "group_stddev", "z_score")
+          .orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, enr AS (
+        |  SELECT o_orderkey, o_custkey, n_name, o_totalprice
+        |  FROM clean_orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), mom AS (
+        |  SELECT n_name, count(o_totalprice) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq
+        |  FROM enr GROUP BY 1
+        |), stats AS (
+        |  SELECT n_name, n, s / n AS group_mean,
+        |    sqrt((sq - s * s / n) / n) AS group_stddev
+        |  FROM mom
+        |)
+        |SELECT o_orderkey, o_custkey, enr.n_name, o_totalprice, group_mean, group_stddev,
+        |  (o_totalprice - group_mean) / group_stddev AS z_score
+        |FROM enr JOIN stats ON enr.n_name = stats.n_name
+        |WHERE n >= 2 AND group_stddev > CAST(0.0 AS DOUBLE)
+        |  AND abs(o_totalprice - group_mean) > CAST(1.75 AS DOUBLE) * group_stddev
+        |ORDER BY o_orderkey""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,96 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events/orders streams: ordered funnel
+  * conversion and cohort retention — the product-analytics queries the
+  * reference serves from its gold layer (revenue_aggregations.py computes
+  * per-day conversion inputs; we add the full ordered-sequence semantics).
+  *
+  * Scale shape: the funnel is ONE shuffle of events by user_id — every
+  * chained stage timestamp is a conditional `min` over the SAME
+  * user-partitioned window, so Catalyst plans a single exchange + sort and
+  * evaluates all stages in one WindowExec pass; the per-user reduction and
+  * the constant-size stage summary reuse/partial-agg on top. No per-stage
+  * self-join (the naive formulation shuffles events once per stage).
+  * Retention is two hash shuffles (user grain, then cohort×month grain) of
+  * already-reduced rows. Both end bounded: |stages| rows / cohorts×months
+  * rows.
+  */
+object Behavior {
+
+  /** Ordered funnel: a user reaches stage i when an event of stage i's type
+    * occurs STRICTLY AFTER their stage i-1 time (first qualifying event
+    * counts; stage 0 is the user's first event of that type). Returns one
+    * row per stage: users reached, conversion vs previous stage and vs
+    * stage 0.
+    *
+    * `events` needs (user_id, event_type, ts_us). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy("user_id")
+    // t_i = min ts of stage-i events after t_{i-1}: chained conditional
+    // window mins, all over the same partitioning (one exchange).
+    val withTimes = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), col("ts_us"))) {
+      case (df, (stage, 0)) =>
+        df.withColumn("t0", min(when(col("event_type") === stage, col("ts_us"))).over(w))
+      case (df, (stage, i)) =>
+        df.withColumn(s"t$i",
+          min(when(col("event_type") === stage && col("ts_us") > col(s"t${i - 1}"),
+            col("ts_us"))).over(w))
+    }
+    // one row per user (stage times are constant within the partition)
+    val perUser = withTimes.groupBy("user_id")
+      .agg(min(col("t0")).as("t0"),
+        stages.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+    // constant-size summary: count users with t_i set, per stage
+    val counts = perUser.agg(
+      count(col("t0")).as("u0"),
+      stages.indices.drop(1).map(i => count(col(s"t$i")).as(s"u$i")): _*)
+    // one struct per stage exploded from the single summary row — NOT a
+    // union of per-stage selects, which would re-plan (and re-scan) the
+    // events subtree once per stage
+    val stageStructs = stages.zipWithIndex.map { case (stage, i) =>
+      val prev = if (i == 0) col("u0") else col(s"u${i - 1}")
+      struct(
+        lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        col(s"u$i").as("users_reached"),
+        when(prev === 0, lit(0.0))
+          .otherwise(col(s"u$i").cast("double") / prev.cast("double"))
+          .as("conversion_from_prev"),
+        when(col("u0") === 0, lit(0.0))
+          .otherwise(col(s"u$i").cast("double") / col("u0").cast("double"))
+          .as("conversion_from_start"))
+    }
+    counts.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
+  }
+
+  /** Monthly retention cohorts: cohort = month of a customer's first order;
+    * for every (cohort_month, months_since_cohort) report active distinct
+    * customers and the retention rate vs the cohort's size (its
+    * months_since=0 population).
+    *
+    * `orders` needs (custKey, dateCol as DATE). */
+  def retentionCohorts(orders: DataFrame, custKey: String, dateCol: String): DataFrame = {
+    val w = Window.partitionBy(custKey)
+    val monthIdx = (c: Column) => year(c) * 12 + month(c)
+    val withCohort = orders
+      .select(col(custKey), trunc(col(dateCol), "month").as("activity_month"))
+      .withColumn("cohort_month", min(col("activity_month")).over(w))
+    val active = withCohort
+      .groupBy(col("cohort_month"),
+        (monthIdx(col("activity_month")) - monthIdx(col("cohort_month")))
+          .cast("long").as("months_since"))
+      .agg(countDistinct(col(custKey)).as("active_customers"))
+    // cohort size = its month-0 population; window over the (tiny) rollup
+    val wc = Window.partitionBy("cohort_month")
+    active
+      .withColumn("cohort_size",
+        max(when(col("months_since") === 0, col("active_customers"))).over(wc))
+      .withColumn("retention_rate",
+        col("active_customers").cast("double") / col("cohort_size").cast("double"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.gold.Behavior
+import graft.operators.{Anomaly, Scd}
+import graft.text.TfIdf
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: ordered funnel, retention cohorts, SCD2 history,
+  * TF-IDF keywords, z-score outliers. Synthetic micro-fixtures assert the
+  * semantics the DuckDB oracles then confirm at sf0.01. */
+class BehaviorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("funnel requires strict event ordering within a user") {
+    // u1 completes signup->view->purchase in order; u2 has a view BEFORE
+    // its signup (must not count past stage 0); u3 signs up only.
+    val ev = Seq(
+      (1L, "signup", 100L), (1L, "view", 200L), (1L, "purchase", 300L),
+      (2L, "view", 50L), (2L, "signup", 100L),
+      (3L, "signup", 10L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val out = Behavior.funnel(ev, Seq("signup", "view", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("signup", 3L), ("view", 1L), ("purchase", 1L)))
+    // conversion_from_prev: 3/3=1.0, 1/3, 1/1
+    assert(out(1).getDouble(3) === 1.0 / 3.0)
+    assert(out(2).getDouble(3) === 1.0)
+    assert(out(2).getDouble(4) === 1.0 / 3.0)
+  }
+
+  test("funnel plans a single exchange for all chained stages") {
+    val ev = Seq((1L, "signup", 100L)).toDF("user_id", "event_type", "ts_us")
+    val out = Behavior.funnel(ev, Seq("signup", "view", "click", "purchase"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one user_id exchange feeding every window + the groupBy (partial agg
+    // reuses it); the summary agg adds its own single-partition exchange
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("retention cohorts: full cohort at month 0, correct months_since") {
+    val orders = Seq(
+      (1L, "2024-01-05"), (1L, "2024-03-10"),   // cohort Jan, active Jan+Mar
+      (2L, "2024-01-20"),                       // cohort Jan, Jan only
+      (3L, "2024-02-01"), (3L, "2024-03-01")    // cohort Feb, Feb+Mar
+    ).toDF("cust", "d").select(col("cust"), to_date(col("d")).as("order_date"))
+    val out = Behavior.retentionCohorts(orders, "cust", "order_date")
+      .orderBy("cohort_month", "months_since")
+      .select("months_since", "active_customers", "cohort_size", "retention_rate")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 2L), (2L, 1L, 2L), (0L, 1L, 1L), (1L, 1L, 1L)))
+    assert(out(1).getDouble(3) === 0.5)
+  }
+
+  test("scd2 collapses runs, versions changes, closes intervals") {
+    val obs = Seq(
+      (1L, "2024-01-01", "low"), (1L, "2024-01-05", "low"),
+      (1L, "2024-02-01", "high"), (1L, "2024-03-01", "low"),
+      (2L, "2024-01-01", "medium")
+    ).toDF("k", "d", "tier").select(col("k"), to_date(col("d")).as("d"), col("tier"))
+    val out = Scd.scd2(obs, "k", "d", Seq("tier"))
+      .orderBy("k", "version").collect()
+    def row(r: Row) = (r.getAs[Long]("k"), r.getAs[Long]("version"), r.getAs[String]("tier"),
+      r.getAs[java.sql.Date]("valid_from").toString,
+      r.getAs[java.sql.Date]("valid_to").toString, r.getAs[Boolean]("is_current"))
+    assert(out.map(row).toSeq === Seq(
+      (1L, 1L, "low", "2024-01-01", "2024-02-01", false),
+      (1L, 2L, "high", "2024-02-01", "2024-03-01", false),
+      (1L, 3L, "low", "2024-03-01", Scd.HighDate, true),
+      (2L, 1L, "medium", "2024-01-01", Scd.HighDate, true)))
+    // run lengths survive the collapse
+    assert(out(0).getAs[Long]("observation_count") === 2L)
+  }
+
+  test("tfidf ranks a rare term above a ubiquitous one") {
+    val docs = Seq(
+      (1L, "common rare common"), (2L, "common other"), (3L, "common third")
+    ).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, 2)
+    val top1 = out.filter(col("doc_id") === 1L && col("term_rank") === 1L)
+      .select("term").as[String].collect()
+    // 'common' has tf=2 in doc 1 but df=3 → idf=ln(4/4)+1=1, tfidf=2;
+    // 'rare' tf=1, df=1 → idf=ln(2)+1≈1.69, tfidf≈1.69 < 2 — tf wins here
+    assert(top1.head === "common")
+    val doc2 = out.filter(col("doc_id") === 2L).orderBy("term_rank")
+      .select("term").as[String].collect()
+    assert(doc2 === Array("other", "common")) // rare term outranks ubiquitous at equal tf
+  }
+
+  test("outliers flags only far-from-group-mean rows, exact z") {
+    val df = (Seq.fill(20)(100.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val out = Anomaly.outliers(df, Seq("grp"), "v", 3.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("id") === 20L)
+    // degenerate: zero-variance group produces nothing (no NaN comparisons)
+    val flat = Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "grp", "v")
+    assert(Anomaly.outliers(flat, Seq("grp"), "v", 3.0).count() === 0L)
+  }
+}
