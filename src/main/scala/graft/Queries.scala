@@ -1876,6 +1876,20 @@ object Queries {
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, idf, tfidf
         |FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin)),
 
+    QueryDef("q_first_event",
+      (s, d) => Cleaning.deterministicDedup(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"), expr("ts_ns div 1000").as("ts_us")),
+          Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+        .orderBy("user_id", "event_type"),
+      Some(EventsUsCte +
+        """
+        |SELECT event_id, user_id, event_type, value, ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us, event_id) AS rn
+        |  FROM ev) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
     QueryDef("q_amount_outliers",
       (s, d) => {
         val enriched = Cleaning.cleanOrders(Tables.orders(s, d))

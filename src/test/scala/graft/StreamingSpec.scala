@@ -262,6 +262,57 @@ class StreamingSpec extends SparkSpec {
     assert(out.where(col("prop_k").isNull).count() == 0)
     assert(out.select("event_date").distinct().count() >= 28)
   }
+
+  test("dropDuplicatesWithinWatermark collapses late jittered duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.dedupWithinWatermark(
+        stream.toDF.toDF("ts", "event_id", "event_type"),
+        Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    stream.addData(Seq((ts(base), 1L, "click"), (ts(base + 1000), 2L, "view")))
+    q.processAllAvailable()
+    // redelivery of key 1 with a DIFFERENT (late, jittered) timestamp —
+    // plain dropDuplicates on (event_id, ts) would keep it as new
+    stream.addData(Seq((ts(base + 5000), 1L, "click")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("wm_dedup_out").count() == 2)
+  }
+
+  test("foreachBatch merge sink upserts micro-batches into versioned silver") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft_merge_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_merge_ckpt").toString
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    val q = StreamOps.mergeSink(
+      stream.toDF.toDF("k", "status", "amount", "seq"),
+      keys = Seq("k"), tiebreak = Seq("seq"),
+      targetDir = target, checkpointDir = ckpt)
+
+    // batch 1: two inserts, with an in-batch duplicate of k=1 (seq wins)
+    stream.addData(Seq((1L, "new", 10.0, 1L), (1L, "dup", 11.0, 2L), (2L, "new", 20.0, 1L)))
+    q.processAllAvailable()
+    // batch 2: update k=1, insert k=3
+    stream.addData(Seq((1L, "upd", 15.0, 3L), (3L, "new", 30.0, 1L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val vs = new java.io.File(target).listFiles().map(_.getName).filter(_.startsWith("v="))
+    assert(vs.toSet == Set("v=1", "v=2"))
+    val fin = spark.read.parquet(s"$target/v=2")
+      .select("k", "status", "amount", "_merge_action")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(fin == Set(
+      (1L, "upd", 15.0, "updated"),
+      (2L, "new", 20.0, "kept"),
+      (3L, "new", 30.0, "inserted")))
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
