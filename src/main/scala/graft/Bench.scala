@@ -27,7 +27,11 @@ object Bench {
       .orderBy("k").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args restrict the run to named queries (iteration aid)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() would let
       // Catalyst prune expensive projections and undermeasure the query).

@@ -559,6 +559,32 @@ object Queries {
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin)),
 
+    // Generalized-type as-of through the same exec: STRING key (the
+    // Catalyst-ordering compare path) and STRING payload (the
+    // copyValue path for buffer-backed values).
+    QueryDef("q_asof_typed",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id").cast("string").as("user_key"),
+            col("event_type"), col("props"), expr("ts_ns div 1000").as("ts_us"))
+        graft.plans.NativeAsOf.asOf(
+            ev.filter(col("event_type") === "error").drop("event_type"),
+            ev.filter(col("event_type") === "purchase").drop("event_type"),
+            "user_key", "ts_us", "props")
+          .select(col("event_id"), col("user_key"), col("ts_us"),
+            col("asof_value").as("matched_props"), col("asof_ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS user_key, event_type, props,
+        |         epoch_us(ts) AS ts_us FROM events
+        |), e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_key, e.ts_us,
+        |  p.props AS matched_props, p.ts_us AS asof_ts_us
+        |FROM e ASOF LEFT JOIN p ON e.user_key = p.user_key AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
     // Forward as-of: each error joined to the user's EARLIEST purchase
     // at-or-after it (same custom exec, direction flipped).
     QueryDef("q_asof_forward",
@@ -1813,12 +1839,16 @@ object Queries {
 
     QueryDef("q_scd2_tiers",
       (s, d) => {
+        // day-grain state = the day's last order's tier (max o_orderkey —
+        // unique, so max_by is deterministic). A hash aggregate with
+        // map-side partial agg, not a (cust,date)-window sort. The
+        // repartition on custkey alone satisfies BOTH the (cust,date)
+        // groupBy's clustering (subset rule) and the scd2 windows'
+        // cust partitioning — one exchange instead of two.
         val daily = Cleaning.cleanOrders(Tables.orders(s, d))
-          .withColumn("_rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("o_custkey", "order_date").orderBy(col("o_orderkey").desc)))
-          .filter(col("_rn") === 1)
-          .select("o_custkey", "order_date", "amount_tier")
+          .repartition(col("o_custkey"))
+          .groupBy("o_custkey", "order_date")
+          .agg(expr("max_by(amount_tier, o_orderkey)").as("amount_tier"))
         operators.Scd.scd2(daily, "o_custkey", "order_date", Seq("amount_tier"))
           .select("o_custkey", "version", "amount_tier", "valid_from",
             "last_observed", "observation_count", "valid_to", "is_current")

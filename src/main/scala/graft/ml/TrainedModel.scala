@@ -58,7 +58,7 @@ object TrainedModel {
     synchronized { lastAssembled = Some(assembled) }
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
-      .setMaxIter(20).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
     val model = lr.fit(assembled.filter(!col("is_test")))
     model.transform(assembled.filter(col("is_test")))
       .withColumn("predicted_fraud", col("prediction").cast("long"))

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * (Cols.sumMoneyBig/sumMoneySqBig — one correctly-rounded parse in both
   * engines). Statistics use the NON-NULL count as denominator (sums skip
   * nulls); row_count/null_count report the raw shape. All per-column
-  * stats fuse into ONE scan (conditional aggregates + stack unpivot, same
-  * shape as the DQ suite); only the exact-distinct counts add expand
-  * overhead.
+  * stats fuse into ONE expand-free scan (conditional aggregates + stack
+  * unpivot, same shape as the DQ suite); exact distinct counts run as
+  * separate column-pruned aggregates joined back broadcast, so no stage
+  * replicates the scan Expand-style.
   *
   * Contract: moment accumulators are money-scale decimals — profiled
   * columns must carry at most 2 fractional digits (scale 2). Finer-scale
@@ -35,19 +36,34 @@ object Profiling {
       count(lit(1)).as(s"${c}__cnt"),
       count(col(c)).as(s"${c}__nn"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"),
       Cols.sumMoneyBig(col(c)).as(s"${c}__sum"),
       Cols.sumMoneySqBig(col(c), col(c)).as(s"${c}__sumsq"))
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
+    // Exact distincts run as one pruned single-column aggregate per column
+    // instead of countDistinct inside the moments agg: k distincts there
+    // make Catalyst Expand the scan k+1× (every row replicated per
+    // distinct, null-padded to full aggregate width) through one exchange.
+    // Split, each distinct is a narrow partial-agg over just its column's
+    // pages, the moments scan stays expand-free, and the k+1 independent
+    // stages schedule concurrently. Results (one row each) join back
+    // broadcast on column_name.
+    val distincts = cols.map { c =>
+      df.select(col(c)).agg(countDistinct(col(c)).as("distinct_count"))
+        .select(lit(c).as("column_name"), col("distinct_count"))
+    }.reduce(_.union(_))
     val stackExpr = cols.map(c =>
-      s"'$c', ${c}__cnt, ${c}__nn, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__sum, ${c}__sumsq")
+      s"'$c', ${c}__cnt, ${c}__nn, ${c}__nulls, ${c}__min, ${c}__max, ${c}__sum, ${c}__sumsq")
       .mkString(", ")
     agged
       .selectExpr(s"stack(${cols.size}, $stackExpr) as " +
-        "(column_name, row_count, value_count, null_count, distinct_count, min_value, max_value, sum_value, sumsq_value)")
+        "(column_name, row_count, value_count, null_count, min_value, max_value, sum_value, sumsq_value)")
+      .join(broadcast(distincts), "column_name")
+      .select(col("column_name"), col("row_count"), col("value_count"),
+        col("null_count"), col("distinct_count"), col("min_value"),
+        col("max_value"), col("sum_value"), col("sumsq_value"))
       .withColumn("mean", col("sum_value") / col("value_count"))
       .withColumn("variance",
         (col("sumsq_value") - col("sum_value") * col("sum_value") / col("value_count"))

@@ -26,18 +26,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * memory per partition regardless of key cardinality or history depth.
   * At 100 TB both sides stream; nothing is collected or windowed.
   *
-  * Scope: Long key and Long time columns, one Double payload column — the
-  * (entity_id, epoch, value) shape every event-stream as-of needs. Both
-  * directions (backward = most recent at-or-before, forward = earliest
-  * at-or-after) and an optional time tolerance (matches further than
-  * `toleranceUs` from the probe time become nulls — pandas
-  * merge_asof-style) run in the same single-pass merge.
+  * Scope: ANY atomic key type (compared through the type's Catalyst
+  * ordering) and any payload type (copied through InternalRow.copyValue,
+  * so buffer-backed values like strings survive row reuse); the time
+  * column is Long (epoch µs). Both directions (backward = most recent
+  * at-or-before, forward = earliest at-or-after) and an optional time
+  * tolerance (matches further than `toleranceUs` from the probe time
+  * become nulls — pandas merge_asof-style) run in the same single-pass
+  * merge.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     keyName: String, timeName: String, valueName: String,
     forward: Boolean = false, toleranceUs: Long = -1L,
-    // constructor params (not body vals) so exprIds survive tree copies
+    // constructor params (not body vals) so exprIds survive tree copies.
+    // asofValue must be typed to the carried payload column — NativeAsOf
+    // passes AttributeReference("asof_value", <right value dtype>)().
     asofValue: AttributeReference = AttributeReference("asof_value", DoubleType)(),
     asofTs: AttributeReference = AttributeReference("asof_ts_us", LongType)()) extends BinaryNode {
 
@@ -105,6 +109,10 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (leftIt, rightIt) =>
       val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(outputAttrs, outputAttrs)
+      // any atomic key type compares through its Catalyst ordering;
+      // payload values copy out of reused row buffers via copyValue
+      val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(leftKey.dataType)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val matchRow = new GenericInternalRow(2)
@@ -114,30 +122,30 @@ case class AsOfJoinExec(
         private val rIt = rightIt.buffered
         // the single buffered "most recent right row at-or-before" state
         private var haveMatch = false
-        private var matchKey = 0L
+        private var matchKey: Any = null
         private var matchTs = 0L
-        private var matchVal = 0.0
+        private var matchVal: Any = null
 
         override def hasNext: Boolean = leftIt.hasNext
 
         override def next(): InternalRow = {
           val l = leftIt.next()
-          val k = lKey.eval(l).asInstanceOf[Long]
+          val k = lKey.eval(l)
           val t = lTime.eval(l).asInstanceOf[Long]
           if (!forward) {
             // advance the right side through every row at-or-before (k, t);
             // the last one consumed is the most recent match
             while (rIt.hasNext && {
-              val rk = rKey.eval(rIt.head).asInstanceOf[Long]
-              rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] <= t)
+              val cmp = keyOrd.compare(rKey.eval(rIt.head), k)
+              cmp < 0 || (cmp == 0 && rTime.eval(rIt.head).asInstanceOf[Long] <= t)
             }) {
               val r = rIt.next()
-              matchKey = rKey.eval(r).asInstanceOf[Long]
+              matchKey = InternalRow.copyValue(rKey.eval(r))
               matchTs = rTime.eval(r).asInstanceOf[Long]
-              matchVal = rValue.eval(r).asInstanceOf[Double]
+              matchVal = InternalRow.copyValue(rValue.eval(r))
               haveMatch = true
             }
-            if (haveMatch && matchKey == k &&
+            if (haveMatch && keyOrd.compare(matchKey, k) == 0 &&
                 (toleranceUs < 0 || t - matchTs <= toleranceUs)) {
               matchRow.update(0, matchVal)
               matchRow.update(1, matchTs)
@@ -151,14 +159,14 @@ case class AsOfJoinExec(
             // match for this left row AND for later probes at the same key
             // (left times ascend, so the advance frontier is monotone)
             while (rIt.hasNext && {
-              val rk = rKey.eval(rIt.head).asInstanceOf[Long]
-              rk < k || (rk == k && rTime.eval(rIt.head).asInstanceOf[Long] < t)
+              val cmp = keyOrd.compare(rKey.eval(rIt.head), k)
+              cmp < 0 || (cmp == 0 && rTime.eval(rIt.head).asInstanceOf[Long] < t)
             }) rIt.next()
             var ok = false
-            if (rIt.hasNext && rKey.eval(rIt.head).asInstanceOf[Long] == k) {
+            if (rIt.hasNext && keyOrd.compare(rKey.eval(rIt.head), k) == 0) {
               val hts = rTime.eval(rIt.head).asInstanceOf[Long]
               if (toleranceUs < 0 || hts - t <= toleranceUs) {
-                matchRow.update(0, rValue.eval(rIt.head).asInstanceOf[Double])
+                matchRow.update(0, rValue.eval(rIt.head))
                 matchRow.update(1, hts)
                 ok = true
               }
@@ -189,10 +197,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 object NativeAsOf {
-  /** As-of join `left` to `right` on key/time (Long cols), carrying
-    * right's `valueCol` (Double). `forward` picks the earliest at-or-after
-    * match instead of the most recent at-or-before; `toleranceUs >= 0`
-    * nulls matches further than that from the probe time. */
+  /** As-of join `left` to `right` on key (any atomic type) and time
+    * (Long epoch µs), carrying right's `valueCol` (any type). `forward`
+    * picks the earliest at-or-after match instead of the most recent
+    * at-or-before; `toleranceUs >= 0` nulls matches further than that
+    * from the probe time. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
            valueCol: String, forward: Boolean = false,
            toleranceUs: Long = -1L): DataFrame = {
@@ -201,9 +210,11 @@ object NativeAsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    val valueType = right.schema(valueCol).dataType
     val node = AsOfJoinNode(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      keyCol, timeCol, valueCol, forward, toleranceUs)
+      keyCol, timeCol, valueCol, forward, toleranceUs,
+      asofValue = AttributeReference("asof_value", valueType)())
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
   }
 }

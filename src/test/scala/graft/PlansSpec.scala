@@ -57,6 +57,26 @@ class PlansSpec extends SparkSpec {
       (1L, None), (2L, Some(1.5)), (3L, None), (4L, None)))
   }
 
+  test("native as-of generalizes to string keys and string payloads") {
+    import spark.implicits._
+    val l = Seq((1L, "alice", 10L), (2L, "alice", 30L), (3L, "bob", 10L), (4L, "carol", 10L))
+      .toDF("event_id", "who", "ts_us")
+    val r = Seq(("alice", 5L, "first"), ("alice", 25L, "second"), ("bob", 50L, "late"))
+      .toDF("who", "ts_us", "note")
+    val out = NativeAsOf.asOf(l, r, "who", "ts_us", "note")
+      .select("event_id", "asof_value", "asof_ts_us")
+      .orderBy("event_id").collect().toSeq
+      .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2))))
+    assert(out == Seq(
+      (1L, Some("first"), Some(5L)),   // most recent at-or-before 10
+      (2L, Some("second"), Some(25L)), // advanced past 'first' — copyValue kept it distinct
+      (3L, None, None),                // bob's only note is after the probe
+      (4L, None, None)))               // no rows for carol at all
+    // the carried output attribute is typed to the payload column
+    val schema = NativeAsOf.asOf(l, r, "who", "ts_us", "note").schema
+    assert(schema("asof_value").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("native as-of plan is the custom exec with one exchange+sort per side") {
     val (err, pur) = eventSides
     val df = NativeAsOf.asOf(err, pur, "user_id", "ts_us", "value")
