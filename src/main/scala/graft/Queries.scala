@@ -1717,6 +1717,11 @@ object Queries {
       (s, d) => gold.Sketches.mergedDistinctUsers(Tables.events(s, d)),
       None),
 
+    QueryDef("q_hll_rollup",
+      (s, d) => gold.Sketches.sketchRollup(Tables.events(s, d))
+        .orderBy("event_type"),
+      None),
+
     QueryDef("q_approx_quantiles",
       (s, d) => gold.Sketches.approxOrderQuantiles(
           Cleaning.cleanOrders(Tables.orders(s, d)))
@@ -1905,6 +1910,46 @@ object Queries {
         |)
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, idf, tfidf
         |FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    QueryDef("q_change_feed",
+      (s, d) => {
+        val co = Cleaning.cleanOrders(Tables.orders(s, d))
+        val before = co.filter(col("o_orderkey") % 2 === 0)
+        val after = co.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(1.1))
+              .otherwise(col("o_totalprice")))
+        operators.ChangeFeed.changes(before, after,
+            Seq("o_orderkey"), Seq("o_totalprice", "status_normalized"))
+          .select("o_orderkey", "_change_type", "o_totalprice_old",
+            "o_totalprice_new", "status_normalized_old", "status_normalized_new")
+          .orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, b AS (
+        |  SELECT o_orderkey, o_totalprice, status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 2 = 0
+        |), a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         WHEN a.o_orderkey IS NULL THEN 'delete'
+        |         WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |           OR b.status_normalized IS DISTINCT FROM a.status_normalized THEN 'update'
+        |    END AS _change_type,
+        |    b.o_totalprice AS o_totalprice_old, a.o_totalprice AS o_totalprice_new,
+        |    b.status_normalized AS status_normalized_old,
+        |    a.status_normalized AS status_normalized_new
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+        |) t WHERE _change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("q_first_event",
       (s, d) => Cleaning.deterministicDedup(

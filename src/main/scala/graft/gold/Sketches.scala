@@ -36,6 +36,24 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
         .as("approx_total_users"))
 
+  /** Sketch rollup along a dimension hierarchy: sketches built ONCE at
+    * (day, event_type) grain, then merged upward through a ROLLUP —
+    * per-type totals and the grand total come from sketch unions, never a
+    * rescan of events. This is the property that makes stored sketches a
+    * gold-layer primitive at 100 TB: any coarser grouping in the
+    * hierarchy is a merge of already-aggregated fixed-size states. */
+  def sketchRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("ts").cast("date").as("event_date"), col("event_type"),
+        col("user_id"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("user_sketch"))
+      .rollup(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+        .as("approx_users"))
+      .select(coalesce(col("event_type"), lit("__total__")).as("event_type"),
+        col("approx_users"))
+
   /** Approximate quantiles per group (percentile_approx with bounded
     * accuracy parameter — mergeable, single-pass). */
   def approxOrderQuantiles(cleanOrders: DataFrame): DataFrame =

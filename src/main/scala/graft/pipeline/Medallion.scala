@@ -86,6 +86,17 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   def readSilverVersion(table: String, version: Long): DataFrame =
     spark.read.parquet(path("silver", table) + s"/v=$version")
 
+  /** Change-data-feed between two silver snapshots (Delta
+    * `table_changes` equivalent): inserts/updates/deletes of `attrs` at
+    * `keys` grain. Feeds incremental gold — the changed-partition set for
+    * runGoldIncremental is `feed.select(dateCol).distinct()` instead of
+    * "reprocess everything". */
+  def silverChanges(table: String, fromVersion: Long, toVersion: Long,
+                    keys: Seq[String], attrs: Seq[String]): DataFrame =
+    graft.operators.ChangeFeed.changes(
+      readSilverVersion(table, fromVersion),
+      readSilverVersion(table, toVersion), keys, attrs)
+
   // ---- gold: aggregates, sorted-within-partition on the filter axis ----
 
   def runGold(): Unit = {

@@ -92,6 +92,23 @@ class BehaviorSpec extends SparkSpec {
     assert(doc2 === Array("other", "common")) // rare term outranks ubiquitous at equal tf
   }
 
+  test("change feed classifies inserts, updates, deletes; drops no-ops") {
+    import graft.operators.ChangeFeed
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val out = ChangeFeed.changes(before, after, Seq("k"), Seq("s", "v"))
+      .orderBy("k")
+      .select("k", "_change_type", "s_old", "s_new")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq === Seq(
+      (2L, "update", Some("b"), Some("B")),
+      (3L, "delete", Some("c"), None),
+      (4L, "insert", None, Some("d"))))   // k=1 unchanged → absent
+  }
+
   test("outliers flags only far-from-group-mean rows, exact z") {
     val df = (Seq.fill(20)(100.0) :+ 1000.0).zipWithIndex
       .map { case (v, i) => (i.toLong, "g", v) }

@@ -31,6 +31,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: merged per-type and grand-total estimates within 5%") {
+    val events = Tables.events(spark, TinySf)
+    val approx = Sketches.sketchRollup(events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users").toDouble).toMap
+    val exactPerType = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("e").toDouble).toMap
+    val exactTotal = events.select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0).toDouble
+    // rows: one per event_type + the rollup total
+    assert(approx.keySet == exactPerType.keySet + "__total__")
+    exactPerType.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e) / e < 0.05, s"$t: approx=${approx(t)} exact=$e")
+    }
+    assert(math.abs(approx("__total__") - exactTotal) / exactTotal < 0.05)
+  }
+
   test("approx quantiles within 2% of exact") {
     val clean = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
     val approx = Sketches.approxOrderQuantiles(clean)
