@@ -1537,6 +1537,21 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("q_stream_sliding",
+      (s, d) => graft.streaming.StreamOps.slidingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH w0 AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800 AS s, event_type, value FROM events
+        |), slots AS (
+        |  SELECT s AS window_start, event_type, value FROM w0
+        |  UNION ALL
+        |  SELECT s - 1800, event_type, value FROM w0
+        |)
+        |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+        |  count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q_session_window",
       (s, d) => graft.streaming.StreamOps.sessionWindowStats(Tables.events(s, d))
         .orderBy("user_id", "session_start"),
@@ -1910,6 +1925,40 @@ object Queries {
         |)
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, idf, tfidf
         |FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    QueryDef("q_neardup_ensemble",
+      (s, d) => text.Ensemble.ensembleNearDups(
+          Tables.documents(s, d), Tables.embeddings(s, d), 0.35)
+        .orderBy("doc_a", "doc_b"),
+      Some(text.MinHash.candidatePairsSqlCtes +
+        s"""
+        |, emb AS (
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), ep AS (
+        |  SELECT * FROM (
+        |    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |      ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+        |    FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  ) t WHERE cos_sim > 0.35
+        |), m AS (
+        |  SELECT COALESCE(p.doc_a, ep.doc_a) AS doc_a,
+        |    COALESCE(p.doc_b, ep.doc_b) AS doc_b,
+        |    p.doc_a IS NOT NULL AS tc, ep.doc_a IS NOT NULL AS ec, ep.cos_sim
+        |  FROM pairs p FULL OUTER JOIN ep ON p.doc_a = ep.doc_a AND p.doc_b = ep.doc_b
+        |), voc AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS vocab FROM documents
+        |), jx AS (
+        |  SELECT m.doc_a, m.doc_b,
+        |    CASE WHEN tc AND ec THEN 'both' WHEN tc THEN 'text_only'
+        |         ELSE 'embedding_only' END AS signal,
+        |    m.cos_sim,
+        |    CAST(len(list_filter(va.vocab, t -> list_contains(vb.vocab, t))) AS BIGINT) AS inter_size,
+        |    CAST(len(va.vocab) AS BIGINT) AS na, CAST(len(vb.vocab) AS BIGINT) AS nb
+        |  FROM m JOIN voc va ON m.doc_a = va.doc_id JOIN voc vb ON m.doc_b = vb.doc_id
+        |)
+        |SELECT doc_a, doc_b, signal, cos_sim,
+        |  CAST(inter_size AS DOUBLE) / (na + nb - inter_size) AS exact_jaccard
+        |FROM jx ORDER BY doc_a, doc_b""".stripMargin)),
 
     QueryDef("q_change_feed",
       (s, d) => {

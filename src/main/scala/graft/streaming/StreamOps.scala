@@ -33,6 +33,22 @@ object StreamOps {
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("event_count"), col("value_sum"))
 
+  /** Sliding 1-hour/30-minute aggregation — same watermark machinery as
+    * the tumbling form; every event contributes to window_size/slide
+    * overlapping windows (here 2), which is exactly the state-size
+    * multiplier at scale. One definition, batch and stream. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sumMoney(col("value")).as("value_sum"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("event_count"), col("value_sum"))
+
   /** Bronze shaping as a streaming transform (same columns as
     * operators.Bronze.bronzeEvents, minus the raw-nanos dependency). */
   def bronzeShape(events: DataFrame): DataFrame =

@@ -104,4 +104,30 @@ class MedallionSpec extends SparkSpec {
       .drop("_merge_action").orderBy("o_orderkey").collect()
     assert(v1.nonEmpty && v1.toSeq == v2.toSeq)
   }
+
+  test("silver change feed is empty across an idempotent re-run") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh5").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze(); m.runSilver(); m.runSilver()
+    val feed = m.silverChanges("orders_enriched", 1L, 2L,
+      Seq("o_orderkey"), Seq("o_totalprice", "status_normalized", "region_risk"))
+    assert(feed.count() == 0L) // re-processing the same input changes nothing
+  }
+
+  test("compaction bin-packs small files and preserves data + sort locality") {
+    import graft.pipeline.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val orders = Tables.orders(spark, TinySf)
+    orders.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(before >= 40)
+    val sum0 = spark.read.parquet(dir).agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+
+    val after = Compaction.compact(spark, dir, targetBytes = 64L << 20,
+      sortCols = Seq("o_orderdate"))
+    assert(after < before && after >= 1)
+    val compacted = spark.read.parquet(dir)
+    assert(compacted.agg(sum(col("o_orderkey"))).collect()(0).getLong(0) == sum0)
+    assert(compacted.count() == orders.count())
+  }
 }
