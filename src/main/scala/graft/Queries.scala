@@ -2049,7 +2049,130 @@ object Queries {
         |FROM enr JOIN stats ON enr.n_name = stats.n_name
         |WHERE n >= 2 AND group_stddev > CAST(0.0 AS DOUBLE)
         |  AND abs(o_totalprice - group_mean) > CAST(1.75 AS DOUBLE) * group_stddev
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_rep_filter",
+      (s, d) => text.Curation.repetitionStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS non_space_chars
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens, non_space_chars FROM toks
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |    j -> array_to_string(t[j:j+1], ' '))) AS gram FROM toks
+        |), g2c AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS total_bigrams,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_instances
+        |  FROM g2c GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |    j -> array_to_string(t[j:j+2], ' '))) AS gram FROM toks
+        |), g3c AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT doc_id, sum(c) AS total_trigrams,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram_instances
+        |  FROM g3c GROUP BY 1
+        |)
+        |SELECT base.doc_id, lang, n_tokens,
+        |  CAST(non_space_chars AS DOUBLE) / n_tokens AS mean_token_len,
+        |  CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+        |  CAST(top_bigram_count AS DOUBLE) / total_bigrams AS top_bigram_share,
+        |  CAST(dup_trigram_instances AS BIGINT) AS dup_trigram_instances,
+        |  CAST(dup_trigram_instances AS DOUBLE) / total_trigrams AS dup_trigram_frac,
+        |  (n_tokens BETWEEN 10 AND 1000
+        |   AND CAST(non_space_chars AS DOUBLE) / n_tokens BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE)
+        |   AND CAST(top_bigram_count AS DOUBLE) / total_bigrams <= CAST(0.04 AS DOUBLE)
+        |   AND CAST(dup_trigram_instances AS DOUBLE) / total_trigrams <= CAST(0.25 AS DOUBLE)) AS keep
+        |FROM base JOIN s2 ON base.doc_id = s2.doc_id JOIN s3 ON base.doc_id = s3.doc_id
+        |ORDER BY base.doc_id""".stripMargin)),
+
+    QueryDef("q_decontaminate",
+      (s, d) => text.Curation.decontaminate(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+        |      j -> array_to_string(string_split(text, ' ')[j:j+3], ' '))) AS grams
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
+        |), tr AS (
+        |  SELECT doc_id, source, grams FROM g WHERE source <> 'src0'
+        |), tg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM tr
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hit_grams FROM tg JOIN ev USING (gram) GROUP BY 1
+        |)
+        |SELECT tr.doc_id, tr.source, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) AS hit_ratio,
+        |  COALESCE(hits.n_hit_grams, 0) > 0 AS is_contaminated,
+        |  CASE WHEN CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) >= CAST(0.2 AS DOUBLE) THEN 'high'
+        |       WHEN COALESCE(hits.n_hit_grams, 0) > 0 THEN 'low'
+        |       ELSE 'clean' END AS severity
+        |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+        |ORDER BY tr.doc_id""".stripMargin)),
+
+    QueryDef("q_pack_sequences",
+      (s, d) => text.Packing.packSequences(Tables.documents(s, d), 128)
+        .orderBy("lang", "seq_idx", "pos_in_seq"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM t
+        |), s AS (
+        |  SELECT *, tok_end - n_tokens AS tok_start,
+        |    (tok_end - n_tokens) // 128 AS first_seq, (tok_end - 1) // 128 AS last_seq
+        |  FROM c
+        |), e AS (
+        |  SELECT doc_id, lang, n_tokens, tok_start, tok_end,
+        |    unnest(range(first_seq, last_seq + 1)) AS seq_idx
+        |  FROM s
+        |)
+        |SELECT lang, CAST(seq_idx AS BIGINT) AS seq_idx,
+        |  CAST(greatest(tok_start, seq_idx * 128) - seq_idx * 128 AS BIGINT) AS pos_in_seq,
+        |  doc_id,
+        |  CAST(greatest(tok_start, seq_idx * 128) - tok_start AS BIGINT) AS doc_offset,
+        |  CAST(least(tok_end, seq_idx * 128 + 128) - greatest(tok_start, seq_idx * 128) AS BIGINT) AS tokens_in_seq,
+        |  n_tokens,
+        |  (tok_start < seq_idx * 128 OR tok_end > seq_idx * 128 + 128) AS is_split
+        |FROM e ORDER BY lang, seq_idx, pos_in_seq""".stripMargin)),
+
+    QueryDef("q_unigram_lm",
+      (s, d) => text.UnigramLm.docLogProb(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, token FROM tok WHERE token <> ''
+        |), vocab AS (
+        |  SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cnt) AS total_tokens FROM vocab
+        |), lm AS (
+        |  SELECT token,
+        |    CAST(floor(CAST(CAST(ln(CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lp_micro
+        |  FROM vocab CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp_micro) AS sum_lp_micro
+        |  FROM tok2 JOIN lm USING (token) GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
+        |  CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens AS avg_logprob,
+        |  -(CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens) / ${text.UnigramLm.Ln2Literal} AS bits_per_token
+        |FROM agg ORDER BY doc_id""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

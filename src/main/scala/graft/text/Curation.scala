@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * Gopher-style repetition filtering and benchmark decontamination.
+  *
+  * Both follow the reference's curation stage shape (quality gating before
+  * the training cut — cf. reference `spark_jobs/silver/transform_transactions.py`
+  * bounds/dedup filters, generalized here to document repetition and
+  * eval-set leakage).
+  */
+object Curation {
+
+  /** Gopher-style repetition statistics + keep/drop gate.
+    *
+    * Word-level analogs of the "repetitious document" rules: the share of
+    * bigram instances taken by the single most frequent bigram, and the
+    * fraction of trigram instances whose trigram occurs more than once.
+    * Combined with token-count and mean-token-length bounds into one
+    * `keep` flag.
+    *
+    * Scale shape: two explode→(doc, gram) partial-agg passes (bigrams,
+    * trigrams), each linear in corpus tokens and shuffled at (doc_id, gram)
+    * grain — never a cross-doc join. The doc-grain joins at the end are
+    * |docs| rows. All ratios are exact-integer divisions (cross-engine
+    * deterministic).
+    */
+  def repetitionStats(documents: DataFrame,
+                      maxTopBigramShare: Double = 0.04,
+                      maxDupTrigramFrac: Double = 0.25): DataFrame = {
+    def gramStats(n: Int, tag: String): DataFrame =
+      documents
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+            s"j -> concat_ws(' ', slice(split(text, ' '), j, $n)))")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          max(col("c")).as(s"top_${tag}_count"),
+          sum(col("c")).as(s"total_${tag}s"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"dup_${tag}_instances"))
+
+    val base = documents.select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("non_space_chars"))
+
+    base
+      .join(gramStats(2, "bigram"), Seq("doc_id"))
+      .join(gramStats(3, "trigram"), Seq("doc_id"))
+      .withColumn("mean_token_len",
+        col("non_space_chars").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_share",
+        col("top_bigram_count").cast("double") / col("total_bigrams"))
+      .withColumn("dup_trigram_frac",
+        col("dup_trigram_instances").cast("double") / col("total_trigrams"))
+      .withColumn("keep",
+        col("n_tokens").between(10L, 1000L) &&
+          col("mean_token_len").between(2.0, 12.0) &&
+          col("top_bigram_share") <= maxTopBigramShare &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac)
+      .select("doc_id", "lang", "n_tokens", "mean_token_len",
+        "top_bigram_count", "top_bigram_share",
+        "dup_trigram_instances", "dup_trigram_frac", "keep")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-grams with a held-out evaluation set (here: `source = evalSource`).
+    *
+    * Scale shape: the eval set is small by definition (a benchmark), so its
+    * distinct n-gram set broadcasts; the training side is one explode of
+    * per-doc DISTINCT grams followed by a broadcast-hash semi-probe and a
+    * doc-grain re-aggregation — the corpus is never shuffled at gram grain
+    * and never joined against itself. 100 TB-safe.
+    */
+  def decontaminate(documents: DataFrame, evalSource: String = "src0",
+                    n: Int = 4): DataFrame = {
+    val grams = expr(
+      s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+      s"j -> concat_ws(' ', slice(split(text, ' '), j, $n))))")
+
+    val evalGrams = documents
+      .filter(col("source") === evalSource)
+      .select(explode(grams).as("gram"))
+      .distinct()
+
+    val trainDocs = documents.filter(col("source") =!= evalSource)
+
+    val hits = trainDocs
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+
+    trainDocs
+      .select(col("doc_id"), col("source"),
+        size(grams).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+      .withColumn("hit_ratio",
+        col("n_hit_grams").cast("double") / col("n_grams"))
+      .withColumn("is_contaminated", col("n_hit_grams") > 0L)
+      .withColumn("severity",
+        when(col("hit_ratio") >= 0.2, lit("high"))
+          .when(col("n_hit_grams") > 0L, lit("low"))
+          .otherwise(lit("clean")))
+      .select("doc_id", "source", "n_grams", "n_hit_grams", "hit_ratio",
+        "is_contaminated", "severity")
+  }
+}

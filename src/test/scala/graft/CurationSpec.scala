@@ -1,0 +1,91 @@
+package graft
+
+import graft.text.{Curation, Packing, UnigramLm}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: repetition gate, decontamination, sequence
+  * packing, unigram-LM scoring. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, TinySf)
+
+  test("repetitionStats flags a synthetic repetitious doc and keeps clean text") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, ("spam ham " * 40).trim, "en"),                       // one bigram dominates
+      (2L, (1 to 80).map(i => s"w$i").mkString(" "), "en"),      // all-distinct, clean
+      (3L, "short text", "en")                                   // under token floor
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.repetitionStats(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Double]("top_bigram_share") > 0.4)
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("decontaminate never misses a verbatim copy of an eval doc") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val synth = Seq(
+      (1L, evalText, "src0"),                                  // the benchmark doc
+      (2L, "prefix words " + evalText, "src1"),                // verbatim leak
+      (3L, "totally different content with no overlap at all", "src1")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.decontaminate(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Boolean]("is_contaminated"))
+    assert(out(2L).getAs[String]("severity") == "high")
+    assert(!out(3L).getAs[Boolean]("is_contaminated"))
+    assert(!out.contains(1L)) // eval docs are not training rows
+  }
+
+  test("packSequences covers every token exactly once, in order, within capacity") {
+    val cap = 128
+    val packed = Packing.packSequences(docs, cap).cache()
+    try {
+      // every doc's slices reassemble the doc: contiguous offsets, full count
+      val perDoc = packed.groupBy("doc_id")
+        .agg(sum("tokens_in_seq").as("tok_sum"),
+          max("n_tokens").as("n_tokens"),
+          min("doc_offset").as("first_off"))
+        .collect()
+      perDoc.foreach { r =>
+        assert(r.getAs[Long]("tok_sum") == r.getAs[Long]("n_tokens"))
+        assert(r.getAs[Long]("first_off") == 0L)
+      }
+      // every sequence except the last per lang is filled to exactly capacity
+      val perSeq = packed.groupBy("lang", "seq_idx")
+        .agg(sum("tokens_in_seq").as("fill"))
+      val lastSeq = perSeq.groupBy("lang").agg(max("seq_idx").as("last"))
+      val under = perSeq.join(lastSeq, Seq("lang"))
+        .filter(col("seq_idx") =!= col("last") && col("fill") =!= cap.toLong)
+      assert(under.count() == 0)
+      // positions never exceed capacity
+      assert(packed.filter(col("pos_in_seq") + col("tokens_in_seq") > cap.toLong)
+        .count() == 0)
+    } finally packed.unpersist()
+  }
+
+  test("unigram LM: rare-token docs score lower than common-token docs") {
+    import spark.implicits._
+    val synth = (Seq((1L, "the the the the the the the the"),
+      (2L, "qzx wvu rrr qzx wvu rrr qzx wvu")) ++
+      (3L to 40L).map(i => (i, "the and of to in a is on the and of to")))
+      .toDF("doc_id", "text")
+    val out = UnigramLm.docLogProb(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(out(1L) > out(2L)) // common tokens -> higher (less negative) logprob
+  }
+
+  test("unigram LM micro-nat quantization bounds the score error") {
+    // sum_lp_micro / 1e6 / n within 2e-6 nat/token of a direct double calc
+    val out = UnigramLm.docLogProb(docs)
+    val direct = out.withColumn("reconstructed",
+      col("sum_lp_micro").cast("double") / lit(1e6) / col("n_tokens"))
+    val drift = direct.filter(abs(col("reconstructed") - col("avg_logprob")) > 1e-12)
+    assert(drift.count() == 0)
+    assert(out.filter(col("avg_logprob") >= 0.0).count() == 0)
+  }
+}
