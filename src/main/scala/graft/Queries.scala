@@ -2120,7 +2120,10 @@ object Queries {
         |ORDER BY tr.doc_id""".stripMargin)),
 
     QueryDef("q_pack_sequences",
-      (s, d) => text.Packing.packSequences(Tables.documents(s, d), 128)
+      // docsPerBucket=100 forces the multi-bucket carry path at sf0.01
+      // (500 docs -> ~5 buckets); the output is invariant to bucket size.
+      (s, d) => text.Packing.packSequences(Tables.documents(s, d), 128,
+          docsPerBucket = 100L)
         .orderBy("lang", "seq_idx", "pos_in_seq"),
       Some("""WITH t AS (
         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

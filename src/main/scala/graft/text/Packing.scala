@@ -14,23 +14,55 @@ import org.apache.spark.sql.functions._
   * attention-mask segment ids.
   *
   * All arithmetic is integer (token cumsums, floor-div) — cross-engine
-  * exact. The cumulative sum is a window partitioned by the packing shard
-  * (`lang` here); at 100 TB the shard key becomes (lang, bucket) with
-  * sequence ids offset per bucket — same plan, bounded partitions. The
-  * explode amplifies rows only by sequences-spanned (≥1, ~1 on average),
-  * never by corpus size.
+  * exact.
+  *
+  * Scale shape — a distributed prefix sum, NOT a per-language window. A
+  * per-`lang` running total would sort each language's entire corpus in a
+  * single task (the classic cumulative-sum scale-killer). Instead the
+  * cumsum runs in two bounded phases, like a parallel scan:
+  *
+  *   1. local: running token total within a (lang, bucket) shard, where
+  *      bucket = doc_id div docsPerBucket. Bucket is monotone in doc_id, so
+  *      concatenating buckets in bucket order IS the per-lang doc_id order;
+  *      each shard sorts at most docsPerBucket rows.
+  *   2. carry: one row per (lang, bucket) — the bucket token totals — gets
+  *      a per-lang exclusive prefix sum. This frame has corpus/docsPerBucket
+  *      rows (thousands, not billions), so its per-lang window is bounded
+  *      and the result broadcasts back onto the shards.
+  *
+  * tok_end = local running total + the bucket's carry offset, bit-identical
+  * to the single-window formulation for every docsPerBucket (asserted in
+  * CurationSpec). The explode amplifies rows only by sequences-spanned
+  * (>= 1, ~1 on average), never by corpus size.
   */
 object Packing {
 
-  def packSequences(documents: DataFrame, capacity: Int = 128): DataFrame = {
+  def packSequences(documents: DataFrame, capacity: Int = 128,
+                    docsPerBucket: Long = 65536L): DataFrame = {
     require(capacity > 0)
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(docsPerBucket > 0)
 
-    documents
+    val base = documents
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("bucket", expr(s"doc_id div $docsPerBucket"))
+
+    // Phase 1: bounded local scan within each (lang, bucket) shard.
+    val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // Phase 2: exclusive prefix over the tiny bucket-grain totals.
+    val wCarry = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = base.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("carry", coalesce(sum(col("bucket_tokens")).over(wCarry), lit(0L)))
+      .select("lang", "bucket", "carry")
+
+    base
+      .withColumn("local_end", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(carries), Seq("lang", "bucket"))
+      .withColumn("tok_end", col("local_end") + col("carry"))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .withColumn("first_seq", expr(s"tok_start div $capacity"))
       .withColumn("last_seq", expr(s"(tok_end - 1) div $capacity"))

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   * micro-nat→double conversions are single correctly-rounded ops.
   *
   * Scale shape: token counts are one explode + (token) partial-agg shuffle;
-  * the vocabulary (|V| rows) broadcasts back onto the exploded corpus; the
-  * per-doc reduction is a (doc_id) partial agg. Linear, no self-joins.
+  * the vocabulary joins back onto the exploded corpus as a SHUFFLE join at
+  * token grain — web-scale corpora have 1e8–1e9 distinct tokens, so the
+  * vocabulary must never be broadcast (executor OOM). Both join sides hash
+  * by token; Zipf-hot tokens skew the probe side, but the build side is one
+  * row per token, which is exactly the shape AQE's skew-join splitting
+  * handles (split the fat probe partition, replicate the single build row).
+  * The per-doc reduction is a (doc_id) partial agg. Linear, no self-joins.
   */
 object UnigramLm {
 
@@ -44,7 +49,7 @@ object UnigramLm {
       .select("token", "lp_micro")
 
     tokens
-      .join(broadcast(lm), Seq("token"))
+      .join(lm.hint("merge"), Seq("token"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("sum_lp_micro"))
       .withColumn("avg_logprob",

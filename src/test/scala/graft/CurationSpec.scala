@@ -68,6 +68,54 @@ class CurationSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("packSequences output is invariant to docsPerBucket (distributed scan == single window)") {
+    val ord = Seq("lang", "seq_idx", "pos_in_seq", "doc_id").map(col)
+    val one = Packing.packSequences(docs, 128, docsPerBucket = Long.MaxValue)
+      .orderBy(ord: _*).collect().toSeq // single bucket == the naive per-lang window
+    Seq(1L, 7L, 100L).foreach { b =>
+      val got = Packing.packSequences(docs, 128, docsPerBucket = b)
+        .orderBy(ord: _*).collect().toSeq
+      assert(got == one, s"docsPerBucket=$b diverged")
+    }
+  }
+
+  test("packSequences plans no per-lang window over the document grain") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = Packing.packSequences(docs, 128, docsPerBucket = 100L)
+    val wins = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      // doc-grain scan is sharded by (lang, bucket); the lang-only window
+      // may only ever sit over the bucket-grain carry frame
+      if (!parts.contains("bucket"))
+        assert(w.child.toString.contains("bucket_tokens"),
+          s"lang-only window over doc grain: ${w.child.toString.take(400)}")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("unigram LM joins the vocabulary by shuffle, never broadcast") {
+    val df = UnigramLm.docLogProb(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the token-grain vocab join must be a shuffle join; the only broadcast
+    // allowed is the single-row corpus total
+    val broadcasts = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    broadcasts.foreach { b =>
+      assert(!b.leftKeys.exists(_.toString.contains("token")) &&
+        !b.rightKeys.exists(_.toString.contains("token")),
+        s"vocab broadcast-joined: ${b.toString.take(400)}")
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+
   test("unigram LM: rare-token docs score lower than common-token docs") {
     import spark.implicits._
     val synth = (Seq((1L, "the the the the the the the the"),
