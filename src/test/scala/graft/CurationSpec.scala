@@ -99,15 +99,48 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("packSequences tokenizes the corpus once: carry branch reuses the shard exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Packing.packSequences(Tables.documents(spark, TinySf), 128, docsPerBucket = 100L)
+      val plan = df.queryExecution.executedPlan
+      // both the local-scan branch and the carry branch hang off the same
+      // (lang, bucket) exchange; the second consumer must be a ReusedExchange,
+      // and the expensive scan+tokenize below it must appear exactly once
+      assert(plan.toString.contains("ReusedExchange"), plan.toString.take(1200))
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"documents scanned ${scans.size}x")
+      // no FORCED broadcast on the carry join: the logical plan must carry
+      // no join hint, leaving broadcast-vs-shuffle to statistics (carry
+      // cardinality grows with the corpus, so a forced broadcast is a
+      // latent OOM; a stats-chosen broadcast at tiny scale is correct)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"join hint present: $hints")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("unigram LM joins the vocabulary by shuffle, never broadcast") {
     val df = UnigramLm.docLogProb(docs)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // the token-grain vocab join must be a shuffle join; the only broadcast
-    // allowed is the single-row corpus total
-    val broadcasts = df.queryExecution.executedPlan.collect {
+    // allowed is the single-row corpus total. Unwrap the adaptive plan —
+    // collecting over the AdaptiveSparkPlanExec wrapper itself sees a leaf
+    // and the guard is vacuous.
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val broadcasts = nodes.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }, "no shuffle join found in the finalized plan")
     broadcasts.foreach { b =>
       assert(!b.leftKeys.exists(_.toString.contains("token")) &&
         !b.rightKeys.exists(_.toString.contains("token")),

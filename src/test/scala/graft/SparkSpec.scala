@@ -8,6 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val TinySf = "/root/testdata/sf0.001"
+
+  /** The physical plan with any AdaptiveSparkPlanExec wrapper unwrapped to
+    * its current (post-execution: final) plan — `collect` over an
+    * executedPlan that IS an AdaptiveSparkPlanExec sees only a leaf and
+    * silently matches nothing. Execute the DataFrame before calling this
+    * when the finalized plan is wanted. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Every physical node, descending through the leaf-typed wrappers AQE
+    * introduces (AdaptiveSparkPlanExec, QueryStageExec, ReusedExchangeExec)
+    * that a plain `plan.collect` silently stops at. */
+  def allNodes(plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case p => Seq(p)
+    }
+  }
 }
 
 object SparkSpec {
