@@ -1,7 +1,7 @@
 package graft
 
 import graft.gold.{DataQuality, FraudSummary, Pipelines, Revenue, StarSchema}
-import graft.ml.{FraudScore, TrainedModel}
+import graft.ml.{FraudScore, GbtModel, TrainedModel}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Sessionize}
 import graft.sim.Similarity
@@ -1004,6 +1004,40 @@ object Queries {
             Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
           clean,
           Cleaning.cleanLineitem(Tables.lineitem(s, d))))
+      },
+      None),
+
+    // GBT fraud model: the XGBoost analog (tree ensemble on the same 25
+    // features). Learned trees aren't cross-engine portable -> rows-only;
+    // MlSpec asserts it beats the literal scorer on the same split.
+    QueryDef("q_model_gbt_eval",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        // maxIter 10: boosting is sequential (each tree level is a full
+        // distributed pass), so iteration count is the wall-clock axis; the
+        // rule label saturates well inside 10 trees (MlSpec holds at 5)
+        GbtModel.trainEval(FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))), maxIter = 10)
+      },
+      None),
+
+    // Seeded 3-fold CrossValidator grid over the GBT (the deterministic
+    // Optuna mirror). Reports the winning grid point + its CV AUC alongside
+    // the held-out confusion matrix -> rows-only.
+    QueryDef("q_model_tuned_eval",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        // maxIter 5 per candidate: the search ranks grid points, it does
+        // not need converged ensembles (reference Optuna trials are equally
+        // truncated); 12 seeded CV fits run 8-way parallel
+        GbtModel.tunedEval(FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))), maxIter = 5)
       },
       None),
 

@@ -40,22 +40,29 @@ object TrainedModel {
     lastAssembled = None
   }
 
-  /** Train on the 80% split, score the 20% split. Returns per-row
-    * predictions (o_orderkey, label, predicted_fraud, p_fraud). */
-  def scoreHeldOut(fullFeatures: DataFrame): DataFrame = {
+  /** Assemble the 25 features into a vector column over the hash-stable
+    * 80/20 split, persisted. Cache the assembled frame: every training
+    * iteration is a full pass over the train split, and the test-split
+    * scoring pass reuses the SAME materialization instead of recomputing
+    * the whole feature-vector pipeline (windows + velocity union + joins)
+    * from the source scans. Shared by the LR and GBT paths. */
+  def assembleSplit(fullFeatures: DataFrame): DataFrame = {
     releaseCache()
     val data = FraudScore.withSplit(fullFeatures)
       .select(col("o_orderkey") +: col("label").cast("double").as("label") +:
         col("is_test") +: FeatureCols.map(c => col(c).cast("double").as(c)): _*)
-    // Cache the assembled frame: every L-BFGS iteration is a full pass over
-    // the train split, and the test-split scoring pass reuses the SAME
-    // materialization instead of recomputing the whole feature-vector
-    // pipeline (windows + velocity union + joins) from the source scans.
     val assembled = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("fv")
       .transform(data)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized { lastAssembled = Some(assembled) }
+    assembled
+  }
+
+  /** Train on the 80% split, score the 20% split. Returns per-row
+    * predictions (o_orderkey, label, predicted_fraud, p_fraud). */
+  def scoreHeldOut(fullFeatures: DataFrame): DataFrame = {
+    val assembled = assembleSplit(fullFeatures)
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)
