@@ -56,18 +56,48 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       graft.Tables.nation(spark, sfDir),
       graft.Tables.region(spark, sfDir))
 
-    val merged =
-      if (latestVersion("orders_enriched").isDefined) {
-        MergeUpsert.merge(
-          readSilver("orders_enriched").drop("_merge_action"),
-          enriched, Seq("o_orderkey"))
-      } else enriched.withColumn("_merge_action", lit("inserted"))
-    // versioned snapshot write (Delta-style time travel without Delta):
-    // each silver run lands in v=N; readers pin a version for point-in-time
-    // correctness (the reference leans on Delta time travel for this).
-    val next = latestVersion("orders_enriched").getOrElse(0L) + 1
-    merged.write.mode(SaveMode.Overwrite).partitionBy("order_date")
-      .parquet(path("silver", "orders_enriched") + s"/v=$next")
+    upsertSilver("orders_enriched", enriched, Seq("o_orderkey"), "order_date")
+  }
+
+  /** MERGE-upsert `updates` into a versioned silver table (created on the
+    * first call), with schema evolution: a run that starts carrying a new
+    * column widens the table (old rows null), and a run that stops carrying
+    * one leaves existing values in place — the reference's Delta autoMerge
+    * write contract (delta_utils.py upsert_delta). Each run lands in a new
+    * v=N snapshot (Delta-style time travel without Delta); readers pin a
+    * version for point-in-time correctness. Returns the committed version. */
+  def upsertSilver(table: String, updates: DataFrame, keys: Seq[String],
+                   partitionCol: String): Long = {
+    val prev = latestVersion(table)
+    val merged = prev match {
+      case Some(_) => MergeUpsert.mergeEvolve(
+        readSilver(table).drop("_merge_action"), updates, keys)
+      case None => updates.withColumn("_merge_action", lit("inserted"))
+    }
+    val next = prev.getOrElse(0L) + 1
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(path("silver", table) + s"/v=$next")
+    next
+  }
+
+  /** Delta VACUUM analog (ref: delta_utils.py vacuum_delta_table — default
+    * RETAIN 168 HOURS on daily runs ≈ keep the last 7 snapshots): drop all
+    * but the newest `keep` silver versions. The current version is never
+    * deletable (`keep >= 1` enforced), so readers of the latest snapshot
+    * are immune; pinned readers of older versions lose them — the same
+    * contract as Delta vacuum. Returns the deleted versions. */
+  def vacuumSilver(table: String, keep: Int = 7): Seq[Long] = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val dir = new org.apache.hadoop.fs.Path(path("silver", table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    val doomed = versions.dropRight(keep)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v=$v"), true)
+    }
+    doomed.toSeq
   }
 
   /** Highest committed silver version, if any. */

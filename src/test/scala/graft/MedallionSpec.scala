@@ -105,6 +105,70 @@ class MedallionSpec extends SparkSpec {
     assert(v1.nonEmpty && v1.toSeq == v2.toSeq)
   }
 
+  test("silver MERGE evolves the schema: adding a column widens, dropping keeps values") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh7").toString
+    val m = new Medallion(spark, TinySf, wh)
+    val day = "2024-01-01"
+    val v0 = Seq((1L, 10.0, day), (2L, 20.0, day))
+      .toDF("k", "amount", "dt").withColumn("dt", col("dt").cast("date"))
+    m.upsertSilver("t", v0, Seq("k"), "dt")
+
+    // run 2 starts carrying a new column and touches only k=2
+    val v1 = Seq((2L, 21.0, day, "mobile"), (3L, 30.0, day, "web"))
+      .toDF("k", "amount", "dt", "channel")
+      .withColumn("dt", col("dt").cast("date"))
+    m.upsertSilver("t", v1, Seq("k"), "dt")
+    val after = m.readSilver("t").orderBy("k").collect()
+    assert(m.readSilver("t").columns.toSet ==
+      Set("k", "amount", "dt", "channel", "_merge_action"))
+    assert(after.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 3L))
+    assert(after(0).getAs[String]("channel") == null)      // untouched row: null
+    assert(after(0).getAs[String]("_merge_action") == "kept")
+    assert(after(1).getAs[String]("channel") == "mobile")  // updated row
+    assert(after(1).getAs[Double]("amount") == 21.0)
+    assert(after(2).getAs[String]("channel") == "web")     // inserted row
+
+    // run 3 stops carrying `channel`: matched rows KEEP their values
+    // (Delta updateAll sets only the source's columns)
+    val v2 = Seq((2L, 22.0, day)).toDF("k", "amount", "dt")
+      .withColumn("dt", col("dt").cast("date"))
+    m.upsertSilver("t", v2, Seq("k"), "dt")
+    val fin = m.readSilver("t").orderBy("k").collect()
+    assert(fin(1).getAs[Double]("amount") == 22.0)
+    assert(fin(1).getAs[String]("channel") == "mobile") // survived the update
+    assert(fin(2).getAs[String]("channel") == "web")    // kept row untouched
+
+    // a type change is refused, never silently cast
+    val bad = Seq((1L, "ten", day)).toDF("k", "amount", "dt")
+      .withColumn("dt", col("dt").cast("date"))
+    val e = intercept[IllegalArgumentException](m.upsertSilver("t", bad, Seq("k"), "dt"))
+    assert(e.getMessage.contains("amount"))
+  }
+
+  test("vacuum prunes old silver versions, never the current one") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh8").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze()
+    (1 to 4).foreach(_ => m.runSilver())
+    assert(m.latestVersion("orders_enriched").contains(4L))
+    val latest = m.readSilver("orders_enriched")
+      .drop("_merge_action").orderBy("o_orderkey").collect()
+
+    assert(m.vacuumSilver("orders_enriched", keep = 2) == Seq(1L, 2L))
+    assert(m.latestVersion("orders_enriched").contains(4L))
+    // latest content is untouched; pinned old versions are gone (Delta
+    // vacuum contract)
+    assert(m.readSilver("orders_enriched")
+      .drop("_merge_action").orderBy("o_orderkey").collect().toSeq == latest.toSeq)
+    intercept[Exception](m.readSilverVersion("orders_enriched", 1L).collect())
+    // keep >= 1 is enforced, so the current version is never deletable
+    intercept[IllegalArgumentException](m.vacuumSilver("orders_enriched", keep = 0))
+    // vacuuming a table below the keep horizon is a no-op
+    assert(m.vacuumSilver("orders_enriched", keep = 7).isEmpty)
+    assert(m.vacuumSilver("absent_table").isEmpty)
+  }
+
   test("silver change feed is empty across an idempotent re-run") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh5").toString
     val m = new Medallion(spark, TinySf, wh)
