@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming observability: the reference exports rows/sec, batch duration
+  * and lag to Prometheus/Grafana (ref: /root/reference/monitoring/
+  * prometheus, monitoring/grafana/dashboards/fraud_platform.json — message
+  * throughput rates and latency quantiles). The Spark-native signal source
+  * for all of those is `StreamingQueryProgress`; this listener captures
+  * every micro-batch's progress into a bounded in-memory ring exposed as a
+  * DataFrame, so backpressure questions ("is processedRowsPerSecond
+  * keeping up with inputRowsPerSecond?", "is state growing without
+  * bound?", "is the watermark advancing?") are one query away. At scale
+  * the same rows would be appended to a metrics table or scraped — the
+  * capture path is identical.
+  */
+object Observability {
+
+  /** One micro-batch's health row. */
+  case class BatchMetric(
+      query_name: String,
+      query_id: String,
+      batch_id: Long,
+      batch_ts: String,
+      num_input_rows: Long,
+      input_rows_per_sec: Double,
+      processed_rows_per_sec: Double,
+      batch_duration_ms: Long,
+      watermark: String,
+      state_rows: Long,
+      state_memory_bytes: Long)
+
+  /** Captures per-batch metrics; bounded so a long-running query can't
+    * grow driver memory without limit (Prometheus scrape semantics: recent
+    * window matters, history lives downstream). */
+  class MetricsListener(maxRows: Int = 10000) extends StreamingQueryListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedDeque[BatchMetric]()
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val states = Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty)
+      def noNaN(d: Double) = if (d.isNaN || d.isInfinite) 0.0 else d
+      buf.addLast(BatchMetric(
+        query_name = Option(p.name).getOrElse(""),
+        query_id = p.id.toString,
+        batch_id = p.batchId,
+        batch_ts = p.timestamp,
+        num_input_rows = p.numInputRows,
+        input_rows_per_sec = noNaN(p.inputRowsPerSecond),
+        processed_rows_per_sec = noNaN(p.processedRowsPerSecond),
+        batch_duration_ms = p.batchDuration,
+        watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
+        state_rows = states.map(_.numRowsTotal).sum,
+        state_memory_bytes = states.map(_.memoryUsedBytes).sum))
+      while (buf.size() > maxRows) buf.pollFirst()
+    }
+
+    /** Snapshot of captured batches as a queryable frame. */
+    def metrics(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.toDF()
+    }
+
+    /** Per-query health rollup — the Grafana-panel shapes (throughput,
+      * duration percentiles, state growth, watermark advance) as one
+      * aggregation over the captured batches. */
+    def summary(spark: SparkSession): DataFrame =
+      metrics(spark)
+        .groupBy("query_name", "query_id")
+        .agg(
+          count(lit(1)).as("batches"),
+          sum(col("num_input_rows")).as("total_rows"),
+          avg(col("processed_rows_per_sec")).as("avg_rows_per_sec"),
+          avg(col("batch_duration_ms")).as("avg_batch_ms"),
+          expr("percentile(batch_duration_ms, 0.95)").as("p95_batch_ms"),
+          max(col("state_rows")).as("max_state_rows"),
+          max(col("watermark")).as("max_watermark"))
+
+    def clear(): Unit = buf.clear()
+  }
+
+  /** Attach a fresh listener to the session; caller owns removal. */
+  def attach(spark: SparkSession, maxRows: Int = 10000): MetricsListener = {
+    val l = new MetricsListener(maxRows)
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: MetricsListener): Unit =
+    spark.streams.removeListener(l)
+}

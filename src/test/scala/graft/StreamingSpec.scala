@@ -33,6 +33,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("metrics listener captures per-batch throughput, duration, state and watermark") {
+    import spark.implicits._
+    import graft.streaming.Observability
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, TinySf)
+      .select("ts", "event_type", "value", "user_id")
+      .as[(java.sql.Timestamp, String, Double, Long)].collect().toSeq
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+
+    val listener = Observability.attach(spark)
+    try {
+      val stream = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+      val q = StreamOps.tumblingCounts(
+          stream.toDF.toDF("ts", "event_type", "value", "user_id"))
+        .writeStream.format("memory").queryName("obs_out")
+        .outputMode("complete").start()
+      stream.addData(firstHalf)
+      q.processAllAvailable()
+      stream.addData(secondHalf)
+      q.processAllAvailable()
+      q.stop()
+
+      // the listener bus is async — wait for both batch events to land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def batches() = listener.metrics(spark)
+        .filter(col("query_name") === "obs_out" && col("num_input_rows") > 0)
+      while (batches().count() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+
+      val m = batches().orderBy("batch_id").collect()
+      assert(m.length >= 2, s"captured ${m.length} batches")
+      assert(m.map(_.getAs[Long]("num_input_rows")).sum == rows.length)
+      assert(m.forall(_.getAs[Long]("batch_duration_ms") > 0))
+      assert(m.forall(_.getAs[Double]("processed_rows_per_sec") > 0.0))
+      // watermarked agg: state is populated and the watermark advances
+      // once a batch with later event-times has been processed
+      assert(m.last.getAs[Long]("state_rows") > 0)
+      assert(m.last.getAs[String]("watermark").nonEmpty)
+
+      val s = listener.summary(spark)
+        .filter(col("query_name") === "obs_out").collect()(0)
+      assert(s.getAs[Long]("total_rows") == rows.length)
+      assert(s.getAs[Double]("p95_batch_ms") >= s.getAs[Double]("avg_batch_ms") / 2)
+      assert(s.getAs[Long]("max_state_rows") > 0)
+    } finally Observability.detach(spark, listener)
+  }
+
   test("kafka parse path round-trips events through the connector schema") {
     import graft.sources.KafkaSource
     // Mock the kafka connector's fixed output schema (key/value BINARY,
