@@ -843,6 +843,114 @@ object Queries {
         |SELECT check_name, table_name, violation_count, violation_count = 0 AS passed
         |FROM checks ORDER BY check_name""".stripMargin)),
 
+    // Fraud-side dbt parity: gold-source checks + fraud-mart
+    // accepted_values/accepted_range + the two singular data tests.
+    QueryDef("q_dq_fraud_marts",
+      (s, d) => {
+        val enriched = Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        DataQuality.fraudMartsSuite(
+            Revenue.revenueDaily(enriched),
+            FraudSummary.fraudSummaryDaily(Tables.events(s, d)),
+            FraudSummary.userRiskScores(Tables.events(s, d)),
+            FraudScore.score(FraudScore.featureVector(enriched)))
+          .orderBy("check_name")
+      },
+      Some(EnrichedFeaturesCte +
+        s"""
+        |, enr2 AS (
+        |  SELECT co.*, r.r_name AS region_name,
+        |    (${Enrichment.riskCaseSql("r.r_name")}) > 0.05 AS is_high_risk
+        |  FROM clean_orders co
+        |  JOIN customer c ON co.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |), rev AS (
+        |  SELECT order_date, region_name, status_normalized, amount_tier,
+        |    count(*) AS total_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |    CAST(sum(CASE WHEN is_high_risk THEN 1 ELSE 0 END) AS BIGINT) / (count(*) + CAST(0.001 AS DOUBLE)) AS fraud_rate
+        |  FROM enr2 GROUP BY 1, 2, 3, 4
+        |), fsum AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |      / (CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |         + CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)) AS error_value_rate
+        |  FROM events GROUP BY 1
+        |), ur AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 0.55
+        |      + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
+        |      + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 AS composite_risk_score
+        |  FROM events GROUP BY user_id
+        |), ur2 AS (
+        |  SELECT user_id, composite_risk_score,
+        |    CASE WHEN composite_risk_score >= 0.50 THEN 'high'
+        |         WHEN composite_risk_score >= 0.30 THEN 'medium'
+        |         ELSE 'low' END AS risk_label
+        |  FROM ur
+        |), zed AS (
+        |  SELECT o_orderkey, total_amount,
+        |    CAST(CAST(-4.0 AS DOUBLE) + amount_vs_user_avg * CAST(0.9 AS DOUBLE)
+        |         + region_risk * CAST(11.0 AS DOUBLE)
+        |         + CAST(is_high_risk_region AS DOUBLE) * CAST(0.8 AS DOUBLE)
+        |         + CAST(negative_balance AS DOUBLE) * CAST(0.6 AS DOUBLE)
+        |         + CAST(is_weekend AS DOUBLE) * CAST(0.15 AS DOUBLE)
+        |         + CAST(amount_log AS DOUBLE) * CAST(0.12 AS DOUBLE) AS FLOAT) AS z
+        |  FROM fv
+        |), fsc AS (
+        |  SELECT o_orderkey, total_amount,
+        |    CAST(1.0 / (1.0 + exp(-z)) AS FLOAT) AS fraud_score FROM zed
+        |), fsc2 AS (
+        |  SELECT o_orderkey, total_amount, fraud_score,
+        |    CASE WHEN fraud_score >= 0.50 THEN 'high'
+        |         WHEN fraud_score >= 0.20 THEN 'medium'
+        |         ELSE 'low' END AS risk_label,
+        |    CAST(fraud_score >= 0.5 AS BIGINT) AS predicted_fraud
+        |  FROM fsc
+        |), checks AS (
+        |  SELECT 'revenue_daily_date_not_null' AS check_name, 'revenue_daily' AS table_name,
+        |    CAST(sum(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violation_count FROM rev
+        |  UNION ALL SELECT 'revenue_daily_orders_not_null', 'revenue_daily',
+        |    CAST(sum(CASE WHEN total_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM rev
+        |  UNION ALL SELECT 'revenue_daily_gmv_not_null', 'revenue_daily',
+        |    CAST(sum(CASE WHEN gmv IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM rev
+        |  UNION ALL SELECT 'revenue_daily_fraud_rate_range', 'revenue_daily',
+        |    CAST(sum(CASE WHEN fraud_rate < 0 OR fraud_rate > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM rev
+        |  UNION ALL SELECT 'fraud_summary_date_not_null', 'fraud_summary',
+        |    CAST(sum(CASE WHEN event_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fsum
+        |  UNION ALL SELECT 'fraud_summary_error_rate_range', 'fraud_summary',
+        |    CAST(sum(CASE WHEN error_rate < 0 OR error_rate > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM fsum
+        |  UNION ALL SELECT 'fraud_summary_error_value_rate_range', 'fraud_summary',
+        |    CAST(sum(CASE WHEN error_value_rate < 0 OR error_value_rate > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM fsum
+        |  UNION ALL SELECT 'fraud_summary_error_rate_suspicious', 'fraud_summary',
+        |    CAST(sum(CASE WHEN error_rate > 0.5 THEN 1 ELSE 0 END) AS BIGINT) FROM fsum
+        |  UNION ALL SELECT 'user_risk_user_not_null', 'user_risk_scores',
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM ur2
+        |  UNION ALL SELECT 'user_risk_score_range', 'user_risk_scores',
+        |    CAST(sum(CASE WHEN composite_risk_score < 0 OR composite_risk_score > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM ur2
+        |  UNION ALL SELECT 'user_risk_label_domain', 'user_risk_scores',
+        |    CAST(sum(CASE WHEN risk_label NOT IN ('low','medium','high') THEN 1 ELSE 0 END) AS BIGINT) FROM ur2
+        |  UNION ALL SELECT 'fraud_scores_key_not_null', 'fraud_scores',
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fsc2
+        |  UNION ALL SELECT 'fraud_scores_score_range', 'fraud_scores',
+        |    CAST(sum(CASE WHEN fraud_score < 0 OR fraud_score > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM fsc2
+        |  UNION ALL SELECT 'fraud_scores_risk_label_domain', 'fraud_scores',
+        |    CAST(sum(CASE WHEN risk_label NOT IN ('low','medium','high') THEN 1 ELSE 0 END) AS BIGINT) FROM fsc2
+        |  UNION ALL SELECT 'fraud_scores_predicted_domain', 'fraud_scores',
+        |    CAST(sum(CASE WHEN predicted_fraud NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) FROM fsc2
+        |  UNION ALL SELECT 'fraud_scores_amount_positive', 'fraud_scores',
+        |    CAST(sum(CASE WHEN total_amount < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM fsc2
+        |  UNION ALL SELECT 'user_risk_user_unique', 'user_risk_scores',
+        |    count(user_id) - count(DISTINCT user_id) FROM ur2
+        |  UNION ALL SELECT 'fraud_scores_key_unique', 'fraud_scores',
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM fsc2
+        |)
+        |SELECT check_name, table_name, violation_count, violation_count = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin)),
+
     QueryDef("q_feature_vector",
       (s, d) => FraudScore.featureVector(Enrichment.enrichOrders(
           Cleaning.cleanOrders(Tables.orders(s, d)),

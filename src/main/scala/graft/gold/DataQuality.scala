@@ -112,6 +112,56 @@ object DataQuality {
       .reduce(_.unionByName(_))
   }
 
+  /** The fraud-side dbt tests the star-schema suite doesn't cover —
+    * completing parity with the reference's 34 schema tests + 2 singular
+    * data tests (ref: dbt/models/staging/schema.yml gold-source checks,
+    * dbt/models/marts/schema.yml dim_users/fact_fraud_events
+    * accepted_values + accepted_range, dbt/tests/assert_fraud_rate_bounds
+    * .sql, assert_positive_amounts.sql). Same fused one-scan-per-table
+    * shape as martsSuite. */
+  def fraudMartsSuite(revenueDaily: DataFrame, fraudSummary: DataFrame,
+                      userRisk: DataFrame, fraudScores: DataFrame): DataFrame = {
+    val revenueChecks = fused("revenue_daily", revenueDaily, Seq(
+      "revenue_daily_date_not_null" -> col("order_date").isNull,
+      "revenue_daily_orders_not_null" -> col("total_orders").isNull,
+      "revenue_daily_gmv_not_null" -> col("gmv").isNull,
+      "revenue_daily_fraud_rate_range" ->
+        (col("fraud_rate") < 0 || col("fraud_rate") > 1)))
+    val summaryChecks = fused("fraud_summary", fraudSummary, Seq(
+      "fraud_summary_date_not_null" -> col("event_date").isNull,
+      "fraud_summary_error_rate_range" ->
+        (col("error_rate") < 0 || col("error_rate") > 1),
+      "fraud_summary_error_value_rate_range" ->
+        (col("error_value_rate") < 0 || col("error_value_rate") > 1),
+      // the singular data test: days above 50% error are suspicious even
+      // when formally in bounds (assert_fraud_rate_bounds.sql)
+      "fraud_summary_error_rate_suspicious" -> (col("error_rate") > 0.5)))
+    val userRiskChecks = fused("user_risk_scores", userRisk, Seq(
+      "user_risk_user_not_null" -> col("user_id").isNull,
+      "user_risk_score_range" ->
+        (col("composite_risk_score") < 0 || col("composite_risk_score") > 1),
+      "user_risk_label_domain" ->
+        !col("risk_label").isin("low", "medium", "high")))
+    val scoreChecks = fused("fraud_scores", fraudScores, Seq(
+      "fraud_scores_key_not_null" -> col("o_orderkey").isNull,
+      "fraud_scores_score_range" ->
+        (col("fraud_score") < 0 || col("fraud_score") > 1),
+      "fraud_scores_risk_label_domain" ->
+        !col("risk_label").isin("low", "medium", "high"),
+      "fraud_scores_predicted_domain" -> !col("predicted_fraud").isin(0L, 1L),
+      // assert_positive_amounts.sql on the scored mart's amount column
+      "fraud_scores_amount_positive" -> (col("total_amount") < 0)))
+    val unique = Seq(
+      ("user_risk_user_unique", "user_risk_scores", userRisk, "user_id"),
+      ("fraud_scores_key_unique", "fraud_scores", fraudScores, "o_orderkey")
+    ).map { case (n, t, df, c) =>
+      check(n, t, df.agg(
+        (count(col(c)) - countDistinct(col(c))).as("violation_count")))
+    }
+    (Seq(revenueChecks, summaryChecks, userRiskChecks, scoreChecks) ++ unique)
+      .reduce(_.unionByName(_))
+  }
+
   /** Referential-integrity orphan counts (dbt: relationships tests).
     * Anti-joins with the small side broadcast. */
   def referential(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
