@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * Ref: /root/reference/spark_jobs/gold/revenue_aggregations.py
   *
   * All sums are exact decimal partial-aggregates (map-side combine), so a
-  * single shuffle per groupBy; medians use Spark's exact `percentile`
-  * (matches DuckDB quantile_cont for the oracle).
+  * single shuffle per groupBy; medians/p95s are exact rank-based
+  * percentiles (operators.RankPercentile: window sort with spillable
+  * per-group buffering instead of the built-in percentile's unbounded
+  * in-memory agg buffer — the group whose daily volume grows 100x no
+  * longer grows an executor heap structure), still bit-identical to
+  * DuckDB quantile_cont for the oracle.
   */
 object Revenue {
 
@@ -25,7 +29,9 @@ object Revenue {
     * denominators use the reference's +0.001 guard; no round() on computed
     * doubles (determinism contract, SURVEY.md §4). */
   def revenueDaily(enrichedOrders: DataFrame): DataFrame =
-    enrichedOrders
+    graft.operators.RankPercentile.ranked(enrichedOrders,
+        Seq("order_date", "region_name", "status_normalized", "amount_tier"),
+        col("o_totalprice"))
       .groupBy(col("order_date"), col("region_name"),
         col("status_normalized"), col("amount_tier"))
       .agg(
@@ -38,8 +44,8 @@ object Revenue {
         sum(when(col("is_high_risk_region"), 1L).otherwise(0L)).as("fraud_orders"),
         sum(when(col("status_normalized") === "P", 1L).otherwise(0L)).as("failed_payments"),
         avgMoney(col("o_totalprice")).as("avg_order_value"),
-        percentile(col("o_totalprice"), lit(0.5)).as("median_order_value"),
-        percentile(col("o_totalprice"), lit(0.95)).as("p95_order_value"),
+        graft.operators.RankPercentile.pct(0.5).as("median_order_value"),
+        graft.operators.RankPercentile.pct(0.95).as("p95_order_value"),
         countDistinct(col("o_custkey")).as("unique_customers"))
       .withColumn("fraud_rate",
         col("fraud_orders") / (col("total_orders") + lit(0.001)))

@@ -45,13 +45,17 @@ object Features {
   /** Per-customer exact percentiles (reference uses percentile_approx over
     * a user window; we use exact percentile in aggregate form — matches
     * DuckDB quantile_cont bit-for-bit). */
+  /** Rank-based exact percentiles (see RankPercentile): the window sort
+    * replaces the built-in percentile's unbounded agg buffer; the ordinary
+    * aggregates ride the same post-window groupBy, so the plan keeps one
+    * scan and one exchange. */
   def userPercentiles(cleanOrders: DataFrame): DataFrame =
-    cleanOrders
+    RankPercentile.ranked(cleanOrders, Seq("o_custkey"), col("o_totalprice"))
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("order_count"),
-        percentile(col("o_totalprice"), lit(0.5)).as("p50_amount"),
-        percentile(col("o_totalprice"), lit(0.95)).as("p95_amount"),
+        RankPercentile.pct(0.5).as("p50_amount"),
+        RankPercentile.pct(0.95).as("p95_amount"),
         graft.util.Cols.sumMoney(col("o_totalprice")).as("total_spend"))
 
   /** Trailing velocity counts/sums per user over 1h / 24h / 7d, one RANGE
