@@ -3,7 +3,7 @@ package graft
 import graft.gold.{DataQuality, FraudSummary, Pipelines, Revenue, StarSchema}
 import graft.ml.{FraudScore, GbtModel, TrainedModel}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Resample, Sessionize}
 import graft.sim.Similarity
 import graft.text.{Components, Dedup, MinHash, SimHash, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -485,6 +485,63 @@ object Queries {
         |FROM daily
         |WINDOW w AS (PARTITION BY status_normalized ORDER BY order_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY status_normalized, order_date""".stripMargin)),
+
+    // Time-series resampling: 6-hour OHLC bars of purchase values per
+    // user. One (user, bucket) exchange shared by the open/close window
+    // and the bar aggregation.
+    QueryDef("q_ohlc_bars",
+      (s, d) => Resample.ohlcBars(Tables.events(s, d), 21600000000L)
+        .orderBy("user_id", "bucket"),
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT *, ts_us // 21600000000 AS bucket,
+        |    first_value(value) OVER w AS open,
+        |    last_value(value) OVER w AS close
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id, ts_us // 21600000000
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, bucket, max(open) AS open, max(close) AS close,
+        |  max(value) AS high, min(value) AS low,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  bucket * 21600000000 AS bucket_start_us
+        |FROM b GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin)),
+
+    // Gap-filled daily series with forward-filled close: the dense
+    // time-axis every dashboard needs; spine bounded by buckets/key.
+    QueryDef("q_gap_fill",
+      (s, d) => Resample.gapFill(Resample.ohlcBars(Tables.events(s, d), 86400000000L))
+        .orderBy("user_id", "bucket"),
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT *, ts_us // 86400000000 AS bucket,
+        |    first_value(value) OVER w AS open,
+        |    last_value(value) OVER w AS close
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id, ts_us // 86400000000
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), bars AS (
+        |  SELECT user_id, bucket, max(close) AS close, count(*) AS n_events
+        |  FROM b GROUP BY user_id, bucket
+        |), spans AS (
+        |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM bars GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM spans
+        |)
+        |SELECT s.user_id, s.bucket, bars.n_events IS NULL AS is_gap,
+        |  last_value(bars.close IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS close_ff,
+        |  COALESCE(bars.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN bars USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin)),
 
     QueryDef("q_sessionize",
       (s, d) => Sessionize.sessionStats(Tables.events(s, d))
@@ -1441,6 +1498,39 @@ object Queries {
         |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact corpus-wide token top-k: the aggregate reduces at token grain
+    // (vocab-bounded, far below corpus size) before the top-k cut, so the
+    // shuffle carries (token, partial count) pairs only.
+    QueryDef("q_token_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(25),
+      Some("""SELECT token, cnt FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token
+        |) t ORDER BY cnt DESC, token LIMIT 25""".stripMargin)),
+
+    // Sketch variant: Misra–Gries mergeable heavy hitters (native
+    // TypedImperativeAggregate, functions/TopKFreq.scala) — O(capacity)
+    // state per task instead of a vocab-sized shuffle; engine-specific
+    // output → rows-only gate, SketchesSpec proves the error bound and
+    // exactness-below-capacity against the exact aggregate.
+    QueryDef("q_heavy_hitters",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .agg(expr("topk_freq(token, 4096, 25)").as("topk"))
+          .select(explode(col("topk")).as("hh"))
+          .select(col("hh.item").as("token"), col("hh.count_est").as("count_est"),
+            col("hh.err_bound").as("err_bound"))
+      },
+      None),
 
     QueryDef("q_top_docs_per_lang",
       (s, d) => TextAnalysis.topDocsPerLang(Tables.documents(s, d))

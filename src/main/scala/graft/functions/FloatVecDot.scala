@@ -67,6 +67,16 @@ object GraftFunctions {
   val mortonBuilder: Seq[Expression] => Expression =
     exprs => Morton2(exprs.head, exprs(1))
 
+  // capacity/k must be literal ints (sketch shape is a plan-time property)
+  val topkFreqBuilder: Seq[Expression] => Expression = exprs => {
+    def litInt(e: Expression, what: String): Int = e.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"topk_freq $what must be a literal int, got $other")
+    }
+    TopKFreq(exprs.head, litInt(exprs(1), "capacity"), litInt(exprs(2), "k"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -74,6 +84,8 @@ object GraftFunctions {
       "sorted_intersect_count", intersectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton2", mortonBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_freq", topkFreqBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -102,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("morton2"),
       new ExpressionInfo(classOf[Morton2].getName, "morton2"),
       GraftFunctions.mortonBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[TopKFreq].getName, "topk_freq"),
+      GraftFunctions.topkFreqBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-style data-skipping statistics — the per-FILE min/max/nullCount
+  * manifest Delta writes into its transaction log (the reference leans on
+  * it via Delta + Z-ORDER), parquet-native.
+  *
+  * Parquet already carries row-group min/max, but at 100 TB the scan
+  * planner still opens every footer: a million files is a million footer
+  * reads before the first byte of data. The skipping manifest inverts
+  * that: ONE tiny table (a row per data file) read at the driver plans the
+  * scan, and only surviving files are listed to the FileSourceScan — the
+  * same architecture as Delta/Iceberg manifest pruning. Footer row-group
+  * pruning then still applies WITHIN each surviving file.
+  *
+  * Stats collection is a distributed single-scan aggregation at file
+  * grain (`input_file_name()` groupBy — ~files×cols output, trivially
+  * small next to the data); the manifest lands beside the table under
+  * `_graft_stats`, which parquet readers ignore (underscore prefix).
+  *
+  * Effectiveness tracks layout, exactly as with Delta: stats on a column
+  * the writer sorted/range-partitioned by (Medallion gold sorts within
+  * partitions; Compaction preserves the sort axis; Z-order interleaves
+  * two axes) give disjoint per-file ranges and near-perfect pruning;
+  * stats on a shuffled column prune nothing. Collect after compaction,
+  * not before.
+  */
+object FileStats {
+
+  val StatsDir = "_graft_stats"
+
+  /** One scan of `dir`, min/max/nullCount per (file, col in `cols`) plus
+    * row counts, written as the table's skipping manifest. Returns the
+    * number of data files covered. */
+  def collect(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    val df = spark.read.parquet(dir)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } :+ count(lit(1)).as("row_count")
+    val stats = df
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+    // a manifest is only useful if it is small: files-per-table rows
+    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$StatsDir")
+    spark.read.parquet(s"$dir/$StatsDir").count()
+  }
+
+  /** The skipping manifest of `dir` (throws if never collected). */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$StatsDir")
+
+  /** Files of `dir` whose [min, max] range on `column` intersects
+    * [lo, hi] — the driver-side scan-planning step. Null bounds (file
+    * all-null on the column) never match a range predicate, mirroring
+    * SQL comparison semantics. */
+  def survivingFiles(spark: SparkSession, dir: String, column: String,
+                     lo: Any, hi: Any): Seq[String] = {
+    stats(spark, dir)
+      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range-predicate read planned through the manifest: only surviving
+    * files reach the FileSourceScan; the residual filter still applies
+    * (file ranges overlap the predicate, rows inside may not). Returns
+    * (dataframe, filesRead, filesTotal) so callers can observe skipping.
+    *
+    * Empty survivor set short-circuits to an empty frame with the table
+    * schema — no scan at all. */
+  def readRange(spark: SparkSession, dir: String, column: String,
+                lo: Any, hi: Any): (DataFrame, Long, Long) = {
+    val total = stats(spark, dir).count()
+    val files = survivingFiles(spark, dir, column, lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    // basePath keeps partition-column derivation intact when listing
+    // leaf files of a partitioned table
+    val out =
+      if (files.isEmpty)
+        spark.read.option("basePath", dir).parquet(dir).filter(pred).limit(0)
+      else
+        spark.read.option("basePath", dir).parquet(files: _*).filter(pred)
+    (out, files.size.toLong, total)
+  }
+
+  /** True if `dir` carries a skipping manifest. */
+  def hasStats(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/$StatsDir")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

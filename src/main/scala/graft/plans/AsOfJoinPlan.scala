@@ -4,11 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Whole-operator as-of join as a first-class Catalyst citizen: a custom
   * LogicalPlan node, planned by a SparkStrategy into a custom SparkPlan
@@ -79,7 +80,7 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightValue: Expression,
     forward: Boolean, toleranceUs: Long,
-    asofValue: Attribute, asofTs: Attribute) extends BinaryExecNode {
+    asofValue: Attribute, asofTs: Attribute) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofValue :+ asofTs
 
@@ -97,6 +98,193 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  // ---- whole-stage codegen -----------------------------------------------
+  // Produce-root pattern (same shape as SortMergeJoinExec): the exec drives
+  // BOTH sorted inputs itself through inputRDDs, the generated processNext()
+  // runs the two-pointer merge inline over UnsafeRows, and parent operators
+  // (projections, filters, the top-of-stage row writer) fuse above it in the
+  // same compiled function — no Iterator allocation or virtual next() per
+  // probe row. The interpreted doExecute below stays as the fallback for
+  // payload/key types outside the codegen set and for codegen-off sessions.
+  //
+  // Codegen'd type set: primitive-comparable keys plus UTF8String (cloned
+  // out of the reused shuffle row buffer, the codegen analog of
+  // InternalRow.copyValue); time columns are epoch-µs longs by API contract.
+  private def codegenFriendly(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BooleanType | DateType | TimestampType |
+         TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  override def supportCodegen: Boolean =
+    leftTime.dataType == LongType && rightTime.dataType == LongType &&
+      codegenFriendly(leftKey.dataType) && codegenFriendly(rightValue.dataType)
+
+  // the merge buffers one right row across output rows; downstream buffering
+  // operators must copy what the stage's shared row writer hands them
+  override def needCopyResult: Boolean = true
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // values extracted from the (reused) right-side row buffer must outlive
+  // the next rightInput.next() call: primitives copy by value, strings clone
+  private def copyOut(dt: DataType, v: String): String = dt match {
+    case StringType => s"$v.clone()"
+    case _ => v
+  }
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    // the buffered right head: null means "fetch on next demand". Holding a
+    // reference WITHOUT calling next() again is safe — shuffle readers reuse
+    // the row object only on the next next() call.
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead", forceInline = true)
+
+    val keyDt = leftKey.dataType
+    val valDt = rightValue.dataType
+    val keyJt = CodeGenerator.javaType(keyDt)
+    val valJt = CodeGenerator.javaType(valDt)
+
+    val matchTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofMatchTs")
+    val matchVal = ctx.addMutableState(valJt, "asofMatchVal")
+    val matchValNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofMatchValNull")
+    val haveMatch = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHaveMatch")
+    val matchKey = ctx.addMutableState(keyJt, "asofMatchKey")
+    val matchKeyNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofMatchKeyNull")
+
+    // right-side column access against the buffered head row
+    ctx.INPUT_ROW = rightHead
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val rValEv = BindReferences.bindReference(rightValue, right.output).genCode(ctx)
+
+    val kNullArg = ctx.freshName("kNull")
+    val kArg = ctx.freshName("k")
+    val tArg = ctx.freshName("t")
+    val cmp = ctx.freshName("cmp")
+    val rkNull = ctx.freshName("rkNull")
+    val rt = ctx.freshName("rt")
+    // merge comparison with SortOrder(Ascending) nulls-first semantics;
+    // null keys never MATCH (ok requires both sides non-null) but must
+    // still order correctly so the frontier stays monotone
+    val cmpBlock =
+      s"""
+         |boolean $rkNull = ${rKeyEv.isNull};
+         |int $cmp;
+         |if ($rkNull && $kNullArg) { $cmp = 0; }
+         |else if ($rkNull) { $cmp = -1; }
+         |else if ($kNullArg) { $cmp = 1; }
+         |else { $cmp = ${ctx.genComp(keyDt, rKeyEv.value.toString, kArg)}; }
+       """.stripMargin
+
+    val probeFn = if (!forward) {
+      // BACKWARD: consume every right row at-or-before (k, t); the last one
+      // consumed is the candidate. Carries state across left rows.
+      ctx.addNewFunction("asofProbeBackward",
+        s"""
+           |private boolean asofProbeBackward(boolean $kNullArg, $keyJt $kArg, long $tArg) {
+           |  while (true) {
+           |    if ($rightHead == null) {
+           |      if (!$rightInput.hasNext()) break;
+           |      $rightHead = (InternalRow) $rightInput.next();
+           |    }
+           |    ${rKeyEv.code}
+           |    ${rTimeEv.code}
+           |    $cmpBlock
+           |    long $rt = ${rTimeEv.value};
+           |    if ($cmp < 0 || ($cmp == 0 && $rt <= $tArg)) {
+           |      ${rValEv.code}
+           |      $matchKeyNull = ${rKeyEv.isNull};
+           |      $matchKey = $matchKeyNull ? ${CodeGenerator.defaultValue(keyDt)}
+           |        : ${copyOut(keyDt, rKeyEv.value.toString)};
+           |      $matchTs = $rt;
+           |      $matchValNull = ${rValEv.isNull};
+           |      $matchVal = $matchValNull ? ${CodeGenerator.defaultValue(valDt)}
+           |        : ${copyOut(valDt, rValEv.value.toString)};
+           |      $haveMatch = true;
+           |      $rightHead = null;
+           |    } else {
+           |      break;
+           |    }
+           |  }
+           |  return $haveMatch && !$matchKeyNull && !$kNullArg &&
+           |    ${ctx.genEqual(keyDt, matchKey, kArg)} &&
+           |    (${toleranceUs}L < 0 || $tArg - $matchTs <= ${toleranceUs}L);
+           |}
+         """.stripMargin)
+    } else {
+      // FORWARD: discard every right row strictly before (k, t), then PEEK
+      // the head without consuming — it may also serve later probes at the
+      // same key (left times ascend, so the frontier is monotone). The match
+      // is consumed by the caller in the same iteration, so no copy needed.
+      ctx.addNewFunction("asofProbeForward",
+        s"""
+           |private boolean asofProbeForward(boolean $kNullArg, $keyJt $kArg, long $tArg) {
+           |  while (true) {
+           |    if ($rightHead == null) {
+           |      if (!$rightInput.hasNext()) return false;
+           |      $rightHead = (InternalRow) $rightInput.next();
+           |    }
+           |    ${rKeyEv.code}
+           |    ${rTimeEv.code}
+           |    $cmpBlock
+           |    long $rt = ${rTimeEv.value};
+           |    if ($cmp < 0 || ($cmp == 0 && $rt < $tArg)) { $rightHead = null; continue; }
+           |    if ($cmp == 0 && !$kNullArg &&
+           |        (${toleranceUs}L < 0 || $rt - $tArg <= ${toleranceUs}L)) {
+           |      ${rValEv.code}
+           |      $matchValNull = ${rValEv.isNull};
+           |      $matchVal = $matchValNull ? ${CodeGenerator.defaultValue(valDt)}
+           |        : ${rValEv.value};
+           |      $matchTs = $rt;
+           |      return true;
+           |    }
+           |    return false;
+           |  }
+           |}
+         """.stripMargin)
+    }
+
+    // left-side loop: one output row per probe row, fused into the parent
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    val ok = ctx.freshName("asofOk")
+    val outValNull = ctx.freshName("asofOutValNull")
+    val outVal = ctx.freshName("asofOutVal")
+    val outTsNull = ctx.freshName("asofOutTsNull")
+    val outTs = ctx.freshName("asofOutTs")
+    val valEv = ExprCode(JavaCode.isNullVariable(outValNull), JavaCode.variable(outVal, valDt))
+    val tsEv = ExprCode(JavaCode.isNullVariable(outTsNull), JavaCode.variable(outTs, LongType))
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  ${lTimeEv.code}
+       |  boolean $ok = $probeFn(${lKeyEv.isNull}, ${lKeyEv.value}, ${lTimeEv.value});
+       |  boolean $outValNull = !$ok || $matchValNull;
+       |  $valJt $outVal = $outValNull ? ${CodeGenerator.defaultValue(valDt)} : $matchVal;
+       |  boolean $outTsNull = !$ok;
+       |  long $outTs = $matchTs;
+       |  ${consume(ctx, leftVars ++ Seq(valEv, tsEv))}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey, left.output)

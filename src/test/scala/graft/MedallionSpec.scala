@@ -194,4 +194,55 @@ class MedallionSpec extends SparkSpec {
     assert(compacted.agg(sum(col("o_orderkey"))).collect()(0).getLong(0) == sum0)
     assert(compacted.count() == orders.count())
   }
+
+  test("file-stats manifest skips files outside the predicate range") {
+    import graft.pipeline.FileStats
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    val orders = Tables.orders(spark, TinySf)
+    // range-partitioned layout on the stats axis → disjoint per-file ranges
+    // (the layout Medallion's sort-within-partitions / Compaction sortCols
+    // produce — stats only prune what the writer clustered)
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+
+    val covered = FileStats.collect(spark, dir, Seq("o_orderkey", "o_totalprice"))
+    assert(covered >= 8, s"manifest covers $covered files")
+    assert(FileStats.hasStats(spark, dir))
+
+    // a narrow o_orderkey slice must plan a strict file subset...
+    val keys = orders.select(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + (keys.getLong(1) - keys.getLong(0)) / 8)
+    val (pruned, read, total) = FileStats.readRange(spark, dir, "o_orderkey", lo, hi)
+    assert(read < total, s"read $read of $total files")
+    // ...and match the full-scan filter exactly
+    val want = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    assert(pruned.count() == want.count() && want.count() > 0)
+    assert(pruned.agg(sum("o_orderkey")).collect()(0).getLong(0) ==
+      want.agg(sum("o_orderkey")).collect()(0).getLong(0))
+
+    // an out-of-domain range reads NOTHING — zero files, empty result,
+    // schema intact
+    val (none, zero, _) = FileStats.readRange(spark, dir, "o_orderkey",
+      keys.getLong(1) + 1000L, keys.getLong(1) + 2000L)
+    assert(zero == 0L && none.count() == 0L)
+    assert(none.schema.fieldNames.contains("o_totalprice"))
+
+    // stats on a column the layout did NOT cluster prune ~nothing: the
+    // manifest is honest about layout, same as Delta. Probe the central
+    // half of the value domain — every unclustered file spans it.
+    val tp = orders.select(min("o_totalprice"), max("o_totalprice")).collect()(0)
+    val (tlo, thi) = (tp.getDouble(0), tp.getDouble(1))
+    val (_, readShuffled, totalShuffled) = FileStats.readRange(spark, dir,
+      "o_totalprice", tlo + (thi - tlo) * 0.25, tlo + (thi - tlo) * 0.75)
+    assert(totalShuffled == total)
+    assert(readShuffled == total, "unclustered column should not prune")
+
+    // re-collect after the data changed (append) stays consistent and
+    // ignores the manifest's own files
+    orders.limit(10).write.mode("append").parquet(dir)
+    val covered2 = FileStats.collect(spark, dir, Seq("o_orderkey"))
+    assert(covered2 > covered)
+  }
 }

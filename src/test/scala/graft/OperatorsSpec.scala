@@ -140,4 +140,50 @@ class OperatorsSpec extends SparkSpec {
     val sums = Multimodal.sampleFrames(Multimodal.asMediaTable(docs)).collect()
     assert(sums.map(f => (f.doc_id, f.frame_checksum)).distinct.length == sums.length)
   }
+
+  test("OHLC bars: open/close/high/low semantics and one shared exchange") {
+    import spark.implicits._
+    import graft.operators.Resample
+    // ns timestamps: bucket size 10µs → user 1 has buckets 1 (3 events)
+    // and 2 (1 event); open/close tie-break on event_id at equal ts
+    val ev = Seq(
+      (1L, 1L, "purchase", 5.0, 12000L), (2L, 1L, "purchase", 9.0, 15000L),
+      (3L, 1L, "purchase", 7.0, 15000L), (4L, 1L, "purchase", 2.0, 25000L),
+      (5L, 2L, "purchase", 4.0, 11000L), (6L, 1L, "error", 99.0, 13000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ns")
+    val bars = Resample.ohlcBars(ev, 10L)
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // bucket 1 of user 1: rows (ts 12, 5.0), (ts 15, id2, 9.0),
+    // (ts 15, id3, 7.0) → open 5.0; close tie-breaks on event_id → 7.0
+    assert(bars.toSeq == Seq(
+      (1L, 1L, 5.0, 7.0, 9.0, 5.0, 3L),
+      (1L, 2L, 2.0, 2.0, 2.0, 2.0, 1L),
+      (2L, 1L, 4.0, 4.0, 4.0, 4.0, 1L)))
+    // the error event never enters the bars; the window sort and the
+    // bucket aggregation share one (user, bucket) exchange
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Resample.ohlcBars(ev, 10L).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("gapFill densifies the bucket spine and forward-fills close") {
+    import spark.implicits._
+    import graft.operators.Resample
+    val bars = Seq((1L, 1L, 10.0, 2L), (1L, 4L, 20.0, 1L), (2L, 7L, 5.0, 1L))
+      .toDF("user_id", "bucket", "close", "n_events")
+    val got = Resample.gapFill(bars).orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, false, Some(10.0), 2L),
+      (1L, 2L, true, Some(10.0), 0L),
+      (1L, 3L, true, Some(10.0), 0L),
+      (1L, 4L, false, Some(20.0), 1L),
+      (2L, 7L, false, Some(5.0), 1L)))
+  }
 }

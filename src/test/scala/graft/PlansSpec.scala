@@ -77,6 +77,66 @@ class PlansSpec extends SparkSpec {
     assert(schema("asof_value").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  // AsOfJoinExec participates in codegen iff it sits inside a
+  // WholeStageCodegenExec's stage WITHOUT an InputAdapter (= stage
+  // boundary) in between — a plain collect would cross boundaries and
+  // count a fallback exec under a parent stage as codegen'd.
+  private def codegenStagesWithAsOf(df: org.apache.spark.sql.DataFrame) = {
+    def inStage(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.InputAdapter => false
+      case _: graft.plans.AsOfJoinExec => true
+      case other => other.children.exists(inStage)
+    }
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec if inStage(w.child) => w
+    }
+  }
+
+  test("native as-of participates in whole-stage codegen; compiled == interpreted") {
+    withoutAqe {
+      val (err, pur) = eventSides
+      def run() = NativeAsOf.asOf(err, pur, "user_id", "ts_us", "value")
+        .orderBy("event_id")
+      assert(codegenStagesWithAsOf(run()).nonEmpty,
+        run().queryExecution.executedPlan.toString.take(1200))
+      val compiled = run().collect().toSeq
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try {
+        val interpreted = run().collect().toSeq
+        assert(compiled.nonEmpty && compiled == interpreted)
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
+  test("as-of codegen covers forward/tolerance/string paths; non-atomic payloads fall back") {
+    withoutAqe {
+      import spark.implicits._
+      val l = Seq((1L, 1L, 10L), (2L, 1L, 12L), (3L, 1L, 25L), (4L, 2L, 5L))
+        .toDF("event_id", "user_id", "ts_us")
+      val r = Seq((1L, 12L, 1.5), (1L, 20L, 2.5), (2L, 1L, 9.0))
+        .toDF("user_id", "ts_us", "value")
+      val fwd = NativeAsOf.asOf(l, r, "user_id", "ts_us", "value", forward = true)
+      val tol = NativeAsOf.asOf(l, r, "user_id", "ts_us", "value", toleranceUs = 5L)
+      assert(codegenStagesWithAsOf(fwd).nonEmpty, fwd.queryExecution.executedPlan.toString.take(1200))
+      assert(codegenStagesWithAsOf(tol).nonEmpty, tol.queryExecution.executedPlan.toString.take(1200))
+      // string key + string payload: the UTF8String clone path compiles too
+      val ls = Seq((1L, "alice", 10L)).toDF("event_id", "who", "ts_us")
+      val rs = Seq(("alice", 5L, "first")).toDF("who", "ts_us", "note")
+      val str = NativeAsOf.asOf(ls, rs, "who", "ts_us", "note")
+      assert(codegenStagesWithAsOf(str).nonEmpty, str.queryExecution.executedPlan.toString.take(1200))
+      // array payload is outside the codegen type set: the exec must plan
+      // OUTSIDE any codegen stage and run the interpreted merge correctly
+      val ra = r.withColumn("vals", array(col("value"))).drop("value")
+      val arr = NativeAsOf.asOf(l, ra, "user_id", "ts_us", "vals")
+      assert(codegenStagesWithAsOf(arr).isEmpty, arr.queryExecution.executedPlan.toString.take(1200))
+      val got = arr.select("event_id", "asof_value").orderBy("event_id").collect().toSeq
+        .map(x => (x.getLong(0), Option(x.getSeq[Double](1)).map(_.toList)))
+      assert(got == Seq(
+        (1L, None), (2L, Some(List(1.5))), (3L, Some(List(2.5))), (4L, Some(List(9.0)))))
+    }
+  }
+
   test("native as-of plan is the custom exec with one exchange+sort per side") {
     val (err, pur) = eventSides
     val df = NativeAsOf.asOf(err, pur, "user_id", "ts_us", "value")
@@ -144,6 +204,63 @@ class PlansSpec extends SparkSpec {
         assert(w.child.toString.contains("TakeOrderedAndProject"),
           w.child.toString.take(600))
       }
+    }
+  }
+
+  test("rank-based percentiles plan no percentile aggregate and one key exchange") {
+    withoutAqe {
+      val up = graft.operators.Features.userPercentiles(
+        graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf)))
+      val rd = graft.gold.Revenue.revenueDaily(graft.operators.Enrichment.enrichOrders(
+        graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf)),
+        Tables.customer(spark, TinySf), Tables.nation(spark, TinySf),
+        Tables.region(spark, TinySf)))
+      Seq("q_user_percentiles" -> up, "q_revenue_daily" -> rd).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        // the built-in exact percentile (unbounded per-group agg buffer)
+        // must not appear anywhere in the physical plan
+        assert(!plan.toLowerCase.contains("percentile"), s"$name: ${plan.take(800)}")
+      }
+      // the window sort and the downstream groupBy share ONE exchange on
+      // the group key (subset-distribution rule) — the whole percentile
+      // path costs a single custkey shuffle of the fact rows (the other
+      // exchange in the plan is cleanOrders' orderkey dedup, upstream)
+      val upPlan = up.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(o_custkey".r.findAllIn(upPlan).size == 1, upPlan.take(1500))
+    }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB, a selective dimension predicate should cut the FACT scan
+    // at runtime, not just the dim side: Spark's InjectRuntimeFilter plants
+    // a bloom_filter_might_contain predicate on the probe side, built from
+    // the filtered creation side. Local thresholds are tuned for sf-scale
+    // data (prod defaults: 10 GB probe-scan floor); broadcast is disabled
+    // because the rule targets shuffle joins (broadcast joins already prune
+    // via their own hash relation).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, TinySf)
+        .filter(col("o_totalprice") > 4500.0) // selective creation side
+      val li = Tables.lineitem(spark, TinySf)
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "o_totalprice")
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"), optimized.take(1500))
+      // and the filter is advisory only — results identical with it off
+      val n = j.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == j.count() && n > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -60,4 +60,52 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.02, s"p50 approx=$a exact=$e")
     }
   }
+
+  private def corpusTokens = Tables.documents(spark, TinySf)
+    .select(explode(split(col("text"), " ")).as("token"))
+    .filter(col("token") =!= "")
+
+  test("topk_freq with capacity above the vocab is EXACT") {
+    graft.functions.GraftFunctions.register(spark)
+    val tokens = corpusTokens
+    val vocab = tokens.distinct().count()
+    val cap = (vocab + 100).toInt
+    val got = tokens
+      .agg(expr(s"topk_freq(token, $cap, 20)").as("topk"))
+      .select(explode(col("topk")).as("hh"))
+      .select(col("hh.item"), col("hh.count_est"), col("hh.err_bound"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(x => (x._1, x._2)).toSeq == want.toSeq)
+    assert(got.forall(_._3 == 0L), "no decrements below capacity")
+  }
+
+  test("topk_freq Misra–Gries error bound holds under tight capacity") {
+    graft.functions.GraftFunctions.register(spark)
+    val tokens = corpusTokens
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 32
+    val got = tokens
+      .agg(expr(s"topk_freq(token, $cap, $cap)").as("topk"))
+      .select(explode(col("topk")).as("hh"))
+      .select(col("hh.item"), col("hh.count_est"), col("hh.err_bound"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (item, est, err) =>
+      val f = exact(item)
+      // MG invariant: f - errBound <= est <= f
+      assert(est <= f, s"$item: est=$est > true=$f")
+      assert(est >= f - err, s"$item: est=$est < $f - $err")
+    }
+    // every item more frequent than the error bound must be in the summary
+    val err = got.head._3
+    val mustAppear = exact.filter(_._2 > err).keySet
+    val appeared = got.map(_._1).toSet
+    assert(mustAppear.subsetOf(appeared),
+      s"missing heavy hitters: ${mustAppear -- appeared}")
+  }
 }
