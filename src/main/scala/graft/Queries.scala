@@ -543,6 +543,21 @@ object Queries {
         |FROM spine s LEFT JOIN bars USING (user_id, bucket)
         |ORDER BY user_id, bucket""".stripMargin)),
 
+    // Per-user EWMA drift baseline + spike flags (batch mirror of the
+    // transformWithState StatefulProcessor — StreamingSpec asserts stream
+    // parity; rows-only: the EWMA recursion has no stable closed SQL form).
+    QueryDef("q_ewma_drift",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.StatefulDrift.driftBatch(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"),
+              expr("ts_ns div 1000").as("ts_us"), col("event_type"), col("value"))
+            .as[graft.streaming.StreamOps.Ev])
+          .toDF().orderBy("event_id")
+      },
+      None),
+
     QueryDef("q_sessionize",
       (s, d) => Sessionize.sessionStats(Tables.events(s, d))
         .select("user_id", "session_idx", "event_count", "session_start_us",

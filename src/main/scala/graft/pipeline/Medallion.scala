@@ -147,7 +147,17 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(path("gold", "fraud_summary"))
+
+    // data-skipping manifest on the sorted axis of the unpartitioned
+    // scores table (the partitioned tables prune by directory already)
+    FileStats.collect(spark, path("gold", "fraud_scores"),
+      Seq("risk_label", "fraud_score"))
   }
+
+  /** Manifest-planned range read of a gold table (see FileStats): only
+    * files whose [min,max] on `column` intersects [lo,hi] reach the scan. */
+  def readGoldRange(table: String, column: String, lo: Any, hi: Any): DataFrame =
+    FileStats.readRange(spark, path("gold", table), column, lo, hi)._1
 
   /** Incremental gold maintenance: recompute date-partitioned gold tables
     * ONLY for the given dates and overwrite just those partitions (dynamic

@@ -22,6 +22,13 @@ class MedallionSpec extends SparkSpec {
     assert(gold.count() > 0)
     val scores = m.readGold("fraud_scores")
     assert(scores.where(col("fraud_score").isNull).count() == 0)
+
+    // gold write collected a skipping manifest; the range read equals the
+    // plain filtered read
+    assert(graft.pipeline.FileStats.hasStats(spark, s"$wh/gold/fraud_scores"))
+    val hot = m.readGoldRange("fraud_scores", "fraud_score", 0.8, 1.0)
+    assert(hot.count() ==
+      scores.where(col("fraud_score") >= 0.8 && col("fraud_score") <= 1.0).count())
   }
 
   test("date filters prune bronze partitions at the scan") {

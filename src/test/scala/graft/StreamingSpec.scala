@@ -197,6 +197,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size > 100)
   }
 
+  test("transformWithState EWMA drift matches the batch fold bit-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulDrift
+    // transformWithState runs on the RocksDB state store only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, TinySf)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+        .as[Ev].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      // two micro-batches split mid-history: state must carry EWMA across
+      val (first, second) = evs.splitAt(evs.size / 2)
+
+      val stream = MemoryStream[Ev]
+      val q = StatefulDrift.driftStream(stream.toDS())
+        .writeStream.format("memory").queryName("drift_out")
+        .outputMode("append").start()
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("drift_out")
+        .orderBy("event_id").collect().toSeq
+      val batch = StatefulDrift.driftBatch(
+        Tables.events(spark, TinySf)
+          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+            col("event_type"), col("value"))
+          .as[Ev])
+        .toDF().orderBy("event_id").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.size > 100)
+      // spikes exist and only after warm-up, with value above the band
+      val spikes = batch.filter(_.getBoolean(7))
+      assert(spikes.nonEmpty)
+      spikes.foreach { r =>
+        assert(r.getLong(6) >= StatefulDrift.WarmupN)
+        assert(r.getDouble(3) > StatefulDrift.SpikeFactor * r.getDouble(4))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("checkpointed stream restarts without duplicating output") {
     import spark.implicits._
     val batchDf = Tables.events(spark, TinySf)
