@@ -543,6 +543,23 @@ object Queries {
         |FROM spine s LEFT JOIN bars USING (user_id, bucket)
         |ORDER BY user_id, bucket""".stripMargin)),
 
+    // Bad-record audit over the bronze parse path: per-reason counts of
+    // the quarantine split (null/invalid/bad-key/ok) — the explicit form
+    // of from_json's silent nulling. Rich cases covered in OperatorsSpec
+    // on synthetic malformed payloads.
+    QueryDef("q_bronze_quarantine",
+      (s, d) => Bronze.withQuarantineReason(Tables.events(s, d))
+        .groupBy("quarantine_reason").agg(count(lit(1)).as("n"))
+        .orderBy("quarantine_reason"),
+      Some("""SELECT quarantine_reason, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN props IS NULL THEN 'null_props'
+        |    WHEN NOT json_valid(props) THEN 'invalid_json'
+        |    WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 'bad_k'
+        |    ELSE 'ok' END AS quarantine_reason
+        |  FROM events) t
+        |GROUP BY quarantine_reason ORDER BY quarantine_reason""".stripMargin)),
+
     // Per-user EWMA drift baseline + spike flags (batch mirror of the
     // transformWithState StatefulProcessor — StreamingSpec asserts stream
     // parity; rows-only: the EWMA recursion has no stable closed SQL form).

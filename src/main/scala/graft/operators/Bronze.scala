@@ -24,4 +24,21 @@ object Bronze {
       .withColumn("_source_system", lit("file-stream"))
       .withColumn("_pipeline_version", lit("1.0.0"))
       .drop("ts")
+
+  /** Bad-record classification for the quarantine split — the explicit
+    * form of what the reference's `from_json(value, schema)` does
+    * silently (malformed payloads null out; ingest_stream.py:73). A real
+    * bronze keeps the rejects: quarantined rows carry WHY they failed so
+    * re-ingestion after a producer fix can target a reason. Codegen-only
+    * column logic (get_json_object + cast), no UDF; linear. */
+  def withQuarantineReason(events: DataFrame): DataFrame =
+    events.withColumn("quarantine_reason",
+      when(col("props").isNull, "null_props")
+        .when(get_json_object(col("props"), "$").isNull, "invalid_json")
+        .when(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").isNull, "bad_k")
+        .otherwise("ok"))
+
+  /** The rows a bronze run would divert (reason != ok). */
+  def quarantined(events: DataFrame): DataFrame =
+    withQuarantineReason(events).filter(col("quarantine_reason") =!= "ok")
 }

@@ -252,4 +252,48 @@ class MedallionSpec extends SparkSpec {
     val covered2 = FileStats.collect(spark, dir, Seq("o_orderkey"))
     assert(covered2 > covered)
   }
+
+  test("Z-order layout + file stats prune on BOTH interleaved dimensions") {
+    import graft.pipeline.FileStats
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zskip").toString + "/t"
+    val base = Tables.orders(spark, TinySf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_key"))
+    // interleaving only helps when both dimensions occupy comparable bit
+    // ranges — raw day (~2400 distinct) vs tiny-sf cust (150 distinct)
+    // degenerates to day-order. Normalize: offset day to 0, scale cust up
+    // (the offset/scale analog of Delta's range-id mapping before Z-ORDER).
+    val zb = base.agg(min("day_key"), max("o_custkey")).collect()(0)
+    val (dOff, cMax) = (zb.getLong(0), zb.getLong(1))
+    val cScale = math.max(1L, 2400L / math.max(cMax, 1L))
+    val orders = base.withColumn("z_key",
+      expr(s"morton2(day_key - ${dOff}L, o_custkey * ${cScale}L)"))
+    // the medallion's Z-order write: range-partition + sort on the
+    // interleaved code, so each file covers a 2-D tile, not a 1-D stripe
+    orders.repartitionByRange(16, col("z_key")).sortWithinPartitions("z_key")
+      .write.mode("overwrite").parquet(dir)
+    val total = FileStats.collect(spark, dir, Seq("day_key", "o_custkey"))
+    assert(total >= 16)
+
+    val b = orders.agg(min("day_key"), max("day_key"),
+      min("o_custkey"), max("o_custkey")).collect()(0)
+    val (d0, d1, c0, c1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // an eighth-of-domain probe on EITHER axis must skip files — the
+    // property a single-column sort cannot give for both columns at once
+    val (_, readDay, t1) = FileStats.readRange(spark, dir, "day_key",
+      d0, d0 + (d1 - d0) / 8)
+    val (_, readCust, t2) = FileStats.readRange(spark, dir, "o_custkey",
+      c0, c0 + (c1 - c0) / 8)
+    assert(t1 == total && t2 == total)
+    assert(readDay < total, s"day axis read $readDay of $total")
+    assert(readCust < total, s"cust axis read $readCust of $total")
+    // and results stay exact
+    val wantDay = spark.read.parquet(dir)
+      .filter(col("day_key").between(d0, d0 + (d1 - d0) / 8)).count()
+    val (gotDayDf, _, _) = FileStats.readRange(spark, dir, "day_key",
+      d0, d0 + (d1 - d0) / 8)
+    assert(gotDayDf.count() == wantDay && wantDay > 0)
+  }
 }

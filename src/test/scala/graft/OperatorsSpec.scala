@@ -141,6 +141,22 @@ class OperatorsSpec extends SparkSpec {
     assert(sums.map(f => (f.doc_id, f.frame_checksum)).distinct.length == sums.length)
   }
 
+  test("bronze quarantine classifies null, invalid-JSON, and bad-key payloads") {
+    import spark.implicits._
+    import graft.operators.Bronze
+    val raw = Seq(
+      (1L, """{"k": 7}"""), (2L, null), (3L, "not json at all"),
+      (4L, """{"j": 1}"""), (5L, """{"k": "oops"}"""), (6L, """{"k": 9}"""))
+      .toDF("event_id", "props")
+    val got = Bronze.withQuarantineReason(raw)
+      .select("event_id", "quarantine_reason").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "ok"), (2L, "null_props"), (3L, "invalid_json"),
+      (4L, "bad_k"), (5L, "bad_k"), (6L, "ok")))
+    assert(Bronze.quarantined(raw).count() == 4L)
+  }
+
   test("OHLC bars: open/close/high/low semantics and one shared exchange") {
     import spark.implicits._
     import graft.operators.Resample
