@@ -1280,7 +1280,53 @@ object Queries {
         |    + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
         |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 >= 0.30 THEN 'medium'
         |       ELSE 'low' END AS risk_label
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // The reference's Grafana KPI tiles (Today's GMV / Orders / Fraud
+    // Rate / High-Risk Users) as one (kpi, value) frame; "today" = the
+    // corpus' newest date, a deterministic CURRENT_DATE.
+    QueryDef("q_dashboard_kpis",
+      (s, d) => gold.Dashboard.kpis(Tables.events(s, d),
+        Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("kpi"),
+      Some(CleanOrdersCte +
+        """
+        |, daily AS (
+        |  SELECT order_date,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |    CAST(count(*) AS DOUBLE) AS orders
+        |  FROM clean_orders GROUP BY 1),
+        |latest AS (SELECT * FROM daily WHERE order_date = (SELECT max(order_date) FROM daily)),
+        |fs AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
+        |  FROM events GROUP BY 1),
+        |fsl AS (SELECT * FROM fs WHERE event_date = (SELECT max(event_date) FROM fs)),
+        |risk AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 0.55
+        |    + (1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 0.25
+        |    + (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 1000.0) * 0.20 AS c
+        |  FROM events GROUP BY user_id)
+        |SELECT kpi, value FROM (
+        |  SELECT 'todays_gmv' AS kpi, gmv AS value FROM latest
+        |  UNION ALL SELECT 'todays_orders', orders FROM latest
+        |  UNION ALL SELECT 'todays_error_rate', error_rate FROM fsl
+        |  UNION ALL SELECT 'high_risk_users', CAST(count(*) AS DOUBLE) FROM risk WHERE c >= 0.50
+        |) t ORDER BY kpi""".stripMargin)),
+
+    // The two 7-day trend panels: per-day event-sourced GMV vs fraud
+    // amount and the fraud-rate trend over the trailing week.
+    QueryDef("q_dashboard_trend",
+      (s, d) => gold.Dashboard.trend(Tables.events(s, d)).orderBy("event_date"),
+      Some("""WITH fs AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS fraud_amount,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
+        |  FROM events GROUP BY 1)
+        |SELECT event_date, gmv, fraud_amount, error_rate FROM fs
+        |WHERE event_date >= (SELECT max(event_date) FROM fs) - 6
+        |ORDER BY event_date""".stripMargin))
   )
 
   // ---- DuckDB helpers for similarity oracles (sequential double fold —
