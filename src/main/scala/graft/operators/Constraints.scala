@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Delta CHECK-constraint enforcement for parquet-layer writes — the
+  * write-side contract the reference gets from Delta table constraints
+  * (and approximates with Great Expectations checkpoints,
+  * data_quality/validate.py): a batch that violates a declared invariant
+  * must FAIL the write, not land bad rows for downstream jobs to find.
+  *
+  * SQL CHECK semantics: a row violates only when the predicate evaluates
+  * to FALSE — NULL (unknown) passes, exactly as Delta/ANSI define it.
+  *
+  * Scale shape: ALL constraints validate in ONE partial-aggregated pass
+  * over the batch (a sum(violations) per check — no per-check scans, no
+  * row collection); the error message carries per-constraint violation
+  * counts so the producer knows what broke without re-running anything.
+  */
+object Constraints {
+
+  final class CheckViolation(msg: String) extends IllegalStateException(msg)
+
+  /** Validate `checks` (name → predicate) over `df` in one pass; returns
+    * `df` untouched when clean, throws CheckViolation with per-check
+    * counts otherwise. */
+  def enforce(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    if (checks.isEmpty) return df
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(true)), 0L).otherwise(1L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = checks.zipWithIndex.flatMap { case ((name, _), i) =>
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (n > 0L) Some(s"$name ($n rows)") else None
+    }
+    if (bad.nonEmpty)
+      throw new CheckViolation(
+        s"CHECK constraint violation(s): ${bad.mkString(", ")}")
+    df
+  }
+}

@@ -67,7 +67,11 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * v=N snapshot (Delta-style time travel without Delta); readers pin a
     * version for point-in-time correctness. Returns the committed version. */
   def upsertSilver(table: String, updates: DataFrame, keys: Seq[String],
-                   partitionCol: String): Long = {
+                   partitionCol: String,
+                   checks: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
+    // Delta CHECK-constraint analog: a violating batch fails BEFORE any
+    // snapshot is written — no version is committed, readers see nothing
+    graft.operators.Constraints.enforce(updates, checks)
     val prev = latestVersion(table)
     val merged = prev match {
       case Some(_) => MergeUpsert.mergeEvolve(

@@ -253,6 +253,35 @@ class MedallionSpec extends SparkSpec {
     assert(covered2 > covered)
   }
 
+  test("CHECK constraints fail a violating silver write without committing a version") {
+    import spark.implicits._
+    import graft.operators.Constraints
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh9").toString
+    val m = new Medallion(spark, TinySf, wh)
+    val checks = Seq(
+      "amount_positive" -> (col("amount") > 0.0),
+      "status_known" -> col("status").isin("ok", "failed"))
+    val good = Seq((1L, 10.0, "ok", "2024-01-01"), (2L, 5.0, "failed", "2024-01-01"))
+      .toDF("id", "amount", "status", "d").withColumn("d", col("d").cast("date"))
+    val v1 = m.upsertSilver("t_checked", good, Seq("id"), "d", checks)
+    assert(v1 == 1L)
+
+    val bad = Seq((3L, -4.0, "ok", "2024-01-02"), (4L, 1.0, "wat", "2024-01-02"))
+      .toDF("id", "amount", "status", "d").withColumn("d", col("d").cast("date"))
+    val e = intercept[Constraints.CheckViolation] {
+      m.upsertSilver("t_checked", bad, Seq("id"), "d", checks)
+    }
+    assert(e.getMessage.contains("amount_positive (1 rows)") &&
+      e.getMessage.contains("status_known (1 rows)"), e.getMessage)
+    // nothing committed: still at v1, data untouched
+    assert(m.latestVersion("t_checked").contains(1L))
+    assert(m.readSilver("t_checked").count() == 2L)
+    // NULL predicate result passes (unknown != violation), as in SQL CHECK
+    val nullish = Seq((5L, Option.empty[Double], "ok", "2024-01-03"))
+      .toDF("id", "amount", "status", "d").withColumn("d", col("d").cast("date"))
+    assert(m.upsertSilver("t_checked", nullish, Seq("id"), "d", checks) == 2L)
+  }
+
   test("Z-order layout + file stats prune on BOTH interleaved dimensions") {
     import graft.pipeline.FileStats
     graft.functions.GraftFunctions.register(spark)
