@@ -99,6 +99,10 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   // ---- whole-stage codegen -----------------------------------------------
   // Produce-root pattern (same shape as SortMergeJoinExec): the exec drives
   // BOTH sorted inputs itself through inputRDDs, the generated processNext()
@@ -270,9 +274,11 @@ case class AsOfJoinExec(
     val valEv = ExprCode(JavaCode.isNullVariable(outValNull), JavaCode.variable(outVal, valDt))
     val tsEv = ExprCode(JavaCode.isNullVariable(outTsNull), JavaCode.variable(outTs, LongType))
 
+    val numOutput = metricTerm(ctx, "numOutputRows")
     s"""
        |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  $numOutput.add(1);
        |  ${lKeyEv.code}
        |  ${lTimeEv.code}
        |  boolean $ok = $probeFn(${lKeyEv.isNull}, ${lKeyEv.value}, ${lTimeEv.value});
@@ -287,6 +293,7 @@ case class AsOfJoinExec(
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
@@ -318,6 +325,7 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = leftIt.next()
+          numOutputRows += 1
           val k = lKey.eval(l)
           val t = lTime.eval(l).asInstanceOf[Long]
           if (!forward) {
