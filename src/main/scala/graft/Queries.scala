@@ -1781,6 +1781,13 @@ object Queries {
         .orderBy("query_id", "rank"),
       None),
 
+    // Product-quantized ADC scan + exact re-rank (rows-only: seeded
+    // KMeans codebooks are engine-local; FunctionsSpec bounds recall).
+    QueryDef("q_knn_pq",
+      (s, d) => Similarity.knnPq(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      None),
+
     QueryDef("q_knn_recall",
       (s, d) => Similarity.knnRecall(Tables.embeddings(s, d))
         .orderBy("method", "query_id"),

@@ -163,6 +163,84 @@ object Similarity {
     topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "cell")
   }
 
+  /** Product-quantized ANN with asymmetric-distance scan + exact re-rank
+    * (FAISS PQ/ADC): per-subspace codebooks compress each vector to
+    * `subspaces` small codes, the scan ranks candidates from the CODES
+    * alone (query-side distances to the codebook, summed by lookup), and
+    * only the refine·k shortlist touches raw vectors for the true cosine.
+    *
+    * This is the memory axis of ANN at 100 TB: raw float vectors are
+    * dim×4 bytes/row; codes are `subspaces` bytes. A PQ-encoded corpus
+    * column prunes the scan to ~1/32 of the bytes (here both columns ride
+    * the same row — the compression is architectural, exercised by
+    * column-pruning the scan to `codes`). Codebooks are
+    * subspaces×codebookSize×(dim/subspaces) floats — literal-sized,
+    * shipped inside the plan like the IVF centroids.
+    *
+    * Seeded per-subspace KMeans → deterministic within an engine, not
+    * across engines → rows-only gate; FunctionsSpec asserts recall
+    * against the brute-force golden top-k. */
+  def knnPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+            subspaces: Int = 8, codebookSize: Int = 16, refine: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // cosine metric ⇒ L2-normalize BEFORE quantizing: on the unit sphere
+    // L2 ordering equals cosine ordering, so the ADC scan ranks by the
+    // target metric (unnormalized PQ ranks by magnitude too — recall drops)
+    val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nv", transform(col("embedding"),
+        x => x.cast("double") / sqrt(dot(col("embedding"), col("embedding")))))
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+
+    def sliceM(c: Column, m: Int): Column = slice(c, m * sub + 1, sub)
+    // squared L2 in double via sequential fold (deterministic, like `dot`)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+
+    // per-subspace seeded codebooks; the training passes share one persist
+    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks: IndexedSeq[Seq[Seq[Float]]] =
+      try (0 until subspaces).map { m =>
+        new KMeans().setK(codebookSize).setSeed(7L + m).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(cached.select(array_to_vector(sliceM(col("nv"), m)).as("fv")))
+          .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+      } finally cached.unpersist(blocking = false)
+
+    def cbLit(m: Int): Column = typedlit(codebooks(m))
+    def argminCode(c: Column, m: Int): Column = {
+      val dists = transform(cbLit(m), cent => d2(sliceM(c, m), cent))
+      (array_position(dists, array_min(dists)) - 1L).cast("int")
+    }
+
+    val encoded = base.withColumn("codes",
+      array((0 until subspaces).map(m => argminCode(col("nv"), m)): _*))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("qnv"))
+
+    // ADC: approximate distance from the codes alone
+    val adc = (0 until subspaces).map { m =>
+      d2(sliceM(col("qnv"), m), element_at(cbLit(m), col("codes").getItem(m) + 1))
+    }.reduce(_ + _)
+    val shortlist = graft.operators.ScalableRank.topKPerGroup(
+      encoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("approx_d2", adc),
+      Seq(col("query_id")), Seq(col("approx_d2").asc, col("vec_id").asc),
+      refine * k, "cand_rank")
+    // exact re-rank of the shortlist only
+    val exact = shortlist.withColumn("cos_sim",
+      fastDot("qv", "embedding")
+        / (sqrt(fastDot("qv", "qv")) * sqrt(fastDot("embedding", "embedding"))))
+    topK(exact, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
+  }
+
   /** Recall@k of the approximate paths against the brute-force golden
     * top-k — the measurement that makes the ANN recall/cost trade explicit
     * (one row per method × query + the hit counts). */

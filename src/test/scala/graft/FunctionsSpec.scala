@@ -94,6 +94,22 @@ class FunctionsSpec extends SparkSpec {
     assert(ivfHits > 0, "IVF found no golden neighbors at all")
   }
 
+  test("PQ/ADC with exact re-rank recalls most of the golden top-k") {
+    val e = Tables.embeddings(spark, TinySf)
+    val golden = Similarity.knnBrute(e).select("query_id", "vec_id")
+    val goldenN = golden.count()
+    val pq = Similarity.knnPq(e)
+    val hits = golden.join(
+      pq.select(col("query_id").as("q"), col("vec_id").as("v")),
+      col("query_id") === col("q") && col("vec_id") === col("v")).count()
+    // 16-centroid/8-subspace codebooks + 3k-shortlist re-rank: the ADC
+    // ordering must put most true neighbors inside the shortlist
+    assert(hits.toDouble / goldenN >= 0.5, s"PQ recall ${hits}/$goldenN")
+    // ranked output shape: k rows per query, rank 1..k
+    val perQ = pq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 10L))
+  }
+
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
     val rec = Similarity.knnRecall(Tables.embeddings(spark, TinySf))
       .select("method", "query_id", "hits").collect()
