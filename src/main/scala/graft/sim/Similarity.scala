@@ -203,15 +203,29 @@ object Similarity {
           (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
 
-    // per-subspace seeded codebooks; the training passes share one persist
-    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-subspace seeded codebooks. Codebooks train on a BOUNDED sample
+    // (codebookSize × a few hundred suffices — the FAISS norm): at 100 TB
+    // the corpus never feeds the fits, only the encode pass scans it.
+    val trainCap = 2000L
+    val cached = {
+      val n = base.count()
+      val s = if (n > trainCap)
+        base.sample(withReplacement = false, trainCap.toDouble / n, seed = 7L)
+      else base
+      s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // the per-subspace fits are independent → run them as concurrent
+    // Spark jobs (seeded per subspace, so parallelism keeps determinism)
+    import scala.collection.parallel.CollectionConverters._
     val codebooks: IndexedSeq[Seq[Seq[Float]]] =
-      try (0 until subspaces).map { m =>
+      try (0 until subspaces).par.map { m =>
         new KMeans().setK(codebookSize).setSeed(7L + m).setMaxIter(5)
+          .setInitMode("random") // k-means|| init costs extra passes per fit; random+seed is one
           .setFeaturesCol("fv").setPredictionCol("c")
           .fit(cached.select(array_to_vector(sliceM(col("nv"), m)).as("fv")))
           .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
-      } finally cached.unpersist(blocking = false)
+      }.toIndexedSeq
+      finally cached.unpersist(blocking = false)
 
     def cbLit(m: Int): Column = typedlit(codebooks(m))
     def argminCode(c: Column, m: Int): Column = {
