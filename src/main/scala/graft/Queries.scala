@@ -1450,6 +1450,30 @@ object Queries {
         |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Audio windowing (whisper-style fixed windows + hop overlap): the
+    // 1-D analog of frame sampling; typed stub-decoder twin parity-tested
+    // in OperatorsSpec.
+    QueryDef("q_multimodal_audio",
+      (s, d) => Multimodal.audioSegmentPlan(Tables.documents(s, d))
+        .orderBy("doc_id", "seg_idx"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    1000 + CAST(octet_length(encode(text)) AS BIGINT) % 60000 AS dur_ms
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, dur_ms,
+        |    CASE WHEN dur_ms <= 5000 THEN 1
+        |         ELSE (dur_ms - 5000) // 2500 + 1 END AS n_seg
+        |  FROM m
+        |), x AS (
+        |  SELECT doc_id, dur_ms, unnest(range(0, n_seg)) AS seg_idx FROM n
+        |)
+        |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        |  CAST(seg_idx * 2500 AS BIGINT) AS start_ms,
+        |  CAST(least(seg_idx * 2500 + 5000, dur_ms) AS BIGINT) AS end_ms,
+        |  dur_ms
+        |FROM x ORDER BY doc_id, seg_idx""".stripMargin)),
+
     QueryDef("q_chunk_documents",
       (s, d) => graft.text.Chunking.chunkDocuments(Tables.documents(s, d))
         .orderBy("doc_id", "chunk_idx"),

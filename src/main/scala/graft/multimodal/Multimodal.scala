@@ -111,6 +111,59 @@ object Multimodal {
       .withColumn("out_h", expr(s"h * $target div greatest(w, h)"))
       .select("doc_id", "frame_idx", "frame_count", "w", "h", "out_w", "out_h")
 
+  case class AudioSegment(doc_id: Long, seg_idx: Long, start_ms: Long,
+                          end_ms: Long, seg_checksum: String)
+
+  /** STUB audio "decode": duration from byte count (a real codec reads the
+    * container header). The segmentation math downstream is the real
+    * production shape: fixed windows with hop overlap, last window clipped
+    * to the duration. */
+  private[multimodal] def durationMsStub(byteCount: Long): Long =
+    1000L + (byteCount % 60000L)
+
+  /** Audio windowing: each media record explodes into hop-strided fixed
+    * windows (the 1-D analog of frame sampling — whisper-style chunking).
+    * Row amplification is duration/hop per record, bounded by media
+    * length. Typed path runs the per-partition stub decoder; the
+    * declarative twin below is the oracle surface. */
+  def segmentAudio(media: Dataset[MediaRecord], windowMs: Long = 5000L,
+                   hopMs: Long = 2500L): Dataset[AudioSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { rec =>
+        val dur = durationMsStub(rec.payload.length.toLong)
+        val n = if (dur <= windowMs) 1L else (dur - windowMs) / hopMs + 1L
+        (0L until n).iterator.map { s =>
+          digest.reset()
+          digest.update(rec.payload)
+          digest.update(s.toByte)
+          val sum = digest.digest().take(8).map("%02x".format(_)).mkString
+          AudioSegment(rec.doc_id, s, s * hopMs,
+            math.min(s * hopMs + windowMs, dur), sum)
+        }
+      }
+    }
+  }
+
+  /** SQL-expressible audio segmentation (stub duration is arithmetic on
+    * byte count, so the window explosion is oracle-checkable). */
+  def audioSegmentPlan(documents: DataFrame, windowMs: Long = 5000L,
+                       hopMs: Long = 2500L): DataFrame =
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        (lit(1000L) + (length(col("payload")).cast("long") % 60000L)).as("dur_ms"))
+      .withColumn("n_seg",
+        when(col("dur_ms") <= windowMs, 1L)
+          .otherwise(expr(s"(dur_ms - ${windowMs}L) div ${hopMs}L") + 1L))
+      .select(col("doc_id"), col("dur_ms"),
+        explode(sequence(lit(0L), col("n_seg") - 1)).as("seg_idx"))
+      .withColumn("start_ms", col("seg_idx") * hopMs)
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("dur_ms")))
+      .select("doc_id", "seg_idx", "start_ms", "end_ms", "dur_ms")
+
   /** SQL-expressible metadata view (checksums/sizes) — the part of the
     * multimodal pipeline an oracle can check. */
   def mediaMetadata(documents: DataFrame): DataFrame =

@@ -141,6 +141,33 @@ class OperatorsSpec extends SparkSpec {
     assert(sums.map(f => (f.doc_id, f.frame_checksum)).distinct.length == sums.length)
   }
 
+  test("audio segmentation: typed stub-decoder path matches the SQL window plan") {
+    val docs = Tables.documents(spark, TinySf).filter(col("doc_id") < 25)
+    // 500ms window / 200ms hop: stub durations are >=1001ms, so every doc
+    // explodes into 3+ overlapping windows
+    val typed = Multimodal.segmentAudio(Multimodal.asMediaTable(docs), 500L, 200L)
+      .collect().map(s => (s.doc_id, s.seg_idx, s.start_ms, s.end_ms)).toSet
+    val sql = Multimodal.audioSegmentPlan(docs, 500L, 200L)
+      .select("doc_id", "seg_idx", "start_ms", "end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(typed == sql && typed.nonEmpty)
+    // windows cover the duration with hop overlap; last window clips
+    val segs = Multimodal.segmentAudio(Multimodal.asMediaTable(docs), 500L, 200L).collect()
+    segs.groupBy(_.doc_id).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.seg_idx)
+      assert(sorted.length >= 3)
+      assert(sorted.head.start_ms == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.start_ms - a.start_ms == 200L && a.end_ms > b.start_ms)
+        case _ =>
+      }
+      assert(sorted.last.end_ms <= sorted.last.start_ms + 500L)
+    }
+    // per-segment checksums distinct within a doc
+    assert(segs.map(s => (s.doc_id, s.seg_checksum)).distinct.length == segs.length)
+  }
+
   test("bronze quarantine classifies null, invalid-JSON, and bad-key payloads") {
     import spark.implicits._
     import graft.operators.Bronze
