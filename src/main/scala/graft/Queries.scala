@@ -1812,6 +1812,30 @@ object Queries {
         .orderBy("query_id", "rank"),
       None),
 
+    // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
+    // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
+    QueryDef("q_knn_recall_all",
+      (s, d) => Similarity.knnRecallSummary(Tables.embeddings(s, d))
+        .orderBy("method"),
+      None),
+
+    // Free-text PII scrubbing (emails/phones/IPv4 → typed placeholders +
+    // audit counts). The corpus is PII-free, so the oracle pins the
+    // no-match path (text unchanged, zero counts) and regex-dialect
+    // parity; CurationSpec proves the scrubbing on synthetic PII.
+    QueryDef("q_pii_scrub",
+      (s, d) => graft.text.PiiScrub.scrub(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails_found,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}')) AS INT) AS phones_found,
+        |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS ips_found
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_knn_recall",
       (s, d) => Similarity.knnRecall(Tables.embeddings(s, d))
         .orderBy("method", "query_id"),

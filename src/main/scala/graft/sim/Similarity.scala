@@ -277,6 +277,31 @@ object Similarity {
         knnMultiProbe(embeddings, numQueries, k, bits, probes)))
   }
 
+  /** One-frame recall summary across EVERY ANN method (brute = 1.0 sanity
+    * row): the measurement that keeps each approximate path honest,
+    * including the learned ones (IVF, PQ) the per-query oracle-matched
+    * `knnRecall` cannot cover. Rows-only (learned quantizers are
+    * engine-local); FunctionsSpec asserts the ordering invariants. */
+  def knnRecallSummary(embeddings: DataFrame, numQueries: Int = 5,
+                       k: Int = 10): DataFrame = {
+    val golden = knnBrute(embeddings, numQueries, k).select("query_id", "vec_id")
+    def summarize(method: String, res: DataFrame): DataFrame =
+      golden.join(
+          res.select(col("query_id").as("r_qid"), col("vec_id").as("r_vid")),
+          col("query_id") === col("r_qid") && col("vec_id") === col("r_vid"),
+          "left")
+        .agg(
+          (sum(when(col("r_vid").isNotNull, 1.0).otherwise(0.0)) / count(lit(1)))
+            .as("mean_recall"),
+          countDistinct(col("query_id")).as("queries"))
+        .select(lit(method).as("method"), col("mean_recall"), col("queries"))
+    summarize("brute", knnBrute(embeddings, numQueries, k))
+      .unionByName(summarize("bucketed", knnBucketed(embeddings, numQueries, k)))
+      .unionByName(summarize("multiprobe", knnMultiProbe(embeddings, numQueries, k)))
+      .unionByName(summarize("ivf", knnIvf(embeddings, numQueries, k)))
+      .unionByName(summarize("pq", knnPq(embeddings, numQueries, k)))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, blocked by
     * the sign-LSH bucket (same coarse quantizer as [[knnBucketed]]).
     *

@@ -169,4 +169,25 @@ class CurationSpec extends SparkSpec {
     assert(drift.count() == 0)
     assert(out.filter(col("avg_logprob") >= 0.0).count() == 0)
   }
+
+  test("PII scrub replaces emails/phones/IPs with typed placeholders and counts them") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 555-123-4567 now"),
+      (2L, "server at 192.168.1.10 and 10.0.0.1 answered"),
+      (3L, "totally clean text with no identifiers"),
+      (4L, "two mails a@b.io c@d.org one phone 800 555 1234"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+    val out = graft.text.PiiScrub.scrub(synth).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(out(0)._2 == "contact <EMAIL> or <PHONE> now")
+    assert(out(0)._3 == 1 && out(0)._4 == 1 && out(0)._5 == 0)
+    assert(out(1)._2 == "server at <IP> and <IP> answered")
+    assert(out(1)._5 == 2)
+    assert(out(2)._2 == "totally clean text with no identifiers")
+    assert(out(2)._3 + out(2)._4 + out(2)._5 == 0)
+    assert(out(3)._2 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+    assert(out(3)._3 == 2 && out(3)._4 == 1)
+  }
 }

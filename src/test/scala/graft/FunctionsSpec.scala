@@ -110,6 +110,16 @@ class FunctionsSpec extends SparkSpec {
     assert(perQ.nonEmpty && perQ.forall(_ == 10L))
   }
 
+  test("recall summary: brute anchors at 1.0, learned methods dominate sign-LSH") {
+    val rec = Similarity.knnRecallSummary(Tables.embeddings(spark, TinySf))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rec.keySet == Set("brute", "bucketed", "multiprobe", "ivf", "pq"))
+    assert(rec("brute") == 1.0)
+    assert(rec("ivf") >= rec("bucketed"), s"ivf ${rec("ivf")} < bucketed ${rec("bucketed")}")
+    assert(rec("pq") >= rec("bucketed"), s"pq ${rec("pq")} < bucketed ${rec("bucketed")}")
+    assert(rec("pq") > 0.0 && rec("ivf") > 0.0)
+  }
+
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
     val rec = Similarity.knnRecall(Tables.embeddings(spark, TinySf))
       .select("method", "query_id", "hits").collect()
