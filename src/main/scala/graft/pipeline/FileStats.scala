@@ -66,17 +66,48 @@ object FileStats {
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /** Data files of `dir` right now (normalized to URI strings matching
+    * input_file_name()'s output). */
+  private def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val covered = f.toUri.getPath.contains(s"/$StatsDir/")
+      if (f.getName.endsWith(".parquet") && !covered) out += f.toUri.toString
+    }
+    out.result()
+  }
+
   /** Range-predicate read planned through the manifest: only surviving
     * files reach the FileSourceScan; the residual filter still applies
     * (file ranges overlap the predicate, rows inside may not). Returns
     * (dataframe, filesRead, filesTotal) so callers can observe skipping.
     *
+    * Staleness safety: files present on disk but ABSENT from the manifest
+    * (appended since the last collect) are always read — skipping may
+    * only ever drop files the manifest proves out-of-range, never files
+    * it has not seen (the conservative union Delta gets from its log
+    * being authoritative; here the directory is authoritative).
+    *
     * Empty survivor set short-circuits to an empty frame with the table
     * schema — no scan at all. */
   def readRange(spark: SparkSession, dir: String, column: String,
                 lo: Any, hi: Any): (DataFrame, Long, Long) = {
-    val total = stats(spark, dir).count()
-    val files = survivingFiles(spark, dir, column, lo, hi)
+    // compare by scheme-normalized path: input_file_name() URIs and
+    // FileSystem-listing URIs differ in scheme spelling (file:/ vs file:///)
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val coveredNorm = stats(spark, dir).select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val survivorsNorm = survivingFiles(spark, dir, column, lo, hi).map(norm).toSet
+    val actual = currentFiles(spark, dir)
+    // keep: manifest-surviving files, plus every file the manifest has
+    // never seen; manifest rows for since-deleted files drop out naturally
+    val files = actual.filter(f => {
+      val n = norm(f); survivorsNorm(n) || !coveredNorm(n)
+    })
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     // basePath keeps partition-column derivation intact when listing
     // leaf files of a partitioned table
@@ -85,7 +116,7 @@ object FileStats {
         spark.read.option("basePath", dir).parquet(dir).filter(pred).limit(0)
       else
         spark.read.option("basePath", dir).parquet(files: _*).filter(pred)
-    (out, files.size.toLong, total)
+    (out, files.size.toLong, actual.size.toLong)
   }
 
   /** True if `dir` carries a skipping manifest. */

@@ -104,14 +104,20 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     doomed.toSeq
   }
 
-  /** Highest committed silver version, if any. */
+  /** Highest COMMITTED silver version, if any. A snapshot counts only
+    * when its directory carries Spark's _SUCCESS commit marker — a
+    * crashed half-written v=N must never be readable as latest (the
+    * poor-man's transaction-log visibility rule; Delta gets the same
+    * from its log). */
   def latestVersion(table: String): Option[Long] = {
     val dir = new org.apache.hadoop.fs.Path(path("silver", table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
     else {
-      val vs = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      val vs = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("v="))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("v=").toLong)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }

@@ -110,6 +110,13 @@ class MedallionSpec extends SparkSpec {
     val v2 = m.readSilverVersion("orders_enriched", 2L)
       .drop("_merge_action").orderBy("o_orderkey").collect()
     assert(v1.nonEmpty && v1.toSeq == v2.toSeq)
+
+    // a crashed half-written snapshot (no _SUCCESS marker) is invisible:
+    // latest must stay at the last COMMITTED version
+    val ghost = new java.io.File(s"$wh/silver/orders_enriched/v=99")
+    assert(ghost.mkdirs())
+    new java.io.FileOutputStream(new java.io.File(ghost, "part-x.parquet")).close()
+    assert(m.latestVersion("orders_enriched").contains(2L))
   }
 
   test("silver MERGE evolves the schema: adding a column widens, dropping keeps values") {
@@ -249,6 +256,14 @@ class MedallionSpec extends SparkSpec {
     // re-collect after the data changed (append) stays consistent and
     // ignores the manifest's own files
     orders.limit(10).write.mode("append").parquet(dir)
+    // staleness safety: BEFORE re-collecting, the planner must read the
+    // appended (manifest-unknown) files — skipping never drops unseen data
+    val (stale, readStale, totalStale) = FileStats.readRange(spark, dir, "o_orderkey", lo, hi)
+    assert(totalStale > total)
+    assert(readStale > read, "appended files must be force-included")
+    val wantStale = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+    assert(stale.count() == wantStale)
     val covered2 = FileStats.collect(spark, dir, Seq("o_orderkey"))
     assert(covered2 > covered)
   }
