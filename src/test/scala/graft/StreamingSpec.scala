@@ -197,6 +197,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size > 100)
   }
 
+  test("event-time timers close EVERY idle session from one watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TimerSessions
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, TinySf)
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"), col("value"), col("ts").cast("timestamp").as("ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getTimestamp(5))).toSeq
+      val maxUs = evs.map(_._3).max
+      // watermark advancers from ONE synthetic user — no per-key flush:
+      // the second batch lets the first advancer's watermark take effect
+      def adv(id: Long, us: Long) =
+        (999999L, id, us, "view", 0.0, new java.sql.Timestamp(us / 1000L))
+      val stream = MemoryStream[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      val q = TimerSessions.sessionize(
+          stream.toDS().toDF("user_id", "event_id", "ts_us", "event_type", "value", "ts"),
+          Sessionize2.gapUs)
+        .writeStream.format("memory").queryName("timer_sessions")
+        .outputMode("append").start()
+      stream.addData(evs); q.processAllAvailable()
+      stream.addData(Seq(adv(9000001L, maxUs + 10L * Sessionize2.gapUs))); q.processAllAvailable()
+      stream.addData(Seq(adv(9000002L, maxUs + 20L * Sessionize2.gapUs))); q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("timer_sessions")
+        .filter(col("user_id") =!= 999999L)
+        .select("user_id", "session_idx", "event_count", "purchases", "errors")
+        .orderBy("user_id", "session_idx").collect().toSeq
+      val batch = graft.operators.Sessionize.sessionStats(Tables.events(spark, TinySf))
+        .select("user_id", "session_idx", "event_count", "purchases", "errors")
+        .orderBy("user_id", "session_idx").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.size > 100)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState EWMA drift matches the batch fold bit-exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
