@@ -20,4 +20,25 @@ class QueriesSpec extends SparkSpec {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("Marts registers the SQL surface: named views answer like the API") {
+    import org.apache.spark.sql.functions._
+    val views = Marts.register(spark, TinySf)
+    assert(views.contains("revenue_daily") && views.contains("user_risk_scores"))
+    // SQL over the mart view == the DataFrame API result
+    val sqlHigh = spark.sql(
+      "SELECT count(*) FROM user_risk_scores WHERE composite_risk_score >= 0.3")
+      .collect()(0).getLong(0)
+    val apiHigh = gold.FraudSummary.userRiskScores(Tables.events(spark, TinySf))
+      .filter(col("composite_risk_score") >= 0.3).count()
+    assert(sqlHigh == apiHigh && sqlHigh > 0)
+    // pushdown survives the view: a source-table predicate reaches the scan
+    val q = spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 42")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      q.queryExecution.executedPlan.toString.take(600))
+    // graft's native SQL functions ride along (registered by Marts)
+    val z = spark.sql("SELECT morton2(3L, 5L) AS z").collect()(0).getLong(0)
+    assert(z == 39L) // interleave(0b11, 0b101): x even bits, y odd bits
+  }
 }
