@@ -602,6 +602,33 @@ object Queries {
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin)),
 
+    // Interval-overlap join via bin blocking (operators.IntervalJoin):
+    // co-active session pairs — an interval×interval predicate joined as
+    // an EQUI-join on exploded time bins, never a nested-loop cross
+    // product. Oracle = DuckDB's native IEJoin over the same sessions.
+    QueryDef("q_interval_join",
+      (s, d) => operators.IntervalJoin.coActiveSessions(
+          Sessionize.sessionStats(Tables.events(s, d)))
+        .orderBy("user_a", "user_b"),
+      Some(EventsUsCte +
+        """
+        |, b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_boundary
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b
+        |), sessions AS (
+        |  SELECT user_id, session_idx, min(ts_us) AS s_start, max(ts_us) AS s_end
+        |  FROM sx GROUP BY user_id, session_idx
+        |)
+        |SELECT x.user_id AS user_a, y.user_id AS user_b, count(*) AS overlap_count
+        |FROM sessions x JOIN sessions y
+        |  ON x.user_id < y.user_id AND x.s_start <= y.s_end AND y.s_start <= x.s_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q_asof_join",
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -141,6 +141,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sums.map(f => (f.doc_id, f.frame_checksum)).distinct.length == sums.length)
   }
 
+  test("interval overlap joins as a bin equi-join, never a nested-loop cross product") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    // hand-checkable intervals (µs): u1 s1 overlaps u2 s1 and u3 s1;
+    // u1 s2 overlaps nothing; u2 s1 overlaps u3 s1 as well
+    val sessions = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 5000L, 5100L),
+      (2L, 1L, 50L, 200L), (3L, 1L, 90L, 95L))
+      .toDF("user_id", "session_idx", "session_start_us", "session_end_us")
+    val got = IntervalJoin.coActiveSessions(sessions, binUs = 64L)
+      .orderBy("user_a", "user_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+
+    // plan shape: equi-join on the bin key (sort-merge or hash), and NO
+    // BroadcastNestedLoopJoin anywhere — the cross-product shape the
+    // naive overlap predicate would plan as
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = IntervalJoin.coActiveSessions(sessions, binUs = 64L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("audio segmentation: typed stub-decoder path matches the SQL window plan") {
     val docs = Tables.documents(spark, TinySf).filter(col("doc_id") < 25)
     // 500ms window / 200ms hop: stub durations are >=1001ms, so every doc
