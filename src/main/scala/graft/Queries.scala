@@ -1839,6 +1839,13 @@ object Queries {
         .orderBy("query_id", "rank"),
       None),
 
+    // IVF-PQ composition (coarse cells gate candidates, PQ codes rank
+    // them, floats only for the re-rank shortlist) — rows-only.
+    QueryDef("q_knn_ivfpq",
+      (s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      None),
+
     // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
     // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
     QueryDef("q_knn_recall_all",

@@ -180,32 +180,34 @@ object Similarity {
     * Seeded per-subspace KMeans → deterministic within an engine, not
     * across engines → rows-only gate; FunctionsSpec asserts recall
     * against the brute-force golden top-k. */
-  def knnPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-            subspaces: Int = 8, codebookSize: Int = 16, refine: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  // ---- PQ building blocks (shared by knnPq and knnIvfPq) ----------------
 
-    // cosine metric ⇒ L2-normalize BEFORE quantizing: on the unit sphere
-    // L2 ordering equals cosine ordering, so the ADC scan ranks by the
-    // target metric (unnormalized PQ ranks by magnitude too — recall drops)
-    val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+  /** cosine metric ⇒ L2-normalize BEFORE quantizing: on the unit sphere
+    * L2 ordering equals cosine ordering, so ADC ranks by the target
+    * metric (unnormalized PQ ranks by magnitude too — recall drops). */
+  private def withNormalized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nv", transform(col("embedding"),
         x => x.cast("double") / sqrt(dot(col("embedding"), col("embedding")))))
-    val dim = base.select(size(col("embedding"))).head().getInt(0)
-    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
-    val sub = dim / subspaces
 
-    def sliceM(c: Column, m: Int): Column = slice(c, m * sub + 1, sub)
-    // squared L2 in double via sequential fold (deterministic, like `dot`)
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+  private def sliceM(c: Column, sub: Int, m: Int): Column =
+    slice(c, m * sub + 1, sub)
 
-    // per-subspace seeded codebooks. Codebooks train on a BOUNDED sample
-    // (codebookSize × a few hundred suffices — the FAISS norm): at 100 TB
-    // the corpus never feeds the fits, only the encode pass scans it.
+  /** squared L2 in double via sequential fold (deterministic, like `dot`) */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace seeded codebooks trained on a BOUNDED sample
+    * (codebookSize × a few hundred suffices — the FAISS norm): at 100 TB
+    * the corpus never feeds the fits, only the encode pass scans it. The
+    * independent per-subspace fits run as concurrent Spark jobs (seeded
+    * per subspace, so parallelism keeps determinism). */
+  private def trainCodebooks(base: DataFrame, subspaces: Int, sub: Int,
+                             codebookSize: Int): IndexedSeq[Seq[Seq[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val trainCap = 2000L
     val cached = {
       val n = base.count()
@@ -214,45 +216,119 @@ object Similarity {
       else base
       s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    // the per-subspace fits are independent → run them as concurrent
-    // Spark jobs (seeded per subspace, so parallelism keeps determinism)
     import scala.collection.parallel.CollectionConverters._
-    val codebooks: IndexedSeq[Seq[Seq[Float]]] =
-      try (0 until subspaces).par.map { m =>
-        new KMeans().setK(codebookSize).setSeed(7L + m).setMaxIter(5)
-          .setInitMode("random") // k-means|| init costs extra passes per fit; random+seed is one
-          .setFeaturesCol("fv").setPredictionCol("c")
-          .fit(cached.select(array_to_vector(sliceM(col("nv"), m)).as("fv")))
-          .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
-      }.toIndexedSeq
-      finally cached.unpersist(blocking = false)
+    try (0 until subspaces).par.map { m =>
+      new KMeans().setK(codebookSize).setSeed(7L + m).setMaxIter(5)
+        .setInitMode("random") // k-means|| init costs extra passes per fit; random+seed is one
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(cached.select(array_to_vector(sliceM(col("nv"), sub, m)).as("fv")))
+        .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+    }.toIndexedSeq
+    finally cached.unpersist(blocking = false)
+  }
 
+  /** ADC shortlist → exact-cosine re-rank over `candidates` (rows with
+    * qnv/qv/codes columns present). */
+  private def adcRerank(candidates: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
+                        subspaces: Int, sub: Int, k: Int, refine: Int): DataFrame = {
     def cbLit(m: Int): Column = typedlit(codebooks(m))
-    def argminCode(c: Column, m: Int): Column = {
-      val dists = transform(cbLit(m), cent => d2(sliceM(c, m), cent))
-      (array_position(dists, array_min(dists)) - 1L).cast("int")
-    }
-
-    val encoded = base.withColumn("codes",
-      array((0 until subspaces).map(m => argminCode(col("nv"), m)): _*))
-    val queries = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nv").as("qnv"))
-
-    // ADC: approximate distance from the codes alone
     val adc = (0 until subspaces).map { m =>
-      d2(sliceM(col("qnv"), m), element_at(cbLit(m), col("codes").getItem(m) + 1))
+      d2(sliceM(col("qnv"), sub, m), element_at(cbLit(m), col("codes").getItem(m) + 1))
     }.reduce(_ + _)
     val shortlist = graft.operators.ScalableRank.topKPerGroup(
-      encoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-        .withColumn("approx_d2", adc),
+      candidates.withColumn("approx_d2", adc),
       Seq(col("query_id")), Seq(col("approx_d2").asc, col("vec_id").asc),
       refine * k, "cand_rank")
-    // exact re-rank of the shortlist only
     val exact = shortlist.withColumn("cos_sim",
       fastDot("qv", "embedding")
         / (sqrt(fastDot("qv", "qv")) * sqrt(fastDot("embedding", "embedding"))))
     topK(exact, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
+  }
+
+  private def encodeCodes(base: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
+                          subspaces: Int, sub: Int): DataFrame = {
+    def cbLit(m: Int): Column = typedlit(codebooks(m))
+    def argminCode(c: Column, m: Int): Column = {
+      val dists = transform(cbLit(m), cent => d2(sliceM(c, sub, m), cent))
+      (array_position(dists, array_min(dists)) - 1L).cast("int")
+    }
+    base.withColumn("codes",
+      array((0 until subspaces).map(m => argminCode(col("nv"), m)): _*))
+  }
+
+  def knnPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+            subspaces: Int = 8, codebookSize: Int = 16, refine: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNormalized(embeddings)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+    val codebooks = trainCodebooks(base, subspaces, sub, codebookSize)
+    val encoded = encodeCodes(base, codebooks, subspaces, sub)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("qnv"))
+    // full-corpus ADC scan: every row ranks from its codes alone
+    adcRerank(
+      encoded.join(broadcast(queries), col("vec_id") =!= col("query_id")),
+      codebooks, subspaces, sub, k, refine)
+  }
+
+  /** IVF-PQ composition (the FAISS production architecture): the coarse
+    * quantizer gates WHICH rows are candidates (nprobe of nlist cells ≈
+    * nprobe/nlist of the corpus), PQ codes rank those candidates without
+    * touching raw vectors, and only the refine·k shortlist reads floats
+    * for the exact re-rank. Both quantizers are seeded; rows-only gate,
+    * FunctionsSpec floors recall. */
+  def knnIvfPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+               nlist: Int = 16, nprobe: Int = 4,
+               subspaces: Int = 8, codebookSize: Int = 16,
+               refine: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val base = withNormalized(embeddings)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+
+    // coarse quantizer on the normalized vectors
+    val withFv = base.withColumn("fv", array_to_vector(col("nv")))
+    val trainVecs = withFv.select("fv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse =
+      try new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(trainVecs)
+      finally trainVecs.unpersist(blocking = false)
+    val celled = coarse.transform(withFv)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nv"),
+        col("cell").cast("long").as("cell"))
+
+    val codebooks = trainCodebooks(base, subspaces, sub, codebookSize)
+    val encoded = encodeCodes(celled, codebooks, subspaces, sub)
+
+    // each query probes its nprobe nearest cells (tiny literal centroids)
+    val cells = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("c_cell", "centroid")
+    val queries = celled.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("qnv"))
+    val probes = graft.operators.ScalableRank.topKPerGroup(
+        queries.crossJoin(broadcast(cells))
+          .withColumn("dist2", d2(col("qnv"), col("centroid"))),
+        Seq(col("query_id")), Seq(col("dist2").asc, col("c_cell").asc),
+        nprobe, "probe_rank")
+      .select(col("query_id").as("p_qid"), col("c_cell"))
+
+    // candidates = probed cells only; ADC ranks them from codes
+    adcRerank(
+      encoded.join(
+        broadcast(probes.join(queries, col("p_qid") === col("query_id"))),
+        col("cell") === col("c_cell") && col("vec_id") =!= col("query_id")),
+      codebooks, subspaces, sub, k, refine)
   }
 
   /** Recall@k of the approximate paths against the brute-force golden
@@ -300,6 +376,7 @@ object Similarity {
       .unionByName(summarize("multiprobe", knnMultiProbe(embeddings, numQueries, k)))
       .unionByName(summarize("ivf", knnIvf(embeddings, numQueries, k)))
       .unionByName(summarize("pq", knnPq(embeddings, numQueries, k)))
+      .unionByName(summarize("ivfpq", knnIvfPq(embeddings, numQueries, k)))
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, blocked by

@@ -113,11 +113,14 @@ class FunctionsSpec extends SparkSpec {
   test("recall summary: brute anchors at 1.0, learned methods dominate sign-LSH") {
     val rec = Similarity.knnRecallSummary(Tables.embeddings(spark, TinySf))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(rec.keySet == Set("brute", "bucketed", "multiprobe", "ivf", "pq"))
+    assert(rec.keySet == Set("brute", "bucketed", "multiprobe", "ivf", "pq", "ivfpq"))
     assert(rec("brute") == 1.0)
     assert(rec("ivf") >= rec("bucketed"), s"ivf ${rec("ivf")} < bucketed ${rec("bucketed")}")
     assert(rec("pq") >= rec("bucketed"), s"pq ${rec("pq")} < bucketed ${rec("bucketed")}")
     assert(rec("pq") > 0.0 && rec("ivf") > 0.0)
+    // the composed IVF-PQ is bounded by its coarse gate (<= ivf's exact
+    // ranking of the same candidates) but must stay a real method
+    assert(rec("ivfpq") > 0.0 && rec("ivfpq") >= rec("bucketed"))
   }
 
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
