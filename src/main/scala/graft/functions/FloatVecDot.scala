@@ -69,10 +69,18 @@ object GraftFunctions {
 
   // capacity/k must be literal ints (sketch shape is a plan-time property)
   val topkFreqBuilder: Seq[Expression] => Expression = exprs => {
-    def litInt(e: Expression, what: String): Int = e.eval(null) match {
-      case n: Number => n.intValue
-      case other => throw new IllegalArgumentException(
-        s"topk_freq $what must be a literal int, got $other")
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"topk_freq expects 3 arguments (value, capacity, k), got ${exprs.length}")
+    def litInt(e: Expression, what: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"topk_freq $what must be a literal int, got non-literal ${e.sql}")
+      e.eval(null) match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"topk_freq $what must be a literal int, got $other")
+      }
     }
     TopKFreq(exprs.head, litInt(exprs(1), "capacity"), litInt(exprs(2), "k"))
   }

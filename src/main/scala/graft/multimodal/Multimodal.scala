@@ -138,7 +138,9 @@ object Multimodal {
         (0L until n).iterator.map { s =>
           digest.reset()
           digest.update(rec.payload)
-          digest.update(s.toByte)
+          // all 8 bytes of the index: a single-byte update collides
+          // seg_idx with seg_idx+256 for >255 segments per record
+          digest.update(java.nio.ByteBuffer.allocate(8).putLong(s).array())
           val sum = digest.digest().take(8).map("%02x".format(_)).mkString
           AudioSegment(rec.doc_id, s, s * hopMs,
             math.min(s * hopMs + windowMs, dur), sum)

@@ -22,21 +22,31 @@ object Constraints {
   final class CheckViolation(msg: String) extends IllegalStateException(msg)
 
   /** Validate `checks` (name → predicate) over `df` in one pass; returns
-    * `df` untouched when clean, throws CheckViolation with per-check
-    * counts otherwise. */
+    * the PERSISTED frame when clean (the caller must write that exact
+    * frame, then unpersist), throws CheckViolation with per-check counts
+    * otherwise.
+    *
+    * The persist is what makes the CHECK a guarantee rather than a
+    * heuristic: validate and write are separate actions, so a
+    * non-deterministic source (sample, rand, a shuffling UDF) could pass
+    * validation yet recompute different — violating — rows for the write.
+    * Pinning the batch makes both actions read the same rows. */
   def enforce(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     if (checks.isEmpty) return df
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = checks.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(true)), 0L).otherwise(1L)).as(name)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
     val bad = checks.zipWithIndex.flatMap { case ((name, _), i) =>
       val n = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (n > 0L) Some(s"$name ($n rows)") else None
     }
-    if (bad.nonEmpty)
+    if (bad.nonEmpty) {
+      pinned.unpersist(blocking = false)
       throw new CheckViolation(
         s"CHECK constraint violation(s): ${bad.mkString(", ")}")
-    df
+    }
+    pinned
   }
 }

@@ -70,17 +70,20 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
                    partitionCol: String,
                    checks: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
     // Delta CHECK-constraint analog: a violating batch fails BEFORE any
-    // snapshot is written — no version is committed, readers see nothing
-    graft.operators.Constraints.enforce(updates, checks)
+    // snapshot is written — no version is committed, readers see nothing.
+    // enforce returns the PINNED batch so the write below lands the exact
+    // rows that passed validation (not a recomputation of them).
+    val validated = graft.operators.Constraints.enforce(updates, checks)
     val prev = latestVersion(table)
     val merged = prev match {
       case Some(_) => MergeUpsert.mergeEvolve(
-        readSilver(table).drop("_merge_action"), updates, keys)
-      case None => updates.withColumn("_merge_action", lit("inserted"))
+        readSilver(table).drop("_merge_action"), validated, keys)
+      case None => validated.withColumn("_merge_action", lit("inserted"))
     }
     val next = prev.getOrElse(0L) + 1
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+    try merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(path("silver", table) + s"/v=$next")
+    finally if (checks.nonEmpty) validated.unpersist(blocking = false)
     next
   }
 

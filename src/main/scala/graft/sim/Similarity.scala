@@ -107,13 +107,14 @@ object Similarity {
     topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "bucket")
   }
 
-  /** IVF ANN: a trained coarse quantizer (Spark-ML KMeans, fixed seed)
-    * replaces the data-oblivious sign-LSH bucket. Corpus rows are assigned
-    * to their nearest centroid once; each query probes its `nprobe`
-    * nearest cells, so the candidate set is ~nprobe/nlist of the corpus —
-    * the recall/cost dial real vector stores use (FAISS IVF). Centroids
-    * are a driver-side nlist×dim array after fit (tiny), shipped back as
-    * a broadcast-joined cells table; the corpus is scanned once for
+  /** IVF ANN: a trained coarse quantizer (Spark-ML KMeans, fixed seed,
+    * fit on the bounded sample — never the full corpus) replaces the
+    * data-oblivious sign-LSH bucket. Corpus rows are assigned to their
+    * nearest centroid once; each query probes its `nprobe` nearest cells,
+    * so the candidate set is ~nprobe/nlist of the corpus — the
+    * recall/cost dial real vector stores use (FAISS IVF). Centroids are a
+    * driver-side nlist×dim array after fit (tiny), shipped back as a
+    * broadcast-joined cells table; the corpus is scanned once for
     * assignment and once for scoring. Learned centroids are not
     * cross-engine reproducible → rows-only for the oracle; recall@k vs
     * brute is the test contract. */
@@ -121,43 +122,33 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val base = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    // cache the training vectors: every KMeans iteration passes over them
-    val trainVecs = base.select("fv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(trainVecs)
-      finally trainVecs.unpersist(blocking = false)
-    val corpus = model.transform(base)
+    import spark.implicits._
+    val base = withNormalized(embeddings)
+    // coarse quantizer from the bounded sample; assignment is the ONLY
+    // full-corpus pass before scoring
+    val model = trainCoarse(base, nlist)
+    val corpus = model.transform(base.withColumn("fv", array_to_vector(col("nv"))))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cell").cast("long").as("cell"))
       .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
     // centroids: nlist rows — a literal-backed DataFrame, broadcast below
-    val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val cells = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.map(_.toFloat))
-    }.toSeq
-    import spark.implicits._
-    val cells = centroidRows.toDF("c_cell", "centroid")
+    }.toSeq.toDF("c_cell", "centroid")
     // each query's nprobe nearest cells (|queries|×nlist tiny cross join)
-    val queries = corpus.filter(col("vec_id") < numQueries)
+    val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("q_nrm"))
+        col("nv").as("qnv"))
+      .withColumn("q_nrm", sqrt(fastDot("qv", "qv")))
     val probes = graft.operators.ScalableRank.topKPerGroup(
         queries.crossJoin(broadcast(cells))
-          .withColumn("dist2",
-            fastDot("qv", "qv") - lit(2.0) * fastDot("qv", "centroid")
-              + fastDot("centroid", "centroid")),
+          .withColumn("dist2", d2(col("qnv"), col("centroid"))),
         Seq(col("query_id")), Seq(col("dist2").asc, col("c_cell").asc),
         nprobe, "probe_rank")
       .select(col("query_id").as("p_qid"), col("c_cell"))
     val scored = corpus
-      .join(broadcast(probes.join(queries, col("p_qid") === col("query_id"))),
+      .join(broadcast(probes.join(queries.drop("qnv"), col("p_qid") === col("query_id"))),
         col("cell") === col("c_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
     topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim", "cell")
@@ -199,23 +190,47 @@ object Similarity {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Per-subspace seeded codebooks trained on a BOUNDED sample
-    * (codebookSize × a few hundred suffices — the FAISS norm): at 100 TB
-    * the corpus never feeds the fits, only the encode pass scans it. The
-    * independent per-subspace fits run as concurrent Spark jobs (seeded
-    * per subspace, so parallelism keeps determinism). */
+  /** Max rows any quantizer trains on — the FAISS norm: coarse centroids
+    * and codebooks need ~thousands of vectors regardless of corpus size. */
+  private[graft] val trainCap = 2000
+
+  /** Bounded deterministic training sample with NO pre-count and no
+    * full-corpus persist: a hash gate (seedless, engine-stable) thins the
+    * scan 2× to decorrelate from file order, and the LIMIT bounds what any
+    * fit ever reads — each scan task short-circuits after `trainCap` gated
+    * rows, so at 100 TB training reads a capped prefix, not the corpus.
+    * (The old shape — `count()` then fraction-sample then persist — cost a
+    * full pre-pass plus a corpus-sized cache before the first fit.) */
+  private[graft] def boundedTrainSample(base: DataFrame): DataFrame =
+    base.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0).limit(trainCap)
+
+  /** Coarse-quantizer KMeans (seeded) fit on the bounded sample; the only
+    * full-corpus pass a caller then makes is the cell-assignment transform.
+    * Trains on the L2-NORMALIZED vectors (`nv`): for a cosine metric the
+    * cells must partition the unit sphere — raw-space centroids split on
+    * magnitude, which cosine ignores, wasting cells. */
+  private def trainCoarse(base: DataFrame, nlist: Int)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = boundedTrainSample(base)
+      .select(array_to_vector(col("nv")).as("fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // ≤ trainCap rows
+    try new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(sample)
+    finally sample.unpersist(blocking = false)
+  }
+
+  /** Per-subspace seeded codebooks trained on the same BOUNDED sample:
+    * at 100 TB the corpus never feeds the fits, only the encode pass scans
+    * it. The independent per-subspace fits run as concurrent Spark jobs
+    * (seeded per subspace, so parallelism keeps determinism). */
   private def trainCodebooks(base: DataFrame, subspaces: Int, sub: Int,
                              codebookSize: Int): IndexedSeq[Seq[Seq[Float]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val trainCap = 2000L
-    val cached = {
-      val n = base.count()
-      val s = if (n > trainCap)
-        base.sample(withReplacement = false, trainCap.toDouble / n, seed = 7L)
-      else base
-      s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val cached = boundedTrainSample(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // ≤ trainCap rows
     import scala.collection.parallel.CollectionConverters._
     try (0 until subspaces).par.map { m =>
       new KMeans().setK(codebookSize).setSeed(7L + m).setMaxIter(5)
@@ -281,12 +296,11 @@ object Similarity {
     * for the exact re-rank. Both quantizers are seeded; rows-only gate,
     * FunctionsSpec floors recall. */
   def knnIvfPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-               nlist: Int = 16, nprobe: Int = 4,
+               nlist: Int = 16, nprobe: Int = 8,
                subspaces: Int = 8, codebookSize: Int = 16,
-               refine: Int = 4): DataFrame = {
+               refine: Int = 12): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val base = withNormalized(embeddings)
@@ -294,15 +308,10 @@ object Similarity {
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
     val sub = dim / subspaces
 
-    // coarse quantizer on the normalized vectors
-    val withFv = base.withColumn("fv", array_to_vector(col("nv")))
-    val trainVecs = withFv.select("fv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarse =
-      try new KMeans().setK(nlist).setSeed(7L).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(trainVecs)
-      finally trainVecs.unpersist(blocking = false)
-    val celled = coarse.transform(withFv)
+    // coarse quantizer from the bounded sample (assignment is the only
+    // full-corpus pass before the code scan)
+    val coarse = trainCoarse(base, nlist)
+    val celled = coarse.transform(base.withColumn("fv", array_to_vector(col("nv"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("nv"),
         col("cell").cast("long").as("cell"))
 

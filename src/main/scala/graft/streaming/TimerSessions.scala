@@ -34,7 +34,10 @@ object TimerSessions {
       state = getHandle.getValueState[StreamOps.SessState](
         "open_session", Encoders.product[StreamOps.SessState], TTLConfig.NONE)
 
-    private def timerMsOf(lastTsUs: Long): Long = lastTsUs / 1000L + gapUs / 1000L
+    // ceiling to the ms grid: a floor here could fire the timer up to
+    // ~2 ms BEFORE lastTs+gap, closing a session while a within-gap event
+    // is still admissible (breaking batch/stream parity for sub-ms data)
+    private def timerMsOf(lastTsUs: Long): Long = (lastTsUs + gapUs + 999L) / 1000L
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[SessionOut] = {
