@@ -1265,6 +1265,37 @@ object Queries {
       },
       None),
 
+    // Train -> versioned registry save -> reload "latest" -> score with the
+    // RELOADED model (the reference's decoupled train/serve loop). The
+    // reload_mismatches column must be 0; learned trees are engine-local
+    // -> rows-only. Registry root is a per-run temp dir (the query's write
+    // side effect, like Medallion's warehouse).
+    QueryDef("q_model_reload_eval",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
+        GbtModel.reloadEval(FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))), root, maxIter = 5)
+      },
+      None),
+
+    // Per-feature importances of the trained GBT, ranked (serving API's
+    // explainability surface). Learned split gains are engine-local ->
+    // rows-only; MlSpec pins sum==1 and signal-over-noise ordering.
+    QueryDef("q_model_importance",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+        GbtModel.featureImportance(FraudScore.fullFeatureVector(
+          Enrichment.enrichOrders(clean,
+            Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+          clean,
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))), maxIter = 5)
+      },
+      None),
+
     QueryDef("q_fraud_summary",
       (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))
         .select("event_date", "total_events", "error_events", "purchase_events",

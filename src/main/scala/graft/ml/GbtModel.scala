@@ -102,6 +102,49 @@ object GbtModel {
       .withColumn("cv_auc", lit(bestAuc))
   }
 
+  /** Train → save to the registry → reload "latest" → score held-out with
+    * the RELOADED model: the decoupled train-nightly/score-everywhere loop
+    * (ref: ml/models/fraud_detector.py save/load; ml/serving/api.py:58
+    * load-latest, :280 hot reload). Output carries the committed version
+    * and a reload-parity mismatch count that must be 0 — a saved model
+    * that scores differently after a round trip is a broken registry. */
+  def reloadEval(fullFeatures: DataFrame, registryRoot: String,
+                 maxIter: Int = 5): DataFrame = {
+    val assembled = TrainedModel.assembleSplit(fullFeatures)
+    val spark = assembled.sparkSession
+    val model = baseEstimator(maxIter)
+      .fit(withClassWeight(assembled.filter(!col("is_test"))))
+    val version = ModelRegistry.save(spark, model, registryRoot, "fraud_gbt")
+    val reloaded = ModelRegistry.loadGbt(spark, registryRoot, "fraud_gbt")
+    val test = assembled.filter(col("is_test"))
+    val live = predictions(model, test)
+      .select(col("o_orderkey"), col("predicted_fraud").as("live_pred"))
+    val rel = predictions(reloaded, test)
+    val mismatches = rel.join(live, "o_orderkey")
+      .filter(col("predicted_fraud") =!= col("live_pred")).count()
+    TrainedModel.metrics(rel)
+      .withColumn("model_version", lit(version))
+      .withColumn("reload_mismatches", lit(mismatches))
+  }
+
+  /** Per-feature importances of the fitted ensemble, ranked — the serving
+    * API's model-explainability surface (ref: ml/serving/api.py:262).
+    * Importances are a driver-side length-25 array on the fitted model
+    * (Spark computes them from split gains during fit), so the frame is
+    * literal-backed: no data pass beyond training itself. */
+  def featureImportance(fullFeatures: DataFrame, maxIter: Int = 5): DataFrame = {
+    val assembled = TrainedModel.assembleSplit(fullFeatures)
+    val spark = assembled.sparkSession
+    import spark.implicits._
+    val model = baseEstimator(maxIter)
+      .fit(withClassWeight(assembled.filter(!col("is_test"))))
+    val ranked = TrainedModel.FeatureCols.zip(model.featureImportances.toArray)
+      .sortBy { case (f, imp) => (-imp, f) }
+      .zipWithIndex
+      .map { case ((f, imp), r) => (r + 1L, f, imp) }
+    ranked.toDF("rank", "feature", "importance")
+  }
+
   private def predictions(model: GBTClassificationModel, test: DataFrame): DataFrame =
     model.transform(test)
       .withColumn("predicted_fraud", col("prediction").cast("long"))

@@ -81,4 +81,67 @@ class MlSpec extends SparkSpec {
       assert(row == again, s"non-deterministic CV selection: $row vs $again")
     } finally feats.unpersist()
   }
+
+  test("registry round trip: reloaded model scores identically and versions advance") {
+    val feats = fullFeatures.cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-registry-spec").toString
+    try {
+      val row = GbtModel.reloadEval(feats, root, maxIter = 5).collect()(0)
+      assert(row.getAs[Long]("reload_mismatches") == 0L,
+        s"reloaded model disagrees with in-session model on ${row.getAs[Long]("reload_mismatches")} rows")
+      assert(row.getAs[Long]("model_version") == 1L)
+      // a second training run commits v=2 and "latest" resolves to it
+      val row2 = GbtModel.reloadEval(feats, root, maxIter = 5).collect()(0)
+      assert(row2.getAs[Long]("model_version") == 2L)
+      assert(graft.ml.ModelRegistry.latestVersion(spark, root, "fraud_gbt").contains(2L))
+      // seeded fit + lossless round trip => identical held-out metrics
+      assert(row.getAs[Double]("f1") == row2.getAs[Double]("f1"))
+    } finally feats.unpersist()
+  }
+
+  test("registry save/load preserves per-row probabilities bit-exactly") {
+    import graft.ml.ModelRegistry
+    import org.apache.spark.ml.classification.GBTClassifier
+    import org.apache.spark.ml.functions.vector_to_array
+    val feats = fullFeatures.cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-registry-bits").toString
+    try {
+      val assembled = TrainedModel.assembleSplit(feats)
+      val model = new GBTClassifier()
+        .setFeaturesCol("fv").setLabelCol("label")
+        .setMaxDepth(6).setMaxIter(5).setSeed(42L)
+        .fit(assembled.filter(!col("is_test")))
+      ModelRegistry.save(spark, model, root, "fraud_gbt")
+      val reloaded = ModelRegistry.loadGbt(spark, root, "fraud_gbt")
+      val test = assembled.filter(col("is_test"))
+      def probs(m: org.apache.spark.ml.classification.GBTClassificationModel) =
+        m.transform(test).select(col("o_orderkey"),
+            vector_to_array(col("probability")).getItem(1).as("p"))
+      val joined = probs(model).withColumnRenamed("p", "p_live")
+        .join(probs(reloaded), "o_orderkey")
+      // bit-exact: the saved artifact carries full double split thresholds
+      // and leaf predictions, not a lossy export
+      assert(joined.filter(col("p_live") =!= col("p")).count() == 0)
+      assert(joined.count() > 0)
+    } finally feats.unpersist()
+  }
+
+  test("feature importances sum to 1 and rank label-rule signals above calendar noise") {
+    val feats = fullFeatures.cache()
+    try {
+      val imp = GbtModel.featureImportance(feats, maxIter = 5).collect()
+      assert(imp.length == TrainedModel.FeatureCols.length)
+      val total = imp.map(_.getAs[Double]("importance")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"importances sum to $total")
+      val rankOf = imp.map(r => r.getAs[String]("feature") -> r.getAs[Long]("rank")).toMap
+      // the label rule is built from amount_vs_user_avg + region_risk (+
+      // premium tier): the fitted ensemble must rank at least one of those
+      // above every pure-calendar column
+      val signal = Seq("region_risk", "amount_vs_user_avg", "tier_encoded")
+        .map(rankOf).min
+      val noise = Seq("order_dow", "order_month", "is_weekend").map(rankOf).min
+      assert(signal < noise,
+        s"best signal rank $signal not above best calendar rank $noise")
+    } finally feats.unpersist()
+  }
 }
