@@ -675,6 +675,38 @@ object Queries {
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin)),
 
+    // The same as-of join through SQL TEXT (graft.plans.GraftSqlParser,
+    // Snowflake MATCH_CONDITION grammar) — the reference's consumers are
+    // SQL-first, so the custom operator must be reachable from spark.sql.
+    // Oracle identical to q_asof_native: the parser is pure surface.
+    QueryDef("q_asof_sql",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+        ev.filter(col("event_type") === "error").drop("event_type")
+          .createOrReplaceTempView("asof_errors")
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value")
+          .createOrReplaceTempView("asof_purchases")
+        s.sql("""
+          SELECT e.event_id, e.user_id, e.ts_us, e.value, e.asof_value,
+                 e.asof_ts_us, e.ts_us - e.asof_ts_us AS micros_since_match
+          FROM asof_errors e ASOF JOIN asof_purchases p
+          MATCH_CONDITION(e.ts_us >= p.ts_us)
+          ON e.user_id = p.user_id
+          ORDER BY e.event_id""")
+      },
+      Some(EventsUsCte +
+        """
+        |, e AS (SELECT * FROM ev WHERE event_type = 'error'),
+        |  p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |  p.value AS asof_value, p.ts_us AS asof_ts_us,
+        |  e.ts_us - p.ts_us AS micros_since_match
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin)),
+
     // Generalized-type as-of through the same exec: STRING key (the
     // Catalyst-ordering compare path) and STRING payload (the
     // copyValue path for buffer-backed values).

@@ -128,5 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.topkFreqBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ASOF JOIN SQL syntax (Snowflake shape) -> AsOfJoinNode; ordinary SQL
+    // passes through to Spark's parser untouched
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
   }
 }

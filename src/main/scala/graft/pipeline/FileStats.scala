@@ -48,12 +48,27 @@ object FileStats {
     // a manifest is only useful if it is small: files-per-table rows
     stats.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/$StatsDir")
-    spark.read.parquet(s"$dir/$StatsDir").count()
+    invalidate(dir)
+    FileStats.stats(spark, dir).count()
+  }
+
+  /** Cached manifest frames: a DataFrame pins its resolved schema + file
+    * index, so repeated planning against the same manifest skips the
+    * footer-inference job spark.read would otherwise run per call (at
+    * ~10^6 files, per-read metadata work is the planning bottleneck —
+    * Delta caches its snapshot the same way). `collect` invalidates. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def invalidate(dir: String): Unit = {
+    val it = statsCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._2 == dir) it.remove()
   }
 
   /** The skipping manifest of `dir` (throws if never collected). */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/$StatsDir")
+    statsCache.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => spark.read.parquet(s"$dir/$StatsDir"))
 
   /** Files of `dir` whose [min, max] range on `column` intersects
     * [lo, hi] — the driver-side scan-planning step. Null bounds (file
@@ -99,15 +114,20 @@ object FileStats {
     // compare by scheme-normalized path: input_file_name() URIs and
     // FileSystem-listing URIs differ in scheme spelling (file:/ vs file:///)
     def norm(s: String): String = new Path(s).toUri.getPath
-    val coveredNorm = stats(spark, dir).select("file").collect()
-      .map(r => norm(r.getString(0))).toSet
-    val survivorsNorm = survivingFiles(spark, dir, column, lo, hi).map(norm).toSet
+    // ONE manifest action returning (file, survived): covered and
+    // surviving sets in the same pass. At ~10^6 files two separate
+    // collects were two manifest scans and two driver string transfers
+    // per planned read. Null bounds (file all-null) coalesce to false —
+    // a range predicate never matches an all-null file.
+    val survivedByFile: Map[String, Boolean] = stats(spark, dir)
+      .select(col("file"),
+        coalesce(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi),
+          lit(false)).as("survived"))
+      .collect().map(r => norm(r.getString(0)) -> r.getBoolean(1)).toMap
     val actual = currentFiles(spark, dir)
     // keep: manifest-surviving files, plus every file the manifest has
     // never seen; manifest rows for since-deleted files drop out naturally
-    val files = actual.filter(f => {
-      val n = norm(f); survivorsNorm(n) || !coveredNorm(n)
-    })
+    val files = actual.filter(f => survivedByFile.getOrElse(norm(f), true))
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     // basePath keeps partition-column derivation intact when listing
     // leaf files of a partitioned table

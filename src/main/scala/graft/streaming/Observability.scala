@@ -32,11 +32,29 @@ object Observability {
       state_rows: Long,
       state_memory_bytes: Long)
 
+  /** One stateful operator's health row within a micro-batch — the
+    * component-level gauges the reference's Grafana "System Health" row
+    * tracks per service (monitoring/grafana/dashboards/
+    * fraud_platform.json): which OPERATOR's state is growing, which one's
+    * commit is slow, not just the query total. */
+  case class OperatorMetric(
+      query_name: String,
+      batch_id: Long,
+      operator_name: String,
+      num_rows_total: Long,
+      num_rows_updated: Long,
+      num_rows_removed: Long,
+      memory_used_bytes: Long,
+      commit_time_ms: Long,
+      all_updates_time_ms: Long,
+      num_state_store_instances: Long)
+
   /** Captures per-batch metrics; bounded so a long-running query can't
     * grow driver memory without limit (Prometheus scrape semantics: recent
     * window matters, history lives downstream). */
   class MetricsListener(maxRows: Int = 10000) extends StreamingQueryListener {
     private val buf = new java.util.concurrent.ConcurrentLinkedDeque[BatchMetric]()
+    private val opBuf = new java.util.concurrent.ConcurrentLinkedDeque[OperatorMetric]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -58,6 +76,20 @@ object Observability {
         state_rows = states.map(_.numRowsTotal).sum,
         state_memory_bytes = states.map(_.memoryUsedBytes).sum))
       while (buf.size() > maxRows) buf.pollFirst()
+      states.foreach { s =>
+        opBuf.addLast(OperatorMetric(
+          query_name = Option(p.name).getOrElse(""),
+          batch_id = p.batchId,
+          operator_name = Option(s.operatorName).getOrElse(""),
+          num_rows_total = s.numRowsTotal,
+          num_rows_updated = s.numRowsUpdated,
+          num_rows_removed = s.numRowsRemoved,
+          memory_used_bytes = s.memoryUsedBytes,
+          commit_time_ms = s.commitTimeMs,
+          all_updates_time_ms = s.allUpdatesTimeMs,
+          num_state_store_instances = s.numStateStoreInstances))
+      }
+      while (opBuf.size() > maxRows) opBuf.pollFirst()
     }
 
     /** Snapshot of captured batches as a queryable frame. */
@@ -66,6 +98,29 @@ object Observability {
       import scala.jdk.CollectionConverters._
       buf.iterator().asScala.toSeq.toDF()
     }
+
+    /** Per-operator state-store rows as a queryable frame (one row per
+      * stateful operator per micro-batch). */
+    def operatorMetrics(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      opBuf.iterator().asScala.toSeq.toDF()
+    }
+
+    /** Component-level health rollup: per (query, operator) state growth,
+      * memory, and commit latency — the gauge set a "System Health"
+      * dashboard row needs to localize WHICH stateful operator is the
+      * problem. */
+    def operatorSummary(spark: SparkSession): DataFrame =
+      operatorMetrics(spark)
+        .groupBy("query_name", "operator_name")
+        .agg(
+          count(lit(1)).as("batches"),
+          max(col("num_rows_total")).as("max_state_rows"),
+          sum(col("num_rows_updated")).as("total_rows_updated"),
+          max(col("memory_used_bytes")).as("max_state_memory_bytes"),
+          avg(col("commit_time_ms")).as("avg_commit_ms"),
+          expr("percentile(commit_time_ms, 0.95)").as("p95_commit_ms"))
 
     /** Per-query health rollup — the Grafana-panel shapes (throughput,
       * duration percentiles, state growth, watermark advance) as one
@@ -82,7 +137,7 @@ object Observability {
           max(col("state_rows")).as("max_state_rows"),
           max(col("watermark")).as("max_watermark"))
 
-    def clear(): Unit = buf.clear()
+    def clear(): Unit = { buf.clear(); opBuf.clear() }
   }
 
   /** Attach a fresh listener to the session; caller owns removal. */

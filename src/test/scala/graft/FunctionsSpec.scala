@@ -141,12 +141,15 @@ class FunctionsSpec extends SparkSpec {
     // action: at 100 TB each scan task short-circuits after the cap
     val plan = s1.queryExecution.optimizedPlan.toString
     assert(plan.contains("GlobalLimit") || plan.contains("CollectLimit"), plan.take(500))
-    // end-to-end: after the learned paths run, nothing stays cached — the
-    // old shape leaked a corpus-sized MEMORY_AND_DISK persist into the fit
+    // end-to-end: the learned paths leave NO new persisted RDDs behind —
+    // the old shape leaked a corpus-sized MEMORY_AND_DISK persist into the
+    // fit (delta-based: other suites legitimately keep session caches)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Similarity.knnIvf(e).collect()
     Similarity.knnIvfPq(e).collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    val leaked = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).values.map(_.name).toSeq
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
 
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {

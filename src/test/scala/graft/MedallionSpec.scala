@@ -268,6 +268,43 @@ class MedallionSpec extends SparkSpec {
     assert(covered2 > covered)
   }
 
+  test("readRange plans the scan through ONE manifest action") {
+    import graft.pipeline.FileStats
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip1").toString + "/t"
+    val orders = Tables.orders(spark, TinySf)
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    FileStats.collect(spark, dir, Seq("o_orderkey"))
+    // warm the manifest's schema/file-index caches so the counted window
+    // sees only PLANNING work, not first-touch metadata
+    FileStats.stats(spark, dir).schema
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val keys = orders.select(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      jobs.set(0)
+      // planning is synchronous inside readRange; the returned frame is
+      // lazy, so every job in this window is planning cost
+      val (_, read, total) = FileStats.readRange(spark, dir, "o_orderkey",
+        keys.getLong(0), keys.getLong(0) + 1)
+      Thread.sleep(1000) // listener bus is async
+      assert(read < total)
+      // exactly 2 jobs: ONE manifest collect (covered + surviving sets in
+      // the same pass) and one footer read setting up the OUTPUT frame —
+      // the latter is the baseline cost of any parquet read. r5 shape ran
+      // two manifest passes plus an uncached schema-inference job.
+      assert(jobs.get() == 2,
+        s"readRange planning ran ${jobs.get()} jobs; expected one manifest " +
+          "collect + one output-read setup")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("CHECK constraints fail a violating silver write without committing a version") {
     import spark.implicits._
     import graft.operators.Constraints

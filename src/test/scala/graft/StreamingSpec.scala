@@ -204,6 +204,7 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val listener = graft.streaming.Observability.attach(spark)
     try {
       val evs = Tables.events(spark, TinySf)
         .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"),
@@ -235,7 +236,26 @@ class StreamingSpec extends SparkSpec {
         .orderBy("user_id", "session_idx").collect().toSeq
       assert(streamed == batch)
       assert(batch.size > 100)
+
+      // component-level health: the state-store gauges surface PER
+      // OPERATOR (which operator's state, memory, commit time), not just
+      // as a per-query total — the listener bus is async, so wait
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def ops() = listener.operatorMetrics(spark)
+        .filter(col("query_name") === "timer_sessions")
+      while (ops().count() < 1 && System.nanoTime() < deadline) Thread.sleep(100)
+      val om = ops().collect()
+      assert(om.nonEmpty, "no per-operator state metrics captured")
+      assert(om.forall(_.getAs[String]("operator_name").nonEmpty))
+      assert(om.map(_.getAs[Long]("num_rows_updated")).sum > 0,
+        "state rows were updated but the per-operator gauge shows none")
+      assert(om.exists(_.getAs[Long]("memory_used_bytes") > 0))
+      val os = listener.operatorSummary(spark)
+        .filter(col("query_name") === "timer_sessions").collect()
+      assert(os.length == 1, s"expected one stateful operator, got ${os.length}")
+      assert(os(0).getAs[Long]("total_rows_updated") > 0)
     } finally {
+      graft.streaming.Observability.detach(spark, listener)
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
