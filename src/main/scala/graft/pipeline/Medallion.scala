@@ -198,6 +198,62 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
 
   def runAll(): Unit = { runBronze(); runSilver(); runGold() }
 
+  private def hasSuccess(layer: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(layer, table), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The medallion pipeline as a dependency DAG (the reference's Airflow
+    * shape, airflow/dags): bronze branches are independent and run in
+    * parallel; silver waits only on its bronze input; the four gold tables
+    * fan out in parallel once their inputs exist. Idempotency probes:
+    * bronze stages skip when their _SUCCESS commit marker exists (a re-run
+    * of the same interval — Airflow's "already succeeded" short-circuit);
+    * silver always runs because the MERGE upsert is idempotent by
+    * construction; gold always runs because it must reflect the latest
+    * silver version. */
+  def stages(): Seq[Orchestrator.Stage] = {
+    import Orchestrator.Stage
+    Seq(
+      Stage("bronze_events", Nil,
+        () => Bronze.bronzeEvents(graft.Tables.events(spark, sfDir))
+          .write.mode(SaveMode.Overwrite).partitionBy("event_date")
+          .parquet(path("bronze", "events")),
+        done = () => hasSuccess("bronze", "events")),
+      Stage("bronze_orders", Nil,
+        () => graft.Tables.orders(spark, sfDir)
+          .withColumn("order_date", col("o_orderdate").cast("date"))
+          .write.mode(SaveMode.Overwrite).partitionBy("order_date")
+          .parquet(path("bronze", "orders")),
+        done = () => hasSuccess("bronze", "orders")),
+      Stage("silver_orders", Seq("bronze_orders"), () => runSilver()),
+      Stage("gold_revenue_daily", Seq("silver_orders"),
+        () => Revenue.revenueDaily(readSilver("orders_enriched"))
+          .write.mode(SaveMode.Overwrite).partitionBy("order_date")
+          .parquet(path("gold", "revenue_daily"))),
+      Stage("gold_fraud_scores", Seq("silver_orders"),
+        () => {
+          FraudScore.score(FraudScore.featureVector(readSilver("orders_enriched")))
+            .sortWithinPartitions("risk_label")
+            .write.mode(SaveMode.Overwrite).parquet(path("gold", "fraud_scores"))
+          FileStats.collect(spark, path("gold", "fraud_scores"),
+            Seq("risk_label", "fraud_score"))
+          ()
+        }),
+      Stage("gold_user_risk_scores", Seq("bronze_events"),
+        () => FraudSummary.userRiskScores(graft.Tables.events(spark, sfDir))
+          .write.mode(SaveMode.Overwrite).parquet(path("gold", "user_risk_scores"))),
+      Stage("gold_fraud_summary", Seq("bronze_events"),
+        () => FraudSummary.fraudSummaryDaily(graft.Tables.events(spark, sfDir))
+          .write.mode(SaveMode.Overwrite).partitionBy("event_date")
+          .parquet(path("gold", "fraud_summary"))))
+  }
+
+  /** runAll through the DAG: independent branches in parallel, per-stage
+    * idempotency, a failed branch never blocks an unrelated one. */
+  def runAllOrchestrated(parallelism: Int = 4): Seq[Orchestrator.StageResult] =
+    Orchestrator.run(stages(), parallelism)
+
   def readGold(table: String): DataFrame = spark.read.parquet(path("gold", table))
 
   /** Latest silver snapshot. */

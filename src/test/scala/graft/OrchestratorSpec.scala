@@ -1,0 +1,140 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.pipeline.{Medallion, Orchestrator}
+import graft.pipeline.Orchestrator.Stage
+import org.apache.spark.sql.functions._
+
+class OrchestratorSpec extends SparkSpec {
+
+  private def statusOf(rs: Seq[Orchestrator.StageResult]): Map[String, String] =
+    rs.map(r => r.stage -> r.status).toMap
+
+  test("stages run in dependency order; a diamond runs each stage once") {
+    val order = new ConcurrentLinkedQueue[String]()
+    def st(name: String, deps: String*) =
+      Stage(name, deps, () => { order.add(name); () })
+    //   a -> b, a -> c, (b,c) -> d
+    val rs = Orchestrator.run(Seq(
+      st("d", "b", "c"), st("b", "a"), st("c", "a"), st("a")), parallelism = 4)
+    assert(rs.forall(_.status == "success"))
+    val seq = order.toArray.map(_.toString).toSeq
+    assert(seq.size == 4, s"each stage exactly once, got $seq")
+    assert(seq.indexOf("a") < seq.indexOf("b"))
+    assert(seq.indexOf("a") < seq.indexOf("c"))
+    assert(seq.indexOf("b") < seq.indexOf("d"))
+    assert(seq.indexOf("c") < seq.indexOf("d"))
+  }
+
+  test("a failed stage blocks its downstream cone but not independent branches") {
+    val ran = new ConcurrentLinkedQueue[String]()
+    def ok(name: String, deps: String*) =
+      Stage(name, deps, () => { ran.add(name); () })
+    val rs = Orchestrator.run(Seq(
+      ok("a"),
+      Stage("boom", Seq("a"), () => sys.error("stage exploded")),
+      ok("after_boom", "boom"),
+      ok("after_after", "after_boom"),
+      ok("side", "a"),
+      ok("side2", "side")))
+    val st = statusOf(rs)
+    assert(st("a") == "success")
+    assert(st("boom") == "failed")
+    assert(st("after_boom") == "blocked")
+    assert(st("after_after") == "blocked")
+    // the independent branch is unaffected — Airflow semantics, not fail-fast
+    assert(st("side") == "success" && st("side2") == "success")
+    assert(!ran.contains("after_boom") && !ran.contains("after_after"))
+    val boom = rs.find(_.stage == "boom").get
+    assert(boom.error.contains("stage exploded"))
+    assert(rs.find(_.stage == "after_boom").get.error.contains("boom"))
+  }
+
+  test("transient failures retry up to maxRetries; attempts are reported") {
+    val calls = new AtomicInteger(0)
+    val rs = Orchestrator.run(Seq(
+      Stage("flaky", Nil,
+        () => if (calls.incrementAndGet() < 3) sys.error(s"transient ${calls.get}"),
+        maxRetries = 2)))
+    assert(rs.head.status == "success")
+    assert(rs.head.attempts == 3 && calls.get == 3)
+
+    // retries exhausted -> failed with the LAST error
+    val calls2 = new AtomicInteger(0)
+    val rs2 = Orchestrator.run(Seq(
+      Stage("hopeless", Nil,
+        () => sys.error(s"always ${calls2.incrementAndGet()}"), maxRetries = 1)))
+    assert(rs2.head.status == "failed" && rs2.head.attempts == 2)
+    assert(rs2.head.error.contains("always 2"))
+  }
+
+  test("idempotency probe skips a done stage; dependents still run") {
+    val ran = new ConcurrentLinkedQueue[String]()
+    val rs = Orchestrator.run(Seq(
+      Stage("already", Nil, () => { ran.add("already"); () }, done = () => true),
+      Stage("next", Seq("already"), () => { ran.add("next"); () })))
+    val st = statusOf(rs)
+    assert(st("already") == "skipped_done")
+    assert(st("next") == "success")
+    assert(!ran.contains("already") && ran.contains("next"))
+  }
+
+  test("malformed DAGs are wiring errors: cycle, unknown dep, duplicate name") {
+    def noop(name: String, deps: String*) = Stage(name, deps, () => ())
+    val cyc = intercept[IllegalArgumentException](
+      Orchestrator.run(Seq(noop("a", "b"), noop("b", "a"))))
+    assert(cyc.getMessage.contains("cycle"))
+    val unk = intercept[IllegalArgumentException](
+      Orchestrator.run(Seq(noop("a", "ghost"))))
+    assert(unk.getMessage.contains("ghost"))
+    val dup = intercept[IllegalArgumentException](
+      Orchestrator.run(Seq(noop("a"), noop("a"))))
+    assert(dup.getMessage.contains("duplicate"))
+  }
+
+  test("independent stages overlap in time under parallelism > 1") {
+    // two stages that each wait for the OTHER to start: completes quickly
+    // iff they run concurrently (deadlocks past the deadline if serialized)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def meet(name: String) = Stage(name, Nil, () => {
+      gate.await(20, java.util.concurrent.TimeUnit.SECONDS); ()
+    })
+    val rs = Orchestrator.run(Seq(meet("x"), meet("y")), parallelism = 2)
+    assert(rs.forall(_.status == "success"),
+      s"independent stages did not run concurrently: $rs")
+  }
+
+  test("medallion DAG: orchestrated run materializes the layers; re-run skips bronze") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_dag").toString
+    val m = new Medallion(spark, TinySf, wh)
+    val rs = m.runAllOrchestrated()
+    assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+
+    // same layer contents the linear runAll produces
+    val silver = m.readSilver("orders_enriched")
+    assert(silver.count() == Tables.orders(spark, TinySf).count())
+    assert(m.readGold("revenue_daily").count() > 0)
+    assert(m.readGold("fraud_scores").count() > 0)
+    assert(m.readGold("user_risk_scores").count() > 0)
+    assert(m.readGold("fraud_summary").count() > 0)
+
+    // re-run: bronze stages short-circuit on their _SUCCESS probe, silver
+    // MERGE stays idempotent (same row count, new version), gold rebuilds
+    val v1 = m.latestVersion("orders_enriched").get
+    val rs2 = m.runAllOrchestrated()
+    val st2 = statusOf(rs2)
+    assert(st2("bronze_events") == "skipped_done")
+    assert(st2("bronze_orders") == "skipped_done")
+    assert(rs2.forall(r => r.status == "success" || r.status == "skipped_done"))
+    assert(m.latestVersion("orders_enriched").get == v1 + 1)
+    assert(m.readSilver("orders_enriched").count() == silver.count())
+
+    // the run report is a queryable frame (Airflow task-instance shape)
+    val rep = Orchestrator.report(spark, rs2)
+    assert(rep.filter(col("status") === "skipped_done").count() == 2)
+    assert(rep.columns.toSet ==
+      Set("stage", "status", "attempts", "duration_ms", "error"))
+  }
+}
