@@ -475,6 +475,88 @@ class StreamingSpec extends SparkSpec {
       (2L, "new", 20.0, "kept"),
       (3L, "new", 30.0, "inserted")))
   }
+
+  test("streaming scoring hot-reloads the latest registry model between micro-batches") {
+    import graft.ml.{ModelRegistry, TrainedModel}
+    import graft.operators.Cleaning
+    import graft.streaming.StreamScoring
+    import org.apache.spark.ml.classification.GBTClassifier
+
+    // feature rows (o_orderkey, label, 25 features) from the batch pipeline
+    val clean = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+    val feats = graft.ml.FraudScore.fullFeatureVector(
+        graft.operators.Enrichment.enrichOrders(clean,
+          Tables.customer(spark, TinySf), Tables.nation(spark, TinySf),
+          Tables.region(spark, TinySf)),
+        clean, Cleaning.cleanLineitem(Tables.lineitem(spark, TinySf)))
+      .select(col("o_orderkey") +: col("label").cast("double").as("label") +:
+        TrainedModel.FeatureCols.map(c => col(c).cast("double").as(c)): _*)
+      .persist()
+    val assembled = StreamScoring.assembleFeatures(feats)
+
+    def train(maxIter: Int) = new GBTClassifier()
+      .setFeaturesCol("fv").setLabelCol("label")
+      .setMaxIter(maxIter).setMaxDepth(3).setSeed(42L)
+      .fit(assembled)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_serving").toString
+    val m1 = train(2)
+    assert(ModelRegistry.save(spark, m1, root, "fraud_gbt") == 1L)
+
+    // serve: file-source stream of feature rows, scored in foreachBatch
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_feat_stream").toString
+    val (first, second) = (feats.filter(col("o_orderkey") % 2 === 0),
+      feats.filter(col("o_orderkey") % 2 === 1))
+    first.write.mode("append").parquet(streamDir)
+
+    val scorer = new StreamScoring.HotModelScorer(root, "fraud_gbt")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]() // key, pred, version
+    val q = StreamScoring.assembleFeatures(
+        spark.readStream.schema(feats.schema).parquet(streamDir))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = scorer.scoreBatch(b)
+          .select("o_orderkey", "predicted_fraud", "model_version").collect()
+        out.synchronized {
+          out ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))); ()
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterV1 = out.synchronized(out.toVector)
+      assert(afterV1.nonEmpty && afterV1.forall(_._3 == 1L),
+        "first batches must score with registry version 1")
+      assert(scorer.loadedVersion.contains(1L))
+      // per-row parity with direct batch scoring by the same model
+      val direct1 = m1.transform(assembled.join(first.select("o_orderkey"), "o_orderkey"))
+        .select(col("o_orderkey"), col("prediction").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterV1.forall { case (k, p, _) => direct1(k) == p })
+
+      // train v2 MID-STREAM and save; next micro-batch must pick it up
+      // without restarting the query (the /model/reload contract)
+      val m2 = train(4)
+      assert(ModelRegistry.save(spark, m2, root, "fraud_gbt") == 2L)
+      second.write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val all = out.synchronized(out.toVector)
+      val v2rows = all.drop(afterV1.size)
+      assert(v2rows.nonEmpty && v2rows.forall(_._3 == 2L),
+        s"post-save batches must score with version 2: ${v2rows.take(3)}")
+      assert(scorer.loadedVersion.contains(2L))
+      val direct2 = m2.transform(assembled.join(second.select("o_orderkey"), "o_orderkey"))
+        .select(col("o_orderkey"), col("prediction").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v2rows.forall { case (k, p, _) => direct2(k) == p })
+      // earlier rows keep their version-1 lineage — scoring is versioned
+      assert(all.take(afterV1.size).forall(_._3 == 1L))
+    } finally {
+      q.stop()
+      feats.unpersist(blocking = false)
+      TrainedModel.releaseCache()
+    }
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
