@@ -246,7 +246,26 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       Stage("gold_fraud_summary", Seq("bronze_events"),
         () => FraudSummary.fraudSummaryDaily(graft.Tables.events(spark, sfDir))
           .write.mode(SaveMode.Overwrite).partitionBy("event_date")
-          .parquet(path("gold", "fraud_summary"))))
+          .parquet(path("gold", "fraud_summary"))),
+      // the DAG-terminal quality gate (the reference's dbt-test / DQ
+      // Airflow tasks): validate the MATERIALIZED warehouse, fail the run
+      // — not just a report row — when a check breaks. One fused
+      // aggregation per table (Constraints.enforce), released right after.
+      Stage("dq_gate",
+        Seq("gold_revenue_daily", "gold_fraud_scores",
+          "gold_user_risk_scores", "gold_fraud_summary"),
+        () => {
+          graft.operators.Constraints.enforce(readSilver("orders_enriched"), Seq(
+            "silver_orderkey_not_null" -> col("o_orderkey").isNotNull,
+            "silver_amount_positive" -> (col("o_totalprice") > 0)))
+            .unpersist(blocking = false)
+          graft.operators.Constraints.enforce(readGold("revenue_daily"), Seq(
+            "gold_gmv_nonneg" -> (col("gmv") >= 0),
+            "gold_orders_positive" -> (col("total_orders") > 0),
+            "gold_fraud_bounded" -> (col("fraud_orders") <= col("total_orders"))))
+            .unpersist(blocking = false)
+          ()
+        }))
   }
 
   /** runAll through the DAG: independent branches in parallel, per-stage

@@ -33,13 +33,17 @@ object Orchestrator {
     *                   (Airflow's "already succeeded in this interval");
     *                   checked once, immediately before the stage would run
     * @param maxRetries transient-failure retries (attempts = maxRetries + 1)
+    * @param slaMs      duration SLA: a stage that takes longer is flagged
+    *                   `sla_breached` in the report but NOT failed —
+    *                   Airflow SLA semantics (alert, don't kill)
     */
   final case class Stage(
       name: String,
       deps: Seq[String] = Nil,
       run: () => Unit,
       done: () => Boolean = () => false,
-      maxRetries: Int = 0)
+      maxRetries: Int = 0,
+      slaMs: Long = Long.MaxValue)
 
   /** Terminal state of one stage within a pipeline run. */
   final case class StageResult(
@@ -47,6 +51,7 @@ object Orchestrator {
       status: String, // success | skipped_done | failed | blocked
       attempts: Int,
       duration_ms: Long,
+      sla_breached: Boolean,
       error: String)
 
   /** Run `stages` respecting dependencies; independent ready stages run
@@ -86,7 +91,7 @@ object Orchestrator {
         dependents.getOrElse(name, Nil).foreach { d =>
           if (!ok) {
             // cascade: block the whole downstream cone exactly once
-            if (results.putIfAbsent(d, StageResult(d, "blocked", 0, 0L,
+            if (results.putIfAbsent(d, StageResult(d, "blocked", 0, 0L, sla_breached = false,
                 s"upstream '$name' ${r.status}")) == null) {
               allDone.countDown()
               finishBlocked(d)
@@ -102,7 +107,7 @@ object Orchestrator {
 
     def finishBlocked(name: String): Unit =
       dependents.getOrElse(name, Nil).foreach { d =>
-        if (results.putIfAbsent(d, StageResult(d, "blocked", 0, 0L,
+        if (results.putIfAbsent(d, StageResult(d, "blocked", 0, 0L, sla_breached = false,
             s"upstream '$name' blocked")) == null) {
           allDone.countDown()
           finishBlocked(d)
@@ -111,9 +116,14 @@ object Orchestrator {
 
     def exec(s: Stage): Unit = {
       val t0 = System.nanoTime()
+      def result(status: String, attempts: Int, error: String) = {
+        val ms = elapsedMs(t0)
+        StageResult(s.name, status, attempts, ms,
+          sla_breached = status != "skipped_done" && ms > s.slaMs, error)
+      }
       val r =
         try {
-          if (s.done()) StageResult(s.name, "skipped_done", 0, elapsedMs(t0), "")
+          if (s.done()) result("skipped_done", 0, "")
           else {
             var attempt = 0
             var lastErr: Throwable = null
@@ -123,14 +133,13 @@ object Orchestrator {
               try { s.run(); succeeded = true }
               catch { case NonFatal(e) => lastErr = e }
             }
-            if (succeeded) StageResult(s.name, "success", attempt, elapsedMs(t0), "")
-            else StageResult(s.name, "failed", attempt, elapsedMs(t0),
+            if (succeeded) result("success", attempt, "")
+            else result("failed", attempt,
               Option(lastErr.getMessage).getOrElse(lastErr.getClass.getName))
           }
         } catch {
           case NonFatal(e) => // done() probe itself failed
-            StageResult(s.name, "failed", 0, elapsedMs(t0),
-              s"idempotency probe failed: ${e.getMessage}")
+            result("failed", 0, s"idempotency probe failed: ${e.getMessage}")
         }
       finish(s.name, r)
     }

@@ -94,6 +94,18 @@ class OrchestratorSpec extends SparkSpec {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("SLA breaches are flagged in the report without failing the stage") {
+    val rs = Orchestrator.run(Seq(
+      Stage("slow", Nil, () => Thread.sleep(80), slaMs = 1L),
+      Stage("fast", Nil, () => (), slaMs = 60000L),
+      Stage("slow_dep", Seq("slow"), () => ())))
+    val by = rs.map(r => r.stage -> r).toMap
+    // Airflow SLA semantics: alert, don't kill — downstream still runs
+    assert(by("slow").status == "success" && by("slow").sla_breached)
+    assert(by("fast").status == "success" && !by("fast").sla_breached)
+    assert(by("slow_dep").status == "success")
+  }
+
   test("independent stages overlap in time under parallelism > 1") {
     // two stages that each wait for the OTHER to start: completes quickly
     // iff they run concurrently (deadlocks past the deadline if serialized)
@@ -111,6 +123,8 @@ class OrchestratorSpec extends SparkSpec {
     val m = new Medallion(spark, TinySf, wh)
     val rs = m.runAllOrchestrated()
     assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+    // the DAG-terminal DQ gate validated the materialized warehouse
+    assert(rs.map(_.stage).contains("dq_gate"))
 
     // same layer contents the linear runAll produces
     val silver = m.readSilver("orders_enriched")
@@ -135,6 +149,6 @@ class OrchestratorSpec extends SparkSpec {
     val rep = Orchestrator.report(spark, rs2)
     assert(rep.filter(col("status") === "skipped_done").count() == 2)
     assert(rep.columns.toSet ==
-      Set("stage", "status", "attempts", "duration_ms", "error"))
+      Set("stage", "status", "attempts", "duration_ms", "sla_breached", "error"))
   }
 }
