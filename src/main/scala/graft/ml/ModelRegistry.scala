@@ -22,15 +22,41 @@ import org.apache.spark.sql.SparkSession
 object ModelRegistry {
 
   private def dir(root: String, name: String) = s"$root/models/$name"
+  private val Committed = "_COMMITTED"
 
   /** Persist `model` as the next version; returns the committed version.
-    * The version scan + write is driver-side file metadata (same contract
-    * as Medallion.latestVersion) — no data pass. */
+    *
+    * Publish is write-to-temp → rename → commit-marker: the Spark-ML
+    * writer lands the artifact in a hidden temp dir, the rename claims a
+    * version slot (bumping past slots a concurrent publisher claimed
+    * first), and the `_COMMITTED` marker — created only after the rename —
+    * is what makes the version VISIBLE. Readers (latestVersion/loadGbt)
+    * ignore unmarked dirs, so a hot-reloading scorer can never load a
+    * half-written artifact mid-save — the same _SUCCESS visibility rule
+    * Medallion applies to silver snapshots. The version scan + rename is
+    * driver-side file metadata; no data pass. */
   def save(spark: SparkSession, model: MLWritable, root: String,
            name: String): Long = {
-    val next = latestVersion(spark, root, name).getOrElse(0L) + 1L
-    model.write.overwrite().save(s"${dir(root, name)}/v=$next")
-    next
+    val base = new Path(dir(root, name))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    val tmp = new Path(base, s".tmp-${java.util.UUID.randomUUID()}")
+    model.write.overwrite().save(tmp.toString)
+    var v = latestVersion(spark, root, name).getOrElse(0L) + 1L
+    var attempts = 0
+    while ({
+      val dest = new Path(base, s"v=$v")
+      val claimed = !fs.exists(dest) && fs.rename(tmp, dest)
+      if (claimed) {
+        // exclusive create: double-commit of the same slot fails loudly
+        fs.create(new Path(dest, Committed), false).close()
+      }
+      !claimed
+    }) {
+      v += 1; attempts += 1
+      require(attempts < 1000, s"could not claim a version slot under $base")
+    }
+    v
   }
 
   def latestVersion(spark: SparkSession, root: String,
@@ -38,8 +64,12 @@ object ModelRegistry {
     val p = new Path(dir(root, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).sorted.lastOption
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      // only COMMITTED versions are visible — an in-flight save's dir
+      // (post-rename, pre-marker) or a crashed half-publish never serves
+      .filter(d => fs.exists(new Path(d, Committed)))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.lastOption
   }
 
   /** Load a GBT model at `version` (default: latest) — the serving-side

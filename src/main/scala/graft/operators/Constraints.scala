@@ -34,19 +34,31 @@ object Constraints {
   def enforce(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     if (checks.isEmpty) return df
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try validate(pinned, checks)
+    catch {
+      case e: CheckViolation =>
+        pinned.unpersist(blocking = false); throw e
+    }
+    pinned
+  }
+
+  /** Validation WITHOUT the persist: one fused aggregation pass, throws
+    * CheckViolation on any failing check. For validate-only callers (a DQ
+    * gate over an already-materialized table) — there is no second action
+    * to keep consistent with, so pinning the input would be a table-sized
+    * cache for zero benefit. Write paths must use `enforce`. */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): Unit = {
+    if (checks.isEmpty) return
     val aggs = checks.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(true)), 0L).otherwise(1L)).as(name)
     }
-    val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val bad = checks.zipWithIndex.flatMap { case ((name, _), i) =>
       val n = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (n > 0L) Some(s"$name ($n rows)") else None
     }
-    if (bad.nonEmpty) {
-      pinned.unpersist(blocking = false)
+    if (bad.nonEmpty)
       throw new CheckViolation(
         s"CHECK constraint violation(s): ${bad.mkString(", ")}")
-    }
-    pinned
   }
 }

@@ -57,18 +57,23 @@ object FileStats {
     * footer-inference job spark.read would otherwise run per call (at
     * ~10^6 files, per-read metadata work is the planning bottleneck —
     * Delta caches its snapshot the same way). `collect` invalidates. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  // weak session keys: a stopped/collected session's cached frames vanish
+  // with it (no unbounded retention of dead sessions), and identity can
+  // never collide the way a recycled identityHashCode could
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def invalidate(dir: String): Unit = {
-    val it = statsCache.keySet.iterator()
-    while (it.hasNext) if (it.next()._2 == dir) it.remove()
+  private def invalidate(dir: String): Unit = statsCache.synchronized {
+    statsCache.values().forEach(m => { m.remove(dir); () })
   }
 
   /** The skipping manifest of `dir` (throws if never collected). */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    statsCache.computeIfAbsent((System.identityHashCode(spark), dir),
-      _ => spark.read.parquet(s"$dir/$StatsDir"))
+    statsCache.synchronized {
+      statsCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, d => spark.read.parquet(s"$d/$StatsDir"))
 
   /** Files of `dir` whose [min, max] range on `column` intersects
     * [lo, hi] — the driver-side scan-planning step. Null bounds (file

@@ -255,16 +255,15 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
         Seq("gold_revenue_daily", "gold_fraud_scores",
           "gold_user_risk_scores", "gold_fraud_summary"),
         () => {
-          graft.operators.Constraints.enforce(readSilver("orders_enriched"), Seq(
+          // validate (no persist): these tables are already materialized;
+          // there is no write to keep consistent with
+          graft.operators.Constraints.validate(readSilver("orders_enriched"), Seq(
             "silver_orderkey_not_null" -> col("o_orderkey").isNotNull,
             "silver_amount_positive" -> (col("o_totalprice") > 0)))
-            .unpersist(blocking = false)
-          graft.operators.Constraints.enforce(readGold("revenue_daily"), Seq(
+          graft.operators.Constraints.validate(readGold("revenue_daily"), Seq(
             "gold_gmv_nonneg" -> (col("gmv") >= 0),
             "gold_orders_positive" -> (col("total_orders") > 0),
             "gold_fraud_bounded" -> (col("fraud_orders") <= col("total_orders"))))
-            .unpersist(blocking = false)
-          ()
         }))
   }
 

@@ -123,7 +123,11 @@ object Orchestrator {
       }
       val r =
         try {
-          if (s.done()) result("skipped_done", 0, "")
+          val isDone =
+            try s.done()
+            catch { case NonFatal(e) => throw new IllegalStateException(
+              s"idempotency probe failed: ${e.getMessage}", e) }
+          if (isDone) result("skipped_done", 0, "")
           else {
             var attempt = 0
             var lastErr: Throwable = null
@@ -138,8 +142,18 @@ object Orchestrator {
               Option(lastErr.getMessage).getOrElse(lastErr.getClass.getName))
           }
         } catch {
-          case NonFatal(e) => // done() probe itself failed
-            result("failed", 0, s"idempotency probe failed: ${e.getMessage}")
+          // Throwable, not NonFatal: a fatal stage error (OOM, linkage,
+          // interrupt) must still produce a terminal result — otherwise
+          // the latch never counts down and run() hangs forever. Fatal
+          // errors also skip the retry loop by construction (the inner
+          // catch is NonFatal), which is the right call: retrying an OOM
+          // repeats it.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            result("failed", 0, s"interrupted: ${e.getMessage}")
+          case e: Throwable =>
+            result("failed", 0,
+              Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       finish(s.name, r)
     }

@@ -70,9 +70,11 @@ object AsOfSql {
   private val HasAsOf = """(?is).*\bASOF\s+JOIN\b.*""".r
 
   /** Some(plan) when `sql` is an ASOF JOIN statement; None when it is
-    * ordinary SQL. A statement that names ASOF JOIN but doesn't fit the
-    * supported grammar fails fast with the grammar in the message (the
-    * delegate would otherwise produce an unrelated syntax error). */
+    * ordinary SQL. A statement that merely CONTAINS the text "ASOF JOIN"
+    * (string literal, comment, identifier) but doesn't fit the grammar is
+    * handed to the delegate — it only gets our grammar error when the
+    * delegate can't parse it either (i.e. it really was an attempted
+    * ASOF JOIN, for which the delegate's own syntax error would mislead). */
   def rewrite(session: SparkSession, delegate: ParserInterface,
               sql: String): Option[LogicalPlan] = {
     if (!HasAsOf.matches(sql)) return None
@@ -82,10 +84,14 @@ object AsOfSql {
         Some(build(session, delegate, proj, leftRel, rightRel,
           mla, ltime, op, mra, rtime, ola, lkey, ora, rkey, rest))
       case _ =>
-        throw new IllegalArgumentException(
-          "ASOF JOIN statement does not match the supported grammar: " +
-            "SELECT <proj> FROM <left> <la> ASOF JOIN <right> <ra> " +
-            "MATCH_CONDITION(<la>.<t> >= <ra>.<t>) ON <la>.<k> = <ra>.<k> [...]")
+        try Some(delegate.parsePlan(sql))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            throw new IllegalArgumentException(
+              "ASOF JOIN statement does not match the supported grammar: " +
+                "SELECT <proj> FROM <left> <la> ASOF JOIN <right> <ra> " +
+                "MATCH_CONDITION(<la>.<t> >= <ra>.<t>) ON <la>.<k> = <ra>.<k> [...]")
+        }
     }
   }
 
@@ -93,7 +99,12 @@ object AsOfSql {
     * table name when unaliased). */
   private def aliasOf(rel: String): String = {
     val m = """(?is).*?(\w+)\s*$""".r
-    rel.trim match { case m(a) => a }
+    rel.trim match {
+      case m(a) => a
+      case _ => throw new IllegalArgumentException(
+        s"ASOF JOIN relation '$rel' needs a trailing alias " +
+          "(subqueries must be aliased: (SELECT ...) alias)")
+    }
   }
 
   private def analyzed(session: SparkSession, delegate: ParserInterface,
@@ -123,15 +134,29 @@ object AsOfSql {
       if (ola.equalsIgnoreCase(la) && ora.equalsIgnoreCase(ra)) (lkey, rkey)
       else if (ola.equalsIgnoreCase(ra) && ora.equalsIgnoreCase(la)) (rkey, lkey)
       else fail("ON condition")
-    // AsOfJoinNode resolves key/time by ONE name on each side
-    require(timeL == timeR,
+    // AsOfJoinNode resolves key/time by ONE name on each side; compare
+    // case-insensitively, matching Spark's default identifier resolution
+    require(timeL.equalsIgnoreCase(timeR),
       s"ASOF JOIN time column must carry the same name on both sides, got $timeL vs $timeR")
-    require(keyL == keyR,
+    require(keyL.equalsIgnoreCase(keyR),
       s"ASOF JOIN key column must carry the same name on both sides, got $keyL vs $keyR")
 
     val leftPlan = analyzed(session, delegate, leftRel)
     val rightPlan = analyzed(session, delegate, rightRel)
-    val payload = rightPlan.output.map(_.name).filterNot(n => n == keyR || n == timeR)
+    // resolve the user's spelling to the schema's spelling (the node
+    // matches attributes by exact name downstream)
+    def resolved(plan: LogicalPlan, col: String, side: String): String =
+      plan.output.map(_.name).find(_.equalsIgnoreCase(col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ASOF JOIN $side side has no column '$col'"))
+    val keyName = resolved(leftPlan, keyL, "left")
+    require(resolved(rightPlan, keyR, "right") == keyName,
+      s"ASOF JOIN key column name differs between sides: $keyName")
+    val timeName = resolved(leftPlan, timeL, "left")
+    require(resolved(rightPlan, timeR, "right") == timeName,
+      s"ASOF JOIN time column name differs between sides: $timeName")
+    val payload = rightPlan.output.map(_.name)
+      .filterNot(n => n.equalsIgnoreCase(keyName) || n.equalsIgnoreCase(timeName))
     require(payload.size == 1,
       s"ASOF JOIN right side must project exactly (key, time, payload); " +
         s"extra columns: ${payload.mkString(", ")} — project the one value to carry")
@@ -144,7 +169,7 @@ object AsOfSql {
       session.experimental.extraStrategies =
         session.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    val node = AsOfJoinNode(leftPlan, rightPlan, keyL, timeL, payload.head,
+    val node = AsOfJoinNode(leftPlan, rightPlan, keyName, timeName, payload.head,
       forward = effOp == "<=", toleranceUs = -1L,
       asofValue = AttributeReference("asof_value", valueType)())
 

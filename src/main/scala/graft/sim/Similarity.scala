@@ -195,14 +195,16 @@ object Similarity {
   private[graft] val trainCap = 2000
 
   /** Bounded deterministic training sample with NO pre-count and no
-    * full-corpus persist: a hash gate (seedless, engine-stable) thins the
-    * scan 2× to decorrelate from file order, and the LIMIT bounds what any
-    * fit ever reads — each scan task short-circuits after `trainCap` gated
-    * rows, so at 100 TB training reads a capped prefix, not the corpus.
-    * (The old shape — `count()` then fraction-sample then persist — cost a
-    * full pre-pass plus a corpus-sized cache before the first fit.) */
+    * full-corpus persist: `xxhash64(vec_id)` is a pseudo-random PRIORITY,
+    * and ordering by it under a LIMIT plans as TakeOrderedAndProject —
+    * each scan task keeps a trainCap-sized heap and the driver merges
+    * tasks×trainCap rows, so the sample is hash-uniform over the WHOLE
+    * corpus (a bare LIMIT would take a prefix of the first files — exactly
+    * the time-/label-clustered slice a lakehouse layout puts first), at
+    * the cost of one cheap full scan. Seedless hash keeps it deterministic
+    * across calls, so coarse and codebook fits share the same rows. */
   private[graft] def boundedTrainSample(base: DataFrame): DataFrame =
-    base.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0).limit(trainCap)
+    base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(trainCap)
 
   /** Coarse-quantizer KMeans (seeded) fit on the bounded sample; the only
     * full-corpus pass a caller then makes is the cell-assignment transform.

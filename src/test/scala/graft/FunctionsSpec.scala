@@ -132,15 +132,19 @@ class FunctionsSpec extends SparkSpec {
     val s1 = Similarity.boundedTrainSample(base)
     // bounded: the fit input can never exceed trainCap regardless of corpus
     assert(s1.count() <= Similarity.trainCap)
-    // deterministic: hash gate + limit, no RNG state (two plans, same rows)
+    // deterministic: hash-priority top-k, no RNG state (two plans, same rows)
     val ids1 = s1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     val ids2 = Similarity.boundedTrainSample(base)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids1 == ids2 && ids1.nonEmpty)
     // the bound is enforced in the PLAN (a limit), not by a pre-count
-    // action: at 100 TB each scan task short-circuits after the cap
+    // action, and hash-priority-ordered so the sample is uniform over the
+    // corpus — NOT a prefix of the first files: TakeOrderedAndProject =
+    // per-task trainCap heap + driver merge, never a global sort
     val plan = s1.queryExecution.optimizedPlan.toString
     assert(plan.contains("GlobalLimit") || plan.contains("CollectLimit"), plan.take(500))
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s1.queryExecution.executedPlan.toString.take(500))
     // end-to-end: the learned paths leave NO new persisted RDDs behind —
     // the old shape leaked a corpus-sized MEMORY_AND_DISK persist into the
     // fit (delta-based: other suites legitimately keep session caches)

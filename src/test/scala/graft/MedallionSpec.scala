@@ -293,7 +293,10 @@ class MedallionSpec extends SparkSpec {
       // lazy, so every job in this window is planning cost
       val (_, read, total) = FileStats.readRange(spark, dir, "o_orderkey",
         keys.getLong(0), keys.getLong(0) + 1)
-      Thread.sleep(1000) // listener bus is async
+      // the listener bus is async: poll until both expected job-start
+      // events arrive (a fixed sleep is flaky under load)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
       assert(read < total)
       // exactly 2 jobs: ONE manifest collect (covered + surviving sets in
       // the same pass) and one footer read setting up the OUTPUT frame —

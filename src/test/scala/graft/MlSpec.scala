@@ -96,6 +96,19 @@ class MlSpec extends SparkSpec {
       assert(graft.ml.ModelRegistry.latestVersion(spark, root, "fraud_gbt").contains(2L))
       // seeded fit + lossless round trip => identical held-out metrics
       assert(row.getAs[Double]("f1") == row2.getAs[Double]("f1"))
+
+      // publish visibility is gated on the commit marker: a version dir
+      // without it (an in-flight or crashed save) must never serve — the
+      // hot-reload scorer would otherwise load a half-written artifact
+      val p = new org.apache.hadoop.fs.Path(s"$root/models/fraud_gbt/v=9")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p)
+      assert(graft.ml.ModelRegistry.latestVersion(spark, root, "fraud_gbt").contains(2L),
+        "an uncommitted version dir must be invisible to latest")
+      // and no temp publish dirs survive a completed save
+      val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/models/fraud_gbt"))
+        .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+      assert(stray.isEmpty, s"leftover publish temp dirs: ${stray.mkString(", ")}")
     } finally feats.unpersist()
   }
 

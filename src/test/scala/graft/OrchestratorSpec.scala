@@ -70,6 +70,18 @@ class OrchestratorSpec extends SparkSpec {
     assert(rs2.head.error.contains("always 2"))
   }
 
+  test("a FATAL stage error produces a terminal failed result instead of hanging the run") {
+    val rs = Orchestrator.run(Seq(
+      Stage("fatal", Nil, () => throw new NoClassDefFoundError("graft/Gone")),
+      Stage("dep", Seq("fatal"), () => ()),
+      Stage("side", Nil, () => ())))
+    val st = statusOf(rs)
+    // fatal errors skip retries (the inner catch is NonFatal-only) but
+    // must still count the latch down — no wedged pipeline
+    assert(st("fatal") == "failed" && st("dep") == "blocked" && st("side") == "success")
+    assert(rs.find(_.stage == "fatal").get.error.contains("graft/Gone"))
+  }
+
   test("idempotency probe skips a done stage; dependents still run") {
     val ran = new ConcurrentLinkedQueue[String]()
     val rs = Orchestrator.run(Seq(

@@ -87,6 +87,14 @@ class PlansSpec extends SparkSpec {
 
     // ordinary SQL passes through the delegate untouched
     assert(spark.sql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
+    // ... including SQL that merely CONTAINS the text in a string literal
+    assert(spark.sql("SELECT 'ASOF JOIN' AS s").collect()(0).getString(0) == "ASOF JOIN")
+    // identifiers resolve case-insensitively, like the rest of Spark SQL
+    val ci = spark.sql("""
+      SELECT count(*) AS n FROM asof_sql_err e ASOF JOIN asof_sql_pur p
+      MATCH_CONDITION(e.TS_US >= p.ts_us) ON e.USER_ID = p.user_id""")
+      .collect()(0).getLong(0)
+    assert(ci == a.size)
     // an ASOF statement outside the grammar fails with the grammar, not a
     // misleading delegate syntax error
     val ex = intercept[Exception](
