@@ -86,7 +86,9 @@ object Multimodal {
         (0 until frames by everyN).iterator.map { f =>
           digest.reset()
           digest.update(rec.payload)
-          digest.update(f.toByte)
+          // all 4 index bytes: a single truncated byte collides frame f
+          // with f+256 once a video samples past 256 frames
+          digest.update(java.nio.ByteBuffer.allocate(4).putInt(f).array())
           val sum = digest.digest().take(8).map("%02x".format(_)).mkString
           FrameFeature(rec.doc_id, f, ow, oh, sum)
         }
