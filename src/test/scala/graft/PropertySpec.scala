@@ -1,0 +1,281 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.{AsOfJoin, IntervalJoin, MergeUpsert, Sessionize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests: the operators with the trickiest semantics run
+  * against brute-force in-memory oracles on RANDOM inputs — tie
+  * timestamps, empty sides, exact-gap boundaries, negative times,
+  * bin-edge intervals — the corners a fixed-fixture spec never draws.
+  * Generators are ScalaCheck `Gen` pinned to fixed seeds (`pureApply`),
+  * so every run sees the same cases: failures reproduce, CI stays
+  * deterministic. */
+class PropertySpec extends SparkSpec {
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  // ---- as-of join family ---------------------------------------------------
+
+  /** (event_id, user_id, ts_us, value) with few keys and a tight ts range,
+    * so ts collisions (left==right ts) are common. */
+  private def leftGen(n: Int): Gen[List[(Long, Long, Long, Double)]] =
+    Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0, 999)
+    } yield (u, ts, v.toDouble)).map(_.zipWithIndex.map {
+      case ((u, ts, v), i) => (i.toLong, u, ts, v)
+    })
+
+  /** Right side with UNIQUE (user_id, ts_us) — the as-of contract carries
+    * ONE value per match point, so duplicate match points would make the
+    * oracle ambiguous rather than the operator wrong. */
+  private def rightGen(n: Int): Gen[List[(Long, Long, Long, Double)]] =
+    leftGen(n).map(_.groupBy(r => (r._2, r._3)).map(_._2.head).toList
+      .zipWithIndex.map { case ((_, u, ts, v), i) => (1000L + i, u, ts, v) })
+
+  private def asofOracle(lefts: Seq[(Long, Long, Long, Double)],
+                         rights: Seq[(Long, Long, Long, Double)],
+                         forward: Boolean,
+                         tolUs: Long): Map[Long, Option[(Double, Long)]] =
+    lefts.map { case (id, u, ts, _) =>
+      val cands = rights.filter { case (_, ru, rts, _) =>
+        ru == u &&
+          (if (forward) rts >= ts else rts <= ts) &&
+          (tolUs < 0L || (if (forward) rts - ts <= tolUs else ts - rts <= tolUs))
+      }
+      val best =
+        if (cands.isEmpty) None
+        else Some(if (forward) cands.minBy(_._3) else cands.maxBy(_._3))
+      id -> best.map { case (_, _, rts, rv) => (rv, rts) }
+    }.toMap
+
+  private def collectAsof(df: DataFrame): Map[Long, Option[(Double, Long)]] =
+    df.select("event_id", "asof_value", "asof_ts_us").collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+                       else Some((r.getDouble(1), r.getLong(2))))
+    }.toMap
+
+  test("property: every as-of implementation matches the brute-force oracle " +
+    "on random inputs (ties, empty sides, tolerance)") {
+    import spark.implicits._
+    val cols = Seq("event_id", "user_id", "ts_us", "value")
+    for (seed <- 1L to 8L) {
+      val nl = draw(Gen.choose(0, 30), seed * 31)
+      val nr = draw(Gen.choose(0, 30), seed * 37)
+      val lefts = draw(leftGen(nl), seed)
+      val rights = draw(rightGen(nr), seed + 100)
+      val tol = draw(Gen.oneOf(-1L, 0L, draw(Gen.choose(1L, 15L), seed + 7)), seed + 9)
+      val lDf = lefts.toDF(cols: _*)
+      val rDf = rights.toDF(cols: _*)
+
+      val backOracle = asofOracle(lefts, rights, forward = false, tolUs = -1L)
+      assert(collectAsof(AsOfJoin.asOf(lDf, rDf)) == backOracle,
+        s"union+window backward diverged at seed=$seed")
+      assert(collectAsof(graft.plans.NativeAsOf.asOf(
+        lDf, rDf, "user_id", "ts_us", "value")) == backOracle,
+        s"native backward diverged at seed=$seed")
+      assert(collectAsof(graft.plans.NativeAsOf.asOf(
+        lDf, rDf, "user_id", "ts_us", "value", forward = true)) ==
+        asofOracle(lefts, rights, forward = true, tolUs = -1L),
+        s"native forward diverged at seed=$seed")
+      assert(collectAsof(graft.plans.NativeAsOf.asOf(
+        lDf, rDf, "user_id", "ts_us", "value", toleranceUs = tol)) ==
+        asofOracle(lefts, rights, forward = false, tolUs = tol),
+        s"native tolerance=$tol diverged at seed=$seed")
+    }
+  }
+
+  // ---- interval-overlap join ----------------------------------------------
+
+  test("property: bin-blocked interval join matches the all-pairs oracle, " +
+    "including negative times and bin-edge intervals") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val binUs = 64L
+      val sessions = draw(Gen.listOfN(draw(Gen.choose(0, 25), seed * 13), for {
+        u <- Gen.choose(1L, 5L)
+        // starts can be negative and lengths hit 0 and exact bin multiples
+        start <- Gen.choose(-256L, 512L)
+        len <- Gen.oneOf(0L, 1L, binUs - 1, binUs, binUs + 1, 3 * binUs)
+      } yield (u, start, start + len)), seed)
+        .zipWithIndex.map { case ((u, s, e), i) => (u, i.toLong, s, e) }
+
+      val df = sessions.toDF("user_id", "session_idx",
+        "session_start_us", "session_end_us")
+      val got = IntervalJoin.coActiveSessions(df, binUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      val oracle = (for {
+        (ua, _, sa, ea) <- sessions
+        (ub, _, sb, eb) <- sessions
+        if ua < ub && sa <= eb && sb <= ea
+      } yield (ua, ub)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == oracle, s"interval join diverged at seed=$seed")
+    }
+  }
+
+  // ---- MERGE with schema evolution ----------------------------------------
+
+  test("property: mergeEvolve holds the Delta autoMerge laws on random " +
+    "target/source column sets") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val tRows = draw(Gen.listOfN(draw(Gen.choose(0, 12), seed), for {
+        a <- Gen.choose(0, 99); b <- Gen.choose(0, 99)
+      } yield (a, b)), seed).zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+      val sKeys = draw(Gen.listOfN(draw(Gen.choose(0, 12), seed + 3),
+        Gen.choose(0L, 17L)), seed + 5).distinct
+      val sourceHasB = draw(Gen.prob(0.5), seed + 11)
+      val sourceHasC = draw(Gen.prob(0.5), seed + 13)
+      val sRows = sKeys.map(k => (k,
+        draw(Gen.choose(100, 199), seed + k),
+        draw(Gen.choose(100, 199), seed + k + 50),
+        draw(Gen.choose(100, 199), seed + k + 90)))
+
+      val target = tRows.toDF("k", "a", "b")
+      val source = {
+        val base = sRows.toDF("k", "a", "b", "c")
+        (sourceHasB, sourceHasC) match {
+          case (true, true) => base
+          case (true, false) => base.drop("c")
+          case (false, true) => base.drop("b")
+          case (false, false) => base.drop("b", "c")
+        }
+      }
+
+      val got = MergeUpsert.mergeEvolve(target, source, Seq("k"))
+        .collect().map { r =>
+          (r.getLong(r.fieldIndex("k")),
+            r.getInt(r.fieldIndex("a")),
+            if (got2HasCol(r.schema.fieldNames, "b") && !r.isNullAt(r.fieldIndex("b")))
+              Some(r.getInt(r.fieldIndex("b"))) else None,
+            if (got2HasCol(r.schema.fieldNames, "c") && !r.isNullAt(r.fieldIndex("c")))
+              Some(r.getInt(r.fieldIndex("c"))) else None,
+            r.getString(r.fieldIndex("_merge_action")))
+        }.toSet
+
+      val sMap = sRows.map(s => s._1 -> s).toMap
+      val expected: Set[(Long, Int, Option[Int], Option[Int], String)] =
+        (tRows.filterNot(t => sMap.contains(t._1)).map { case (k, a, b) =>
+          (k, a, Some(b), None, "kept")
+        } ++ tRows.filter(t => sMap.contains(t._1)).map { case (k, _, tb) =>
+          val (_, sa, sb, sc) = sMap(k)
+          // matched: source wins its columns; target keeps what source dropped
+          (k, sa, if (sourceHasB) Some(sb) else Some(tb),
+            if (sourceHasC) Some(sc) else None, "updated")
+        } ++ sKeys.filterNot(k => tRows.exists(_._1 == k)).map { k =>
+          val (_, sa, sb, sc) = sMap(k)
+          (k, sa, if (sourceHasB) Some(sb) else None,
+            if (sourceHasC) Some(sc) else None, "inserted")
+        }).toSet
+      assert(got == expected,
+        s"mergeEvolve diverged at seed=$seed hasB=$sourceHasB hasC=$sourceHasC")
+    }
+  }
+
+  private def got2HasCol(names: Array[String], c: String): Boolean =
+    names.contains(c)
+
+  // ---- gap sessionization --------------------------------------------------
+
+  test("property: sessionization matches the per-user fold oracle at exact " +
+    "gap boundaries") {
+    import spark.implicits._
+    val gapUs = 10L
+    for (seed <- 1L to 6L) {
+      val events = draw(Gen.listOfN(draw(Gen.choose(0, 40), seed * 17), for {
+        u <- Gen.choose(1L, 3L)
+        // deltas cluster on the gap boundary: ==gap stays, gap+1 breaks
+        ts <- Gen.choose(0L, 8L).map(_ * (gapUs / 2))
+      } yield (u, ts)), seed).zipWithIndex
+        .map { case ((u, ts), i) => (i.toLong, u, "click", 1.0, ts * 1000L) }
+
+      val df = events.toDF("event_id", "user_id", "event_type", "value", "ts_ns")
+      val got = Sessionize.assignSessions(df, gapUs)
+        .select("event_id", "session_idx")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val oracle = events.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.map(e => (e._1, e._5 / 1000L)).sortBy(e => (e._2, e._1))
+        var idx = 0L
+        var prev = Long.MinValue
+        sorted.map { case (id, ts) =>
+          if (prev == Long.MinValue || ts - prev > gapUs) idx += 1
+          prev = ts
+          id -> idx
+        }
+      }.toMap
+      assert(got == oracle, s"sessionize diverged at seed=$seed")
+    }
+  }
+
+  // ---- Misra–Gries topk_freq ----------------------------------------------
+
+  test("property: topk_freq holds the Misra-Gries guarantees under " +
+    "partial/merge execution on random skewed streams") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    for (seed <- 1L to 4L) {
+      val n = 400
+      val items = draw(Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("alpha"), 5 -> Gen.const("beta"),
+        3 -> Gen.const("gamma"), 2 -> Gen.const("delta"),
+        1 -> Gen.oneOf("e1", "e2", "e3", "e4", "e5", "e6"))), seed)
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+      // repartition forces per-partition summaries + a merge — the
+      // distributed path whose error bound is the sum of partial bounds
+      val out = items.toDF("item").repartition(7)
+        .agg(expr("topk_freq(item, 4, 4)").as("s"))
+        .selectExpr("inline(s)")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+      out.foreach { case (item, est, err) =>
+        assert(est <= truth(item), s"MG must underestimate: $item at seed=$seed")
+        assert(truth(item) <= est + err,
+          s"true count above est+err for $item at seed=$seed")
+      }
+      val errBound = out.headOption.map(_._3).getOrElse(0L)
+      val present = out.map(_._1).toSet
+      truth.filter(_._2 > errBound).keys.foreach { hh =>
+        assert(present.contains(hh),
+          s"guaranteed heavy hitter $hh missing at seed=$seed (err=$errBound)")
+      }
+    }
+  }
+
+  // ---- morton2 bit interleave ----------------------------------------------
+
+  test("property: morton2 codegen matches an independent per-bit interleave") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // independent reference: loop over bits (the impl uses magic masks)
+    def ref(a: Long, b: Long): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 31) {
+        out |= ((a >> i) & 1L) << (2 * i)
+        out |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      out
+    }
+    val pairs = draw(Gen.listOfN(200, for {
+      a <- Gen.choose(0L, (1L << 31) - 1)
+      b <- Gen.choose(0L, (1L << 31) - 1)
+    } yield (a, b)), 42L) ++
+      Seq((0L, 0L), ((1L << 31) - 1, (1L << 31) - 1), (0L, (1L << 31) - 1))
+    val got = pairs.toDF("a", "b").selectExpr("morton2(a, b)")
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      assert(g == ref(a, b), s"morton2($a, $b)")
+    }
+  }
+}
