@@ -2199,6 +2199,14 @@ object Queries {
         .orderBy("event_type"),
       None),
 
+    // KMV audience overlap — the intersection estimate HLL cannot produce
+    // (rows-only: sketch values are hash-engine-specific; SketchesSpec
+    // bounds the error against exact set intersections)
+    QueryDef("q_kmv_overlap",
+      (s, d) => gold.Sketches.audienceOverlap(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
     QueryDef("q_approx_quantiles",
       (s, d) => gold.Sketches.approxOrderQuantiles(
           Cleaning.cleanOrders(Tables.orders(s, d)))

@@ -85,6 +85,23 @@ object GraftFunctions {
     TopKFreq(exprs.head, litInt(exprs(1), "capacity"), litInt(exprs(2), "k"))
   }
 
+  // k must be a literal int (sketch shape is a plan-time property)
+  val kmvBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"kmv_sketch expects 2 arguments (value, k), got ${exprs.length}")
+    val kExpr = exprs(1)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"kmv_sketch k must be a literal int, got non-literal ${kExpr.sql}")
+    val k = kExpr.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch k must be a literal int, got $other")
+    }
+    KmvSketch(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -94,6 +111,8 @@ object GraftFunctions {
       "morton2", mortonBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_freq", topkFreqBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", kmvBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -126,6 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreq].getName, "topk_freq"),
       GraftFunctions.topkFreqBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      GraftFunctions.kmvBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // ASOF JOIN SQL syntax (Snowflake shape) -> AsOfJoinNode; ordinary SQL

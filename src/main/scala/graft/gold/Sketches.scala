@@ -63,4 +63,36 @@ object Sketches {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_p50"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("approx_p95"),
         count(lit(1)).as("order_count"))
+
+  /** Daily audience OVERLAP via KMV sketches (functions/KmvSketch.scala):
+    * distinct purchasers, distinct error users, their union and their
+    * INTERSECTION — the set operation the HLL queries above cannot answer
+    * (HLL unions only; "purchasers who also hit errors" needs a sketch
+    * family closed under intersection). One scan builds both per-day
+    * sketches from conditional inputs; every estimate then composes from
+    * the two fixed-size arrays — stored in gold, any audience pair is
+    * answerable later without rescanning events. Deterministic (seedless
+    * xxhash64), so rows-only results are stable; SketchesSpec bounds the
+    * error against exact intersections. */
+  def audienceOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    import graft.functions.Kmv
+    events
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("ts").cast("date").as("event_date"), col("event_type"),
+        col("user_id"))
+      .groupBy(col("event_date"))
+      .agg(
+        expr(s"kmv_sketch(CASE WHEN event_type = 'purchase' THEN user_id END, $k)")
+          .as("purchasers"),
+        expr(s"kmv_sketch(CASE WHEN event_type = 'error' THEN user_id END, $k)")
+          .as("error_users"))
+      .select(col("event_date"),
+        Kmv.estimate(col("purchasers"), k).as("approx_purchasers"),
+        Kmv.estimate(col("error_users"), k).as("approx_error_users"),
+        Kmv.unionEstimate(col("purchasers"), col("error_users"), k)
+          .as("approx_either"),
+        Kmv.intersectEstimate(col("purchasers"), col("error_users"), k)
+          .as("approx_both"))
+  }
 }

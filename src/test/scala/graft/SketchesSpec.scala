@@ -108,4 +108,79 @@ class SketchesSpec extends SparkSpec {
     assert(mustAppear.subsetOf(appeared),
       s"missing heavy hitters: ${mustAppear -- appeared}")
   }
+
+  test("kmv_sketch is EXACT below k and identical under distributed merge") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1L to 100L).toDF("v")
+    val single = df.repartition(1).agg(expr("kmv_sketch(v, 256)")).collect()(0).getSeq[Long](0)
+    val merged = df.repartition(7).agg(expr("kmv_sketch(v, 256)")).collect()(0).getSeq[Long](0)
+    // unfilled sketch IS the distinct hash set — exact, and merge-invariant
+    assert(single.size == 100 && single == merged)
+    val est = df.agg(graft.functions.Kmv.estimate(
+      expr("kmv_sketch(v, 256)"), 256)).collect()(0).getDouble(0)
+    assert(est == 100.0, s"below-k estimate must be exact, got $est")
+  }
+
+  test("kmv_sketch distinct estimate within 20% at k=256 over 20k values") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val est = (1L to 20000L).toDF("v").repartition(11)
+      .agg(graft.functions.Kmv.estimate(expr("kmv_sketch(v, 256)"), 256))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"est=$est")
+  }
+
+  test("KMV union/intersection estimates track exact set cardinalities") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Kmv
+    val k = 512
+    // |A|=10000, |B|=10000, |A∩B|=5000, |A∪B|=15000, J=1/3
+    val df = (0L until 10000L).map(v => ("a", v))
+      .++((5000L until 15000L).map(v => ("b", v))).toDF("side", "v")
+    val sk = df.repartition(9).agg(
+      expr(s"kmv_sketch(CASE WHEN side = 'a' THEN v END, $k)").as("a"),
+      expr(s"kmv_sketch(CASE WHEN side = 'b' THEN v END, $k)").as("b"))
+    val row = sk.select(
+      Kmv.unionEstimate(col("a"), col("b"), k).as("u"),
+      Kmv.intersectEstimate(col("a"), col("b"), k).as("i"),
+      Kmv.jaccardEstimate(col("a"), col("b"), k).as("j")).collect()(0)
+    val (u, i, j) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(math.abs(u - 15000.0) / 15000.0 < 0.15, s"union est=$u")
+    assert(math.abs(i - 5000.0) / 5000.0 < 0.25, s"intersect est=$i")
+    assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard est=$j")
+  }
+
+  test("audienceOverlap is exact on a below-k corpus") {
+    val events = Tables.events(spark, TinySf)
+    val got = Sketches.audienceOverlap(events)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+    val exact = purch.select("d", "user_id").distinct()
+      .withColumn("p", lit(1)).join(
+        errs.select("d", "user_id").distinct().withColumn("e", lit(1)),
+        Seq("d", "user_id"), "full")
+      .groupBy("d").agg(
+        sum(coalesce(col("p"), lit(0))).as("np"),
+        sum(coalesce(col("e"), lit(0))).as("ne"),
+        count(lit(1)).as("nu"),
+        sum(when(col("p").isNotNull && col("e").isNotNull, 1).otherwise(0)).as("nb"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == exact.keySet)
+    // tiny-corpus audiences never fill k=256, so every figure — including
+    // the intersection — must equal the exact set cardinality
+    got.foreach { case (day, (p, e, u, b)) =>
+      val (ep, ee, eu, eb) = exact(day)
+      assert(math.abs(p - ep) < 1e-6 && math.abs(e - ee) < 1e-6 &&
+        math.abs(u - eu) < 1e-6 && math.abs(b - eb) < 1e-6,
+        s"$day: got ($p,$e,$u,$b) exact ($ep,$ee,$eu,$eb)")
+    }
+  }
 }
