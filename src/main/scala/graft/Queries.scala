@@ -2207,6 +2207,12 @@ object Queries {
         .orderBy("event_date"),
       None),
 
+    // daily KMV sketches merged to the period total (kmv_merge_agg) —
+    // the stored-sketch re-aggregation path, intersection included
+    QueryDef("q_kmv_total",
+      (s, d) => gold.Sketches.totalAudienceOverlap(Tables.events(s, d)),
+      None),
+
     QueryDef("q_approx_quantiles",
       (s, d) => gold.Sketches.approxOrderQuantiles(
           Cleaning.cleanOrders(Tables.orders(s, d)))

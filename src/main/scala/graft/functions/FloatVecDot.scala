@@ -102,6 +102,22 @@ object GraftFunctions {
     KmvSketch(exprs.head, k)
   }
 
+  val kmvMergeBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"kmv_merge_agg expects 2 arguments (sketch, k), got ${exprs.length}")
+    val kExpr = exprs(1)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"kmv_merge_agg k must be a literal int, got non-literal ${kExpr.sql}")
+    val k = kExpr.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"kmv_merge_agg k must be a literal int, got $other")
+    }
+    KmvMergeAgg(exprs.head, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -113,6 +129,8 @@ object GraftFunctions {
       "topk_freq", topkFreqBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", kmvBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_merge_agg", kmvMergeBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -149,6 +167,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       GraftFunctions.kmvBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_merge_agg"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_agg"),
+      GraftFunctions.kmvMergeBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // ASOF JOIN SQL syntax (Snowflake shape) -> AsOfJoinNode; ordinary SQL

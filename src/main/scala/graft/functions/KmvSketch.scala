@@ -49,6 +49,35 @@ final class KmvBuffer(val k: Int) {
     other.set.forEach(h => add(h))
     this
   }
+
+  def toSortedArray: GenericArrayData = {
+    val out = new Array[Long](set.size)
+    var i = 0
+    val it = set.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object KmvBuffer {
+  def write(buffer: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeInt(buffer.set.size)
+    buffer.set.forEach(h => out.writeLong(h))
+    out.flush()
+    bos.toByteArray
+  }
+
+  def read(storageFormat: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    val b = new KmvBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.set.add(in.readLong()); i += 1 }
+    b
+  }
 }
 
 /** `kmv_sketch(value, k)` — the sketch as array<long> of the k smallest
@@ -73,32 +102,11 @@ case class KmvSketch(
   override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer =
     buffer.mergeIn(other)
 
-  override def eval(buffer: KmvBuffer): Any = {
-    val out = new Array[Long](buffer.set.size)
-    var i = 0
-    val it = buffer.set.iterator() // TreeSet iterates ascending
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def eval(buffer: KmvBuffer): Any = buffer.toSortedArray
 
-  override def serialize(buffer: KmvBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buffer.k)
-    out.writeInt(buffer.set.size)
-    buffer.set.forEach(h => out.writeLong(h))
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(storageFormat: Array[Byte]): KmvBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
-    val b = new KmvBuffer(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) { b.set.add(in.readLong()); i += 1 }
-    b
-  }
+  override def serialize(buffer: KmvBuffer): Array[Byte] = KmvBuffer.write(buffer)
+  override def deserialize(storageFormat: Array[Byte]): KmvBuffer =
+    KmvBuffer.read(storageFormat)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -110,6 +118,55 @@ case class KmvSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_sketch"
+}
+
+/** `kmv_merge_agg(sketch, k)` — merge STORED kmv_sketch arrays (the
+  * hll_union_agg analog): input rows are array<long> sketches whose
+  * hashes feed the buffer directly, no re-hashing. This is what makes
+  * persisting sketches in gold worthwhile: any coarser grouping — daily
+  * sketches to a total, per-type to all-type — is a merge of fixed-size
+  * states, never a rescan of the fact table. */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k > 1, s"kmv_merge_agg needs k > 1, got k=$k")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { buffer.add(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer =
+    buffer.mergeIn(other)
+
+  override def eval(buffer: KmvBuffer): Any = buffer.toSortedArray
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = KmvBuffer.write(buffer)
+  override def deserialize(storageFormat: Array[Byte]): KmvBuffer =
+    KmvBuffer.read(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
+    copy(child = newChild)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_merge_agg"
 }
 
 /** Estimators over kmv_sketch arrays — pure Spark array functions, so the

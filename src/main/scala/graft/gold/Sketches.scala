@@ -95,4 +95,32 @@ object Sketches {
         Kmv.intersectEstimate(col("purchasers"), col("error_users"), k)
           .as("approx_both"))
   }
+
+  /** Total-period audience overlap from DAILY sketches via kmv_merge_agg —
+    * the re-aggregation that makes persisting KMV sketches in gold
+    * worthwhile (hll_union_agg's role for HLL, but closed under
+    * intersection too): daily fixed-size states merge to the period
+    * total; events are scanned exactly once, at daily grain. */
+  def totalAudienceOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    import graft.functions.Kmv
+    events
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("ts").cast("date").as("event_date"), col("event_type"),
+        col("user_id"))
+      .groupBy(col("event_date")) // the daily-grain sketches gold would store
+      .agg(
+        expr(s"kmv_sketch(CASE WHEN event_type = 'purchase' THEN user_id END, $k)")
+          .as("purchasers"),
+        expr(s"kmv_sketch(CASE WHEN event_type = 'error' THEN user_id END, $k)")
+          .as("error_users"))
+      .agg(
+        expr(s"kmv_merge_agg(purchasers, $k)").as("purchasers"),
+        expr(s"kmv_merge_agg(error_users, $k)").as("error_users"))
+      .select(
+        Kmv.estimate(col("purchasers"), k).as("approx_purchasers"),
+        Kmv.estimate(col("error_users"), k).as("approx_error_users"),
+        Kmv.intersectEstimate(col("purchasers"), col("error_users"), k)
+          .as("approx_both"))
+  }
 }

@@ -152,6 +152,24 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard est=$j")
   }
 
+  test("kmv_merge_agg of daily sketches is bit-identical to sketching the " +
+    "whole corpus directly") {
+    graft.functions.GraftFunctions.register(spark)
+    val events = Tables.events(spark, TinySf)
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+    val k = 8 // tiny k so daily sketches FILL and eviction paths engage
+    val direct = events.agg(expr(s"kmv_sketch(user_id, $k)"))
+      .collect()(0).getSeq[Long](0)
+    val merged = events.groupBy("d")
+      .agg(expr(s"kmv_sketch(user_id, $k)").as("s"))
+      .agg(expr(s"kmv_merge_agg(s, $k)"))
+      .collect()(0).getSeq[Long](0)
+    // the KMV closure property: k smallest of a union is computable from
+    // per-part sketches alone — so the two paths cannot differ by a bit
+    assert(direct == merged)
+    assert(direct.size == k, "test corpus must overfill the sketch")
+  }
+
   test("audienceOverlap is exact on a below-k corpus") {
     val events = Tables.events(spark, TinySf)
     val got = Sketches.audienceOverlap(events)
