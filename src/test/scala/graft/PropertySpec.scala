@@ -251,6 +251,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- kmv sketch ----------------------------------------------------------
+
+  test("property: kmv_sketch IS the k smallest distinct hashes under any " +
+    "partitioning (deterministic equality, not a statistical bound)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    for (seed <- 1L to 5L) {
+      // heavy duplication (small value range) exercises the dedup path
+      val vals = draw(Gen.listOfN(draw(Gen.choose(0, 300), seed * 19),
+        Gen.choose(-50L, 50L)), seed)
+      val k = draw(Gen.oneOf(2, 5, 16), seed + 3)
+      val parts = draw(Gen.choose(1, 9), seed + 5)
+      val expected = vals.distinct
+        .map(v => XxHash64Function.hash(v, LongType, 42L))
+        .distinct.sorted.take(k)
+      val got = vals.toDF("v").repartition(parts)
+        .agg(expr(s"kmv_sketch(v, $k)")).collect()(0).getSeq[Long](0).toList
+      assert(got == expected, s"kmv sketch diverged at seed=$seed k=$k parts=$parts")
+    }
+  }
+
   // ---- morton2 bit interleave ----------------------------------------------
 
   test("property: morton2 codegen matches an independent per-bit interleave") {
