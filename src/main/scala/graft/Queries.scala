@@ -1991,6 +1991,16 @@ object Queries {
         |SELECT vec_a, vec_b, bucket, cos_sim FROM p
         |WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: learned KMeans cells (bounded-sample
+    // fit) gate the candidate pairs, min-id representative wins — catches
+    // paraphrase-grade duplicates sign-LSH blocking misses (rows-only:
+    // learned cells are engine-local; FunctionsSpec proves precision exact
+    // and floors recall against the all-pairs rule)
+    QueryDef("q_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.35)
+        .orderBy("vec_id"),
+      None),
+
     QueryDef("q_stream_tumbling",
       (s, d) => graft.streaming.StreamOps.tumblingCounts(Tables.events(s, d))
         .orderBy("window_start", "event_type"),
@@ -2211,6 +2221,18 @@ object Queries {
     // the stored-sketch re-aggregation path, intersection included
     QueryDef("q_kmv_total",
       (s, d) => gold.Sketches.totalAudienceOverlap(Tables.events(s, d)),
+      None),
+
+    // Count-min point-frequency probes (functions/CmsSketch.scala) — the
+    // "how often does THIS token occur" estimate for ANY token from
+    // O(depth·width) state, complementing topk_freq's retained head
+    // (rows-only: sketch hashing is engine-specific; SketchesSpec proves
+    // never-undercount + the e·N/width ceiling against exact counts)
+    QueryDef("q_cms_freq",
+      (s, d) => gold.Sketches.tokenFrequencyProbes(Tables.documents(s, d),
+          Seq("the", "of", "and", "data", "fraud", "model",
+            "quasar", "zzyzx", "unseen"))
+        .orderBy("token"),
       None),
 
     QueryDef("q_approx_quantiles",

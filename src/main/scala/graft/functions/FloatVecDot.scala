@@ -118,6 +118,31 @@ object GraftFunctions {
     KmvMergeAgg(exprs.head, k)
   }
 
+  // depth/width must be literal ints (sketch shape is a plan-time property)
+  private def cmsShapeBuilder(name: String,
+      make: (Expression, Int, Int) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"$name expects 3 arguments (value, depth, width), got ${exprs.length}")
+      def litInt(e: Expression, what: String): Int = {
+        if (!e.foldable)
+          throw new IllegalArgumentException(
+            s"$name $what must be a literal int, got non-literal ${e.sql}")
+        e.eval(null) match {
+          case n: Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"$name $what must be a literal int, got $other")
+        }
+      }
+      make(exprs.head, litInt(exprs(1), "depth"), litInt(exprs(2), "width"))
+    }
+
+  val cmsBuilder: Seq[Expression] => Expression =
+    cmsShapeBuilder("cms_sketch", CmsSketch(_, _, _))
+  val cmsMergeBuilder: Seq[Expression] => Expression =
+    cmsShapeBuilder("cms_merge_agg", CmsMergeAgg(_, _, _))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -131,6 +156,10 @@ object GraftFunctions {
       "kmv_sketch", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_merge_agg", kmvMergeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch", cmsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_merge_agg", cmsMergeBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -171,6 +200,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_merge_agg"),
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge_agg"),
       GraftFunctions.kmvMergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      GraftFunctions.cmsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      GraftFunctions.cmsMergeBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // ASOF JOIN SQL syntax (Snowflake shape) -> AsOfJoinNode; ordinary SQL

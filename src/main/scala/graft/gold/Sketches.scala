@@ -123,4 +123,33 @@ object Sketches {
         Kmv.intersectEstimate(col("purchasers"), col("error_users"), k)
           .as("approx_both"))
   }
+
+  /** Point-frequency probes over a count-min sketch of the token stream
+    * (functions/CmsSketch.scala): per-lang sketches — the grain gold
+    * would persist — merge via cms_merge_agg to a corpus total, which a
+    * literal probe list then queries with pure built-in hash/array
+    * functions ([[graft.functions.Cms.pointEstimate]]). This answers the
+    * frequency question Misra–Gries cannot: ANY token's count, not just
+    * the retained head, from O(depth·width) state per task instead of a
+    * vocab-sized shuffle. Deterministic (seedless xxhash64) → stable
+    * rows-only results; SketchesSpec proves never-undercount and the
+    * e·N/width ceiling against the exact counts. */
+  def tokenFrequencyProbes(documents: DataFrame, probes: Seq[String],
+                           depth: Int = 4, width: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    import graft.functions.Cms
+    val total = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang")) // the per-lang sketches gold would store
+      .agg(expr(s"cms_sketch(token, $depth, $width)").as("sketch"))
+      .agg(expr(s"cms_merge_agg(sketch, $depth, $width)").as("sketch"))
+    total
+      .select(col("sketch"), explode(typedlit(probes)).as("token"))
+      .select(col("token"),
+        Cms.pointEstimate(col("sketch"), col("token"), depth, width)
+          .as("count_est"),
+        Cms.totalMass(col("sketch")).as("total_tokens"),
+        Cms.errorCeiling(col("sketch"), width).as("err_ceiling"))
+  }
 }

@@ -390,6 +390,52 @@ object Similarity {
       .unionByName(summarize("ivfpq", knnIvfPq(embeddings, numQueries, k)))
   }
 
+  /** Semantic deduplication (the SemDeDup shape — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): a LEARNED coarse quantizer gates which pairs
+    * are compared — KMeans cells from the bounded sample (same fit
+    * contract as [[knnIvf]]) replace sign-LSH buckets, catching the
+    * paraphrase-grade duplicates whose vectors are close but not
+    * bit-sign-identical. Within each cell, a row is dropped iff an
+    * earlier row (smaller vec_id — the deterministic representative rule)
+    * sits above the cosine threshold; `dup_of` records that
+    * representative.
+    *
+    * Scale shape: one bounded-sample fit, one full-corpus assignment
+    * pass, then a self-join that shuffles on the cell key only — the
+    * within-cell candidate set is ~n/nlist rows, and nlist grows with the
+    * corpus (FAISS sizes it ~√n), so the per-cell quadratic stays
+    * bounded. Same-cell gating is the recall trade every production
+    * semantic dedup makes; the spec measures recall against the exact
+    * all-pairs rule and proves precision exact (candidate pairs are
+    * re-scored with true cosine, so nothing is dropped on a false match).
+    * Learned cells → rows-only oracle gate. */
+  def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
+                    threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = withNormalized(embeddings)
+    val coarse = trainCoarse(base, nlist)
+    val celled = coarse.transform(base.withColumn("fv", array_to_vector(col("nv"))))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("cell").cast("long").as("cell"))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
+    val earlier = celled.select(col("vec_id").as("e_id"), col("cell"),
+      col("embedding").as("ev"), col("nrm").as("e_nrm"))
+    // min earlier same-cell neighbor above threshold = the representative
+    val dupOf = celled.alias("c")
+      .join(earlier, Seq("cell"))
+      .filter(col("e_id") < col("vec_id"))
+      .withColumn("cos_sim", fastDot("ev", "embedding") / (col("e_nrm") * col("nrm")))
+      .filter(col("cos_sim") > threshold)
+      .groupBy(col("vec_id").as("d_id"))
+      .agg(min(col("e_id")).as("dup_of"))
+    celled.select("vec_id", "label", "cell")
+      .join(dupOf, col("vec_id") === col("d_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, blocked by
     * the sign-LSH bucket (same coarse quantizer as [[knnBucketed]]).
     *

@@ -126,6 +126,61 @@ class FunctionsSpec extends SparkSpec {
       s"ivfpq ${rec("ivfpq")} trails ivf ${rec("ivf")} by more than 0.05")
   }
 
+  test("semantic dedup: precision exact vs the all-pairs rule, planted " +
+    "near-dups recalled, representatives are never dropped") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TinySf)
+
+    // -- precision on the RAW corpus (max pairwise cos here is ~0.48, so
+    // tau=0.35 marks borderline pairs): candidate pairs are re-scored with
+    // TRUE cosine, so the cluster path may MISS a cross-cell pair but can
+    // never fabricate one — every drop must exist under the all-pairs rule
+    val tauLoose = 0.35
+    val base = e.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val exactDropped = base.alias("a").join(
+        base.select(col("vec_id").as("u_id"), col("embedding").as("uv"),
+          col("nrm").as("u_nrm")),
+        col("u_id") < col("vec_id"))
+      .filter(expr("vec_dot(uv, embedding)") / (col("u_nrm") * col("nrm")) > tauLoose)
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val loose = Similarity.semanticDedup(e, nlist = 16, threshold = tauLoose)
+    val looseRows = loose.collect()
+    assert(looseRows.length == e.count(), "dedup must return every corpus row")
+    val looseDropped = looseRows.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(looseDropped.nonEmpty && exactDropped.nonEmpty)
+    assert(looseDropped.subsetOf(exactDropped),
+      s"false drops: ${looseDropped -- exactDropped}")
+
+    // -- recall on PLANTED near-dups — the operator's actual contract
+    // (paraphrase-grade duplicates, cos ≈ 0.99): every 5th vector gets a
+    // deterministically jittered copy; at tau=0.9 the exact rule drops
+    // exactly the copies, and a copy's vector is close enough to its
+    // original that the learned cells almost always agree
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("vec_id") * 7 + i) * lit(0.03)).cast("float"))
+          .as("embedding"))
+    val corpus = e.select("vec_id", "label", "embedding").unionByName(planted)
+    val plantedIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = Similarity.semanticDedup(corpus, nlist = 16, threshold = 0.9).collect()
+    val dropped = rows.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    // nothing original sits above cos 0.9 of anything else → only copies drop
+    assert(dropped.subsetOf(plantedIds), s"false drops: ${dropped -- plantedIds}")
+    val recall = dropped.size.toDouble / plantedIds.size
+    assert(recall >= 0.9, s"planted near-dup recall $recall " +
+      s"(${dropped.size}/${plantedIds.size})")
+    // every dropped row carries a representative with a SMALLER id
+    rows.filter(!_.getAs[Boolean]("kept")).foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_of")))
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+    }
+  }
+
   test("quantizer training reads a bounded deterministic sample, not the corpus") {
     val e = Tables.embeddings(spark, TinySf)
     val base = e.select(col("vec_id"), col("embedding"))

@@ -201,4 +201,77 @@ class SketchesSpec extends SparkSpec {
         s"$day: got ($p,$e,$u,$b) exact ($ep,$ee,$eu,$eb)")
     }
   }
+
+  test("cms_sketch never undercounts, holds the e·N/width ceiling on EVERY " +
+    "token, and is merge-invariant") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Cms
+    val (depth, width) = (4, 512)
+    val tokens = Tables.documents(spark, TinySf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val single = tokens.repartition(1)
+      .agg(expr(s"cms_sketch(token, $depth, $width)")).collect()(0).getSeq[Long](0)
+    val merged = tokens.repartition(13)
+      .agg(expr(s"cms_sketch(token, $depth, $width)")).collect()(0).getSeq[Long](0)
+    // counters add elementwise — partitioning cannot change a single bit
+    assert(single == merged)
+
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("exact"))
+    val sketchDf = tokens.agg(expr(s"cms_sketch(token, $depth, $width)").as("sk"))
+    val rows = exact.crossJoin(sketchDf)
+      .select(col("token"), col("exact"),
+        Cms.pointEstimate(col("sk"), col("token"), depth, width).as("est"),
+        Cms.totalMass(col("sk")).as("n"),
+        Cms.errorCeiling(col("sk"), width).as("ceil"))
+      .collect()
+    assert(rows.nonEmpty)
+    var overCeiling = 0
+    rows.foreach { r =>
+      val (ex, est, ceil) = (r.getAs[Long]("exact"), r.getAs[Long]("est"),
+        r.getAs[Double]("ceil"))
+      assert(est >= ex, s"CMS undercounted ${r.getString(0)}: est=$est exact=$ex")
+      if (est > ex + ceil) overCeiling += 1
+    }
+    // Pr[overshoot > e·N/width] ≤ e^−depth ≈ 1.8% per probe; allow the tail
+    assert(overCeiling <= math.max(1, rows.length / 20),
+      s"$overCeiling of ${rows.length} probes exceeded the CMS error ceiling")
+  }
+
+  test("cms_merge_agg of per-lang sketches is bit-identical to sketching " +
+    "the whole corpus, and an absent token estimates below the ceiling") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Cms
+    val (depth, width) = (4, 1024)
+    val toks = Tables.documents(spark, TinySf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val direct = toks.agg(expr(s"cms_sketch(token, $depth, $width)"))
+      .collect()(0).getSeq[Long](0)
+    val merged = toks.groupBy("lang")
+      .agg(expr(s"cms_sketch(token, $depth, $width)").as("s"))
+      .agg(expr(s"cms_merge_agg(s, $depth, $width)"))
+      .collect()(0).getSeq[Long](0)
+    assert(direct == merged)
+
+    val out = Sketches.tokenFrequencyProbes(Tables.documents(spark, TinySf),
+      Seq("the", "zzyzx-not-a-token")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("count_est"),
+        r.getAs[Double]("err_ceiling"))).toMap
+    // a token that never occurs can only carry collision mass ≤ ceiling whp
+    assert(out("zzyzx-not-a-token")._1 <= out("zzyzx-not-a-token")._2,
+      s"absent-token estimate ${out("zzyzx-not-a-token")._1} above ceiling")
+    // a stopword certainly present must estimate at least its true count ≥ 1
+    assert(out("the")._1 >= 1L)
+  }
+
+  test("cms_sketch rejects non-literal or missing shape arguments") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("v")
+    val e1 = intercept[Exception](df.agg(expr("cms_sketch(v, v, 8)")).collect())
+    assert(e1.getMessage.contains("literal int"))
+    val e2 = intercept[Exception](df.agg(expr("cms_sketch(v, 4)")).collect())
+    assert(e2.getMessage.contains("3 arguments"))
+  }
 }
