@@ -1425,6 +1425,33 @@ object Queries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Shared by q_decontaminate and q_decontaminate_sketch: the sketch
+    * path's CMS gate is pruning-only (no false negatives, survivors
+    * exact-confirmed), so both queries answer the same oracle. */
+  private lazy val decontaminateOracle = """WITH g AS (
+    |  SELECT doc_id, source,
+    |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+    |      j -> array_to_string(string_split(text, ' ')[j:j+3], ' '))) AS grams
+    |  FROM documents
+    |), ev AS (
+    |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
+    |), tr AS (
+    |  SELECT doc_id, source, grams FROM g WHERE source <> 'src0'
+    |), tg AS (
+    |  SELECT doc_id, unnest(grams) AS gram FROM tr
+    |), hits AS (
+    |  SELECT doc_id, count(*) AS n_hit_grams FROM tg JOIN ev USING (gram) GROUP BY 1
+    |)
+    |SELECT tr.doc_id, tr.source, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+    |  CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+    |  CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) AS hit_ratio,
+    |  COALESCE(hits.n_hit_grams, 0) > 0 AS is_contaminated,
+    |  CASE WHEN CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) >= CAST(0.2 AS DOUBLE) THEN 'high'
+    |       WHEN COALESCE(hits.n_hit_grams, 0) > 0 THEN 'low'
+    |       ELSE 'clean' END AS severity
+    |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+    |ORDER BY tr.doc_id""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
@@ -2590,32 +2617,20 @@ object Queries {
         |FROM base JOIN s2 ON base.doc_id = s2.doc_id JOIN s3 ON base.doc_id = s3.doc_id
         |ORDER BY base.doc_id""".stripMargin)),
 
+    // Sketch-gated decontamination for eval sets too big to broadcast:
+    // a CMS of eval grams prunes the train gram stream map-side
+    // (estimate 0 = definitely absent), exact join confirms survivors —
+    // output is BIT-IDENTICAL to q_decontaminate, so it shares the same
+    // DuckDB oracle (the sketch only moves the work, never the answer)
+    QueryDef("q_decontaminate_sketch",
+      (s, d) => text.Curation.decontaminateSketch(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(decontaminateOracle)),
+
     QueryDef("q_decontaminate",
       (s, d) => text.Curation.decontaminate(Tables.documents(s, d))
         .orderBy("doc_id"),
-      Some("""WITH g AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
-        |      j -> array_to_string(string_split(text, ' ')[j:j+3], ' '))) AS grams
-        |  FROM documents
-        |), ev AS (
-        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
-        |), tr AS (
-        |  SELECT doc_id, source, grams FROM g WHERE source <> 'src0'
-        |), tg AS (
-        |  SELECT doc_id, unnest(grams) AS gram FROM tr
-        |), hits AS (
-        |  SELECT doc_id, count(*) AS n_hit_grams FROM tg JOIN ev USING (gram) GROUP BY 1
-        |)
-        |SELECT tr.doc_id, tr.source, CAST(len(tr.grams) AS BIGINT) AS n_grams,
-        |  CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
-        |  CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) AS hit_ratio,
-        |  COALESCE(hits.n_hit_grams, 0) > 0 AS is_contaminated,
-        |  CASE WHEN CAST(COALESCE(hits.n_hit_grams, 0) AS DOUBLE) / len(tr.grams) >= CAST(0.2 AS DOUBLE) THEN 'high'
-        |       WHEN COALESCE(hits.n_hit_grams, 0) > 0 THEN 'low'
-        |       ELSE 'clean' END AS severity
-        |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
-        |ORDER BY tr.doc_id""".stripMargin)),
+      Some(decontaminateOracle)),
 
     QueryDef("q_pack_sequences",
       // docsPerBucket=100 forces the multi-bucket carry path at sf0.01

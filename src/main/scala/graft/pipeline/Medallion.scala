@@ -196,6 +196,29 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** CDC-driven gold maintenance — the closed loop silverChanges was built
+    * to feed: diff two silver snapshots, project the AFFECTED date
+    * partitions out of the feed (a delete or date-move refreshes the OLD
+    * date, an insert the NEW — both sides of the feed contribute), and
+    * refresh exactly those gold partitions. The driver collects DATES
+    * (partition grain, like manifest planning), never rows; everything
+    * row-shaped stays distributed. Returns the refreshed dates — empty
+    * feed, no gold I/O at all. */
+  def runGoldIncrementalFromChanges(fromVersion: Long, toVersion: Long,
+      attrs: Seq[String] = Seq("o_totalprice", "status_normalized"))
+      : Seq[String] = {
+    val feed = silverChanges("orders_enriched", fromVersion, toVersion,
+      Seq("o_orderkey"), attrs :+ "order_date")
+    val dates = feed
+      .select(explode(array(col("order_date_old").cast("string"),
+        col("order_date_new").cast("string"))).as("d"))
+      .filter(col("d").isNotNull)
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (dates.nonEmpty) runGoldIncremental(dates)
+    dates
+  }
+
   def runAll(): Unit = { runBronze(); runSilver(); runGold() }
 
   private def hasSuccess(layer: String, table: String): Boolean = {

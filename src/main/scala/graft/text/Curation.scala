@@ -110,4 +110,67 @@ object Curation {
       .select("doc_id", "source", "n_grams", "n_hit_grams", "hit_ratio",
         "is_contaminated", "severity")
   }
+
+  /** Decontamination for eval sets TOO BIG to broadcast exactly: a
+    * count-min sketch of the eval grams (functions/CmsSketch.scala) acts
+    * as a counting Bloom filter — `pointEstimate = 0` means the gram is
+    * DEFINITELY absent from the eval set (CMS never undercounts), so the
+    * sketch prunes the training gram stream map-side; only the surviving
+    * sliver is exact-confirmed with a shuffle join, which removes the
+    * sketch's false positives.
+    *
+    * The output is therefore bit-identical to [[decontaminate]] — the
+    * sketch only changes WHERE the work happens: a 100M-gram eval suite
+    * is ~GBs of strings broadcast exactly, but depth×width longs (default
+    * 4×2^18 = 8 MB) as a sketch, and the gram-grain shuffle carries only
+    * grams the sketch could not rule out instead of the whole corpus.
+    * Same oracle as decontaminate (CurationSpec proves frame equality).
+    */
+  def decontaminateSketch(documents: DataFrame, evalSource: String = "src0",
+                          n: Int = 4, depth: Int = 4,
+                          width: Int = 1 << 18): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    import graft.functions.Cms
+    val grams = expr(
+      s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+      s"j -> concat_ws(' ', slice(split(text, ' '), j, $n))))")
+
+    val evalGrams = documents
+      .filter(col("source") === evalSource)
+      .select(explode(grams).as("gram"))
+      .distinct()
+    // the fixed-size summary that replaces the exact gram broadcast
+    val evalSketch = evalGrams.agg(
+      expr(s"cms_sketch(gram, $depth, $width)").as("eval_sk"))
+
+    val trainDocs = documents.filter(col("source") =!= evalSource)
+
+    val candidates = trainDocs
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .crossJoin(broadcast(evalSketch)) // one sketch row → map-side gate
+      .filter(Cms.pointEstimate(col("eval_sk"), col("gram"), depth, width) > 0L)
+      .select("doc_id", "gram")
+
+    // exact confirm on the survivors only — false positives die here, so
+    // the result is bit-identical to the broadcast-exact path
+    val hits = candidates
+      .join(evalGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+
+    trainDocs
+      .select(col("doc_id"), col("source"),
+        size(grams).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+      .withColumn("hit_ratio",
+        col("n_hit_grams").cast("double") / col("n_grams"))
+      .withColumn("is_contaminated", col("n_hit_grams") > 0L)
+      .withColumn("severity",
+        when(col("hit_ratio") >= 0.2, lit("high"))
+          .when(col("n_hit_grams") > 0L, lit("low"))
+          .otherwise(lit("clean")))
+      .select("doc_id", "source", "n_grams", "n_hit_grams", "hit_ratio",
+        "is_contaminated", "severity")
+  }
 }

@@ -41,6 +41,42 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(1L)) // eval docs are not training rows
   }
 
+  test("decontaminateSketch is bit-identical to the broadcast-exact path " +
+    "and its CMS gate actually prunes") {
+    val docs = Tables.documents(spark, TinySf)
+    val exact = Curation.decontaminate(docs).orderBy("doc_id").collect()
+    val sketch = Curation.decontaminateSketch(docs).orderBy("doc_id").collect()
+    // the sketch can only PRUNE work (no false negatives + exact confirm),
+    // never change the answer — every cell must match, bit for bit
+    assert(exact.length == sketch.length && exact.nonEmpty)
+    exact.zip(sketch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    assert(exact.exists(_.getAs[Boolean]("is_contaminated")),
+      "corpus must contain contamination for the parity to be meaningful")
+
+    // the gate must rule out a real share of train grams map-side — that
+    // pruning is the entire point vs the exact broadcast (recompute it
+    // standalone: estimate 0 = definitely not an eval gram)
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Cms
+    val (depth, width) = (4, 1 << 18)
+    val grams = expr(
+      "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)), " +
+      "j -> concat_ws(' ', slice(split(text, ' '), j, 4))))")
+    val evalSketch = docs.filter(col("source") === "src0")
+      .select(explode(grams).as("gram")).distinct()
+      .agg(expr(s"cms_sketch(gram, $depth, $width)").as("sk"))
+    val gate = docs.filter(col("source") =!= "src0")
+      .select(explode(grams).as("gram"))
+      .crossJoin(broadcast(evalSketch))
+      .agg(count(lit(1)).as("total"),
+        sum(when(Cms.pointEstimate(col("sk"), col("gram"), depth, width) > 0L,
+          1L).otherwise(0L)).as("survived"))
+      .collect()(0)
+    val (total, survived) = (gate.getAs[Long]("total"), gate.getAs[Long]("survived"))
+    assert(survived < total,
+      s"CMS gate pruned nothing ($survived of $total grams survived)")
+  }
+
   test("packSequences covers every token exactly once, in order, within capacity") {
     val cap = 128
     val packed = Packing.packSequences(docs, cap).cache()
