@@ -95,8 +95,11 @@ object FileStats {
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next().getPath
-      val covered = f.toUri.getPath.contains(s"/$StatsDir/")
-      if (f.getName.endsWith(".parquet") && !covered) out += f.toUri.toString
+      // skip manifest/metadata dirs the same way the parquet reader does:
+      // any underscore- or dot-prefixed path segment is not data
+      val hidden = f.toUri.getPath.split('/')
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (f.getName.endsWith(".parquet") && !hidden) out += f.toUri.toString
     }
     out.result()
   }
@@ -148,5 +151,143 @@ object FileStats {
   def hasStats(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/$StatsDir")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---- per-file Bloom filters: point-lookup skipping ----------------------
+
+  /** Bloom manifest directory (companion to [[StatsDir]]). */
+  val BloomDir = "_graft_bloom"
+
+  /** Bloom geometry. Defaults: 2^14 bits (2 KB/file/column packed) ×
+    * 5 hashes — ~2% false-positive rate at 2000 distinct keys per file,
+    * still <15% at 10k. Both are baked into the manifest rows so probes
+    * never have to agree with collection-time constants by convention. */
+  val DefaultBloomBits = 1 << 14
+  val DefaultBloomHashes = 5
+
+  private def bloomPos(c: Column, i: Int, mBits: Int): Column =
+    pmod(xxhash64(c, lit(i)), lit(mBits.toLong)).cast("int")
+
+  /** Per-FILE Bloom filters over `cols` — the skipping complement to the
+    * min/max manifest: range stats prune only along the table's physical
+    * sort axes, while a point predicate on a high-cardinality SHUFFLED
+    * column (customer id, order key) intersects every file's [min, max]
+    * and prunes nothing. A per-file Bloom answers "might this file
+    * contain key x?" regardless of layout — the same role as Delta's
+    * Bloom-filter index and parquet's optional footer blooms, but at
+    * FILE grain in one tiny manifest (no footer reads to plan).
+    *
+    * Construction is one distributed scan, partial-aggregated map-side:
+    * each row explodes to `hashes` (word, bit) contributions and
+    * `bit_or` collapses them to ≤ files × words rows before the shuffle;
+    * the packed Array[Long] bitset is assembled per file from the word
+    * map. Nothing row-shaped reaches the driver.
+    *
+    * Probing ([[survivingFilesPoint]], [[readPoint]]) filters the
+    * manifest FRAME distributed — only surviving file NAMES are
+    * collected, so a 10^6-file bloom manifest (~GBs of bitsets) never
+    * transits the driver. */
+  def collectBloom(spark: SparkSession, dir: String, cols: Seq[String],
+                   mBits: Int = DefaultBloomBits,
+                   hashes: Int = DefaultBloomHashes): Long = {
+    require(mBits % 64 == 0, s"mBits $mBits must pack into 64-bit words")
+    val words = mBits / 64
+    val df = spark.read.parquet(dir)
+    val perCol = cols.map { c =>
+      // (file, word) grain with bit_or partial agg: the k-fold row
+      // expansion dies map-side
+      val contrib = df
+        .withColumn("file", input_file_name())
+        .filter(col(c).isNotNull)
+        .select(col("file"), explode(array(
+          (0 until hashes).map(i => bloomPos(col(c), i, mBits)): _*)).as("pos"))
+        .groupBy(col("file"), (col("pos") / 64).cast("int").as("word"))
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("pos") % 64))
+          .as("bits"))
+      // pack the sparse word map into the fixed-width bitset array
+      contrib
+        .groupBy("file")
+        .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+          .as("wm"))
+        .select(col("file"),
+          transform(sequence(lit(0), lit(words - 1)),
+            w => coalesce(element_at(col("wm"), w), lit(0L))).as(s"bloom_$c"))
+    }
+    val manifest = perCol.reduce((a, b) => a.join(b, Seq("file"), "full"))
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("n_hashes", lit(hashes))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$BloomDir")
+    invalidate(s"$dir/$BloomDir")
+    bloomStats(spark, dir).count()
+  }
+
+  /** The Bloom manifest of `dir` (throws if never collected). Cached like
+    * [[stats]]. */
+  def bloomStats(spark: SparkSession, dir: String): DataFrame =
+    statsCache.synchronized {
+      statsCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(s"$dir/$BloomDir",
+      d => spark.read.parquet(s"$dir/$BloomDir"))
+
+  /** "Might file contain `value`?" over the packed bitset — all `hashes`
+    * bits must be set. Pure built-ins (element_at / shiftright / pmod /
+    * xxhash64), evaluated DISTRIBUTED over the manifest frame. */
+  private def mightContain(bloom: Column, value: Column, mBits: Int,
+                           hashes: Int): Column =
+    (0 until hashes).map { i =>
+      val pos = bloomPos(value, i, mBits)
+      // logical shift + mask: an ARITHMETIC shift of a word whose sign
+      // bit is set smears 1s, and % would carry its sign
+      call_function("shiftrightunsigned",
+        element_at(bloom, (pos / 64).cast("int") + 1), pos % 64)
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+
+  /** One manifest action returning (file, mightContain) — the probe is
+    * evaluated DISTRIBUTED over the manifest frame (geometry read from the
+    * manifest's own m_bits/n_hashes columns, so probes can never disagree
+    * with collection-time constants); only file names + one boolean reach
+    * the driver. A file with no bloom value for the column (all-null)
+    * coalesces to kept — skipping only ever drops files the manifest can
+    * DISPROVE. */
+  private def bloomSurvival(spark: SparkSession, dir: String, column: String,
+                            value: Any): Map[String, Boolean] = {
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val m = bloomStats(spark, dir)
+    val geo = m.select(col("m_bits"), col("n_hashes")).head()
+    val (mBits, hashes) = (geo.getInt(0), geo.getInt(1))
+    m.select(col("file"),
+        coalesce(
+          mightContain(col(s"bloom_$column"), lit(value), mBits, hashes),
+          lit(true)).as("might"))
+      .collect().map(r => norm(r.getString(0)) -> r.getBoolean(1)).toMap
+  }
+
+  /** Files of `dir` that might contain `value` on `column`. */
+  def survivingFilesPoint(spark: SparkSession, dir: String, column: String,
+                          value: Any): Seq[String] =
+    bloomSurvival(spark, dir, column, value)
+      .collect { case (f, true) => f }.toSeq
+
+  /** Point-predicate read planned through the Bloom manifest — same
+    * staleness contract as [[readRange]]: files the manifest has never
+    * seen are always read, and the residual filter always applies (bloom
+    * hits may be false positives; the filter, never the manifest, decides
+    * rows). Returns (dataframe, filesRead, filesTotal). */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+                value: Any): (DataFrame, Long, Long) = {
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val survival = bloomSurvival(spark, dir, column, value)
+    val actual = currentFiles(spark, dir)
+    val files = actual.filter(f => survival.getOrElse(norm(f), true))
+    val pred = col(column) === lit(value)
+    val out =
+      if (files.isEmpty)
+        spark.read.option("basePath", dir).parquet(dir).filter(pred).limit(0)
+      else
+        spark.read.option("basePath", dir).parquet(files: _*).filter(pred)
+    (out, files.size.toLong, actual.size.toLong)
   }
 }

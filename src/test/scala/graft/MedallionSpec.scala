@@ -349,6 +349,69 @@ class MedallionSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("Bloom manifest skips files for point lookups min/max cannot prune") {
+    import graft.pipeline.FileStats
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    val orders = Tables.orders(spark, TinySf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // hash layout on a DIFFERENT axis: every file spans the full
+    // o_orderkey domain, so range stats are useless on it — the exact
+    // case the Bloom manifest exists for
+    orders.repartition(8, col("o_custkey"))
+      .write.mode("overwrite").parquet(dir)
+    FileStats.collect(spark, dir, Seq("o_orderkey"))
+    val covered = FileStats.collectBloom(spark, dir, Seq("o_orderkey"))
+    assert(covered >= 8, s"bloom manifest covers $covered files")
+
+    // point lookups on present keys: bit-exact vs the full-scan filter,
+    // and reading strictly fewer files than min/max planning (which keeps
+    // every file — their [min,max] all span the probed key)
+    // mid-domain keys: every file's [min,max] spans them (extreme keys
+    // CAN be range-pruned even on a hash layout — the one file holding
+    // the global min is the only one whose min reaches it)
+    val allKeys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val keys = (1 to 6).map(i => allKeys(allKeys.length * i / 8))
+    var bloomRead = 0L
+    for (key <- keys) {
+      val (df, read, total) = FileStats.readPoint(spark, dir, "o_orderkey", key)
+      val want = spark.read.parquet(dir).filter(col("o_orderkey") === key)
+      assert(df.collect().toSeq.sortBy(_.getLong(0)) ==
+        want.collect().toSeq.sortBy(_.getLong(0)))
+      assert(df.count() > 0, s"present key $key lost")
+      assert(FileStats.survivingFiles(spark, dir, "o_orderkey", key, key)
+        .size.toLong == total, "min/max should keep every file on this layout")
+      bloomRead += read
+      assert(read < total, s"bloom read $read of $total files for key $key")
+    }
+    // an order key lives in exactly one file; at 2^14 bits / 5 hashes /
+    // ~190 keys per file the false-positive rate is ~1e-6 — demand real
+    // pruning, not just "one less file"
+    assert(bloomRead <= keys.size * 2L,
+      s"bloom read $bloomRead files across ${keys.size} point lookups")
+
+    // absent key: nothing to find, (almost) nothing to read — and the
+    // empty-survivor short-circuit keeps the schema
+    val (none, readAbsent, total) = FileStats.readPoint(spark, dir,
+      "o_orderkey", -987654321L)
+    assert(none.count() == 0L)
+    assert(readAbsent < total)
+    assert(none.schema.fieldNames.contains("o_totalprice"))
+
+    // staleness safety: files appended after collection are always read
+    val key = keys.head
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(key, 99999L, 1.0)),
+      spark.read.parquet(dir).schema)
+      .write.mode("append").parquet(dir)
+    val (stale, readStale, totalStale) = FileStats.readPoint(spark, dir,
+      "o_orderkey", key)
+    assert(totalStale == total + 1)
+    assert(readStale >= 2, "the manifest-unknown appended file must be read")
+    assert(stale.count() ==
+      spark.read.parquet(dir).filter(col("o_orderkey") === key).count())
+  }
+
   test("CHECK constraints fail a violating silver write without committing a version") {
     import spark.implicits._
     import graft.operators.Constraints
