@@ -412,6 +412,61 @@ class MedallionSpec extends SparkSpec {
       spark.read.parquet(dir).filter(col("o_orderkey") === key).count())
   }
 
+  test("deletion vectors delete rows without rewriting data files") {
+    import graft.pipeline.DeletionVectors
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+    val orders = Tables.orders(spark, TinySf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.repartition(6).write.mode("overwrite").parquet(dir)
+
+    def dataFiles(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val out = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toUri.getPath.contains("/_graft_dv/"))
+          out += (f.getPath.toUri.getPath + "@" + f.getLen)
+      }
+      out.result()
+    }
+    val before = dataFiles()
+    val total = orders.count()
+
+    // delete ~10% of rows: data files must be BYTE-IDENTICAL afterwards
+    val n1 = DeletionVectors.delete(spark, dir, col("o_totalprice") > 400000.0)
+    assert(n1 > 0 && n1 < total / 5)
+    assert(dataFiles() == before, "delete must not touch data files")
+    val want1 = orders.filter(col("o_totalprice") <= 400000.0)
+    val got1 = DeletionVectors.read(spark, dir)
+    assert(got1.count() == total - n1 && got1.count() == want1.count())
+    assert(got1.filter(col("o_totalprice") > 400000.0).count() == 0)
+
+    // overlapping second delete: idempotent on already-deleted rows,
+    // vectors accumulate
+    val n2 = DeletionVectors.delete(spark, dir, col("o_totalprice") > 300000.0)
+    assert(n2 > 0)
+    assert(DeletionVectors.delete(spark, dir, col("o_totalprice") > 300000.0) == 0,
+      "re-deleting the same predicate must tombstone nothing new")
+    val got2 = DeletionVectors.read(spark, dir)
+    assert(got2.count() == total - n1 - n2)
+    assert(got2.filter(col("o_totalprice") > 300000.0).count() == 0)
+    // surviving rows are untouched — column sums match the exact filter
+    val wantSum = orders.filter(col("o_totalprice") <= 300000.0)
+      .agg(sum("o_orderkey")).collect()(0).getLong(0)
+    assert(got2.agg(sum("o_orderkey")).collect()(0).getLong(0) == wantSum)
+
+    // materialize: survivors rewritten, vectors cleared, plain reads agree
+    val kept = DeletionVectors.materialize(spark, dir)
+    assert(kept == total - n1 - n2)
+    assert(!DeletionVectors.hasVectors(spark, dir))
+    assert(spark.read.parquet(dir).count() == kept)
+    assert(spark.read.parquet(dir).agg(sum("o_orderkey")).collect()(0).getLong(0)
+      == wantSum)
+  }
+
   test("CHECK constraints fail a violating silver write without committing a version") {
     import spark.implicits._
     import graft.operators.Constraints
