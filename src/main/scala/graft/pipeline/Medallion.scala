@@ -65,7 +65,20 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * one leaves existing values in place — the reference's Delta autoMerge
     * write contract (delta_utils.py upsert_delta). Each run lands in a new
     * v=N snapshot (Delta-style time travel without Delta); readers pin a
-    * version for point-in-time correctness. Returns the committed version. */
+    * version for point-in-time correctness. Returns the committed version.
+    *
+    * Concurrency: optimistic, Delta's commit-protocol shape. The MERGE is
+    * computed against the latest committed snapshot B; before writing,
+    * the writer atomically CLAIMS version B+1 (exclusive file create
+    * under `_commits/`). A second writer that also read B loses the
+    * claim and gets [[Medallion.ConcurrentWriteException]] — it must
+    * re-read and re-merge, because its inputs are stale (a MERGE on the
+    * same keys is never blind-retryable; Delta raises
+    * ConcurrentAppendException for the same reason). Without the claim,
+    * the race is a silent lost update: both writers compute v=B+1 and
+    * the second Overwrite erases the first. Atomicity rides on the
+    * filesystem's exclusive create (HDFS/local; an object store needs a
+    * coordinating LogStore, exactly as Delta documents). */
   def upsertSilver(table: String, updates: DataFrame, keys: Seq[String],
                    partitionCol: String,
                    checks: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
@@ -81,10 +94,26 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       case None => validated.withColumn("_merge_action", lit("inserted"))
     }
     val next = prev.getOrElse(0L) + 1
+    claimVersion(table, next)
     try merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(path("silver", table) + s"/v=$next")
     finally if (checks.nonEmpty) validated.unpersist(blocking = false)
     next
+  }
+
+  /** Atomically claim `version` of `table` or throw
+    * [[Medallion.ConcurrentWriteException]] if another writer holds it. */
+  private def claimVersion(table: String, version: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      path("silver", table), s"_commits/v=$version")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.create(marker, /* overwrite = */ false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new Medallion.ConcurrentWriteException(
+          s"silver $table v=$version already claimed by a concurrent " +
+            "writer; re-read the latest snapshot and re-merge")
+    }
   }
 
   /** Delta VACUUM analog (ref: delta_utils.py vacuum_delta_table — default
@@ -103,6 +132,7 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     val doomed = versions.dropRight(keep)
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"_commits/v=$v"), false)
     }
     doomed.toSeq
   }
@@ -221,6 +251,44 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
 
   def runAll(): Unit = { runBronze(); runSilver(); runGold() }
 
+  /** The streaming lakehouse loop closed end-to-end: every micro-batch of
+    * order updates MERGE-commits a new silver version and then refreshes
+    * ONLY the gold partitions its change feed touched — streaming
+    * ingestion driving CDC-incremental gold, which is the reference's
+    * operating mode (Kafka → Delta MERGE → scheduled gold refresh) with
+    * the scheduler removed: gold staleness is one micro-batch, and the
+    * per-batch gold cost is proportional to the dates the batch touched,
+    * never to history.
+    *
+    * Empty triggers commit nothing (no empty snapshot, no gold I/O).
+    * Checkpoint replay re-merges a batch onto a snapshot that already
+    * contains it — the diff is empty, so the replayed gold refresh is a
+    * no-op: effectively exactly-once end to end. Micro-batches are
+    * serial within a query, so the optimistic claim never conflicts with
+    * itself; a concurrent BATCH writer to the same table surfaces as
+    * ConcurrentWriteException and fails the query rather than losing
+    * either write. */
+  def streamingGoldMaintenance(updates: DataFrame, keys: Seq[String],
+      tiebreak: Seq[String], checkpointDir: String,
+      attrs: Seq[String] = Seq("o_totalprice", "status_normalized"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val src = graft.operators.Cleaning.deterministicDedup(
+            batch.toDF(), keys, tiebreak)
+          val prev = latestVersion("orders_enriched")
+          val next = upsertSilver("orders_enriched", src, keys, "order_date")
+          prev match {
+            case Some(p) => runGoldIncrementalFromChanges(p, next, attrs)
+            case None => runGold()
+          }
+        }
+        ()
+      }
+      .start()
+
   private def hasSuccess(layer: String, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(layer, table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -301,4 +369,14 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   def readSilver(table: String): DataFrame =
     readSilverVersion(table, latestVersion(table).getOrElse(
       throw new IllegalStateException(s"no silver versions for $table")))
+}
+
+object Medallion {
+  /** Optimistic-concurrency conflict: another writer committed (or is
+    * committing) the version this writer computed against stale inputs.
+    * The Delta ConcurrentAppendException analog — callers re-read the
+    * latest snapshot and re-merge; a blind retry would replay a MERGE
+    * whose base is gone. */
+  final class ConcurrentWriteException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 }

@@ -412,6 +412,43 @@ class MedallionSpec extends SparkSpec {
       spark.read.parquet(dir).filter(col("o_orderkey") === key).count())
   }
 
+  test("optimistic concurrency: a stale writer cannot silently overwrite " +
+    "a claimed version") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_occ").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runBronze(); m.runSilver()
+    val v1 = m.latestVersion("orders_enriched").get
+    val upd = m.readSilver("orders_enriched").drop("_merge_action")
+      .orderBy("o_orderkey").limit(10)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+
+    // another writer holds the claim on v1+1 (its commit is in flight):
+    // this writer computed its MERGE against the same base and must FAIL,
+    // not overwrite — pre-claim, both would write v=2 and the second
+    // Overwrite would silently erase the first
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$wh/silver/orders_enriched/_commits/v=${v1 + 1}")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
+    intercept[Medallion.ConcurrentWriteException] {
+      m.upsertSilver("orders_enriched", upd, Seq("o_orderkey"), "order_date")
+    }
+    // nothing committed: latest is still v1, the snapshot unharmed
+    assert(m.latestVersion("orders_enriched").contains(v1))
+    assert(m.readSilver("orders_enriched").count() > 0)
+
+    // the losing writer's retry protocol — re-read, re-merge — succeeds
+    // on the next free version once the conflicting claim resolves
+    fs.delete(marker, false)
+    val v2 = m.upsertSilver("orders_enriched",
+      m.readSilver("orders_enriched").drop("_merge_action")
+        .orderBy("o_orderkey").limit(10)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"), "order_date")
+    assert(v2 == v1 + 1)
+    assert(m.latestVersion("orders_enriched").contains(v2))
+  }
+
   test("deletion vectors delete rows without rewriting data files") {
     import graft.pipeline.DeletionVectors
     val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
