@@ -2632,6 +2632,50 @@ object Queries {
         .orderBy("doc_id"),
       Some(decontaminateOracle)),
 
+    // Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr):
+    // maximal cross-doc verbatim token spans with offsets. The oracle
+    // mirrors the gram→duplicated→gaps-and-islands pipeline on gram
+    // STRINGS (the Spark side joins on xxhash64 of the same strings —
+    // identical output absent a 64-bit collision).
+    QueryDef("q_exact_substr",
+      (s, d) => text.ExactSubstr.duplicateSpans(Tables.documents(s, d))
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS j
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, j - 1 AS pos,
+        |    array_to_string(toks[j:j+7], ' ') AS gram
+        |  FROM p
+        |), d AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS docs_sharing
+        |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.pos, d.docs_sharing
+        |  FROM g JOIN d USING (gram)
+        |), i AS (
+        |  SELECT doc_id, pos, docs_sharing,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM h
+        |), s AS (
+        |  SELECT doc_id, pos, docs_sharing,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM i
+        |)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens,
+        |  count(*) AS n_dup_grams,
+        |  CAST(max(docs_sharing) AS BIGINT) AS max_docs_sharing
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     QueryDef("q_pack_sequences",
       // docsPerBucket=100 forces the multi-bucket carry path at sf0.01
       // (500 docs -> ~5 buckets); the output is invariant to bucket size.

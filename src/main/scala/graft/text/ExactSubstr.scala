@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate spans — the ExactSubstr side of the dedup
+  * family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"), complementing doc-level MinHash/SimHash near-dup:
+  * every maximal token span that appears verbatim in at least `minDocs`
+  * distinct documents is reported per document WITH token offsets, so a
+  * downstream cut can splice out the span instead of dropping the whole
+  * document (boilerplate headers, licenses, quoted passages).
+  *
+  * Method: a cross-doc duplicated span of length ≥ l contains a
+  * duplicated l-gram at every offset, and every cross-doc duplicated
+  * l-gram is itself such a span — so the union of duplicated-l-gram
+  * windows EQUALS the union of duplicated spans. Find the duplicated
+  * l-grams, then merge overlapping windows per document
+  * (gaps-and-islands over hit positions).
+  *
+  * Scale shape: the paper's suffix array is a single-machine
+  * construction; this is the partition-friendly equivalent. One explode
+  * to (doc, pos, gram_hash) — token-grain, the unigram-LM shuffle shape,
+  * never a doc self-join. Duplicated hashes come from one partial-agged
+  * (hash)-grain groupBy; only that (typically tiny) duplicated sliver
+  * joins back onto the gram stream. The span merge is a per-doc window
+  * over HIT positions only — bounded by doc length, usually far below
+  * it. 64-bit xxhash64 over the gram string stands in for gram equality
+  * (collision odds ~grams²/2⁶⁴; an exact-confirm re-join on the strings
+  * — the decontaminate sketch/exact split — is the belt-and-braces
+  * option past ~10⁹ grams).
+  *
+  * Short-doc convention matches Curation: a document shorter than l
+  * contributes its single truncated gram, so two identical short docs
+  * still pair; their reported span_end is clipped by doc length
+  * downstream consumers' slicing anyway.
+  */
+object ExactSubstr {
+
+  /** Maximal cross-doc duplicated token spans of `documents`.
+    * Output grain: (doc_id, span) with 0-based token offsets
+    * [span_start, span_end), the number of duplicated l-grams merged
+    * into the span, and the widest cross-doc sharing any of them has. */
+  def duplicateSpans(documents: DataFrame, l: Int = 8,
+                     minDocs: Int = 2): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(split(text, ' ')) - ${l - 1}, 1)), " +
+        s"j -> xxhash64(concat_ws(' ', slice(split(text, ' '), j, $l))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+
+    val dupHashes = grams
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("docs_sharing"))
+      .filter(col("docs_sharing") >= minDocs)
+
+    val hits = grams.join(dupHashes, Seq("h"))
+
+    // gaps-and-islands: consecutive hit positions extend one span
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + l).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"),
+        max("docs_sharing").as("max_docs_sharing"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select("doc_id", "span_start", "span_end", "span_tokens",
+        "n_dup_grams", "max_docs_sharing")
+  }
+}

