@@ -1936,6 +1936,15 @@ object Queries {
         .orderBy("query_id", "rank"),
       None),
 
+    // Multi-table random-hyperplane LSH (OR-amplification): the untrained
+    // recall dial — collides-in-ANY-of-L-tables candidates. Seeded
+    // Gaussian planes are engine-local → rows-only; FunctionsSpec floors
+    // recall above the single-table path.
+    QueryDef("q_knn_lsh",
+      (s, d) => Similarity.knnLshTables(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      None),
+
     // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
     // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
     QueryDef("q_knn_recall_all",
@@ -2675,6 +2684,81 @@ object Queries {
         |  CAST(max(docs_sharing) AS BIGINT) AS max_docs_sharing
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Apply the ExactSubstr spans: cut every duplicated passage out of
+    // every document (Lee et al. 2022 cut-all policy) — cleaned corpus +
+    // audit counts. Oracle mirrors the span CTE and splices by position
+    // anti-join.
+    QueryDef("q_splice_spans",
+      (s, d) => text.ExactSubstr.spliceSpans(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS j
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, j - 1 AS pos,
+        |    array_to_string(toks[j:j+7], ' ') AS gram
+        |  FROM p
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+        |), i AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM h
+        |), s AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM i
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS a, max(pos) + 8 AS b
+        |  FROM s GROUP BY doc_id, island
+        |), nsp AS (
+        |  SELECT doc_id, count(*) AS spans_cut FROM spans GROUP BY doc_id
+        |), cov AS (
+        |  SELECT sp.doc_id,
+        |    unnest(range(sp.a, least(sp.b, len(t.toks)))) AS pos
+        |  FROM spans sp JOIN t USING (doc_id)
+        |), alltok AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks))) AS j FROM t
+        |), kept AS (
+        |  SELECT a.doc_id, a.j, a.toks[a.j + 1] AS tok
+        |  FROM alltok a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.j = c.pos
+        |  WHERE c.pos IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+        |    count(*) AS kept_tokens
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(t.toks) AS BIGINT) AS orig_tokens,
+        |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(len(t.toks) - coalesce(a.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  CAST(coalesce(n.spans_cut, 0) AS BIGINT) AS spans_cut
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN nsp n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic mixture sampling: per-lang quotas drawn by portable
+    // md5 hash-rank (two-phase ranked cut, no per-group window).
+    QueryDef("q_mixture_sample",
+      (s, d) => text.Mixture.mixtureSample(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.Mixture.mixtureOracleSql())),
+
+    // Per-vector symmetric int8 quantization: scalar pins of the full
+    // code vector + fidelity metrics, identical double arithmetic in
+    // both engines (single-list lambdas, no zip) → hash-exact.
+    QueryDef("q_embed_int8",
+      (s, d) => graft.sim.Quantize.int8Summary(Tables.embeddings(s, d))
+        .orderBy("vec_id"),
+      Some(graft.sim.Quantize.int8OracleSql)),
 
     QueryDef("q_pack_sequences",
       // docsPerBucket=100 forces the multi-bucket carry path at sf0.01

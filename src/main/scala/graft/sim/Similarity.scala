@@ -342,6 +342,67 @@ object Similarity {
       codebooks, subspaces, sub, k, refine)
   }
 
+  /** Multi-table random-hyperplane LSH (OR-amplification — Indyk &
+    * Motwani 1998; Charikar 2002 SimHash): `tables` independent hash
+    * tables, each keyed by `bits` seeded Gaussian hyperplanes; a corpus
+    * row is a candidate iff it collides with the query in ANY table.
+    * Per-table collision odds for neighbors at angle θ are
+    * (1 − θ/π)^bits — tiny for a single table (the measured ~0 recall of
+    * the single-table `knnBucketed` path); the OR over L tables lifts it
+    * to 1 − (1 − p^bits)^L while random rows stay spread over 2^bits
+    * buckets per table. This is the classic recall dial that needs no
+    * training pass — the data-oblivious counterpart of IVF's nprobe.
+    *
+    * Scale shape: hyperplanes are a driver-side tables×bits×dim literal
+    * (12·5·64 floats here — plan-sized, not data-sized). Signatures are
+    * one codegen'd projection (vec_dot per plane); the corpus explodes to
+    * (table, bucket) pairs — L rows per vector, projected BEFORE the
+    * join — and candidates come from an equi-join on (table, bucket)
+    * against the broadcast exploded queries, so the corpus never
+    * shuffles. Dedup of multi-table hits is a groupBy over CANDIDATES
+    * (≈L·n/2^bits of the corpus), not the corpus. Seeded Gaussians are
+    * engine-local (no SQL mirror) → rows-only gate; FunctionsSpec floors
+    * recall against the golden top-k. */
+  def knnLshTables(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                   bits: Int = 5, tables: Int = 12, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // deterministic per-(table,bit) Gaussian hyperplanes: same seed →
+    // same planes on every run and every executor
+    def plane(t: Int, i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed * 1000003L + t * 1009L + i)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    def sig(v: Column, t: Int): Column =
+      (0 until bits).map { i =>
+        when(call_function("vec_dot", v, typedlit(plane(t, i))) >= 0d,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
+      .withColumn("sigs",
+        array((0 until tables).map(t => sig(col("embedding"), t)): _*))
+    val corpusExp = corpus.select(col("vec_id"), col("label"),
+      col("embedding"), col("nrm"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+    val queriesExp = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("q_nrm"), posexplode(col("sigs")).as(Seq("q_t", "q_bucket")))
+    val scored = corpusExp
+      .join(broadcast(queriesExp),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
+      // a pair colliding in several tables is ONE candidate; tables_hit
+      // is the collision multiplicity (a free confidence signal)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("cos_sim")).as("cos_sim"), first(col("label")).as("label"),
+        count(lit(1)).as("tables_hit"))
+    topK(scored, k)
+      .select("query_id", "rank", "vec_id", "label", "cos_sim", "tables_hit")
+  }
+
   /** Recall@k of the approximate paths against the brute-force golden
     * top-k — the measurement that makes the ANN recall/cost trade explicit
     * (one row per method × query + the hit counts). */
@@ -388,6 +449,7 @@ object Similarity {
       .unionByName(summarize("ivf", knnIvf(embeddings, numQueries, k)))
       .unionByName(summarize("pq", knnPq(embeddings, numQueries, k)))
       .unionByName(summarize("ivfpq", knnIvfPq(embeddings, numQueries, k)))
+      .unionByName(summarize("lsh_tables", knnLshTables(embeddings, numQueries, k)))
   }
 
   /** Semantic deduplication (the SemDeDup shape — Abbas et al.,

@@ -73,4 +73,36 @@ object ExactSubstr {
       .select("doc_id", "span_start", "span_end", "span_tokens",
         "n_dup_grams", "max_docs_sharing")
   }
+
+  /** Apply the spans: splice every duplicated passage OUT of every
+    * document that carries one (the paper's cut-all-occurrences policy —
+    * Lee et al. 2022 §4 report it loses nothing measurable vs
+    * keep-one-copy, and it needs no cross-doc canonical election), and
+    * return the cleaned corpus with an audit trail. Clean documents pass
+    * through byte-identical.
+    *
+    * Scale shape: [[duplicateSpans]] is the heavy part; the splice itself
+    * is a LEFT join of the corpus onto the per-doc span list (spans ≪
+    * docs) followed by a per-row codegen'd HOF filter — no extra shuffle
+    * beyond the span aggregation already done.
+    */
+  def spliceSpans(documents: DataFrame, l: Int = 8,
+                  minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(documents, l, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"),
+        count(lit(1)).as("spans_cut"))
+    documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("cuts", expr(
+        "coalesce(cuts, cast(array() as array<struct<span_start:bigint,span_end:bigint>>))"))
+      .withColumn("kept", expr(
+        "filter(toks, (x, j) -> NOT exists(cuts, c -> j >= c.span_start AND j < c.span_end))"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("toks")).cast("long").as("orig_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        coalesce(col("spans_cut"), lit(0L)).as("spans_cut"))
+  }
 }

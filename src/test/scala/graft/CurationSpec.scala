@@ -104,6 +104,56 @@ class CurationSpec extends SparkSpec {
     assert(byHash.count() > 0, "testdata corpus should contain verbatim dups")
   }
 
+  test("spliceSpans cuts exactly the duplicated passages and nothing else") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    def filler(d: Int, n: Int, off: Int) =
+      (0 until n).map(i => s"d${d}t${off + i}").mkString(" ")
+    val doc1Pre = filler(1, 10, 0); val doc1Post = filler(1, 9, 10)
+    val doc2Pre = filler(2, 3, 0);  val doc2Post = filler(2, 20, 3)
+    val clean = filler(3, 40, 0)
+    val synth = Seq(
+      (1L, s"$doc1Pre $shared $doc1Post"),
+      (2L, s"$doc2Pre $shared $doc2Post"),
+      (3L, clean)
+    ).toDF("doc_id", "text")
+    val out = ExactSubstr.spliceSpans(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the shared passage is spliced from BOTH carriers at exact bounds
+    assert(out(1L).getAs[String]("clean_text") == s"$doc1Pre $doc1Post")
+    assert(out(2L).getAs[String]("clean_text") == s"$doc2Pre $doc2Post")
+    assert(out(1L).getAs[Long]("removed_tokens") == 12L)
+    assert(out(1L).getAs[Long]("spans_cut") == 1L)
+    // the clean doc passes through byte-identical with zero cuts
+    assert(out(3L).getAs[String]("clean_text") == clean)
+    assert(out(3L).getAs[Long]("spans_cut") == 0L)
+    // conservation: kept + removed == orig, on every row
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("removed_tokens")
+        == r.getAs[Long]("orig_tokens"))
+    }
+  }
+
+  test("mixtureSample hits per-lang quotas exactly and is deterministic") {
+    import graft.text.Mixture
+    val out = Mixture.mixtureSample(docs).cache()
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // testdata langs all have ≥ quota docs at sf0.001+, so counts are exact
+    val quotas = Mixture.DefaultTargets.map { case (g, f) =>
+      g -> math.floor(200 * f).toLong }
+    assert(byLang == quotas, s"got $byLang, want $quotas")
+    // seedless determinism: a second draw is the identical corpus
+    val again = Mixture.mixtureSample(docs)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // hash-rank actually mixes: the draw is not a doc_id prefix
+    val en = out.filter(col("lang") === "en")
+    val maxId = en.agg(max("doc_id")).head().getLong(0)
+    val n = en.count()
+    assert(maxId > n, s"en draw looks like a doc_id prefix (max $maxId, n $n)")
+    out.unpersist()
+  }
+
   test("packSequences covers every token exactly once, in order, within capacity") {
     val cap = 128
     val packed = Packing.packSequences(docs, cap).cache()

@@ -113,8 +113,15 @@ class FunctionsSpec extends SparkSpec {
   test("recall summary: brute anchors at 1.0, learned methods dominate sign-LSH") {
     val rec = Similarity.knnRecallSummary(Tables.embeddings(spark, TinySf))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(rec.keySet == Set("brute", "bucketed", "multiprobe", "ivf", "pq", "ivfpq"))
+    assert(rec.keySet ==
+      Set("brute", "bucketed", "multiprobe", "ivf", "pq", "ivfpq", "lsh_tables"))
     assert(rec("brute") == 1.0)
+    // OR-amplification over 4 tables must dominate the single-table
+    // bucket path (whose measured recall here is ~0) and actually find
+    // a nontrivial share of the golden top-k with NO training pass
+    assert(rec("lsh_tables") >= rec("bucketed"),
+      s"lsh_tables ${rec("lsh_tables")} < bucketed ${rec("bucketed")}")
+    assert(rec("lsh_tables") >= 0.4, s"lsh_tables recall ${rec("lsh_tables")}")
     assert(rec("ivf") >= rec("bucketed"), s"ivf ${rec("ivf")} < bucketed ${rec("bucketed")}")
     assert(rec("pq") >= rec("bucketed"), s"pq ${rec("pq")} < bucketed ${rec("bucketed")}")
     assert(rec("pq") > 0.0 && rec("ivf") > 0.0)
@@ -209,6 +216,22 @@ class FunctionsSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.view
       .filterKeys(!before.contains(_)).values.map(_.name).toSeq
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
+  test("int8 quantization: codes in range, error ≤ scale/2, cosine ≈ 1") {
+    val out = graft.sim.Quantize.int8Summary(Tables.embeddings(spark, TinySf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Long]("code_min") >= -127L && r.getAs[Long]("code_max") <= 127L)
+      // symmetric round-to-nearest: per-element error is bounded by half a
+      // quantization step unless the clamp engaged (it can't: scale=max/127)
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-12,
+        s"err ${r.getAs[Double]("max_abs_err")} > scale/2 ${scale / 2}")
+      // int8 keeps the direction: dequantized vector stays ~parallel
+      assert(r.getAs[Double]("cos_self") > 0.999,
+        s"cos_self ${r.getAs[Double]("cos_self")}")
+    }
   }
 
   test("multi-probe recall dominates single-bucket recall (superset candidates)") {
