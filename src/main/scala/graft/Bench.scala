@@ -19,7 +19,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up: JVM, codegen (agg/window/sort paths), parquet footer reads
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.range(10000L).selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS v")
       .groupBy("k")
@@ -47,10 +46,22 @@ object Bench {
       // visible in BENCH output instead of masquerading as a fast success
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed list + counts go LAST so they survive a tail-truncated capture
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed}"""
+    println(line)
+    // full artifact on disk: the stdout capture upstream is bounded and can
+    // truncate the per-query map, so persist the complete record too
+    try {
+      val w = new java.io.PrintWriter("bench_full.json"); w.println(line); w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1306,11 +1306,15 @@ object Queries {
       (s, d) => {
         val clean = Cleaning.cleanOrders(Tables.orders(s, d))
         val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
-        GbtModel.reloadEval(FraudScore.fullFeatureVector(
+        val feats = FraudScore.fullFeatureVector(
           Enrichment.enrichOrders(clean,
             Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
           clean,
-          Cleaning.cleanLineitem(Tables.lineitem(s, d))), root, maxIter = 5)
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)))
+        // shared seeded fit: q_model_importance reads the SAME trees, so
+        // the two queries cost one training pass total per run
+        GbtModel.reloadEval(feats, root, maxIter = 5,
+          pretrained = Some(GbtModel.fittedShared(feats, d, maxIter = 5)))
       },
       None),
 
@@ -1320,11 +1324,15 @@ object Queries {
     QueryDef("q_model_importance",
       (s, d) => {
         val clean = Cleaning.cleanOrders(Tables.orders(s, d))
-        GbtModel.featureImportance(FraudScore.fullFeatureVector(
+        val feats = FraudScore.fullFeatureVector(
           Enrichment.enrichOrders(clean,
             Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
           clean,
-          Cleaning.cleanLineitem(Tables.lineitem(s, d))), maxIter = 5)
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)))
+        // importances come off the shared fit (trained once per run,
+        // reused by q_model_reload_eval) — zero extra training passes
+        GbtModel.featureImportance(feats, maxIter = 5,
+          pretrained = Some(GbtModel.fittedShared(feats, d, maxIter = 5)))
       },
       None),
 
@@ -1943,6 +1951,20 @@ object Queries {
     QueryDef("q_knn_lsh",
       (s, d) => Similarity.knnLshTables(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),
+      None),
+
+    // IVF-PQ index persistence: train -> versioned registry save -> reload
+    // "latest" -> search with the RELOADED codebooks (the ANN analog of
+    // q_model_reload_eval's train/serve decoupling). reload_mismatches
+    // must be 0 — float32 round-trips parquet bit-exactly and assignment
+    // is SQL argmin over literal centroids, so parity is structural.
+    // Rows-only: seeded KMeans quantizers are engine-local.
+    QueryDef("q_knn_reload",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-ann-registry").toString
+        graft.sim.AnnIndex.reloadParity(Tables.embeddings(s, d), root)
+          .orderBy("query_id", "rank")
+      },
       None),
 
     // Mean recall of EVERY ANN method incl. the learned ones (rows-only:

@@ -25,16 +25,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and floor-convert to a
-    * µs timestamp — exactly DuckDB's behavior when it loads the same file
-    * (DuckDB timestamps are µs), so oracles see identical values. */
+  /** events.parquet's `ts` column has shipped in three shapes across
+    * parquet-writer/Spark-runtime combinations: raw int64 nanos (legacy
+    * `nanosAsLong`), TIMESTAMP(NANOS) loaded as timestamp_ntz (Spark
+    * 4.1+ native nanos support, truncated to µs), and plain timestamp[us].
+    * Normalize all three to the schema every consumer expects:
+    * `ts` TimestampType (µs, UTC session) + `ts_ns` long (epoch nanos),
+    * with `ts_ns div 1000` == DuckDB's `epoch_us(ts)` on the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // raw int64 nanos since epoch
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TimestampType / TimestampNTZType, µs precision
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   /** documents/embeddings feed CPU-heavy per-row operators (regex, md5
     * shingling, dot products). The testdata ships as one parquet row group

@@ -46,6 +46,20 @@ object GbtModel {
       when(col("label") === 1.0, lit(spw)).otherwise(lit(1.0)))
   }
 
+  /** One fit per (dataset, maxIter) per process: q_model_reload_eval and
+    * q_model_importance train the IDENTICAL estimator (same seed, params,
+    * hash-stable split), so fitting twice would produce the same trees
+    * twice and burn a full training pass. The memo holds the fitted
+    * driver-side model (KBs of tree structure), never data. */
+  private val sharedFit =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), GBTClassificationModel]
+  def fittedShared(fullFeatures: DataFrame, cacheKey: String,
+                   maxIter: Int): GBTClassificationModel =
+    sharedFit.getOrElseUpdate((cacheKey, maxIter), {
+      val assembled = TrainedModel.assembleSplit(fullFeatures)
+      baseEstimator(maxIter).fit(withClassWeight(assembled.filter(!col("is_test"))))
+    })
+
   private def baseEstimator(maxIter: Int): GBTClassifier =
     new GBTClassifier()
       .setFeaturesCol("fv").setLabelCol("label").setWeightCol("w")
@@ -109,11 +123,12 @@ object GbtModel {
     * and a reload-parity mismatch count that must be 0 — a saved model
     * that scores differently after a round trip is a broken registry. */
   def reloadEval(fullFeatures: DataFrame, registryRoot: String,
-                 maxIter: Int = 5): DataFrame = {
+                 maxIter: Int = 5,
+                 pretrained: Option[GBTClassificationModel] = None): DataFrame = {
     val assembled = TrainedModel.assembleSplit(fullFeatures)
     val spark = assembled.sparkSession
-    val model = baseEstimator(maxIter)
-      .fit(withClassWeight(assembled.filter(!col("is_test"))))
+    val model = pretrained.getOrElse(baseEstimator(maxIter)
+      .fit(withClassWeight(assembled.filter(!col("is_test")))))
     val version = ModelRegistry.save(spark, model, registryRoot, "fraud_gbt")
     val reloaded = ModelRegistry.loadGbt(spark, registryRoot, "fraud_gbt")
     val test = assembled.filter(col("is_test"))
@@ -132,17 +147,26 @@ object GbtModel {
     * Importances are a driver-side length-25 array on the fitted model
     * (Spark computes them from split gains during fit), so the frame is
     * literal-backed: no data pass beyond training itself. */
-  def featureImportance(fullFeatures: DataFrame, maxIter: Int = 5): DataFrame = {
-    val assembled = TrainedModel.assembleSplit(fullFeatures)
-    val spark = assembled.sparkSession
+  def featureImportance(fullFeatures: DataFrame, maxIter: Int = 5,
+                        pretrained: Option[GBTClassificationModel] = None): DataFrame = {
+    val spark = fullFeatures.sparkSession
+    val model = pretrained.getOrElse {
+      val assembled = TrainedModel.assembleSplit(fullFeatures)
+      baseEstimator(maxIter).fit(withClassWeight(assembled.filter(!col("is_test"))))
+    }
+    importancesOf(model, spark)
+  }
+
+  /** Importances of an already-fitted ensemble — a driver-side length-25
+    * array read off the model; no data pass at all. */
+  def importancesOf(model: GBTClassificationModel,
+                    spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val model = baseEstimator(maxIter)
-      .fit(withClassWeight(assembled.filter(!col("is_test"))))
-    val ranked = TrainedModel.FeatureCols.zip(model.featureImportances.toArray)
+    TrainedModel.FeatureCols.zip(model.featureImportances.toArray)
       .sortBy { case (f, imp) => (-imp, f) }
       .zipWithIndex
       .map { case ((f, imp), r) => (r + 1L, f, imp) }
-    ranked.toDF("rank", "feature", "importance")
+      .toDF("rank", "feature", "importance")
   }
 
   private def predictions(model: GBTClassificationModel, test: DataFrame): DataFrame =

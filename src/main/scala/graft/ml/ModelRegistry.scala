@@ -36,12 +36,20 @@ object ModelRegistry {
     * Medallion applies to silver snapshots. The version scan + rename is
     * driver-side file metadata; no data pass. */
   def save(spark: SparkSession, model: MLWritable, root: String,
-           name: String): Long = {
+           name: String): Long =
+    saveArtifact(spark, root, name)(tmp => model.write.overwrite().save(tmp))
+
+  /** Versioned publish of ANY artifact a callback can write to a path
+    * (Spark-ML model, ANN codebooks, …) — same temp-write → rename →
+    * commit-marker protocol as the model path, so every registry entry
+    * gets the no-torn-reads visibility rule. */
+  def saveArtifact(spark: SparkSession, root: String, name: String)
+                  (write: String => Unit): Long = {
     val base = new Path(dir(root, name))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(base)
     val tmp = new Path(base, s".tmp-${java.util.UUID.randomUUID()}")
-    model.write.overwrite().save(tmp.toString)
+    write(tmp.toString)
     var v = latestVersion(spark, root, name).getOrElse(0L) + 1L
     var attempts = 0
     while ({
@@ -72,12 +80,17 @@ object ModelRegistry {
       .map(_.getName.stripPrefix("v=").toLong).sorted.lastOption
   }
 
+  /** Committed artifact directory for `version` (default: latest). */
+  def versionPath(spark: SparkSession, root: String, name: String,
+                  version: Option[Long] = None): String = {
+    val v = version.orElse(latestVersion(spark, root, name)).getOrElse(
+      throw new IllegalStateException(s"no saved versions of '$name' under $root"))
+    s"${dir(root, name)}/v=$v"
+  }
+
   /** Load a GBT model at `version` (default: latest) — the serving-side
     * `detector.load("latest")` analog. */
   def loadGbt(spark: SparkSession, root: String, name: String,
-              version: Option[Long] = None): GBTClassificationModel = {
-    val v = version.orElse(latestVersion(spark, root, name)).getOrElse(
-      throw new IllegalStateException(s"no saved versions of '$name' under $root"))
-    GBTClassificationModel.load(s"${dir(root, name)}/v=$v")
-  }
+              version: Option[Long] = None): GBTClassificationModel =
+    GBTClassificationModel.load(versionPath(spark, root, name, version))
 }

@@ -1,0 +1,153 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A materialized IVF-PQ index: the persistable artifact behind the
+  * train-nightly / search-everywhere ANN loop (the vector-store analog of
+  * the model registry's decoupled train/serve cycle — ref:
+  * /root/reference/ml/serving/api.py:58,280 load-latest + hot reload).
+  *
+  * `centroids` (nlist×dim) and `codebooks` (subspaces×codebookSize×sub)
+  * are a few KB of floats — never data-sized — so the artifact ships to
+  * every executor inside the plan as literals, exactly like the
+  * in-session fit. Search with a saved index costs ZERO training passes:
+  * at 100 TB the quantizer fits happen once on the bounded sample and
+  * every later query (or cluster) reuses the artifact.
+  */
+case class IvfPqIndex(
+    nlist: Int, subspaces: Int, codebookSize: Int, dim: Int,
+    centroids: IndexedSeq[Seq[Float]],
+    codebooks: IndexedSeq[Seq[Seq[Float]]]) {
+  require(centroids.size == nlist, s"expected $nlist centroids, got ${centroids.size}")
+  require(codebooks.size == subspaces,
+    s"expected $subspaces codebooks, got ${codebooks.size}")
+  def sub: Int = dim / subspaces
+}
+
+object AnnIndex {
+  import Similarity.{withNormalized, trainCoarse, trainCodebooks, encodeCodes,
+    adcRerank, d2}
+
+  /** Fit both quantizers on the bounded deterministic sample and
+    * materialize them as plain float arrays (engine-portable — no Spark-ML
+    * model object survives into the index). */
+  def train(embeddings: DataFrame, nlist: Int = 16, subspaces: Int = 8,
+            codebookSize: Int = 16): IvfPqIndex = {
+    val base = withNormalized(embeddings)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val coarse = trainCoarse(base, nlist)
+    val centroids = coarse.clusterCenters.toIndexedSeq
+      .map(_.toArray.toSeq.map(_.toFloat))
+    val codebooks = trainCodebooks(base, subspaces, dim / subspaces, codebookSize)
+    IvfPqIndex(nlist, subspaces, codebookSize, dim, centroids, codebooks)
+  }
+
+  /** Nearest-centroid cell assignment from the index's literal centroids —
+    * pure SQL argmin, so the SAME expression runs for an in-session index
+    * and a reloaded one (float32 round-trips parquet exactly ⇒ reload
+    * parity is structural, not approximate). */
+  private def withCell(base: DataFrame, index: IvfPqIndex): DataFrame = {
+    val cents = typedlit(index.centroids)
+    val dists = transform(cents, c => d2(col("nv"), c))
+    base.withColumn("cell", (array_position(dists, array_min(dists)) - 1L))
+  }
+
+  /** IVF-PQ search against a materialized index: coarse cells gate the
+    * candidates (nprobe of nlist), PQ codes rank them, floats only for the
+    * refine·k exact re-rank — identical plan shape to
+    * Similarity.knnIvfPq, minus the training passes. */
+  def search(embeddings: DataFrame, index: IvfPqIndex, numQueries: Int = 5,
+             k: Int = 10, nprobe: Int = 8, refine: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = withNormalized(embeddings)
+    val celled = withCell(base, index)
+    val encoded = encodeCodes(celled, index.codebooks, index.subspaces, index.sub)
+    val cells = index.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("c_cell", "centroid")
+    val queries = celled.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("qnv"))
+    val probes = graft.operators.ScalableRank.topKPerGroup(
+        queries.crossJoin(broadcast(cells))
+          .withColumn("dist2", d2(col("qnv"), col("centroid"))),
+        Seq(col("query_id")), Seq(col("dist2").asc, col("c_cell").asc),
+        nprobe, "probe_rank")
+      .select(col("query_id").as("p_qid"), col("c_cell"))
+    adcRerank(
+      encoded.join(
+        broadcast(probes.join(queries, col("p_qid") === col("query_id"))),
+        col("cell") === col("c_cell") && col("vec_id") =!= col("query_id")),
+      index.codebooks, index.subspaces, index.sub, k, refine)
+  }
+
+  // ---- registry persistence ---------------------------------------------
+  // One tiny parquet per version: rows (kind, i, j, vec). float32 columns
+  // round-trip bit-exactly, so load(save(x)) == x.
+  //   kind="meta"     i=j=0      vec=[nlist, subspaces, codebookSize, dim]
+  //   kind="centroid" i=cell     vec=centroid
+  //   kind="codebook" i=subspace j=code  vec=codeword
+
+  def save(spark: SparkSession, index: IvfPqIndex, root: String,
+           name: String): Long =
+    graft.ml.ModelRegistry.saveArtifact(spark, root, name) { tmp =>
+      import spark.implicits._
+      val meta = Seq(("meta", 0, 0, Seq(index.nlist, index.subspaces,
+        index.codebookSize, index.dim).map(_.toFloat)))
+      val cents = index.centroids.zipWithIndex.map { case (c, i) =>
+        ("centroid", i, 0, c) }
+      val cbs = for {
+        (cb, m) <- index.codebooks.zipWithIndex
+        (w, j) <- cb.zipWithIndex
+      } yield ("codebook", m, j, w)
+      (meta ++ cents ++ cbs).toDF("kind", "i", "j", "vec")
+        .coalesce(1).write.parquet(s"$tmp/index")
+    }
+
+  def load(spark: SparkSession, root: String, name: String,
+           version: Option[Long] = None): IvfPqIndex = {
+    val path = graft.ml.ModelRegistry.versionPath(spark, root, name, version)
+    val rows = spark.read.parquet(s"$path/index")
+      .select("kind", "i", "j", "vec")
+      .collect() // index artifact: nlist + subspaces×codebookSize + 1 rows
+    val meta = rows.find(_.getString(0) == "meta")
+      .getOrElse(throw new IllegalStateException(s"no meta row in $path"))
+      .getSeq[Float](3)
+    require(meta.size == 4, s"malformed meta row (${meta.size} params) in $path")
+    val (nlist, subspaces, codebookSize, dim) =
+      (meta(0).toInt, meta(1).toInt, meta(2).toInt, meta(3).toInt)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](3)
+    val centroids = rows.filter(_.getString(0) == "centroid")
+      .sortBy(_.getInt(1)).map(vecOf).toIndexedSeq
+    val codebooks = (0 until subspaces).map { m =>
+      rows.filter(r => r.getString(0) == "codebook" && r.getInt(1) == m)
+        .sortBy(_.getInt(2)).map(vecOf).toSeq
+    }
+    IvfPqIndex(nlist, subspaces, codebookSize, dim, centroids, codebooks)
+  }
+
+  /** Train → save → reload-latest → search with the RELOADED index, plus a
+    * parity audit against the in-session fit: `reload_mismatches` counts
+    * (query_id, rank) slots where the reloaded index returned a different
+    * neighbor or a non-bit-identical score — must be 0, or the registry
+    * round trip corrupted the codebooks. Rows-only for the oracle
+    * (seeded KMeans is engine-local); AnnIndexSpec asserts the zero. */
+  def reloadParity(embeddings: DataFrame, root: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    val live = train(embeddings)
+    val version = save(spark, live, root, "ivfpq")
+    val reloaded = load(spark, root, "ivfpq")
+    val liveRes = search(embeddings, live)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("live_vec"), col("cos_sim").as("live_sim"))
+    val relRes = search(embeddings, reloaded)
+    val mismatches = relRes.join(liveRes, Seq("query_id", "rank"))
+      .filter(col("vec_id") =!= col("live_vec") ||
+        col("cos_sim") =!= col("live_sim")).count()
+    relRes.withColumn("index_version", lit(version))
+      .withColumn("reload_mismatches", lit(mismatches))
+  }
+}

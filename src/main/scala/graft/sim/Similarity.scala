@@ -32,12 +32,12 @@ object Similarity {
   /** Native codegen'd dot (graft.functions.FloatVecDot) — bit-identical to
     * `dot`, allocation-free in the pair loop. Callers must have invoked
     * GraftFunctions.register on the session. */
-  private def fastDot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
+  private[sim] def fastDot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   /** Per-query exact top-k via the two-phase ranked cut (never a
     * one-partition-per-query window: a query's candidate set spans the
     * corpus, so per-query partitions are unbounded at scale). */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[sim] def topK(scored: DataFrame, k: Int): DataFrame =
     graft.operators.ScalableRank.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cos_sim").desc, col("vec_id").asc), k, "rank")
 
@@ -176,16 +176,16 @@ object Similarity {
   /** cosine metric ⇒ L2-normalize BEFORE quantizing: on the unit sphere
     * L2 ordering equals cosine ordering, so ADC ranks by the target
     * metric (unnormalized PQ ranks by magnitude too — recall drops). */
-  private def withNormalized(embeddings: DataFrame): DataFrame =
+  private[sim] def withNormalized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nv", transform(col("embedding"),
         x => x.cast("double") / sqrt(dot(col("embedding"), col("embedding")))))
 
-  private def sliceM(c: Column, sub: Int, m: Int): Column =
+  private[sim] def sliceM(c: Column, sub: Int, m: Int): Column =
     slice(c, m * sub + 1, sub)
 
   /** squared L2 in double via sequential fold (deterministic, like `dot`) */
-  private def d2(a: Column, b: Column): Column =
+  private[sim] def d2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
@@ -211,7 +211,7 @@ object Similarity {
     * Trains on the L2-NORMALIZED vectors (`nv`): for a cosine metric the
     * cells must partition the unit sphere — raw-space centroids split on
     * magnitude, which cosine ignores, wasting cells. */
-  private def trainCoarse(base: DataFrame, nlist: Int)
+  private[sim] def trainCoarse(base: DataFrame, nlist: Int)
       : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -227,7 +227,7 @@ object Similarity {
     * at 100 TB the corpus never feeds the fits, only the encode pass scans
     * it. The independent per-subspace fits run as concurrent Spark jobs
     * (seeded per subspace, so parallelism keeps determinism). */
-  private def trainCodebooks(base: DataFrame, subspaces: Int, sub: Int,
+  private[sim] def trainCodebooks(base: DataFrame, subspaces: Int, sub: Int,
                              codebookSize: Int): IndexedSeq[Seq[Seq[Float]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -246,7 +246,7 @@ object Similarity {
 
   /** ADC shortlist → exact-cosine re-rank over `candidates` (rows with
     * qnv/qv/codes columns present). */
-  private def adcRerank(candidates: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
+  private[sim] def adcRerank(candidates: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
                         subspaces: Int, sub: Int, k: Int, refine: Int): DataFrame = {
     def cbLit(m: Int): Column = typedlit(codebooks(m))
     val adc = (0 until subspaces).map { m =>
@@ -262,7 +262,7 @@ object Similarity {
     topK(exact, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
   }
 
-  private def encodeCodes(base: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
+  private[sim] def encodeCodes(base: DataFrame, codebooks: IndexedSeq[Seq[Seq[Float]]],
                           subspaces: Int, sub: Int): DataFrame = {
     def cbLit(m: Int): Column = typedlit(codebooks(m))
     def argminCode(c: Column, m: Int): Column = {

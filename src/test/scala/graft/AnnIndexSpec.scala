@@ -1,0 +1,53 @@
+package graft
+
+import graft.sim.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ index persistence: registry round trip must be lossless and
+  * searching with a reloaded index must be BIT-identical to the
+  * in-session fit (float32 round-trips parquet exactly; assignment is
+  * SQL argmin over literal centroids on both paths). */
+class AnnIndexSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, TinySf)
+
+  test("registry round trip is lossless: load(save(index)) == index") {
+    val root = java.nio.file.Files.createTempDirectory("ann-spec").toString
+    val idx = AnnIndex.train(emb)
+    val v = AnnIndex.save(spark, idx, root, "ivfpq")
+    assert(v == 1L)
+    val back = AnnIndex.load(spark, root, "ivfpq")
+    assert(back == idx, "reloaded index differs from the saved one")
+    // versions are monotone; latest wins
+    assert(AnnIndex.save(spark, idx, root, "ivfpq") == 2L)
+    assert(AnnIndex.load(spark, root, "ivfpq") == idx)
+  }
+
+  test("search with a reloaded index is bit-identical to the in-session fit") {
+    val root = java.nio.file.Files.createTempDirectory("ann-spec").toString
+    val out = AnnIndex.reloadParity(emb, root).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty, "reload-parity search returned no rows")
+      assert(rows.forall(_.getAs[Long]("reload_mismatches") == 0L),
+        "reloaded index returned different neighbors/scores than the live fit")
+      assert(rows.forall(_.getAs[Long]("index_version") == 1L))
+      // every query got a full top-k
+      val perQuery = out.groupBy("query_id").count().collect()
+      assert(perQuery.forall(_.getLong(1) == 10L),
+        s"expected 10 neighbors per query, got ${perQuery.map(_.getLong(1)).toSeq}")
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("index search preserves IVF-PQ recall vs brute force") {
+    val idx = AnnIndex.train(emb)
+    val golden = graft.sim.Similarity.knnBrute(emb)
+      .select(col("query_id"), col("vec_id"))
+    val got = AnnIndex.search(emb, idx).select(col("query_id"), col("vec_id"))
+    val hits = got.join(golden, Seq("query_id", "vec_id")).count()
+    val total = golden.count()
+    val recall = hits.toDouble / total
+    // same floor family as FunctionsSpec's ivfpq row (0.76 measured)
+    assert(recall >= 0.5, f"index-search recall@10 $recall%.2f below floor 0.5")
+  }
+}
