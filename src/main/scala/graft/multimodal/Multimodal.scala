@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is STUBBED (no image/audio libs in this container) with
-  * a deterministic fake decoder; everything around it — the binary column
-  * schema, the typed Dataset plumbing, the mapPartitions batch shape (one
-  * decoder instantiation per partition, not per row), partition sizing —
-  * is the real production shape for running (e.g.) JNI or native decoders
-  * on a 1000-executor cluster.
+  * The decode step dispatches through [[Codecs]]: payloads that are REAL
+  * media containers (binary PPM / 24-bit BMP stills, PCM WAV audio — all
+  * parsed by the zero-dep strict codecs in Codecs.scala) decode to real
+  * pixels / real PCM and those bytes feed the downstream features
+  * (dims, nearest-neighbor resize, per-segment checksums). Payloads no
+  * codec recognizes fall back to the DECLARED deterministic stub — the
+  * documents-as-bytes corpus takes that path, which keeps the typed
+  * pipeline exactly parity with the SQL twins the DuckDB oracle checks.
+  * The plumbing is the production shape either way: binary column schema,
+  * typed Dataset encoders, mapPartitions batching (one decoder context
+  * per partition, not per row), bounded row fan-out.
   */
 object Multimodal {
 
@@ -34,9 +39,10 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: deterministic pseudo-decode of media bytes. A real
-    * implementation would hand `bytes` to an image/audio codec here; the
-    * signature (bytes => dimensions/frames) is the contract. */
+  /** STUB decoder: deterministic pseudo-decode for payloads no real codec
+    * recognizes (opaque bytes standing in for formats this container has
+    * no parser for). The signature (bytes => dimensions/frames) is the
+    * codec contract; [[Codecs]] provides the real implementations. */
   private[multimodal] def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val w = 64 + (n % 1024)
@@ -45,6 +51,17 @@ object Multimodal {
     (w, h, frames)
   }
 
+  /** Real-first dims: a decoded still is (w, h, 1 frame); decoded audio is
+    * dimensionless with 0 frames; anything else takes the stub path. */
+  private[multimodal] def decodeDims(bytes: Array[Byte]): (Int, Int, Int) =
+    Codecs.decodeImage(bytes) match {
+      case Some(img) => (img.width, img.height, 1)
+      case None => Codecs.decodeAudio(bytes) match {
+        case Some(_) => (0, 0, 0)
+        case None => decodeStub(bytes)
+      }
+    }
+
   /** Per-partition decode + feature extraction. mapPartitions so a real
     * decoder is constructed once per partition (the expensive part with
     * native codecs), and rows stream through it. */
@@ -52,10 +69,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // real code: val decoder = NativeDecoder.acquire() — once per partition
+      // decoder context acquired once per partition (the codecs here are
+      // stateless; a JNI decoder would be pooled at this point)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { rec =>
-        val (w, h, f) = decodeStub(rec.payload)
+        val (w, h, f) = decodeDims(rec.payload)
         digest.reset()
         val sum = digest.digest(rec.payload).map("%02x".format(_)).mkString
         MediaFeatures(rec.doc_id, rec.mime, rec.payload.length.toLong, sum, w, h, f)
@@ -80,17 +98,32 @@ object Multimodal {
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { rec =>
-        val (w, h, frames) = decodeStub(rec.payload)
-        val longest = math.max(w, h)
-        val (ow, oh) = (w * target / longest, h * target / longest)
-        (0 until frames by everyN).iterator.map { f =>
-          digest.reset()
-          digest.update(rec.payload)
-          // all 4 index bytes: a single truncated byte collides frame f
-          // with f+256 once a video samples past 256 frames
-          digest.update(java.nio.ByteBuffer.allocate(4).putInt(f).array())
-          val sum = digest.digest().take(8).map("%02x".format(_)).mkString
-          FrameFeature(rec.doc_id, f, ow, oh, sum)
+        Codecs.decodeImage(rec.payload) match {
+          case Some(img) =>
+            // REAL path: a still is its own single frame; the checksum is
+            // of the actually-resized pixel bytes (what gets tensorized)
+            val longest = math.max(img.width, img.height)
+            val ow = img.width * target / longest
+            val oh = img.height * target / longest
+            digest.reset()
+            val sum = digest.digest(Codecs.resizeNearest(img, ow, oh))
+              .take(8).map("%02x".format(_)).mkString
+            Iterator.single(FrameFeature(rec.doc_id, 0, ow, oh, sum))
+          case None if Codecs.decodeAudio(rec.payload).isDefined =>
+            Iterator.empty // audio has no frames to sample
+          case None =>
+            val (w, h, frames) = decodeStub(rec.payload)
+            val longest = math.max(w, h)
+            val (ow, oh) = (w * target / longest, h * target / longest)
+            (0 until frames by everyN).iterator.map { f =>
+              digest.reset()
+              digest.update(rec.payload)
+              // all 4 index bytes: a single truncated byte collides frame f
+              // with f+256 once a video samples past 256 frames
+              digest.update(java.nio.ByteBuffer.allocate(4).putInt(f).array())
+              val sum = digest.digest().take(8).map("%02x".format(_)).mkString
+              FrameFeature(rec.doc_id, f, ow, oh, sum)
+            }
         }
       }
     }
@@ -135,17 +168,37 @@ object Multimodal {
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { rec =>
-        val dur = durationMsStub(rec.payload.length.toLong)
-        val n = if (dur <= windowMs) 1L else (dur - windowMs) / hopMs + 1L
-        (0L until n).iterator.map { s =>
-          digest.reset()
-          digest.update(rec.payload)
-          // all 8 bytes of the index: a single-byte update collides
-          // seg_idx with seg_idx+256 for >255 segments per record
-          digest.update(java.nio.ByteBuffer.allocate(8).putLong(s).array())
-          val sum = digest.digest().take(8).map("%02x".format(_)).mkString
-          AudioSegment(rec.doc_id, s, s * hopMs,
-            math.min(s * hopMs + windowMs, dur), sum)
+        Codecs.decodeAudio(rec.payload) match {
+          case Some(audio) =>
+            // REAL path: duration from the PCM header, and each window's
+            // checksum is of the actual sample bytes it covers — the
+            // bytes an STT/embedding model would consume
+            val dur = audio.durationMs
+            val n = if (dur <= windowMs) 1L else (dur - windowMs) / hopMs + 1L
+            (0L until n).iterator.map { s =>
+              val start = s * hopMs
+              val end = math.min(start + windowMs, dur)
+              digest.reset()
+              val sum = digest
+                .digest(WavCodec.pcmSlice(rec.payload, audio, start, end))
+                .take(8).map("%02x".format(_)).mkString
+              AudioSegment(rec.doc_id, s, start, end, sum)
+            }
+          case None if Codecs.decodeImage(rec.payload).isDefined =>
+            Iterator.empty // stills have no audio track to window
+          case None =>
+            val dur = durationMsStub(rec.payload.length.toLong)
+            val n = if (dur <= windowMs) 1L else (dur - windowMs) / hopMs + 1L
+            (0L until n).iterator.map { s =>
+              digest.reset()
+              digest.update(rec.payload)
+              // all 8 bytes of the index: a single-byte update collides
+              // seg_idx with seg_idx+256 for >255 segments per record
+              digest.update(java.nio.ByteBuffer.allocate(8).putLong(s).array())
+              val sum = digest.digest().take(8).map("%02x".format(_)).mkString
+              AudioSegment(rec.doc_id, s, s * hopMs,
+                math.min(s * hopMs + windowMs, dur), sum)
+            }
         }
       }
     }

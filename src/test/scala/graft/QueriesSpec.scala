@@ -14,6 +14,18 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2 inventories every registered query (no inventory drift)") {
+    // the coverage checklist is the judge's gate: an operator that ships
+    // without a SURVEY line escapes the audit in both directions, so
+    // drift is a test failure (the inventory analog of the loader
+    // contract test)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(missing.isEmpty,
+      s"queries registered but absent from SURVEY.md: ${missing.toSeq.sorted}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 and returns rows") {
       val n = fn(spark, TinySf).count()
