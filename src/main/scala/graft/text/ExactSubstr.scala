@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * joins back onto the gram stream. The span merge is a per-doc window
   * over HIT positions only — bounded by doc length, usually far below
   * it. 64-bit xxhash64 over the gram string stands in for gram equality
-  * (collision odds ~grams²/2⁶⁴; an exact-confirm re-join on the strings
-  * — the decontaminate sketch/exact split — is the belt-and-braces
-  * option past ~10⁹ grams).
+  * (collision odds ~grams²/2⁶⁴); past ~10⁹ grams, `exactConfirm = true`
+  * re-derives the gram STRINGS for the hash-gated sliver only and
+  * re-checks the ≥minDocs sharing on true string equality — the same
+  * sketch-gate→exact-confirm split as the CMS decontaminate path
+  * (Curation.decontaminateSketch), with the hash gate doing the pruning
+  * and the exact join doing the deciding.
   *
   * Short-doc convention matches Curation: a document shorter than l
   * contributes its single truncated gram, so two identical short docs
@@ -41,13 +44,32 @@ object ExactSubstr {
   /** Maximal cross-doc duplicated token spans of `documents`.
     * Output grain: (doc_id, span) with 0-based token offsets
     * [span_start, span_end), the number of duplicated l-grams merged
-    * into the span, and the widest cross-doc sharing any of them has. */
-  def duplicateSpans(documents: DataFrame, l: Int = 8,
-                     minDocs: Int = 2): DataFrame = {
+    * into the span, and the widest cross-doc sharing any of them has.
+    *
+    * `exactConfirm = true` adds the collision-safety re-join: the grams
+    * surviving the hash gate (typically a tiny sliver of the stream)
+    * re-derive their STRINGS by a (doc_id)-keyed join back to the corpus
+    * and must pass countDistinct(doc_id) ≥ minDocs on true string
+    * equality; docs_sharing then reports the exact count. On a
+    * collision-free corpus the output is bit-identical to the hash-only
+    * path (CurationSpec proves both the parity and a forced-collision
+    * case only confirm catches). */
+  def duplicateSpans(documents: DataFrame, l: Int = 8, minDocs: Int = 2,
+                     exactConfirm: Boolean = false): DataFrame =
+    duplicateSpansHashed(documents, l, minDocs, exactConfirm,
+      g => s"xxhash64($g)")
+
+  /** Impl with a pluggable gram-hash SQL fragment: production always uses
+    * xxhash64 (above); the spec injects a deliberately narrow hash to
+    * force collisions and prove the confirm path catches them. */
+  private[graft] def duplicateSpansHashed(documents: DataFrame, l: Int,
+      minDocs: Int, exactConfirm: Boolean,
+      hashSql: String => String): DataFrame = {
+    val gramSql = s"concat_ws(' ', slice(split(text, ' '), j, $l))"
     val grams = documents
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, greatest(size(split(text, ' ')) - ${l - 1}, 1)), " +
-        s"j -> xxhash64(concat_ws(' ', slice(split(text, ' '), j, $l))))")))
+        s"j -> ${hashSql(gramSql)})")))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
 
     val dupHashes = grams
@@ -55,7 +77,26 @@ object ExactSubstr {
       .agg(countDistinct(col("doc_id")).as("docs_sharing"))
       .filter(col("docs_sharing") >= minDocs)
 
-    val hits = grams.join(dupHashes, Seq("h"))
+    val hashHits = grams.join(dupHashes, Seq("h"))
+
+    val hits =
+      if (!exactConfirm) hashHits
+      else {
+        // re-derive gram strings for the gated sliver ONLY (hits ≪ grams:
+        // the hash gate did the pruning), re-tokenizing via a doc_id-keyed
+        // join — never carrying strings through the full gram explode
+        val withGram = hashHits
+          .join(documents.select(col("doc_id"),
+            split(col("text"), " ").as("toks")), Seq("doc_id"))
+          .withColumn("gram",
+            concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(l))))
+          .select("doc_id", "pos", "gram")
+        val confirmed = withGram
+          .groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("docs_sharing"))
+          .filter(col("docs_sharing") >= minDocs)
+        withGram.join(confirmed, Seq("gram")).drop("gram")
+      }
 
     // gaps-and-islands: consecutive hit positions extend one span
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -87,8 +128,8 @@ object ExactSubstr {
     * beyond the span aggregation already done.
     */
   def spliceSpans(documents: DataFrame, l: Int = 8,
-                  minDocs: Int = 2): DataFrame = {
-    val spans = duplicateSpans(documents, l, minDocs)
+                  minDocs: Int = 2, exactConfirm: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(documents, l, minDocs, exactConfirm)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"),
         count(lit(1)).as("spans_cut"))

@@ -104,6 +104,48 @@ class CurationSpec extends SparkSpec {
     assert(byHash.count() > 0, "testdata corpus should contain verbatim dups")
   }
 
+  test("exactConfirm parity: string-confirmed spans equal hash-only spans on a collision-free corpus") {
+    // 64-bit hashes don't collide at testdata scale, so the confirm
+    // re-join must be a no-op — bit-identical output, flag on vs off
+    val cols = Seq("doc_id", "span_start", "span_end", "span_tokens",
+      "n_dup_grams", "max_docs_sharing")
+    val hashOnly = ExactSubstr.duplicateSpans(docs)
+      .orderBy("doc_id", "span_start").select(cols.head, cols.tail: _*).collect()
+    val confirmed = ExactSubstr.duplicateSpans(docs, exactConfirm = true)
+      .orderBy("doc_id", "span_start").select(cols.head, cols.tail: _*).collect()
+    assert(hashOnly.nonEmpty, "corpus should contain verbatim dups")
+    assert(hashOnly.toSeq == confirmed.toSeq,
+      "exactConfirm changed output on a collision-free corpus")
+  }
+
+  test("exactConfirm catches hash collisions the hash-only path misreports") {
+    import spark.implicits._
+    // force collisions with a deliberately 1-bit hash space: every gram
+    // of the two UNRELATED docs collides with something in the other
+    val narrow = (g: String) => s"pmod(xxhash64($g), 2)"
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val synth = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ")),          // unrelated
+      (2L, (0 until 30).map(i => s"b$i").mkString(" ")),          // unrelated
+      (3L, s"head3a head3b $shared tail3"),                       // true dup [2,14)
+      (4L, s"$shared tail4a tail4b tail4c")                       // true dup [0,12)
+    ).toDF("doc_id", "text")
+    val falsePos = ExactSubstr
+      .duplicateSpansHashed(synth, 8, 2, exactConfirm = false, narrow)
+      .filter(col("doc_id").isin(1L, 2L)).count()
+    assert(falsePos > 0,
+      "narrow hash produced no collisions — the test premise is broken")
+    val confirmed = ExactSubstr
+      .duplicateSpansHashed(synth, 8, 2, exactConfirm = true, narrow)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))))
+    // the collision spans on docs 1/2 are gone; the REAL shared passage
+    // survives the string re-check at its exact offsets
+    assert(confirmed.map(_._1).toSet == Set(3L, 4L),
+      s"confirm kept wrong docs: ${confirmed.toSeq.sortBy(_._1)}")
+    assert(confirmed.toMap == Map(3L -> ((2L, 14L)), 4L -> ((0L, 12L))))
+  }
+
   test("spliceSpans cuts exactly the duplicated passages and nothing else") {
     import spark.implicits._
     val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
