@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -46,16 +48,25 @@ object Bench {
       // visible in BENCH output instead of masquerading as a fast success
       name -> (if (ok) dt else -dt)
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: a comma-decimal default locale would emit
+    // "1,234" and corrupt the JSON artifact
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // failed list + counts go LAST so they survive a tail-truncated capture
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // 1-min loadavg at start/end of the run: contention (another build or
+    // verify overlapping the bench) is then detectable from the artifact
+    // itself instead of needing an after-the-fact judge re-run
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed}"""
+      s""""sf":"$sfDir","loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
+      s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed}"""
     println(line)
     // full artifact on disk: the stdout capture upstream is bounded and can
     // truncate the per-query map, so persist the complete record too

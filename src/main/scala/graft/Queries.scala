@@ -1312,7 +1312,9 @@ object Queries {
           clean,
           Cleaning.cleanLineitem(Tables.lineitem(s, d)))
         // shared seeded fit: q_model_importance reads the SAME trees, so
-        // the two queries cost one training pass total per run
+        // the two queries cost one training pass total per run. Bench
+        // caveat: whichever of the two runs first absorbs the training
+        // cost — only their SUM is comparable across rounds.
         GbtModel.reloadEval(feats, root, maxIter = 5,
           pretrained = Some(GbtModel.fittedShared(feats, d, maxIter = 5)))
       },
@@ -1926,21 +1928,21 @@ object Queries {
     // aren't cross-engine reproducible → rows-only; FunctionsSpec asserts
     // recall@k dominates the data-oblivious sign-LSH bucket path.
     QueryDef("q_knn_ivf",
-      (s, d) => Similarity.knnIvf(Tables.embeddings(s, d))
+      (s, d) => Similarity.knnIvf(Tables.embeddings(s, d), cacheKey = Some(d))
         .orderBy("query_id", "rank"),
       None),
 
     // Product-quantized ADC scan + exact re-rank (rows-only: seeded
     // KMeans codebooks are engine-local; FunctionsSpec bounds recall).
     QueryDef("q_knn_pq",
-      (s, d) => Similarity.knnPq(Tables.embeddings(s, d))
+      (s, d) => Similarity.knnPq(Tables.embeddings(s, d), cacheKey = Some(d))
         .orderBy("query_id", "rank"),
       None),
 
     // IVF-PQ composition (coarse cells gate candidates, PQ codes rank
     // them, floats only for the re-rank shortlist) — rows-only.
     QueryDef("q_knn_ivfpq",
-      (s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))
+      (s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d), cacheKey = Some(d))
         .orderBy("query_id", "rank"),
       None),
 
@@ -1962,7 +1964,8 @@ object Queries {
     QueryDef("q_knn_reload",
       (s, d) => {
         val root = java.nio.file.Files.createTempDirectory("graft-ann-registry").toString
-        graft.sim.AnnIndex.reloadParity(Tables.embeddings(s, d), root)
+        graft.sim.AnnIndex.reloadParity(Tables.embeddings(s, d), root,
+            cacheKey = Some(d))
           .orderBy("query_id", "rank")
       },
       None),
@@ -1970,7 +1973,8 @@ object Queries {
     // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
     // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
     QueryDef("q_knn_recall_all",
-      (s, d) => Similarity.knnRecallSummary(Tables.embeddings(s, d))
+      (s, d) => Similarity.knnRecallSummary(Tables.embeddings(s, d),
+          cacheKey = Some(d))
         .orderBy("method"),
       None),
 
@@ -2055,7 +2059,8 @@ object Queries {
     // learned cells are engine-local; FunctionsSpec proves precision exact
     // and floors recall against the all-pairs rule)
     QueryDef("q_semantic_dedup",
-      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.35)
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.35,
+          cacheKey = Some(d))
         .orderBy("vec_id"),
       None),
 

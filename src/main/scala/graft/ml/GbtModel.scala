@@ -50,7 +50,16 @@ object GbtModel {
     * q_model_importance train the IDENTICAL estimator (same seed, params,
     * hash-stable split), so fitting twice would produce the same trees
     * twice and burn a full training pass. The memo holds the fitted
-    * driver-side model (KBs of tree structure), never data. */
+    * driver-side model (KBs of tree structure), never data.
+    *
+    * Staleness assumption: the key is the dataset PATH — if data under the
+    * same path is regenerated within one JVM, the memo serves the model of
+    * the OLD data. Bench/Verify are single-run processes so this cannot
+    * bite there; suites that rewrite a temp dir must call
+    * [[clearSharedFits]] between generations. Bench-timing corollary:
+    * whichever sharing query runs first absorbs the training cost and the
+    * other reports near-zero, so only the SUM of the sharing queries is
+    * comparable across rounds (per-query splits are order-dependent). */
   private val sharedFit =
     scala.collection.concurrent.TrieMap.empty[(String, Int), GBTClassificationModel]
   def fittedShared(fullFeatures: DataFrame, cacheKey: String,
@@ -59,6 +68,10 @@ object GbtModel {
       val assembled = TrainedModel.assembleSplit(fullFeatures)
       baseEstimator(maxIter).fit(withClassWeight(assembled.filter(!col("is_test"))))
     })
+
+  /** Drop every memoized fit (tests that regenerate data under a reused
+    * path call this between generations). */
+  private[graft] def clearSharedFits(): Unit = sharedFit.clear()
 
   private def baseEstimator(maxIter: Int): GBTClassifier =
     new GBTClassifier()

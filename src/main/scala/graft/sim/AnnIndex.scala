@@ -26,21 +26,26 @@ case class IvfPqIndex(
 }
 
 object AnnIndex {
-  import Similarity.{withNormalized, trainCoarse, trainCodebooks, encodeCodes,
-    adcRerank, d2}
+  import Similarity.{withNormalized, trainCoarseKeyed, trainCodebooksKeyed,
+    encodeCodes, adcRerank, d2}
 
   /** Fit both quantizers on the bounded deterministic sample and
     * materialize them as plain float arrays (engine-portable — no Spark-ML
-    * model object survives into the index). */
+    * model object survives into the index). With a `cacheKey` the seeded
+    * fits come from the process-wide shared memo (Similarity
+    * .trainCoarseKeyed/.trainCodebooksKeyed), so building an index after
+    * any keyed ANN query costs zero extra KMeans fits. */
   def train(embeddings: DataFrame, nlist: Int = 16, subspaces: Int = 8,
-            codebookSize: Int = 16): IvfPqIndex = {
+            codebookSize: Int = 16,
+            cacheKey: Option[String] = None): IvfPqIndex = {
     val base = withNormalized(embeddings)
     val dim = base.select(size(col("embedding"))).head().getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
-    val coarse = trainCoarse(base, nlist)
+    val coarse = trainCoarseKeyed(base, nlist, cacheKey)
     val centroids = coarse.clusterCenters.toIndexedSeq
       .map(_.toArray.toSeq.map(_.toFloat))
-    val codebooks = trainCodebooks(base, subspaces, dim / subspaces, codebookSize)
+    val codebooks = trainCodebooksKeyed(base, subspaces, dim / subspaces,
+      codebookSize, cacheKey)
     IvfPqIndex(nlist, subspaces, codebookSize, dim, centroids, codebooks)
   }
 
@@ -135,17 +140,24 @@ object AnnIndex {
     * neighbor or a non-bit-identical score — must be 0, or the registry
     * round trip corrupted the codebooks. Rows-only for the oracle
     * (seeded KMeans is engine-local); AnnIndexSpec asserts the zero. */
-  def reloadParity(embeddings: DataFrame, root: String): DataFrame = {
+  def reloadParity(embeddings: DataFrame, root: String,
+                   cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val live = train(embeddings)
+    val live = train(embeddings, cacheKey = cacheKey)
     val version = save(spark, live, root, "ivfpq")
     val reloaded = load(spark, root, "ivfpq")
     val liveRes = search(embeddings, live)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("live_vec"), col("cos_sim").as("live_sim"))
     val relRes = search(embeddings, reloaded)
-    val mismatches = relRes.join(liveRes, Seq("query_id", "rank"))
-      .filter(col("vec_id") =!= col("live_vec") ||
+    // FULL OUTER on the (query_id, rank) slot grain: a neighbor present on
+    // only one side is a mismatch too — an inner join would let a reloaded
+    // index that silently returns fewer rows still report 0 mismatches
+    val mismatches = relRes
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .join(liveRes, Seq("query_id", "rank"), "full_outer")
+      .filter(col("vec_id").isNull || col("live_vec").isNull ||
+        col("vec_id") =!= col("live_vec") ||
         col("cos_sim") =!= col("live_sim")).count()
     relRes.withColumn("index_version", lit(version))
       .withColumn("reload_mismatches", lit(mismatches))

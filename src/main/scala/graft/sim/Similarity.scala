@@ -119,7 +119,8 @@ object Similarity {
     * cross-engine reproducible → rows-only for the oracle; recall@k vs
     * brute is the test contract. */
   def knnIvf(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 4,
+             cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
     import org.apache.spark.ml.functions.array_to_vector
@@ -127,7 +128,7 @@ object Similarity {
     val base = withNormalized(embeddings)
     // coarse quantizer from the bounded sample; assignment is the ONLY
     // full-corpus pass before scoring
-    val model = trainCoarse(base, nlist)
+    val model = trainCoarseKeyed(base, nlist, cacheKey)
     val corpus = model.transform(base.withColumn("fv", array_to_vector(col("nv"))))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cell").cast("long").as("cell"))
@@ -206,6 +207,40 @@ object Similarity {
   private[graft] def boundedTrainSample(base: DataFrame): DataFrame =
     base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(trainCap)
 
+  // ---- shared quantizer fits -------------------------------------------
+  // One fit per (dataset key, params) per process (the GbtModel
+  // .fittedShared pattern): q_knn_ivf / q_knn_pq / q_knn_ivfpq /
+  // q_knn_recall_all / q_semantic_dedup all train the IDENTICAL seeded
+  // quantizers on the identical bounded sample, so refitting per query
+  // would produce the same centroids N times and burn N-1 KMeans fits.
+  // The memo holds driver-side centroid/codebook arrays (KBs), never
+  // data. Staleness caveat (same as GbtModel): the key is the dataset
+  // PATH — regenerating data under the same path within one JVM would
+  // serve stale centroids; Bench/Verify are single-run processes, so
+  // that cannot happen there.
+  private[graft] val coarseShared = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
+  private[graft] val codebookShared = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), IndexedSeq[Seq[Seq[Float]]]]
+
+  private[sim] def trainCoarseKeyed(base: DataFrame, nlist: Int,
+      cacheKey: Option[String]): org.apache.spark.ml.clustering.KMeansModel =
+    cacheKey match {
+      case Some(key) =>
+        coarseShared.getOrElseUpdate((key, nlist), trainCoarse(base, nlist))
+      case None => trainCoarse(base, nlist)
+    }
+
+  private[sim] def trainCodebooksKeyed(base: DataFrame, subspaces: Int,
+      sub: Int, codebookSize: Int,
+      cacheKey: Option[String]): IndexedSeq[Seq[Seq[Float]]] =
+    cacheKey match {
+      case Some(key) =>
+        codebookShared.getOrElseUpdate((key, subspaces, sub, codebookSize),
+          trainCodebooks(base, subspaces, sub, codebookSize))
+      case None => trainCodebooks(base, subspaces, sub, codebookSize)
+    }
+
   /** Coarse-quantizer KMeans (seeded) fit on the bounded sample; the only
     * full-corpus pass a caller then makes is the cell-assignment transform.
     * Trains on the L2-NORMALIZED vectors (`nv`): for a cosine metric the
@@ -274,13 +309,15 @@ object Similarity {
   }
 
   def knnPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-            subspaces: Int = 8, codebookSize: Int = 16, refine: Int = 8): DataFrame = {
+            subspaces: Int = 8, codebookSize: Int = 16, refine: Int = 8,
+            cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNormalized(embeddings)
     val dim = base.select(size(col("embedding"))).head().getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
     val sub = dim / subspaces
-    val codebooks = trainCodebooks(base, subspaces, sub, codebookSize)
+    val codebooks = trainCodebooksKeyed(base, subspaces, sub, codebookSize,
+      cacheKey)
     val encoded = encodeCodes(base, codebooks, subspaces, sub)
     val queries = base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -300,7 +337,7 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
                nlist: Int = 16, nprobe: Int = 8,
                subspaces: Int = 8, codebookSize: Int = 16,
-               refine: Int = 12): DataFrame = {
+               refine: Int = 12, cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
     import org.apache.spark.ml.functions.array_to_vector
@@ -312,12 +349,13 @@ object Similarity {
 
     // coarse quantizer from the bounded sample (assignment is the only
     // full-corpus pass before the code scan)
-    val coarse = trainCoarse(base, nlist)
+    val coarse = trainCoarseKeyed(base, nlist, cacheKey)
     val celled = coarse.transform(base.withColumn("fv", array_to_vector(col("nv"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("nv"),
         col("cell").cast("long").as("cell"))
 
-    val codebooks = trainCodebooks(base, subspaces, sub, codebookSize)
+    val codebooks = trainCodebooksKeyed(base, subspaces, sub, codebookSize,
+      cacheKey)
     val encoded = encodeCodes(celled, codebooks, subspaces, sub)
 
     // each query probes its nprobe nearest cells (tiny literal centroids)
@@ -431,7 +469,7 @@ object Similarity {
     * `knnRecall` cannot cover. Rows-only (learned quantizers are
     * engine-local); FunctionsSpec asserts the ordering invariants. */
   def knnRecallSummary(embeddings: DataFrame, numQueries: Int = 5,
-                       k: Int = 10): DataFrame = {
+                       k: Int = 10, cacheKey: Option[String] = None): DataFrame = {
     val golden = knnBrute(embeddings, numQueries, k).select("query_id", "vec_id")
     def summarize(method: String, res: DataFrame): DataFrame =
       golden.join(
@@ -446,9 +484,12 @@ object Similarity {
     summarize("brute", knnBrute(embeddings, numQueries, k))
       .unionByName(summarize("bucketed", knnBucketed(embeddings, numQueries, k)))
       .unionByName(summarize("multiprobe", knnMultiProbe(embeddings, numQueries, k)))
-      .unionByName(summarize("ivf", knnIvf(embeddings, numQueries, k)))
-      .unionByName(summarize("pq", knnPq(embeddings, numQueries, k)))
-      .unionByName(summarize("ivfpq", knnIvfPq(embeddings, numQueries, k)))
+      .unionByName(summarize("ivf",
+        knnIvf(embeddings, numQueries, k, cacheKey = cacheKey)))
+      .unionByName(summarize("pq",
+        knnPq(embeddings, numQueries, k, cacheKey = cacheKey)))
+      .unionByName(summarize("ivfpq",
+        knnIvfPq(embeddings, numQueries, k, cacheKey = cacheKey)))
       .unionByName(summarize("lsh_tables", knnLshTables(embeddings, numQueries, k)))
   }
 
@@ -473,11 +514,12 @@ object Similarity {
     * re-scored with true cosine, so nothing is dropped on a false match).
     * Learned cells → rows-only oracle gate. */
   def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
-                    threshold: Double = 0.9): DataFrame = {
+                    threshold: Double = 0.9,
+                    cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import org.apache.spark.ml.functions.array_to_vector
     val base = withNormalized(embeddings)
-    val coarse = trainCoarse(base, nlist)
+    val coarse = trainCoarseKeyed(base, nlist, cacheKey)
     val celled = coarse.transform(base.withColumn("fv", array_to_vector(col("nv"))))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cell").cast("long").as("cell"))

@@ -39,6 +39,27 @@ class AnnIndexSpec extends SparkSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("quantizer fits are shared per (dataset, params): one coarse + one codebook fit serve every keyed ANN query") {
+    import graft.sim.Similarity
+    val key = Some(s"ann-shared-test:$TinySf")
+    val coarse0 = Similarity.coarseShared.size
+    val cb0 = Similarity.codebookShared.size
+    // the four queries that share the artifact in Bench/Verify
+    Similarity.knnIvf(emb, cacheKey = key).write.format("noop").mode("overwrite").save()
+    Similarity.knnPq(emb, cacheKey = key).write.format("noop").mode("overwrite").save()
+    Similarity.knnIvfPq(emb, cacheKey = key).write.format("noop").mode("overwrite").save()
+    val idx = AnnIndex.train(emb, cacheKey = key)
+    // one coarse entry (nlist=16) and one codebook entry (8x16) TOTAL
+    assert(Similarity.coarseShared.size == coarse0 + 1,
+      s"expected exactly one new coarse fit, cache grew by ${Similarity.coarseShared.size - coarse0}")
+    assert(Similarity.codebookShared.size == cb0 + 1,
+      s"expected exactly one new codebook fit, cache grew by ${Similarity.codebookShared.size - cb0}")
+    // and the index is built from the SAME shared artifacts (bit-equal)
+    val centKey = Similarity.coarseShared.keys.find(_._1 == key.get).get
+    assert(idx.centroids == Similarity.coarseShared(centKey).clusterCenters
+      .toIndexedSeq.map(_.toArray.toSeq.map(_.toFloat)))
+  }
+
   test("index search preserves IVF-PQ recall vs brute force") {
     val idx = AnnIndex.train(emb)
     val golden = graft.sim.Similarity.knnBrute(emb)
