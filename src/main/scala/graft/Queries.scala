@@ -1970,6 +1970,30 @@ object Queries {
       },
       None),
 
+    // Incremental index maintenance: quantizers train once on the BASE
+    // corpus, the base encodes into a cell-partitioned store (posting
+    // lists), and the delta (25% of vectors) is encoded with the FROZEN
+    // codebooks and appended at cell grain — zero retraining, zero base
+    // re-encode (the ANN analog of the CDC->gold incremental loop).
+    // Search runs over the combined store; from_delta marks neighbors
+    // served from the appended half. AnnIndexSpec proves bit-parity with
+    // a from-scratch encode of the union. Rows-only: seeded KMeans is
+    // engine-local.
+    QueryDef("q_knn_incremental",
+      (s, d) => {
+        val store = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 4 =!= 3)
+        val delta = emb.filter(col("vec_id") % 4 === 3)
+        val idx = graft.sim.AnnIndex.train(base, cacheKey = Some(s"$d#incr-base"))
+        graft.sim.AnnIndex.buildEncoded(base, idx, s"$store/corpus")
+        graft.sim.AnnIndex.appendEncoded(delta, idx, s"$store/corpus")
+        graft.sim.AnnIndex.searchEncoded(s, s"$store/corpus", idx)
+          .withColumn("from_delta", col("vec_id") % 4 === 3)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
     // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
     QueryDef("q_knn_recall_all",

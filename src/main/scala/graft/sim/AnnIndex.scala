@@ -64,16 +64,23 @@ object AnnIndex {
     * refine·k exact re-rank — identical plan shape to
     * Similarity.knnIvfPq, minus the training passes. */
   def search(embeddings: DataFrame, index: IvfPqIndex, numQueries: Int = 5,
-             k: Int = 10, nprobe: Int = 8, refine: Int = 12): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val spark = embeddings.sparkSession
+             k: Int = 10, nprobe: Int = 8, refine: Int = 12): DataFrame =
+    searchFrom(encodeWith(embeddings, index), index, numQueries, k, nprobe,
+      refine)
+
+  /** The shared search plan over an already-encoded corpus frame
+    * (vec_id, label, embedding, nv, cell, codes) — the SAME expressions
+    * run whether the frame was encoded in-session or read back from a
+    * materialized store, so store-vs-live parity is structural. */
+  private def searchFrom(encoded: DataFrame, index: IvfPqIndex,
+                         numQueries: Int, k: Int, nprobe: Int,
+                         refine: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(encoded.sparkSession)
+    val spark = encoded.sparkSession
     import spark.implicits._
-    val base = withNormalized(embeddings)
-    val celled = withCell(base, index)
-    val encoded = encodeCodes(celled, index.codebooks, index.subspaces, index.sub)
     val cells = index.centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toDF("c_cell", "centroid")
-    val queries = celled.filter(col("vec_id") < numQueries)
+    val queries = encoded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nv").as("qnv"))
     val probes = graft.operators.ScalableRank.topKPerGroup(
@@ -88,6 +95,50 @@ object AnnIndex {
         col("cell") === col("c_cell") && col("vec_id") =!= col("query_id")),
       index.codebooks, index.subspaces, index.sub, k, refine)
   }
+
+  // ---- materialized encoded corpus (posting lists) ----------------------
+  // The quantizer artifact above is KBs; the ENCODED CORPUS (cell + PQ
+  // codes per vector) is the data-sized half of a production IVF-PQ
+  // index. Materializing it cell-partitioned turns search into a scan of
+  // the probed cells' files only (partition pruning on `cell`), and —
+  // the operating mode that matters at 100 TB — lets continuously
+  // arriving vectors be ENCODED AND APPENDED with the frozen codebooks,
+  // no retraining and no re-encode of the existing corpus: the ANN
+  // analog of the CDC→gold incremental loop (nightly train, continuous
+  // ingest; ref ml/serving/api.py:280 hot reload).
+
+  /** Encode a corpus with a FROZEN index: normalize → nearest-centroid
+    * cell → PQ codes. One full pass over `embeddings`, zero training. */
+  def encodeWith(embeddings: DataFrame, index: IvfPqIndex): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val celled = withCell(withNormalized(embeddings), index)
+    encodeCodes(celled, index.codebooks, index.subspaces, index.sub)
+      .select("vec_id", "label", "embedding", "nv", "cell", "codes")
+  }
+
+  /** Materialize the encoded corpus cell-partitioned (posting lists). */
+  def buildEncoded(embeddings: DataFrame, index: IvfPqIndex,
+                   path: String): Unit =
+    encodeWith(embeddings, index).write.partitionBy("cell")
+      .mode("overwrite").parquet(path)
+
+  /** Incremental maintenance: encode ONLY the delta with the existing
+    * codebooks and append at cell grain. Cost is one pass over the delta
+    * — the base corpus is never touched. */
+  def appendEncoded(delta: DataFrame, index: IvfPqIndex, path: String): Unit =
+    encodeWith(delta, index).write.partitionBy("cell")
+      .mode("append").parquet(path)
+
+  /** Search a materialized encoded store: same plan as [[search]], but
+    * the corpus comes from the cell-partitioned parquet — candidates
+    * read codes-only columns from the probed cells (column pruning does
+    * the PQ memory win; the partition layout bounds the file set). */
+  def searchEncoded(spark: SparkSession, path: String, index: IvfPqIndex,
+                    numQueries: Int = 5, k: Int = 10, nprobe: Int = 8,
+                    refine: Int = 12): DataFrame =
+    searchFrom(
+      spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
+      index, numQueries, k, nprobe, refine)
 
   // ---- registry persistence ---------------------------------------------
   // One tiny parquet per version: rows (kind, i, j, vec). float32 columns

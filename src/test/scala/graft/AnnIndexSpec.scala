@@ -60,6 +60,35 @@ class AnnIndexSpec extends SparkSpec {
       .toIndexedSeq.map(_.toArray.toSeq.map(_.toFloat)))
   }
 
+  test("incremental append: base+delta store searches bit-identically to a from-scratch union encode") {
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val idx = AnnIndex.train(base)
+    val incr = java.nio.file.Files.createTempDirectory("ann-incr").toString
+    AnnIndex.buildEncoded(base, idx, incr)
+    AnnIndex.appendEncoded(delta, idx, incr)
+    val scratch = java.nio.file.Files.createTempDirectory("ann-scratch").toString
+    AnnIndex.buildEncoded(emb, idx, scratch)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "label", "cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          String.valueOf(r.get(3)), r.getDouble(4))).sortBy(t => (t._1, t._2))
+
+    val viaAppend = rows(AnnIndex.searchEncoded(spark, incr, idx))
+    val viaScratch = rows(AnnIndex.searchEncoded(spark, scratch, idx))
+    assert(viaAppend.nonEmpty)
+    assert(viaAppend.toSeq == viaScratch.toSeq,
+      "appended store diverged from the from-scratch union encode")
+    // the stored plan equals the in-memory encode of the same union
+    val viaLive = rows(AnnIndex.search(emb, idx))
+    assert(viaAppend.toSeq == viaLive.toSeq,
+      "materialized store diverged from the in-session encode")
+    // appended vectors are actually retrievable as neighbors
+    assert(viaAppend.exists(_._3 % 4 == 3),
+      "no delta vector ever surfaced in the top-k — append is inert")
+  }
+
   test("index search preserves IVF-PQ recall vs brute force") {
     val idx = AnnIndex.train(emb)
     val golden = graft.sim.Similarity.knnBrute(emb)
