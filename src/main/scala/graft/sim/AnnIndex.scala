@@ -74,25 +74,49 @@ object AnnIndex {
     * materialized store, so store-vs-live parity is structural. */
   private def searchFrom(encoded: DataFrame, index: IvfPqIndex,
                          numQueries: Int, k: Int, nprobe: Int,
-                         refine: Int): DataFrame = {
+                         refine: Int): DataFrame =
+    searchWithQueries(encoded,
+      index,
+      encoded.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nv").as("qnv")),
+      k, nprobe, refine, excludeSelf = true)
+
+  /** Queries frame (query_id, qv, qnv) from raw (idCol, embedding) rows —
+    * the corpus-side normalization expressions verbatim, so a streamed
+    * query vector scores bit-identically to the same vector indexed. */
+  def queriesFrom(batch: DataFrame, idCol: String = "query_id"): DataFrame =
+    withNormalized(batch.select(col(idCol).as("vec_id"), lit(0).as("label"),
+        col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nv").as("qnv"))
+
+  /** IVF-PQ search of an EXPLICIT query set against an encoded corpus:
+    * probes from the literal centroids, ADC over codes, floats only for
+    * the refine·k re-rank. `excludeSelf=false` for external queries
+    * (e.g. a micro-batch stream) whose ids live in a different space
+    * than the corpus vec_ids. */
+  def searchWithQueries(encoded: DataFrame, index: IvfPqIndex,
+                        queries: DataFrame, k: Int = 10, nprobe: Int = 8,
+                        refine: Int = 12,
+                        excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(encoded.sparkSession)
     val spark = encoded.sparkSession
     import spark.implicits._
     val cells = index.centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toDF("c_cell", "centroid")
-    val queries = encoded.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nv").as("qnv"))
     val probes = graft.operators.ScalableRank.topKPerGroup(
         queries.crossJoin(broadcast(cells))
           .withColumn("dist2", d2(col("qnv"), col("centroid"))),
         Seq(col("query_id")), Seq(col("dist2").asc, col("c_cell").asc),
         nprobe, "probe_rank")
       .select(col("query_id").as("p_qid"), col("c_cell"))
+    val cond = col("cell") === col("c_cell") &&
+      (if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
     adcRerank(
       encoded.join(
         broadcast(probes.join(queries, col("p_qid") === col("query_id"))),
-        col("cell") === col("c_cell") && col("vec_id") =!= col("query_id")),
+        cond),
       index.codebooks, index.subspaces, index.sub, k, refine)
   }
 
@@ -147,21 +171,47 @@ object AnnIndex {
   //   kind="centroid" i=cell     vec=centroid
   //   kind="codebook" i=subspace j=code  vec=codeword
 
+  private def writeIndex(spark: SparkSession, index: IvfPqIndex,
+                         dir: String): Unit = {
+    import spark.implicits._
+    val meta = Seq(("meta", 0, 0, Seq(index.nlist, index.subspaces,
+      index.codebookSize, index.dim).map(_.toFloat)))
+    val cents = index.centroids.zipWithIndex.map { case (c, i) =>
+      ("centroid", i, 0, c) }
+    val cbs = for {
+      (cb, m) <- index.codebooks.zipWithIndex
+      (w, j) <- cb.zipWithIndex
+    } yield ("codebook", m, j, w)
+    (meta ++ cents ++ cbs).toDF("kind", "i", "j", "vec")
+      .coalesce(1).write.parquet(s"$dir/index")
+  }
+
   def save(spark: SparkSession, index: IvfPqIndex, root: String,
            name: String): Long =
     graft.ml.ModelRegistry.saveArtifact(spark, root, name) { tmp =>
-      import spark.implicits._
-      val meta = Seq(("meta", 0, 0, Seq(index.nlist, index.subspaces,
-        index.codebookSize, index.dim).map(_.toFloat)))
-      val cents = index.centroids.zipWithIndex.map { case (c, i) =>
-        ("centroid", i, 0, c) }
-      val cbs = for {
-        (cb, m) <- index.codebooks.zipWithIndex
-        (w, j) <- cb.zipWithIndex
-      } yield ("codebook", m, j, w)
-      (meta ++ cents ++ cbs).toDF("kind", "i", "j", "vec")
-        .coalesce(1).write.parquet(s"$tmp/index")
+      writeIndex(spark, index, tmp)
     }
+
+  /** One registry version carrying BOTH halves of the index: the
+    * quantizer artifact (KBs) and the encoded corpus it serves
+    * (cell-partitioned posting lists) — what a nightly build job
+    * publishes so that serving (e.g. [[graft.streaming.StreamScoring
+    * .HotIndexScorer]]) hot-swaps atomically to a consistent
+    * (codebooks, corpus) pair with zero encode work at search time. */
+  def saveWithCorpus(spark: SparkSession, index: IvfPqIndex,
+                     embeddings: DataFrame, root: String,
+                     name: String): Long =
+    graft.ml.ModelRegistry.saveArtifact(spark, root, name) { tmp =>
+      writeIndex(spark, index, tmp)
+      encodeWith(embeddings, index).write.partitionBy("cell")
+        .mode("overwrite").parquet(s"$tmp/corpus")
+    }
+
+  /** The encoded-corpus path of a registry version (pair of
+    * [[saveWithCorpus]]). */
+  def corpusPath(spark: SparkSession, root: String, name: String,
+                 version: Option[Long] = None): String =
+    s"${graft.ml.ModelRegistry.versionPath(spark, root, name, version)}/corpus"
 
   def load(spark: SparkSession, root: String, name: String,
            version: Option[Long] = None): IvfPqIndex = {

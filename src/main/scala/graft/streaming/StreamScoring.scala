@@ -65,4 +65,43 @@ object StreamScoring {
         .drop("fv", "rawPrediction", "probability", "prediction")
     }
   }
+
+  /** Per-batch ANN scorer: the nearest-neighbor twin of [[HotModelScorer]].
+    * Each micro-batch of query vectors (query_id, embedding) re-resolves
+    * the registry's `latest` version of an IvfPqIndex published with
+    * [[graft.sim.AnnIndex.saveWithCorpus]]; the quantizer artifact (KBs)
+    * reloads only when the version moved, and the encoded corpus is read
+    * from that version's cell-partitioned store — zero training and zero
+    * encode passes at serve time, and an index+corpus pair that swaps
+    * ATOMICALLY (both halves come from the same registry version, so a
+    * mid-stream publish can never mix old codebooks with new postings).
+    * Output rows carry index_version for lineage, like the model scorer. */
+  final class HotIndexScorer(registryRoot: String, name: String,
+                             k: Int = 10, nprobe: Int = 8, refine: Int = 12) {
+    import graft.sim.{AnnIndex, IvfPqIndex}
+    @volatile private var cached: Option[(Long, IvfPqIndex)] = None
+
+    /** The version currently loaded (None before the first batch). */
+    def loadedVersion: Option[Long] = cached.map(_._1)
+
+    def scoreBatch(batch: DataFrame): DataFrame = {
+      val spark = batch.sparkSession
+      val v = ModelRegistry.latestVersion(spark, registryRoot, name)
+        .getOrElse(throw new IllegalStateException(
+          s"no index '$name' in registry $registryRoot — build before serving"))
+      val index = cached match {
+        case Some((have, i)) if have == v => i
+        case _ =>
+          val i = AnnIndex.load(spark, registryRoot, name, Some(v))
+          cached = Some((v, i))
+          i
+      }
+      val encoded = spark.read
+        .parquet(AnnIndex.corpusPath(spark, registryRoot, name, Some(v)))
+        .withColumn("cell", col("cell").cast("long"))
+      AnnIndex.searchWithQueries(encoded, index, AnnIndex.queriesFrom(batch),
+          k, nprobe, refine, excludeSelf = false)
+        .withColumn("index_version", lit(v))
+    }
+  }
 }

@@ -558,6 +558,82 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN scoring hot-reloads the latest registry index between micro-batches") {
+    import graft.sim.AnnIndex
+    import graft.streaming.StreamScoring
+
+    val emb = Tables.embeddings(spark, TinySf)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_serving").toString
+    val idx = AnnIndex.train(base)
+    // v1: index + the base-only corpus, published as one atomic version
+    assert(AnnIndex.saveWithCorpus(spark, idx, base, root, "ivfpq_serve") == 1L)
+
+    // query vectors in their OWN id space (not corpus vec_ids)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"), col("embedding"))
+      .persist()
+    val (first, second) = (queries.filter(col("query_id") % 2 === 0),
+      queries.filter(col("query_id") % 2 === 1))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_qvec_stream").toString
+    first.write.mode("append").parquet(streamDir)
+
+    def direct(version: Long, qs: org.apache.spark.sql.DataFrame) =
+      AnnIndex.searchWithQueries(
+          spark.read.parquet(AnnIndex.corpusPath(spark, root, "ivfpq_serve", Some(version)))
+            .withColumn("cell", col("cell").cast("long")),
+          idx, AnnIndex.queriesFrom(qs), excludeSelf = false)
+        .select("query_id", "rank", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+
+    val scorer = new StreamScoring.HotIndexScorer(root, "ivfpq_serve")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Long)]()
+    val q = spark.readStream.schema(queries.schema).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = scorer.scoreBatch(b)
+          .select("query_id", "rank", "vec_id", "cos_sim", "index_version").collect()
+        out.synchronized {
+          out ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(4))); ()
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterV1 = out.synchronized(out.toVector)
+      assert(afterV1.nonEmpty && afterV1.forall(_._5 == 1L),
+        "first batches must search with index version 1")
+      assert(scorer.loadedVersion.contains(1L))
+      // per-slot parity (neighbor AND bit-exact score) with batch search
+      val d1 = direct(1L, first)
+      assert(afterV1.forall { case (qid, rank, vec, sim, _) =>
+        d1((qid, rank)) == ((vec, sim)) })
+      // v1 serves the base-only corpus: no delta vector can be a neighbor
+      assert(afterV1.forall(_._3 % 4 != 3), "v1 returned a vector not in its corpus")
+
+      // publish v2 MID-STREAM: same quantizers, corpus grown to the full
+      // set (the nightly rebuild); next micro-batch must pick it up
+      assert(AnnIndex.saveWithCorpus(spark, idx, emb, root, "ivfpq_serve") == 2L)
+      second.write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val all = out.synchronized(out.toVector)
+      val v2rows = all.drop(afterV1.size)
+      assert(v2rows.nonEmpty && v2rows.forall(_._5 == 2L),
+        s"post-publish batches must search with version 2: ${v2rows.take(3)}")
+      assert(scorer.loadedVersion.contains(2L))
+      val d2 = direct(2L, second)
+      assert(v2rows.forall { case (qid, rank, vec, sim, _) =>
+        d2((qid, rank)) == ((vec, sim)) })
+      // earlier rows keep their version-1 lineage
+      assert(all.take(afterV1.size).forall(_._5 == 1L))
+    } finally {
+      q.stop()
+      queries.unpersist(blocking = false)
+    }
+  }
+
   test("streaming order updates drive CDC-incremental gold per micro-batch") {
     import graft.pipeline.Medallion
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_sloop").toString
