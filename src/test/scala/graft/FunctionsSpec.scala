@@ -94,6 +94,31 @@ class FunctionsSpec extends SparkSpec {
     assert(ivfHits > 0, "IVF found no golden neighbors at all")
   }
 
+  test("IVF scores are bit-exact: only the candidate set is approximate") {
+    // the deterministic half of the rows-only q_knn_ivf gate: whatever
+    // neighbors the learned cells surface, the reported cos_sim must be
+    // BIT-identical to the independently computed exact cosine — so the
+    // learned quantizer can only affect WHICH rows appear, never a value
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, TinySf)
+    val base = e.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val exact = base.alias("a").join(
+        base.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("q_nrm")).filter(col("q_id") < 5),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (expr("vec_dot(qv, embedding)") / (col("q_nrm") * col("nrm"))).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.knnIvf(e).select("query_id", "vec_id", "cos_sim").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(2),
+        s"cos_sim for $key is not the exact cosine: ${r.getDouble(2)} vs ${exact(key)}")
+    }
+  }
+
   test("PQ/ADC with exact re-rank recalls most of the golden top-k") {
     val e = Tables.embeddings(spark, TinySf)
     val golden = Similarity.knnBrute(e).select("query_id", "vec_id")
@@ -185,6 +210,26 @@ class FunctionsSpec extends SparkSpec {
     rows.filter(!_.getAs[Boolean]("kept")).foreach { r =>
       assert(!r.isNullAt(r.fieldIndex("dup_of")))
       assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+    }
+    // and the NAMED representative is itself a true above-threshold
+    // neighbor under the exact rule — dup_of is evidence, not a guess
+    // (the deterministic half of the rows-only q_semantic_dedup gate)
+    val vecOf = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosExact(a: Seq[Float], b: Seq[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), (p, q)) =>
+          (d + p.toDouble * q.toDouble, x + p.toDouble * p.toDouble,
+            y + q.toDouble * q.toDouble)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(!_.getAs[Boolean]("kept")).foreach { r =>
+      val c = cosExact(vecOf(r.getAs[Long]("vec_id")),
+        vecOf(r.getAs[Long]("dup_of")))
+      assert(c > 0.9,
+        s"dup_of ${r.getAs[Long]("dup_of")} of ${r.getAs[Long]("vec_id")} " +
+          f"is below threshold: cos $c%.4f")
     }
   }
 
