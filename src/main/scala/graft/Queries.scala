@@ -1797,6 +1797,17 @@ object Queries {
            |FROM ranked WHERE rank_in_lang <= 5 ORDER BY lang, rank_in_lang""".stripMargin
       }),
 
+    // Gopher hard quality rules (Rae et al. 2021 App. A1.1): per-rule
+    // pass/fail with exact integer evidence counts — hash-exact (counts
+    // are codegen'd HOFs over the row's own tokens/lines; ratios are
+    // single IEEE divisions). Symbol/bullet/ellipsis paths are degenerate
+    // on this punctuation-free corpus (like q_pii_scrub's no-match path);
+    // QualityRulesSpec proves them on synthetic docs.
+    QueryDef("q_gopher_quality",
+      (s, d) => graft.text.QualityRules.gopherQuality(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.text.QualityRules.gopherOracleSql())),
+
     QueryDef("q_text_quality",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
       Some {
