@@ -2703,6 +2703,70 @@ object Queries {
         .orderBy("doc_id"),
       Some(decontaminateOracle)),
 
+    // End-to-end curation audit (quality gate -> canonical election among
+    // survivors -> decontamination) as ONE composed plan; every exclusion
+    // names its reason, kept = all three stages pass. Hash-exact oracle
+    // mirrors all three stages.
+    QueryDef("q_curation_pipeline",
+      (s, d) => text.Curation.curatePipeline(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some {
+        val stopList = graft.text.QualityRules.StopWords
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+        |  SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE source <> 'src0'
+        |), m AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(toks, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS n_symbol_words,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(toks, w -> lower(w) IN ($stopList))) AS BIGINT) AS n_stop_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ellipsis_lines
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |     AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |     AND CAST(n_symbol_words AS DOUBLE) / n_words <= 0.1
+        |     AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+        |     AND n_stop_words >= 2
+        |     AND CAST(n_bullet_lines AS DOUBLE) / n_lines <= 0.9
+        |     AND CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.3) AS passes_gopher
+        |  FROM m
+        |), canon AS (
+        |  SELECT content_hash, min(doc_id) AS canonical_doc_id
+        |  FROM q WHERE passes_gopher GROUP BY 1
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1),
+        |      j -> array_to_string(string_split(text, ' ')[j:j+3], ' '))) AS grams
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
+        |), tg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hit_grams FROM tg JOIN ev USING (gram) GROUP BY 1
+        |)
+        |SELECT q.doc_id, q.lang, q.source, q.content_hash, q.passes_gopher,
+        |  canon.canonical_doc_id,
+        |  (q.passes_gopher AND q.doc_id = canon.canonical_doc_id) AS is_canonical,
+        |  CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  COALESCE(hits.n_hit_grams, 0) > 0 AS is_contaminated,
+        |  (q.passes_gopher AND q.doc_id = canon.canonical_doc_id
+        |    AND NOT COALESCE(hits.n_hit_grams, 0) > 0) AS kept
+        |FROM q LEFT JOIN canon USING (content_hash)
+        |  LEFT JOIN hits ON q.doc_id = hits.doc_id
+        |ORDER BY q.doc_id""".stripMargin
+      }),
+
     // Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr):
     // maximal cross-doc verbatim token spans with offsets. The oracle
     // mirrors the gram→duplicated→gaps-and-islands pipeline on gram

@@ -173,4 +173,51 @@ object Curation {
       .select("doc_id", "source", "n_grams", "n_hit_grams", "hit_ratio",
         "is_contaminated", "severity")
   }
+
+  /** End-to-end corpus curation as ONE composed Spark plan — the cut
+    * order every large pretraining corpus build runs (quality gate →
+    * duplicate election → benchmark decontamination), emitted at
+    * per-document audit grain so the final `kept` set is reproducible
+    * and every exclusion names its reason:
+    *
+    *  1. Gopher hard quality rules ([[QualityRules.gopherQuality]]).
+    *  2. Exact-dedup canonical election AMONG the quality survivors
+    *     (min doc_id per content hash — dropping low-quality copies
+    *     first, so a failing near-twin can never become canonical).
+    *  3. Benchmark decontamination ([[decontaminate]]) against the
+    *     held-out eval source.
+    *
+    * `kept = passes_gopher AND is_canonical AND NOT is_contaminated`.
+    *
+    * Scale shape: stage 1 is scan-speed row-local HOFs; stage 2 shuffles
+    * |survivors| rows by content hash; stage 3 broadcasts the eval gram
+    * set. Because it is one declarative plan, Catalyst shares the
+    * documents scan across stages and the whole audit costs two small
+    * shuffles + one broadcast — no stage materializes an intermediate
+    * corpus. */
+  def curatePipeline(documents: DataFrame,
+                     evalSource: String = "src0"): DataFrame = {
+    val train = documents.filter(col("source") =!= evalSource)
+    val quality = QualityRules.gopherQuality(train)
+      .select(col("doc_id"), col("passes_gopher"))
+    val withQ = train.select(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("content_hash", md5(col("text")))
+    val canon = withQ.filter(col("passes_gopher"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("canonical_doc_id"))
+    val decon = decontaminate(documents, evalSource)
+      .select(col("doc_id"), col("n_hit_grams"), col("is_contaminated"))
+    withQ
+      .join(canon, Seq("content_hash"), "left")
+      .join(decon, Seq("doc_id"))
+      .withColumn("is_canonical",
+        col("passes_gopher") && col("doc_id") === col("canonical_doc_id"))
+      .withColumn("kept",
+        col("passes_gopher") && col("is_canonical") && !col("is_contaminated"))
+      .select("doc_id", "lang", "source", "content_hash", "passes_gopher",
+        "canonical_doc_id", "is_canonical", "n_hit_grams",
+        "is_contaminated", "kept")
+  }
 }

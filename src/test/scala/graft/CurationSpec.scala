@@ -104,6 +104,49 @@ class CurationSpec extends SparkSpec {
     assert(byHash.count() > 0, "testdata corpus should contain verbatim dups")
   }
 
+  test("curation pipeline: every exclusion names its stage, canonical election ignores failing twins") {
+    import spark.implicits._
+    // 60-word quality-passing body with stop words
+    val good = (("the data and that value have with be to of " +
+      "rows tables joins scans merges sorts groups filters windows streams ") * 3).trim
+    val short = "the and that have with to be of"
+    val evalText = (0 until 60).map(i => s"eval$i").mkString(" ") +
+      " the and that have with of to be"
+    val contaminated = good + " " + (0 until 10).map(i => s"eval$i").mkString(" ")
+    val synth = Seq(
+      (0L, evalText, "src0"),         // the eval doc (held out)
+      (1L, good, "src1"),             // canonical survivor
+      (2L, good, "src1"),             // exact duplicate -> dropped as non-canonical
+      (3L, short, "src1"),            // fails quality
+      (4L, contaminated, "src1"),     // passes quality, shares eval 4-grams
+      (5L, short, "src1")             // failing twin of 3 (same hash): neither canonical
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+
+    val out = Curation.curatePipeline(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "train docs only")
+    assert(out(1L).getAs[Boolean]("kept"), "canonical clean survivor must be kept")
+    // duplicate: passes quality but loses the canonical election to doc 1
+    assert(out(2L).getAs[Boolean]("passes_gopher"))
+    assert(!out(2L).getAs[Boolean]("is_canonical") && !out(2L).getAs[Boolean]("kept"))
+    assert(out(2L).getAs[Long]("canonical_doc_id") == 1L)
+    // quality failure: never canonical even though its hash group has no passer
+    assert(!out(3L).getAs[Boolean]("passes_gopher") && !out(3L).getAs[Boolean]("kept"))
+    assert(!out(3L).getAs[Boolean]("is_canonical") && !out(5L).getAs[Boolean]("is_canonical"))
+    // contamination: quality-canonical but flagged by the eval gram probe
+    assert(out(4L).getAs[Boolean]("passes_gopher") && out(4L).getAs[Boolean]("is_canonical"))
+    assert(out(4L).getAs[Boolean]("is_contaminated") && !out(4L).getAs[Boolean]("kept"))
+    assert(out(4L).getAs[Long]("n_hit_grams") >= 7L) // 10 planted eval words -> 7 shared 4-grams
+
+    // corpus invariants: kept implies all three stage gates
+    Curation.curatePipeline(docs).collect().foreach { r =>
+      if (r.getAs[Boolean]("kept")) {
+        assert(r.getAs[Boolean]("passes_gopher") && r.getAs[Boolean]("is_canonical")
+          && !r.getAs[Boolean]("is_contaminated"))
+      }
+    }
+  }
+
   test("exactConfirm parity: string-confirmed spans equal hash-only spans on a collision-free corpus") {
     // 64-bit hashes don't collide at testdata scale, so the confirm
     // re-join must be a no-op — bit-identical output, flag on vs off
