@@ -189,29 +189,38 @@ object Curation {
     *
     * `kept = passes_gopher AND is_canonical AND NOT is_contaminated`.
     *
-    * Scale shape: stage 1 is scan-speed row-local HOFs; stage 2 shuffles
-    * |survivors| rows by content hash; stage 3 broadcasts the eval gram
-    * set. Because it is one declarative plan, Catalyst shares the
-    * documents scan across stages and the whole audit costs two small
-    * shuffles + one broadcast — no stage materializes an intermediate
-    * corpus. */
+    * Scale shape: the corpus is read exactly THREE times, each a linear
+    * pass — (1) one row-local projection computing quality evidence AND
+    * the content hash together (a naive stage-per-subtree composition
+    * plans 7 corpus scans — measured — because Catalyst reuses exchanges,
+    * not scans); (2) the train-side gram explode for the decontamination
+    * probe; (3) the eval-side gram scan (broadcast). Canonical election
+    * is a WINDOW over the content-hash partition (min passing doc_id),
+    * not a groupBy+self-join — dup groups are small, and it saves both a
+    * scan and a join. The only shuffles: by content_hash (window), by
+    * doc_id (hit counts join). */
   def curatePipeline(documents: DataFrame,
-                     evalSource: String = "src0"): DataFrame = {
+                     evalSource: String = "src0", n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val train = documents.filter(col("source") =!= evalSource)
-    val quality = QualityRules.gopherQuality(train)
-      .select(col("doc_id"), col("passes_gopher"))
-    val withQ = train.select(col("doc_id"), col("lang"), col("source"),
-        col("text"))
-      .join(quality, Seq("doc_id"))
-      .withColumn("content_hash", md5(col("text")))
-    val canon = withQ.filter(col("passes_gopher"))
-      .groupBy("content_hash")
-      .agg(min(col("doc_id")).as("canonical_doc_id"))
-    val decon = decontaminate(documents, evalSource)
-      .select(col("doc_id"), col("n_hit_grams"), col("is_contaminated"))
-    withQ
-      .join(canon, Seq("content_hash"), "left")
-      .join(decon, Seq("doc_id"))
+    val grams = expr(
+      s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), " +
+      s"j -> concat_ws(' ', slice(split(text, ' '), j, $n))))")
+    val evalGrams = documents.filter(col("source") === evalSource)
+      .select(explode(grams).as("gram")).distinct()
+    val hits = train
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+    val w = Window.partitionBy("content_hash")
+    QualityRules.gopherQuality(train, keepText = true)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("passes_gopher"), md5(col("text")).as("content_hash"))
+      .withColumn("canonical_doc_id",
+        min(when(col("passes_gopher"), col("doc_id"))).over(w))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit_grams", coalesce(col("n_hit_grams"), lit(0L)))
+      .withColumn("is_contaminated", col("n_hit_grams") > 0L)
       .withColumn("is_canonical",
         col("passes_gopher") && col("doc_id") === col("canonical_doc_id"))
       .withColumn("kept",

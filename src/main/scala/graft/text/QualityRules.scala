@@ -43,14 +43,16 @@ object QualityRules {
                     minAlphaWordRatio: Double = 0.8,
                     minStopWords: Int = 2,
                     maxBulletRatio: Double = 0.9,
-                    maxEllipsisRatio: Double = 0.3): DataFrame = {
+                    maxEllipsisRatio: Double = 0.3,
+                    keepText: Boolean = false): DataFrame = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
     def bigint(c: Column): Column = c.cast("long")
+    val carry = if (keepText) Seq(col("text")) else Seq.empty
     documents
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("toks"),
-        split(col("text"), "\n").as("lines"))
-      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), "\n").as("lines")) ++ carry: _*)
+      .select(Seq(col("doc_id"), col("lang"), col("source")) ++ carry ++ Seq(
         bigint(size(col("toks"))).as("n_words"),
         bigint(expr("aggregate(transform(toks, w -> length(w)), 0L, (a, x) -> a + x)"))
           .as("word_chars"),
@@ -67,7 +69,7 @@ object QualityRules {
             "startswith(ltrim(l), '*') OR startswith(ltrim(l), '•')))"))
           .as("n_bullet_lines"),
         bigint(expr("size(filter(lines, l -> endswith(rtrim(l), '...')))"))
-          .as("n_ellipsis_lines"))
+          .as("n_ellipsis_lines")): _*)
       .withColumn("mean_word_len",
         col("word_chars").cast("double") / col("n_words"))
       .withColumn("symbol_ratio",
@@ -93,12 +95,13 @@ object QualityRules {
         col("pass_word_count") && col("pass_word_len") &&
           col("pass_symbols") && col("pass_alpha") && col("pass_stops") &&
           col("pass_lines"))
-      .select("doc_id", "lang", "source", "n_words", "word_chars",
+      .select((Seq("doc_id", "lang", "source", "n_words", "word_chars",
         "mean_word_len", "n_symbol_words", "symbol_ratio", "n_alpha_words",
         "alpha_ratio", "n_stop_words", "n_lines", "n_bullet_lines",
         "n_ellipsis_lines", "bullet_ratio", "ellipsis_ratio",
         "pass_word_count", "pass_word_len", "pass_symbols", "pass_alpha",
-        "pass_stops", "pass_lines", "passes_gopher")
+        "pass_stops", "pass_lines", "passes_gopher") ++
+        (if (keepText) Seq("text") else Nil)).map(col): _*)
   }
 
   /** The DuckDB mirror of [[gopherQuality]] at default thresholds. */
