@@ -20,6 +20,32 @@ final case class QueryDef(
 
 object Queries {
 
+  // Shared by q_dedup_clusters and q_dedup_clusters_star: both algorithms
+  // contract every component to its minimum doc_id, so one recursive-CTE
+  // oracle gates both.
+  private val DedupClustersOracle =
+    "WITH RECURSIVE " + text.MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
+      """
+      |, edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), walk(node, reach) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+      |), lab AS (
+      |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+      |), sz AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+      |)
+      |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+      |  l.doc_id = l.cluster_id AS is_canonical
+      |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin
+
+  // Fixed retrieval probe for q_bm25_rank: terms known to appear across the
+  // synthetic corpus vocabulary.
+  private val Bm25QueryTerms = Seq("spark", "hash", "join", "stream")
+
   // ---- shared oracle CTE fragments (mirror graft.operators.Cleaning) ----
 
   private val CleanOrdersCte =
@@ -1623,6 +1649,20 @@ object Queries {
         |  n_tokens
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Deterministic 80/10/10 train/val/test assignment: pure function of
+    // doc_id (append-stable — growing the corpus never reassigns a row).
+    QueryDef("q_data_split",
+      (s, d) => operators.Sampling.hashSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"), trainBp = 8000, valBp = 1000)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS split_bp,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_sample_stratified",
       (s, d) => operators.Sampling.sampleStratified(
           Tables.documents(s, d).select(col("doc_id"), col("lang")),
@@ -1649,23 +1689,14 @@ object Queries {
 
     QueryDef("q_dedup_clusters",
       (s, d) => Components.dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
-      Some("WITH RECURSIVE " + MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
-        """
-        |, edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-        |), walk(node, reach) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
-        |), lab AS (
-        |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
-        |), sz AS (
-        |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
-        |)
-        |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
-        |  l.doc_id = l.cluster_id AS is_canonical
-        |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin)),
+      Some(DedupClustersOracle)),
+
+    // Same clustering contract computed by O(log n)-round star contraction
+    // instead of diameter-bound label propagation — identical output, so it
+    // shares the recursive-CTE oracle verbatim (hash-exact on both paths).
+    QueryDef("q_dedup_clusters_star",
+      (s, d) => Components.dedupClustersStar(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(DedupClustersOracle)),
 
     QueryDef("q_dedup_keep_best",
       (s, d) => Components.dedupKeepBest(Tables.documents(s, d)).orderBy("doc_id"),
@@ -1716,6 +1747,27 @@ object Queries {
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS total_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Domain-level curation: per-source reputation (corpus-wide exact-dup
+    // share, mean length, stub share) with the wholesale keep/drop verdict.
+    QueryDef("q_source_reputation",
+      (s, d) => text.SourceReputation.sourceReputation(Tables.documents(s, d))
+        .select("source", "n_docs", "dup_docs", "total_chars", "short_docs",
+          "dup_share", "avg_chars", "short_share", "keep")
+        .orderBy("source"),
+      Some(text.SourceReputation.oracleSql(
+        dupShareMax = 0.5, minAvgChars = 150.0, minChars = 100))),
+
+    // Subword token accounting under a corpus-trained BPE merge table.
+    // Rows-only: the merge table is a learned artifact (deterministic
+    // in-engine via exact counts + lexicographic tie-break, but the
+    // iterative training loop is not expressible as reasonable DuckDB SQL);
+    // CurationSpec binds instead — known-corpus merge sequence, exact
+    // round-trip, determinism (SURVEY §4 rows-only class 1).
+    QueryDef("q_bpe_tokens",
+      (s, d) => text.Bpe.tokenStats(Tables.documents(s, d), numMerges = 64)
+        .orderBy("doc_id"),
+      None),
 
     QueryDef("q_token_count",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
@@ -2521,6 +2573,15 @@ object Queries {
         |)
         |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, idf, tfidf
         |FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // Lexical retrieval: BM25 over a fixed query-term list. The per-doc
+    // score sum is pivoted into fixed-order per-term columns on BOTH sides
+    // (SURVEY §4: no parallel double sums — fixed expression order instead).
+    QueryDef("q_bm25_rank",
+      (s, d) => text.Bm25.rank(
+          Tables.documents(s, d), Bm25QueryTerms, 20)
+        .orderBy("bm25_rank"),
+      Some(text.Bm25.oracleSql(Bm25QueryTerms, 20))),
 
     QueryDef("q_neardup_ensemble",
       (s, d) => text.Ensemble.ensembleNearDups(

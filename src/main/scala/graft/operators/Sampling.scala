@@ -32,6 +32,22 @@ object Sampling {
     df.filter(hashBp(key) < threshold)
   }
 
+  /** Deterministic train/validation/test assignment — the split every
+    * training pipeline needs to be a pure function of the row key: rerun,
+    * engine, and partitioning invariant, and APPEND-STABLE (new data never
+    * reassigns an existing row, so eval sets stay uncontaminated as the
+    * corpus grows). Thresholds in basis points; the remainder is test.
+    * Scale shape: a row-local projection, no shuffle. */
+  def hashSplit(df: DataFrame, key: Column, trainBp: Int, valBp: Int): DataFrame = {
+    require(trainBp > 0 && valBp >= 0 && trainBp + valBp < 10000,
+      "split thresholds must leave room for a test remainder")
+    df.withColumn("split_bp", hashBp(key))
+      .withColumn("split",
+        when(col("split_bp") < trainBp, lit("train"))
+          .when(col("split_bp") < trainBp + valBp, lit("validation"))
+          .otherwise(lit("test")))
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank rows within each
     * stratum by (hash, key) — a uniform but reproducible order — and keep
     * the first k. The deterministic replacement for reservoir sampling,

@@ -92,6 +92,38 @@ class BehaviorSpec extends SparkSpec {
     assert(doc2 === Array("other", "common")) // rare term outranks ubiquitous at equal tf
   }
 
+  test("bm25 rewards rare terms, saturates tf, and penalizes long documents") {
+    val docs = Seq(
+      (1L, "alpha beta"),                               // short, both terms once
+      (2L, "alpha alpha alpha alpha alpha alpha beta"), // tf stuffing, longer
+      (3L, "alpha filler filler filler filler filler filler filler filler filler"),
+      (4L, "gamma delta")                               // matches nothing
+    ).toDF("doc_id", "text")
+    val out = graft.text.Bm25.rank(docs, Seq("alpha", "beta"), 10)
+      .orderBy("bm25_rank").collect()
+
+    // Non-matching doc 4 is not retrieved; matching docs all are.
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L))
+    // Rarer 'beta' (df=2) outscores ubiquitous 'alpha' (df=3) at tf=1 in doc 1.
+    val d1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(d1.getAs[Double]("c_beta") > d1.getAs[Double]("c_alpha"))
+    // tf saturation: six 'alpha's in a longer doc gain less than 6× — the
+    // k1 damping plus length norm keeps doc 2's alpha term below 3× doc 1's.
+    val d2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(d2.getAs[Double]("c_alpha") < 3.0 * d1.getAs[Double]("c_alpha"))
+    // Length penalty: same tf=1 of 'alpha', doc 3 is 5× longer than doc 1
+    // → strictly smaller contribution.
+    val d3 = out.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(d3.getAs[Double]("c_alpha") < d1.getAs[Double]("c_alpha"))
+    // score = fixed-order sum of the pivot columns, exactly.
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        r.getAs[Double]("c_alpha") + r.getAs[Double]("c_beta"))
+    }
+    // Ranks are 1..n with the documented tie order.
+    assert(out.map(_.getAs[Long]("bm25_rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("change feed classifies inserts, updates, deletes; drops no-ops") {
     import graft.operators.ChangeFeed
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

@@ -388,4 +388,79 @@ class CurationSpec extends SparkSpec {
     assert(out(3)._2 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
     assert(out(3)._3 == 2 && out(3)._4 == 1)
   }
+
+  test("source reputation drops boilerplate and stub domains, keeps clean ones") {
+    import spark.implicits._
+    val boiler = "copy of the same page body repeated verbatim across the mirror"
+    val synth = (
+      // srcA: clean — distinct, long docs
+      (1 to 6).map(i => (i.toLong, s"unique long document number $i with plenty of genuine content to pass", "en", "srcA")) ++
+      // srcB: boilerplate mirror — all docs identical
+      (11 to 16).map(i => (i.toLong, boiler, "en", "srcB")) ++
+      // srcC: stub farm — short docs
+      (21 to 26).map(i => (i.toLong, s"stub $i", "en", "srcC")) ++
+      // srcD: clean but one doc is a cross-source copy of srcB's page
+      Seq((31L, boiler, "en", "srcD")) ++
+      (32 to 36).map(i => (i.toLong, s"independent editorial piece $i long enough to look like real content here", "en", "srcD"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val rep = graft.text.SourceReputation
+      .sourceReputation(synth, dupShareMax = 0.5, minAvgChars = 20.0, minChars = 15)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep("srcA").getAs[Boolean]("keep"))
+    assert(!rep("srcB").getAs[Boolean]("keep"))          // dup_share = 1.0
+    assert(rep("srcB").getAs[Double]("dup_share") == 1.0)
+    assert(!rep("srcC").getAs[Boolean]("keep"))          // avg_chars below floor
+    // srcD: 1 of 6 docs is a cross-source copy → dup_share 1/6, kept.
+    assert(rep("srcD").getAs[Boolean]("keep"))
+    assert(rep("srcD").getAs[Double]("dup_share") == 1.0 / 6.0)
+    // Document-level filter keeps exactly the surviving sources' docs.
+    val kept = graft.text.SourceReputation
+      .filterBySource(synth, dupShareMax = 0.5, minAvgChars = 20.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == ((1 to 6) ++ (31 to 36)).map(_.toLong).toSet)
+  }
+
+  test("BPE training reproduces the textbook merge sequence on the Sennrich corpus") {
+    import spark.implicits._
+    // Sennrich et al. 2016 §3.2 example vocabulary: low×5, lower×2,
+    // newest×6, widest×3. With a separate </w> symbol the weighted pair
+    // counts make the first merges (e,s)→9, (es,t)→9, (est,</w>)→9.
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(corpus, 3)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", graft.text.Bpe.EndOfWord)))
+    // Determinism: retraining yields the identical table.
+    assert(graft.text.Bpe.trainMerges(corpus, 3) === merges)
+  }
+
+  test("BPE encode round-trips exactly and compresses under more merges") {
+    import spark.implicits._
+    val sample = docs.limit(40).cache()
+    val merges = graft.text.Bpe.trainMerges(sample, 40)
+    val encoded = graft.text.Bpe.encode(sample, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val original = sample.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // Exact round-trip: concatenating subwords and splitting on </w>
+    // reconstructs the whitespace tokens of every document.
+    original.foreach { case (id, text) =>
+      val rebuilt = encoded(id).mkString
+        .split(java.util.regex.Pattern.quote(graft.text.Bpe.EndOfWord))
+        .filter(_.nonEmpty)
+      assert(rebuilt.toSeq === text.split(" ").filter(_.nonEmpty).toSeq, s"doc $id")
+    }
+    // A trained vocabulary strictly beats characters: fewer tokens than
+    // chars+end-markers, and token count shrinks monotonically vs no merges.
+    val stats = graft.text.Bpe.tokenStats(sample, 40)
+      .agg(sum("n_tokens"), sum("n_chars"), sum("n_words")).collect()(0)
+    val (nTok, nChars, nWords) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(nTok < nChars + nWords) // strictly better than char-level
+    val noMerges = graft.text.Bpe.encode(sample, Seq.empty)
+      .select(size(col("tokens")).cast("long")).as[Long].collect().sum
+    assert(nTok < noMerges)
+    sample.unpersist()
+  }
 }

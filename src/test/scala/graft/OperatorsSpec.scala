@@ -101,6 +101,55 @@ class OperatorsSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("star-contraction components match label propagation and converge in O(log n) rounds") {
+    import spark.implicits._
+    // Path graph of 64 nodes: diameter 63. Label propagation needs ~63
+    // rounds; star contraction must finish in O(log n) — the 100 TB
+    // argument for chain-shaped duplicate families is this bound.
+    val nodes = (1L to 64L).toDF("id")
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) =
+      graft.text.Components.connectedComponentsStarWithRounds(nodes, edges)
+    val cc = labels.as[(Long, Long)].collect().toMap
+    assert((1L to 64L).forall(cc(_) == 1L))
+    assert(rounds <= 10, s"star contraction took $rounds rounds on a 64-path")
+
+    // Parity with label propagation on the real LSH candidate graph.
+    val docs = Tables.documents(spark, TinySf)
+    val prop = graft.text.Components.dedupClusters(docs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val star = graft.text.Components.dedupClustersStar(docs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(star == prop)
+
+    // Isolated nodes + empty edge set: every node is its own component.
+    val iso = graft.text.Components.connectedComponentsStar(
+        Seq(7L, 9L).toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(7L -> 7L, 9L -> 9L))
+  }
+
+  test("hashSplit is disjoint-exhaustive, near the target ratios, and append-stable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TinySf).select("doc_id", "lang")
+    val split = operators.Sampling.hashSplit(docs, col("doc_id"), 8000, 1000)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(n == docs.count())                      // exhaustive, no row dropped
+    assert(counts.keySet == Set("train", "validation", "test"))
+    // 80/10/10 within 5 points on 500 docs (md5 is uniform; 3σ ≈ 5.4%).
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.05)
+    // Append stability: assignment is a pure function of doc_id — the same
+    // rows through a corpus twice the size keep their split.
+    val bigger = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val again = operators.Sampling.hashSplit(bigger, col("doc_id"), 8000, 1000)
+      .filter(col("doc_id") < 1000000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
   test("sessionize splits on gap and aggregates within session") {
     import spark.implicits._
     val us = 1000000L
