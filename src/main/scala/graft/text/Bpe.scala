@@ -68,9 +68,13 @@ object Bpe {
       best.headOption match {
         case Some((a, b, cnt)) if cnt >= 2 =>
           merges += ((a, b))
+          val prev = words
           words = words
             .map { case (sym, f) => (mergePair(sym, a, b), f) }
             .localCheckpoint()
+          // The new checkpoint is materialized; release the superseded one
+          // so a long merge schedule holds ONE vocab snapshot, not O(rounds).
+          prev.unpersist(blocking = false)
         case _ => done = true
       }
     }

@@ -51,6 +51,9 @@ object Components {
         col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
       val sum = if (sumRaw == null) BigDecimal(0) else BigDecimal(sumRaw)
+      // next is materialized; release the superseded round's cache (the loop
+      // holds one label snapshot, not O(diameter)).
+      labels.unpersist(blocking = false)
       labels = next
       converged = sum == prevSum
       prevSum = sum
@@ -149,6 +152,9 @@ object Components {
       val fp = fingerprint(next)
       converged = fp == prev
       prev = fp
+      // next is materialized; drop the superseded round's cache so the loop
+      // holds one edge snapshot, not O(rounds).
+      e.unpersist(blocking = false)
       e = next
       iter += 1
     }
