@@ -29,15 +29,26 @@ object DataQuality {
   /** One fused aggregation per table: every check is a conditional sum in
     * a single scan (4 scans total instead of one per check — the only
     * plan shape that survives a 100 TB fact table), then unpivoted to one
-    * row per check. */
+    * row per check.
+    *
+    * `uniqueCheck` fuses a surrogate-key uniqueness test
+    * (count − countDistinct, exact) into the SAME aggregate: a separate
+    * uniqueness aggregate would re-execute the whole mart subtree (the
+    * fact-orders rollup join, the fraud-score feature pipeline) a second
+    * time per table — the distinct's Expand doubles rows through this one
+    * agg, which is far cheaper than recomputing the mart. */
   private def fused(table: String, df: DataFrame,
-                    checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    val agged = df.agg(
-      sum(when(checks.head._2, 1L).otherwise(0L)).as(checks.head._1),
-      checks.tail.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
-    val stackExpr = checks.map { case (n, _) => s"'$n', $n" }.mkString(", ")
+                    checks: Seq[(String, org.apache.spark.sql.Column)],
+                    uniqueCheck: Option[(String, String)] = None): DataFrame = {
+    val rowAggs = checks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
+    val uniqAggs = uniqueCheck.map { case (n, c) =>
+      (count(col(c)) - countDistinct(col(c))).as(n) }.toSeq
+    val aggs = rowAggs ++ uniqAggs
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val names = checks.map(_._1) ++ uniqueCheck.map(_._1)
+    val stackExpr = names.map(n => s"'$n', $n").mkString(", ")
     agged.selectExpr(
-        s"stack(${checks.size}, $stackExpr) as (check_name, violation_count)")
+        s"stack(${names.size}, $stackExpr) as (check_name, violation_count)")
       .select(col("check_name"), lit(table).as("table_name"),
         col("violation_count"), (col("violation_count") === 0).as("passed"))
   }
@@ -82,33 +93,28 @@ object DataQuality {
       "dim_customers_segment_domain" -> !col("market_segment").isin(
         "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
       "dim_customers_region_domain" -> !col("region_name").isin(
-        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")),
+      uniqueCheck = Some("dim_customers_sk_unique" -> "customer_sk"))
     val dimDateChecks = fused("dim_dates", dimDates, Seq(
       "dim_dates_sk_not_null" -> col("date_sk").isNull,
       "dim_dates_year_bounds" -> (col("year") < 1990 || col("year") > 2010),
       "dim_dates_weekend_consistent" ->
-        (col("is_weekend") =!= col("day_of_week").isin(1, 7))))
+        (col("is_weekend") =!= col("day_of_week").isin(1, 7))),
+      uniqueCheck = Some("dim_dates_sk_unique" -> "date_sk"))
     val factOrderChecks = fused("fact_orders", factOrders, Seq(
       "fact_orders_sk_not_null" -> col("order_sk").isNull,
       "fact_orders_date_not_null" -> col("order_date").isNull,
       "fact_orders_amount_nonneg" -> (col("order_amount") < 0),
       "fact_orders_net_revenue_nonneg" -> (col("net_revenue") < 0),
       "fact_orders_status_domain" -> !col("order_status").isin("O", "F", "P"),
-      "fact_orders_returns_bounded" -> (col("returned_lines") > col("line_count"))))
+      "fact_orders_returns_bounded" -> (col("returned_lines") > col("line_count"))),
+      uniqueCheck = Some("fact_orders_sk_unique" -> "order_sk"))
     val factEventChecks = fused("fact_events", factEvents, Seq(
       "fact_events_sk_not_null" -> col("event_sk").isNull,
       "fact_events_date_not_null" -> col("event_date").isNull,
-      "fact_events_flags_exclusive" -> (col("is_error") && col("is_purchase"))))
-    val unique = Seq(
-      ("dim_customers_sk_unique", "dim_customers", dimCustomers, "customer_sk"),
-      ("dim_dates_sk_unique", "dim_dates", dimDates, "date_sk"),
-      ("fact_orders_sk_unique", "fact_orders", factOrders, "order_sk"),
-      ("fact_events_sk_unique", "fact_events", factEvents, "event_sk")
-    ).map { case (n, t, df, c) =>
-      check(n, t, df.agg(
-        (count(col(c)) - countDistinct(col(c))).as("violation_count")))
-    }
-    (Seq(dimCustChecks, dimDateChecks, factOrderChecks, factEventChecks) ++ unique)
+      "fact_events_flags_exclusive" -> (col("is_error") && col("is_purchase"))),
+      uniqueCheck = Some("fact_events_sk_unique" -> "event_sk"))
+    Seq(dimCustChecks, dimDateChecks, factOrderChecks, factEventChecks)
       .reduce(_.unionByName(_))
   }
 
@@ -141,7 +147,8 @@ object DataQuality {
       "user_risk_score_range" ->
         (col("composite_risk_score") < 0 || col("composite_risk_score") > 1),
       "user_risk_label_domain" ->
-        !col("risk_label").isin("low", "medium", "high")))
+        !col("risk_label").isin("low", "medium", "high")),
+      uniqueCheck = Some("user_risk_user_unique" -> "user_id"))
     val scoreChecks = fused("fraud_scores", fraudScores, Seq(
       "fraud_scores_key_not_null" -> col("o_orderkey").isNull,
       "fraud_scores_score_range" ->
@@ -150,15 +157,9 @@ object DataQuality {
         !col("risk_label").isin("low", "medium", "high"),
       "fraud_scores_predicted_domain" -> !col("predicted_fraud").isin(0L, 1L),
       // assert_positive_amounts.sql on the scored mart's amount column
-      "fraud_scores_amount_positive" -> (col("total_amount") < 0)))
-    val unique = Seq(
-      ("user_risk_user_unique", "user_risk_scores", userRisk, "user_id"),
-      ("fraud_scores_key_unique", "fraud_scores", fraudScores, "o_orderkey")
-    ).map { case (n, t, df, c) =>
-      check(n, t, df.agg(
-        (count(col(c)) - countDistinct(col(c))).as("violation_count")))
-    }
-    (Seq(revenueChecks, summaryChecks, userRiskChecks, scoreChecks) ++ unique)
+      "fraud_scores_amount_positive" -> (col("total_amount") < 0)),
+      uniqueCheck = Some("fraud_scores_key_unique" -> "o_orderkey"))
+    Seq(revenueChecks, summaryChecks, userRiskChecks, scoreChecks)
       .reduce(_.unionByName(_))
   }
 
