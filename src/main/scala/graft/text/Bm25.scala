@@ -28,14 +28,16 @@ import org.apache.spark.sql.functions._
   * order: identical operand order in any engine, hash-exact against the
   * same textual sum in SQL.
   *
-  * Scale shape: the token explode is filtered to the broadcast query-term
-  * literal set BEFORE the (doc, term) aggregate, so the corpus-sized tf
-  * shuffle carries only query-matching tokens (|Q| terms, not the
-  * vocabulary). Document length aggregates once at doc grain; df and the
-  * corpus totals are |Q|-row / 1-row broadcasts. The pivot is a map-side
-  * conditional aggregate at doc grain, and the final top-k uses the
-  * balanced global-rank exchange (ScalableRank) — no single-partition
-  * window over the matching-doc set.
+  * Scale shape: ONE token explode → ONE doc-grain map-side-combined
+  * aggregate producing dl and the per-query-term tf pivots together (tf
+  * for a fixed |Q|-term list is |Q| conditional sums, not a (doc, term)
+  * shuffle); corpus totals INCLUDING every per-term df reduce that
+  * doc-grain frame to a single broadcast row; scoring is then row-local
+  * arithmetic, and the final top-k uses the balanced global-rank exchange
+  * (ScalableRank) — no single-partition window over the matching-doc set.
+  * (First cut tokenized the corpus twice — once for dl, once for tf — and
+  * shuffled at (doc, term) grain with a dl join back; the fused shape
+  * halves the dominant explode cost and removes two shuffles and a join.)
   */
 object Bm25 {
 
@@ -52,46 +54,51 @@ object Bm25 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 
-    // Exact integer corpus stats: per-doc length, N, total token count.
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // One doc-grain aggregate: document length plus the tf of each fixed
+    // query term as conditional sums (all exact integers, map-side
+    // combined before the only corpus-grain shuffle).
+    val tfAggs: Seq[Column] =
+      count(lit(1)).as("dl") +:
+        queryTerms.map(t =>
+          sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"tf_$t"))
+    val perDoc = tok.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
 
-    // Query-matching (doc, term) term frequencies — the only corpus-sized
-    // shuffle, pruned map-side by the literal isin filter.
-    val qtf = tok.filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    // Corpus totals INCLUDING per-term document frequencies: one broadcast
+    // row reduced from the doc-grain frame.
+    val totAggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")) ++
+        queryTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$t"))
+    val totals = perDoc.agg(totAggs.head, totAggs.tail: _*)
 
-    val contrib = qtf
-      .join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
+    // Row-local scoring: idf per term from the broadcast totals, contrib
+    // from this row's tf/dl. tf = 0 contributes exactly 0.0 (zero
+    // numerator), matching the SQL mirror's arithmetic bit for bit.
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      // float32-round the ln output (the UnigramLm pattern): ln may differ
+      // from the other engine's libm by 1 ulp in double; the float32
+      // collapse absorbs it, and every op after runs on identical inputs
+      // (correctly-rounded IEEE → identical results). (k1 + 1) and (1 − b)
+      // fold from the same parsed literals as the SQL mirror.
+      val idf =
+        log(lit(1.0) + (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5))
+          / (col(s"df_$t").cast("double") + lit(0.5)))
+          .cast("float").cast("double")
+      idf * (tf * (lit(K1) + lit(1.0))) /
+        (tf + lit(K1) * ((lit(1.0) - lit(B))
+          + lit(B) * col("dl").cast("double") / col("avgdl")))
+    }
+    val scored = perDoc
+      .filter(queryTerms.map(t => col(s"tf_$t") > 0).reduceLeft(_ || _))
       .crossJoin(broadcast(totals))
       .withColumn("avgdl",
         col("total_len").cast("double") / col("n_docs").cast("double"))
-      .withColumn("idf",
-        // float32-round the ln output (the UnigramLm pattern): ln may
-        // differ from the other engine's libm by 1 ulp in double; the
-        // float32 collapse absorbs it, and every op after runs on
-        // identical inputs (correctly-rounded IEEE → identical results).
-        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)))
-          .cast("float").cast("double"))
-      .withColumn("contrib",
-        // (k1 + 1) and (1 − b) fold from the same parsed literals as the
-        // SQL mirror — never embed a Scala-computed double in only one side.
-        col("idf") * (col("tf").cast("double") * (lit(K1) + lit(1.0)))
-          / (col("tf").cast("double")
-            + lit(K1) * ((lit(1.0) - lit(B)) + lit(B) * col("dl").cast("double") / col("avgdl"))))
+      .select(
+        Seq(col("doc_id"), col("dl")) ++
+          queryTerms.map(t => contrib(t).as(s"c_$t")): _*)
+      .withColumn("score", queryTerms.map(t => col(s"c_$t")).reduceLeft(_ + _))
 
-    // Pivot the fixed query-term list into columns (each (doc, term) row is
-    // unique, so max is a pure selector) and sum left-to-right.
-    val pivots: Seq[Column] = queryTerms.map(t =>
-      coalesce(max(when(col("term") === t, col("contrib"))), lit(0.0)).as(s"c_$t"))
-    val perDoc = contrib.groupBy(col("doc_id"), col("dl"))
-      .agg(pivots.head, pivots.tail: _*)
-    val score = queryTerms.map(t => col(s"c_$t")).reduceLeft(_ + _)
-
-    val scored = perDoc.withColumn("score", score)
     ScalableRank.withGlobalRowNumber(
         scored, Seq(col("score").desc, col("doc_id").asc), "bm25_rank")
       .filter(col("bm25_rank") <= k)
@@ -99,41 +106,42 @@ object Bm25 {
         ++ queryTerms.map(t => col(s"c_$t")): _*)
   }
 
-  /** The DuckDB mirror of `rank` — same fixed-order arithmetic, for the
-    * correctness oracle. */
+  /** The DuckDB mirror of `rank` — same fused doc-grain shape and the same
+    * fixed-order arithmetic, for the correctness oracle. */
   def oracleSql(queryTerms: Seq[String], k: Int = 20): String = {
-    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
-    val pivotCols = queryTerms.map(t =>
-      s"COALESCE(max(CASE WHEN term = '$t' THEN contrib END), 0.0) AS c_$t").mkString(",\n      |    ")
+    val tfCols = queryTerms.map(t =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n      |    ")
+    val dfCols = queryTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n      |    ")
+    def contribSql(t: String): String =
+      s"""CAST(CAST(ln(1.0 + (CAST(t.n_docs AS DOUBLE) - CAST(t.df_$t AS DOUBLE) + 0.5)
+      |        / (CAST(t.df_$t AS DOUBLE) + 0.5)) AS FLOAT) AS DOUBLE)
+      |      * (CAST(p.tf_$t AS DOUBLE) * ($K1 + 1.0))
+      |      / (CAST(p.tf_$t AS DOUBLE)
+      |         + $K1 * ((1.0 - $B) + $B * CAST(p.dl AS DOUBLE)
+      |                  / (CAST(t.total_len AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))) AS c_$t"""
+    val contribCols = queryTerms.map(contribSql).mkString(",\n      |    ")
+    val anyMatch = queryTerms.map(t => s"p.tf_$t > 0").mkString(" OR ")
     val sumExpr = queryTerms.map(t => s"c_$t").mkString(" + ")
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
       |), tokf AS (
       |  SELECT doc_id, term FROM tok WHERE term <> ''
-      |), dl AS (
-      |  SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1
+      |), per_doc AS (
+      |  SELECT doc_id, count(*) AS dl,
+      |    $tfCols
+      |  FROM tokf GROUP BY doc_id
       |), totals AS (
-      |  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
-      |), qtf AS (
-      |  SELECT doc_id, term, count(*) AS tf FROM tokf
-      |  WHERE term IN ($termList) GROUP BY 1, 2
-      |), dfreq AS (
-      |  SELECT term, count(*) AS df FROM qtf GROUP BY 1
+      |  SELECT count(*) AS n_docs, sum(dl) AS total_len,
+      |    $dfCols
+      |  FROM per_doc
       |), contribs AS (
-      |  SELECT qtf.doc_id, qtf.term, dl.dl,
-      |    CAST(CAST(ln(1.0 + (CAST(t.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-      |        / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS FLOAT) AS DOUBLE)
-      |      * (CAST(qtf.tf AS DOUBLE) * ($K1 + 1.0))
-      |      / (CAST(qtf.tf AS DOUBLE)
-      |         + $K1 * ((1.0 - $B) + $B * CAST(dl.dl AS DOUBLE)
-      |                  / (CAST(t.total_len AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))) AS contrib
-      |  FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN totals t
-      |), pivoted AS (
-      |  SELECT doc_id, dl,
-      |    $pivotCols
-      |  FROM contribs GROUP BY doc_id, dl
+      |  SELECT p.doc_id, p.dl,
+      |    $contribCols
+      |  FROM per_doc p CROSS JOIN totals t
+      |  WHERE $anyMatch
       |), ranked AS (
-      |  SELECT *, $sumExpr AS score FROM pivoted
+      |  SELECT *, $sumExpr AS score FROM contribs
       |)
       |SELECT * FROM (
       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank,
