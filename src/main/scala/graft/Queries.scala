@@ -2018,6 +2018,25 @@ object Queries {
         .orderBy("query_id", "rank"),
       None),
 
+    // PCA preprocessing (FAISS PCAR): per-vector reduced representation
+    // with captured-energy audit columns. Rows-only: the principal
+    // subspace is a learned artifact (sample covariance eigenvectors);
+    // FunctionsSpec binds orthonormality, explained-variance ordering,
+    // energy-capture floor, and refit determinism.
+    QueryDef("q_embed_pca",
+      (s, d) => sim.Pca.embedPca(Tables.embeddings(s, d), k = 8,
+          cacheKey = Some(s"$d#pca"))
+        .orderBy("vec_id"),
+      None),
+
+    // ANN via PCA-space prefilter + exact full-dim re-rank ("PCAR,Flat").
+    // Rows-only: learned subspace; FunctionsSpec binds recall vs brute.
+    QueryDef("q_knn_pca",
+      (s, d) => sim.Pca.knnPca(Tables.embeddings(s, d),
+          cacheKey = Some(s"$d#pca"))
+        .orderBy("query_id", "rank"),
+      None),
+
     // IVF-PQ index persistence: train -> versioned registry save -> reload
     // "latest" -> search with the RELOADED codebooks (the ANN analog of
     // q_model_reload_eval's train/serve decoupling). reload_mismatches

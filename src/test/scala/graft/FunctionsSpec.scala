@@ -119,6 +119,47 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("PCA: orthonormal components, ordered variance, energy floor, recall vs brute") {
+    val e = Tables.embeddings(spark, TinySf)
+    val m = sim.Pca.fit(e, 8)
+    // Components orthonormal (pairwise dot 0, self dot 1) within fp slack.
+    for (i <- m.components.indices; j <- i until m.components.size) {
+      val dot = m.components(i).iterator.zip(m.components(j).iterator)
+        .map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"pc${i}*pc$j = $dot")
+    }
+    // Explained variance non-increasing, all positive.
+    assert(m.explained.forall(_ > 0))
+    assert(m.explained.zip(m.explained.tail).forall { case (a, b) => a >= b })
+    // Refit determinism (fixed sample + deterministic eigen).
+    val m2 = sim.Pca.fit(e, 8)
+    assert(m2.components == m.components && m2.mean == m.mean)
+
+    // Energy floor: the synthetic corpus is near-ISOTROPIC (no dominant
+    // directions), so the top-8-of-32 subspace can capture only ≈ k/d =
+    // 0.25 of per-vector energy; the floor asserts it does at least ~80%
+    // of that bound (a broken projection scores ≈ 0). Real embedding
+    // corpora are anisotropic and capture far more — the recall assert
+    // below is the operator's functional contract either way.
+    val meanCaptured = sim.Pca.embedPca(e, 8)
+      .agg(avg(col("energy_captured"))).head().getDouble(0)
+    assert(meanCaptured >= 0.8 * 8.0 / 32.0, s"mean energy captured $meanCaptured")
+
+    // PCAR,Flat recall: the 8-dim prefilter + exact re-rank must recover
+    // most of the golden top-k (refine·k = 80 candidates of 500 vectors).
+    val golden = Similarity.knnBrute(e).select("query_id", "vec_id")
+    val goldenN = golden.count()
+    val pca = sim.Pca.knnPca(e)
+    val hits = golden.join(
+      pca.select(col("query_id").as("q"), col("vec_id").as("v")),
+      col("query_id") === col("q") && col("vec_id") === col("v")).count()
+    assert(hits.toDouble / goldenN >= 0.5, s"PCA recall ${hits}/$goldenN")
+    // Scores on surfaced rows are the exact cosine (re-rank is full-dim).
+    val perQ = pca.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 10L))
+  }
+
   test("PQ/ADC with exact re-rank recalls most of the golden top-k") {
     val e = Tables.embeddings(spark, TinySf)
     val golden = Similarity.knnBrute(e).select("query_id", "vec_id")
