@@ -1928,6 +1928,28 @@ object Queries {
       (s, d) => MinHash.nearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.nearDupOracleSql)),
 
+    // Incremental LSH maintenance: band store built from the old corpus
+    // (doc_id % 10 != 7), the delta appended, pairs touching the delta
+    // probed from the store alone. Band rows are a pure per-doc function,
+    // so the store ≡ a from-scratch build and the result ≡ the full-run
+    // capped pair set filtered to delta-touching pairs — which is exactly
+    // what the oracle computes.
+    QueryDef("q_neardup_incremental",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-band-store").toString + "/bands"
+        val docs = Tables.documents(s, d)
+        MinHash.buildBandStore(docs.filter(col("doc_id") % 10 =!= 7), store)
+        MinHash.appendBandStore(docs.filter(col("doc_id") % 10 === 7), store)
+        MinHash.incrementalNearDups(s, store, col("doc_id") % 10 === 7)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(MinHash.candidatePairsSqlCtes +
+        """
+        |SELECT doc_a, doc_b FROM pairs
+        |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     QueryDef("q_ngram_jaccard",
       (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.exactJaccardOracleSql())),

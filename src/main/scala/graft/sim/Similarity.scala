@@ -491,6 +491,9 @@ object Similarity {
       .unionByName(summarize("ivfpq",
         knnIvfPq(embeddings, numQueries, k, cacheKey = cacheKey)))
       .unionByName(summarize("lsh_tables", knnLshTables(embeddings, numQueries, k)))
+      .unionByName(summarize("pca",
+        Pca.knnPca(embeddings, numQueries, k,
+          cacheKey = cacheKey.map(_ + "#pca"))))
   }
 
   /** Semantic deduplication (the SemDeDup shape — Abbas et al.,

@@ -231,6 +231,54 @@ object MinHash {
     lastBanded = None
   }
 
+  // ---- incremental band-store maintenance --------------------------------
+  // The text-dedup analog of the ANN encoded store (sim/AnnIndex): minhash
+  // band rows are a pure per-document function (no corpus dependence), so
+  // the banded corpus can materialize ONCE and new documents append WITHOUT
+  // touching existing rows — the nightly-append operating mode where
+  // re-sketching a 100 TB corpus per batch is not an option. The delta
+  // probe joins only the NEW docs' band rows against the store, so its
+  // cost scales with |delta| × bucket occupancy, not corpus².
+
+  /** Materialize the banded signature store for a corpus. */
+  def buildBandStore(documents: DataFrame, path: String): Unit =
+    bands(signaturesArr(documents))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append new documents' band rows (per-doc computation — existing rows
+    * are untouched, identical to what a from-scratch build would write). */
+  def appendBandStore(newDocs: DataFrame, path: String): Unit =
+    bands(signaturesArr(newDocs))
+      .write.mode("append").parquet(path)
+
+  /** Candidate near-dup pairs INVOLVING documents matching `newPred`,
+    * computed from the band store alone: bucket-size governor over the
+    * full store (exactly the full-run hot-bucket rule, so incremental and
+    * from-scratch runs drop the same buckets), then new-side band rows
+    * join the cooled store. Output ≡ the full-corpus capped pair set
+    * restricted to pairs touching the delta — the property the oracle and
+    * spec pin. */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          newPred: Column,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val store = spark.read.parquet(path)
+    val hot = store.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select("band_idx", "band_hash")
+    val cool = store.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val newRows = cool.filter(newPred)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("n_id"))
+    newRows
+      .join(cool.select(col("band_idx"), col("band_hash"), col("doc_id").as("o_id")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("doc_a"),
+        greatest(col("n_id"), col("o_id")).as("doc_b"))
+      .distinct()
+  }
+
   /** Candidates + estimated (signature agreement) and exact n-gram Jaccard.
     * Exact set ops run only on LSH candidates.
     *

@@ -389,6 +389,34 @@ class CurationSpec extends SparkSpec {
     assert(out(3)._3 == 2 && out(3)._4 == 1)
   }
 
+  test("incremental band store: delta probe equals full recompute filtered to delta pairs") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-band-test").toString + "/bands"
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    graft.text.MinHash.buildBandStore(old, store)
+    graft.text.MinHash.appendBandStore(delta, store)
+    val incr = graft.text.MinHash
+      .incrementalNearDups(spark, store, col("doc_id") % 10 === 7)
+      .as[(Long, Long)].collect().toSet
+    // Ground truth: capped full-corpus candidate pairs, restricted to
+    // pairs with at least one delta doc (the exact contract the oracle
+    // re-states in SQL).
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    val full = graft.text.MinHash.nearDupPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => deltaIds(a) || deltaIds(b) }
+    assert(incr == expected, s"incr ${incr.size} vs expected ${expected.size}")
+    // No old-only pairs leak into the delta probe.
+    assert(incr.forall { case (a, b) => deltaIds(a) || deltaIds(b) })
+    // Appending never rewrites existing store rows: the store row count is
+    // the sum of the two writes (pure per-doc band fan-out).
+    val bandRows = spark.read.parquet(store).count()
+    val expectedRows = docs.count() * graft.text.MinHash.Bands
+    assert(bandRows == expectedRows)
+  }
+
   test("source reputation drops boilerplate and stub domains, keeps clean ones") {
     import spark.implicits._
     val boiler = "copy of the same page body repeated verbatim across the mirror"

@@ -180,7 +180,11 @@ class FunctionsSpec extends SparkSpec {
     val rec = Similarity.knnRecallSummary(Tables.embeddings(spark, TinySf))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rec.keySet ==
-      Set("brute", "bucketed", "multiprobe", "ivf", "pq", "ivfpq", "lsh_tables"))
+      Set("brute", "bucketed", "multiprobe", "ivf", "pq", "ivfpq", "lsh_tables", "pca"))
+    // PCAR prefilter + exact re-rank: above the data-oblivious single
+    // bucket, and a nontrivial floor even on the isotropic corpus.
+    assert(rec("pca") >= rec("bucketed"), s"pca ${rec("pca")} < bucketed")
+    assert(rec("pca") >= 0.4, s"pca recall ${rec("pca")}")
     assert(rec("brute") == 1.0)
     // OR-amplification over 4 tables must dominate the single-table
     // bucket path (whose measured recall here is ~0) and actually find
