@@ -3020,6 +3020,13 @@ object Queries {
         |  (tok_start < seq_idx * 128 OR tok_end > seq_idx * 128 + 128) AS is_split
         |FROM e ORDER BY lang, seq_idx, pos_in_seq""".stripMargin)),
 
+    // Interpolated bigram LM: λ·p(cur|prev) + (1−λ)·p(cur), <s> start
+    // symbol, micro-nat fixed-point quantization (UnigramLm contract).
+    QueryDef("q_bigram_lm",
+      (s, d) => text.BigramLm.docLogProb(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.BigramLm.oracleSql)),
+
     QueryDef("q_unigram_lm",
       (s, d) => text.UnigramLm.docLogProb(Tables.documents(s, d))
         .orderBy("doc_id"),

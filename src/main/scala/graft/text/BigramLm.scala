@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpolated bigram language-model scoring — the next rung above
+  * UnigramLm on the KenLM ladder: p(cur | prev) = λ·p_bi + (1−λ)·p_uni
+  * with a `<s>` start symbol so every token has a history. Bigram
+  * perplexity separates corpus-like WORD ORDER from shuffled/boilerplate
+  * text that unigram statistics cannot distinguish (same words, wrong
+  * order scores the same under a unigram LM).
+  *
+  * Determinism across engines (the UnigramLm contract): each token's
+  * interpolated probability is computed from exact integer counts in fixed
+  * expression order, ln is float32-collapsed, quantized once to fixed-point
+  * micro-nats, and per-document sums run on exact integers — no
+  * order-dependent double sums anywhere.
+  *
+  * Scale shape: bigram construction is ROW-LOCAL (a zip of the token array
+  * with its shifted self — never a corpus self-join at token grain); counts
+  * are partial-agg shuffles at (prev,cur) / prev / cur grain; the LM table
+  * is bigram-vocabulary grain and joins back onto the exploded bigram
+  * stream as a SHUFFLE join (web-scale bigram vocabularies are far beyond
+  * broadcast, same reasoning as UnigramLm's token join); the per-doc
+  * reduction is a (doc_id) partial agg. Linear, no self-joins.
+  */
+object BigramLm {
+
+  val Start = "<s>"
+  /** Interpolation weight on the bigram term; (1 − λ) spelled as its own
+    * exact literal in BOTH engines. */
+  val Lambda = "0.75"
+  val OneMinusLambda = "0.25"
+
+  def docLogProb(documents: DataFrame): DataFrame = {
+    val withBigrams = documents
+      .withColumn("toksf", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("ws", expr(s"concat(array('$Start'), toksf)"))
+      .withColumn("bg", explode(expr(
+        "zip_with(slice(ws, 1, size(toksf)), toksf, (p, c) -> named_struct('prev', p, 'cur', c))")))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+
+    val cbi = withBigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
+    val cleft = withBigrams.groupBy("prev").agg(count(lit(1)).as("c_left"))
+    val cuni = withBigrams.groupBy("cur").agg(count(lit(1)).as("c_uni"))
+    val total = cuni.agg(sum(col("c_uni")).as("total_tokens"))
+
+    // Fixed-point micro-nat log-prob per bigram-vocabulary entry.
+    val lm = cbi
+      .join(cleft.hint("merge"), Seq("prev"))
+      .join(cuni.hint("merge"), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        floor(expr(
+          s"""CAST(CAST(ln($Lambda * (CAST(c_bi AS DOUBLE) / CAST(c_left AS DOUBLE))
+             | + $OneMinusLambda * (CAST(c_uni AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS FLOAT) AS DOUBLE)""".stripMargin)
+          * lit(1000000.0)).cast("long"))
+      .select("prev", "cur", "lp_micro")
+
+    withBigrams
+      .join(lm.hint("merge"), Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        col("sum_lp_micro").cast("double") / lit(1000000.0) / col("n_tokens"))
+      .withColumn("bits_per_token",
+        -col("avg_logprob") / lit(UnigramLm.Ln2Literal.toDouble))
+      .select("doc_id", "n_tokens", "sum_lp_micro", "avg_logprob", "bits_per_token")
+  }
+
+  /** DuckDB mirror of `docLogProb` for the correctness oracle. */
+  def oracleSql: String =
+    s"""WITH toksf AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM toksf
+      |), big AS (
+      |  SELECT doc_id,
+      |    CASE WHEN i = 1 THEN '$Start' ELSE toks[i - 1] END AS prev,
+      |    toks[i] AS cur
+      |  FROM idx
+      |), cbi AS (
+      |  SELECT prev, cur, count(*) AS c_bi FROM big GROUP BY 1, 2
+      |), cleft AS (
+      |  SELECT prev, count(*) AS c_left FROM big GROUP BY 1
+      |), cuni AS (
+      |  SELECT cur, count(*) AS c_uni FROM big GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(c_uni) AS total_tokens FROM cuni
+      |), lm AS (
+      |  SELECT prev, cur,
+      |    CAST(floor(CAST(CAST(ln($Lambda * (CAST(c_bi AS DOUBLE) / CAST(c_left AS DOUBLE))
+      |       + $OneMinusLambda * (CAST(c_uni AS DOUBLE) / CAST(t.total_tokens AS DOUBLE))) AS FLOAT) AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS lp_micro
+      |  FROM cbi JOIN cleft USING (prev) JOIN cuni USING (cur) CROSS JOIN tot t
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(lp_micro) AS sum_lp_micro
+      |  FROM big JOIN lm USING (prev, cur) GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
+      |  CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens AS avg_logprob,
+      |  -(CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens) / ${UnigramLm.Ln2Literal} AS bits_per_token
+      |FROM agg ORDER BY doc_id""".stripMargin
+}

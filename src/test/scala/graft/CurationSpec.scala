@@ -347,6 +347,29 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(800))
   }
 
+  test("bigram LM penalizes shuffled word order that unigram scoring cannot see") {
+    import spark.implicits._
+    // Both docs use EXACTLY the same multiset of words; doc 2 repeats the
+    // corpus-dominant bigram sequence, doc 1 scrambles it. A unigram LM
+    // scores them identically; the bigram LM must rank doc 2 higher. Docs
+    // 3..8 establish "the quick brown fox" as the dominant word order.
+    val phrase = "the quick brown fox"
+    val docs = (
+      Seq((1L, "fox the brown quick"), (2L, phrase)) ++
+      (3L to 8L).map(i => (i, phrase))
+    ).toDF("doc_id", "text")
+    val bi = graft.text.BigramLm.docLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(bi(2L) > bi(1L), s"ordered ${bi(2L)} !> shuffled ${bi(1L)}")
+    val uni = graft.text.UnigramLm.docLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(uni(1L) == uni(2L), "unigram must be order-blind on equal multisets")
+    // Token accounting: every real token scored exactly once.
+    val n = graft.text.BigramLm.docLogProb(docs)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(n == 8 * 4)
+  }
+
   test("unigram LM: rare-token docs score lower than common-token docs") {
     import spark.implicits._
     val synth = (Seq((1L, "the the the the the the the the"),
