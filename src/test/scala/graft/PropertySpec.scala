@@ -301,4 +301,59 @@ class PropertySpec extends SparkSpec {
       assert(g == ref(a, b), s"morton2($a, $b)")
     }
   }
+
+  // ---- connected components: star contraction vs union-find oracle --------
+
+  test("property: star-contraction components equal a union-find oracle on " +
+      "random graphs (and label propagation agrees)") {
+    import spark.implicits._
+    def ufOracle(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component MINIMUM (find chases to the min
+      // because unions always point larger roots at smaller ones)
+      (1L to n).map(i => i -> find(i)).toMap
+    }
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val n = 40L
+      val edges = draw(Gen.listOfN(45, for {
+        a <- Gen.choose(1L, n); b <- Gen.choose(1L, n)
+      } yield (a, b)), seed).filter { case (a, b) => a != b }
+      val nodes = (1L to n).toDF("id")
+      val edgeDf = edges.toDF("src", "dst")
+      val expect = ufOracle(n, edges)
+      val star = graft.text.Components.connectedComponentsStar(nodes, edgeDf)
+        .as[(Long, Long)].collect().toMap
+      assert(star == expect, s"star labels diverge from union-find (seed $seed)")
+      val prop = graft.text.Components.connectedComponents(nodes, edgeDf)
+        .as[(Long, Long)].collect().toMap
+      assert(prop == expect, s"label-prop labels diverge from union-find (seed $seed)")
+    }
+  }
+
+  // ---- BPE encode round-trip on random token streams -----------------------
+
+  test("property: BPE encode round-trips random corpora under trained merges") {
+    import spark.implicits._
+    val alpha = Gen.listOfN(6, Gen.oneOf("ab", "abc", "aab", "bc", "ccc", "abab", "ba"))
+    for (seed <- Seq(21L, 22L)) {
+      val texts = draw(Gen.listOfN(12, alpha.map(_.mkString(" "))), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = graft.text.Bpe.trainMerges(docs, 10)
+      val enc = graft.text.Bpe.encode(docs, merges)
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val rebuilt = enc(i.toLong).mkString
+          .split(java.util.regex.Pattern.quote(graft.text.Bpe.EndOfWord))
+          .filter(_.nonEmpty).toSeq
+        assert(rebuilt == t.split(" ").filter(_.nonEmpty).toSeq,
+          s"round-trip failed for doc $i (seed $seed)")
+      }
+    }
+  }
 }
