@@ -1,7 +1,7 @@
 package graft
 
-import graft.gold.{DataQuality, FraudSummary, Pipelines, Revenue, StarSchema}
-import graft.ml.{FraudScore, GbtModel, TrainedModel}
+import graft.gold.{Attribution, DataQuality, Drift, Forensics, FraudSummary, Pipelines, Revenue, Rings, StarSchema}
+import graft.ml.{Evaluation, FraudScore, GbtModel, TrainedModel}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Resample, Sessionize}
 import graft.sim.Similarity
@@ -115,9 +115,26 @@ object Queries {
       |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
       |)""".stripMargin
 
+  // Literal-scorer output (mirrors FraudScore.score), shared by the
+  // model-evaluation oracles (q_roc_auc, q_calibration).
+  private val ScoredCte = EnrichedFeaturesCte +
+    """
+    |, zed AS (
+    |  SELECT o_orderkey, label,
+    |    CAST(CAST(-4.0 AS DOUBLE) + amount_vs_user_avg * CAST(0.9 AS DOUBLE)
+    |         + region_risk * CAST(11.0 AS DOUBLE)
+    |         + CAST(is_high_risk_region AS DOUBLE) * CAST(0.8 AS DOUBLE)
+    |         + CAST(negative_balance AS DOUBLE) * CAST(0.6 AS DOUBLE)
+    |         + CAST(is_weekend AS DOUBLE) * CAST(0.15 AS DOUBLE)
+    |         + CAST(amount_log AS DOUBLE) * CAST(0.12 AS DOUBLE) AS FLOAT) AS z
+    |  FROM fv
+    |), scored AS (
+    |  SELECT o_orderkey, label, CAST(1.0 / (1.0 + exp(-z)) AS FLOAT) AS fraud_score FROM zed
+    |)""".stripMargin
+
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4
+  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5
 
   private lazy val batch1: Seq[QueryDef] = Seq(
 
@@ -3052,6 +3069,253 @@ object Queries {
         |  CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens AS avg_logprob,
         |  -(CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens) / ${text.UnigramLm.Ln2Literal} AS bits_per_token
         |FROM agg ORDER BY doc_id""".stripMargin))
+  )
+
+  private def literalScored(s: SparkSession, d: String): DataFrame =
+    FraudScore.score(FraudScore.featureVector(Enrichment.enrichOrders(
+      Cleaning.cleanOrders(Tables.orders(s, d)),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))))
+
+  // r8 batch: model-evaluation statistics, drift monitoring, forensic
+  // screens, fraud-ring pairs, and revenue attribution.
+  private lazy val batch5: Seq[QueryDef] = Seq(
+
+    // Exact distributed ROC-AUC of the literal scorer as a Mann–Whitney
+    // rank statistic — ScalableRank global ranking + one aggregate, all
+    // integer until the final division (ml/Evaluation.scala).
+    QueryDef("q_roc_auc",
+      (s, d) => Evaluation.rocAuc(literalScored(s, d), "fraud_score", "label",
+          "o_orderkey")
+        .orderBy("pos_n"),
+      Some(ScoredCte +
+        """
+        |, r AS (
+        |  SELECT label,
+        |    2 * rank() OVER (ORDER BY fraud_score)
+        |      + count(*) OVER (PARTITION BY fraud_score) - 1 AS r2
+        |  FROM scored
+        |), agg AS (
+        |  SELECT CAST(sum(label) AS BIGINT) AS pos_n,
+        |         CAST(count(*) - sum(label) AS BIGINT) AS neg_n,
+        |         CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rank_sum2
+        |  FROM r
+        |), a2 AS (
+        |  SELECT pos_n, neg_n, rank_sum2,
+        |    CAST(rank_sum2 - pos_n * (pos_n + 1) AS DOUBLE) / (2.0 * pos_n * neg_n) AS auc
+        |  FROM agg
+        |)
+        |SELECT pos_n, neg_n, rank_sum2, auc, 2.0 * auc - 1.0 AS gini
+        |FROM a2 ORDER BY pos_n""".stripMargin)),
+
+    // Reliability-diagram decile bins; micro-unit quantization keeps the
+    // double sums hash-exact (SURVEY §4 / UnigramLm contract).
+    QueryDef("q_calibration",
+      (s, d) => Evaluation.calibrationBins(literalScored(s, d), "fraud_score",
+        "label", bins = 10),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT least(CAST(floor(CAST(fraud_score AS DOUBLE) * 10) AS BIGINT), 9) AS bin,
+        |    label,
+        |    CAST(floor(CAST(fraud_score AS DOUBLE) * 1000000.0) AS BIGINT) AS s_micro,
+        |    CAST(floor((CAST(fraud_score AS DOUBLE) - label) * (CAST(fraud_score AS DOUBLE) - label)
+        |      * 1000000000.0) AS BIGINT) AS sq_nano
+        |  FROM scored
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS positives,
+        |    CAST(sum(s_micro) AS BIGINT) AS sum_score_micro,
+        |    CAST(sum(sq_nano) AS BIGINT) AS brier_sum_nano
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bin, n, positives, sum_score_micro, brier_sum_nano,
+        |  CAST(bin AS DOUBLE) / 10 AS bin_lo,
+        |  CAST(positives AS DOUBLE) / n AS pos_rate,
+        |  CAST(sum_score_micro AS DOUBLE) / 1000000.0 / n AS mean_pred,
+        |  CAST(sum_score_micro AS DOUBLE) / 1000000.0 / n
+        |    - CAST(positives AS DOUBLE) / n AS calib_gap
+        |FROM g ORDER BY bin""".stripMargin)),
+
+    // Operating-point sweep: precision/recall/F1 at every occupied grid
+    // threshold — suffix sums over the ≤20-row bin frame, no per-threshold
+    // rescan (ml/Evaluation.scala).
+    QueryDef("q_threshold_sweep",
+      (s, d) => Evaluation.thresholdSweep(literalScored(s, d), "fraud_score",
+        "label", steps = 20),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT least(CAST(floor(CAST(fraud_score AS DOUBLE) * 20) AS BIGINT), 19) AS bin, label
+        |  FROM scored
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS total_pos,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total,
+        |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS predicted_pos
+        |  FROM g
+        |), f AS (
+        |  SELECT bin AS threshold_step, CAST(bin AS DOUBLE) / 20 AS threshold,
+        |    tp, predicted_pos - tp AS fp, total_pos - tp AS fn,
+        |    total - predicted_pos - total_pos + tp AS tn,
+        |    CAST(tp AS DOUBLE) / predicted_pos AS "precision",
+        |    CAST(tp AS DOUBLE) / total_pos AS recall
+        |  FROM c
+        |)
+        |SELECT threshold_step, threshold, tp, fp, fn, tn, "precision", recall,
+        |  CASE WHEN "precision" + recall > 0.0
+        |       THEN 2.0 * "precision" * recall / ("precision" + recall)
+        |       ELSE 0.0 END AS f1
+        |FROM f ORDER BY threshold_step""".stripMargin)),
+
+    // Brute cosine top-k over the int8-dequantized corpus — the 4×-fewer-
+    // bytes search path, hash-exact because reconstruction is IEEE float
+    // rounding, not a trained codebook (sim/Quantize.scala).
+    QueryDef("q_knn_int8",
+      (s, d) => graft.sim.Quantize.knnInt8(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(graft.sim.Quantize.dequantCteSql +
+        s"""
+        |, q AS (
+        |  SELECT vec_id AS query_id, dq AS qv FROM dqt WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    ${cosSql("q.qv", "e.dq")} AS cos_sim
+        |  FROM dqt e JOIN q ON e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // PSI + chi-square + binned-KS drift between the first and second
+    // halves of the order history, binned by amount tier (gold/Drift.scala).
+    QueryDef("q_psi_drift",
+      (s, d) => Drift.binnedDrift(
+        Cleaning.cleanOrders(Tables.orders(s, d)),
+        col("amount_tier"), Drift.tierOrd(col("amount_tier")),
+        col("order_date") < lit("1998-01-01").cast("date"), bins = 5),
+      Some(CleanOrdersCte +
+        """
+        |, cnt AS (
+        |  SELECT amount_tier AS bin,
+        |    CAST(CASE amount_tier WHEN 'micro' THEN 0 WHEN 'low' THEN 1
+        |         WHEN 'medium' THEN 2 WHEN 'high' THEN 3 ELSE 4 END AS BIGINT) AS bin_ord,
+        |    CAST(sum(CASE WHEN order_date < DATE '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN order_date < DATE '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM clean_orders GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT *,
+        |    CAST(sum(cnt_a) OVER () AS BIGINT) AS tot_a,
+        |    CAST(sum(cnt_b) OVER () AS BIGINT) AS tot_b,
+        |    CAST(sum(cnt_a) OVER (ORDER BY bin_ord) AS BIGINT) AS cum_a,
+        |    CAST(sum(cnt_b) OVER (ORDER BY bin_ord) AS BIGINT) AS cum_b
+        |  FROM cnt
+        |), m AS (
+        |  SELECT *,
+        |    CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 5 AS DOUBLE) AS p_a,
+        |    CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 5 AS DOUBLE) AS p_b,
+        |    CAST(cnt_a + cnt_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+        |      / CAST(tot_a + tot_b AS DOUBLE) AS exp_a,
+        |    CAST(cnt_a + cnt_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
+        |      / CAST(tot_a + tot_b AS DOUBLE) AS exp_b
+        |  FROM tot
+        |)
+        |SELECT bin, bin_ord, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / tot_a AS share_a,
+        |  CAST(cnt_b AS DOUBLE) / tot_b AS share_b,
+        |  (p_a - p_b) * ln(p_a / p_b) AS psi_term,
+        |  (CAST(cnt_a AS DOUBLE) - exp_a) * (CAST(cnt_a AS DOUBLE) - exp_a) / exp_a
+        |    + (CAST(cnt_b AS DOUBLE) - exp_b) * (CAST(cnt_b AS DOUBLE) - exp_b) / exp_b AS chi2_term,
+        |  abs(CAST(cum_a AS DOUBLE) / tot_a - CAST(cum_b AS DOUBLE) / tot_b) AS ecdf_gap
+        |FROM m ORDER BY bin_ord""".stripMargin)),
+
+    // Benford leading-digit screen per return-flag segment; exact digit
+    // via the decimal(18,2) cents cast (gold/Forensics.scala).
+    QueryDef("q_benford",
+      (s, d) => Forensics.benford(
+        Cleaning.cleanLineitem(Tables.lineitem(s, d)),
+        col("l_returnflag"), col("l_extendedprice")),
+      Some(CleanLineitemCte +
+        """
+        |, dg AS (
+        |  SELECT l_returnflag AS segment,
+        |    CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM clean_lineitem
+        |), g AS (
+        |  SELECT segment, digit, CAST(count(*) AS BIGINT) AS observed FROM dg GROUP BY 1, 2
+        |), t AS (
+        |  SELECT *, CAST(sum(observed) OVER (PARTITION BY segment) AS BIGINT) AS segment_total,
+        |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected_p
+        |  FROM g
+        |), e AS (
+        |  SELECT *, CAST(segment_total AS DOUBLE) * expected_p AS expected_n FROM t
+        |)
+        |SELECT segment, digit, observed, segment_total,
+        |  CAST(observed AS DOUBLE) / segment_total AS observed_p,
+        |  expected_p,
+        |  (CAST(observed AS DOUBLE) - expected_n) * (CAST(observed AS DOUBLE) - expected_n)
+        |    / expected_n AS chi2_term
+        |FROM e ORDER BY segment, digit""".stripMargin)),
+
+    // Shared-device fraud-ring pairs with the deterministic occupancy
+    // governor (gold/Rings.scala).
+    QueryDef("q_shared_device_pairs",
+      (s, d) => Rings.sharedDevicePairs(Tables.events(s, d)),
+      Some("""WITH b AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS device, user_id
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL
+        |), ok AS (
+        |  SELECT day, device FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50
+        |), adm AS (
+        |  SELECT b.* FROM b JOIN ok USING (day, device)
+        |)
+        |SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS shared_device_days,
+        |  CAST(count(DISTINCT x.device) AS BIGINT) AS shared_devices,
+        |  min(x.day) AS first_day, max(x.day) AS last_day
+        |FROM adm x JOIN adm y USING (day, device)
+        |WHERE x.user_id < y.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Multi-touch attribution: 24h-lookback purchase×touch pairing via
+    // the RangeJoin day-bin trick, linear/first/last credit
+    // (gold/Attribution.scala).
+    QueryDef("q_attribution",
+      (s, d) => Attribution.multiTouch(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, p AS (
+        |  SELECT event_id AS purchase_id, user_id, value AS purchase_value, ts_us AS p_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts_us AS t_ts_us
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pair AS (
+        |  SELECT p.*, t.touch_id, t.touch_type, t.t_ts_us
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.t_ts_us >= p.p_ts_us - 86400000000 AND t.t_ts_us < p.p_ts_us
+        |), cred AS (
+        |  SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+        |    first_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_t,
+        |    last_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_t
+        |  FROM pair
+        |)
+        |SELECT purchase_id, user_id, purchase_value, p_ts_us, touch_id, touch_type, t_ts_us,
+        |  n_touches, purchase_value / CAST(n_touches AS DOUBLE) AS credit_linear,
+        |  touch_id = first_t AS is_first_touch, touch_id = last_t AS is_last_touch
+        |FROM cred ORDER BY purchase_id, touch_id""".stripMargin))
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

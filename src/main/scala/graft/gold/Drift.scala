@@ -1,0 +1,80 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two time periods — the batch
+  * analog of the reference's model-monitoring panel (the Grafana System
+  * Health row tracks score drift between deploys; monitoring tools like
+  * Evidently compute exactly these binned statistics).
+  *
+  * Everything is computed from exact integer bin counts in ONE
+  * partial-agged scan of the fact table; the per-bin frame that the
+  * divergence math runs over has `bins` rows (a constant, never
+  * data-bound), so its partition-less windows are bounded by construction
+  * — same contract as ScalableRank's offsets frame. Doubles appear only
+  * downstream of exact integers (ln / division are IEEE-identical on
+  * identical inputs, SURVEY §4).
+  *
+  * Emitted per bin:
+  *  - PSI term (p−q)·ln(p/q) with add-one (Laplace) smoothing so empty
+  *    bins stay finite — Σ terms is the Population Stability Index
+  *    (>0.2 = major shift by the usual rule of thumb);
+  *  - chi-square terms for both periods against the pooled expectation
+  *    (homogeneity test);
+  *  - the binned-ECDF gap |F_a − F_b| whose max over bins is the binned
+  *    Kolmogorov–Smirnov statistic.
+  */
+object Drift {
+
+  /** Per-bin drift stats. `binCol` must be a low-cardinality bin label,
+    * `binOrd` its ordinal for the ECDF ordering, `inA` the period-A
+    * predicate (period B = ¬A).
+    */
+  def binnedDrift(df: DataFrame, binCol: Column, binOrd: Column,
+                  inA: Column, bins: Int): DataFrame = {
+    val counts = df
+      .groupBy(binCol.as("bin"), binOrd.as("bin_ord"))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).cast("long").as("cnt_a"),
+        sum(when(inA, 0L).otherwise(1L)).cast("long").as("cnt_b"))
+    // `counts` has at most `bins` rows: these windows are over a
+    // constant-size frame, not the data.
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("bin_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts
+      .withColumn("tot_a", sum(col("cnt_a")).over(wAll))
+      .withColumn("tot_b", sum(col("cnt_b")).over(wAll))
+      .withColumn("cum_a", sum(col("cnt_a")).over(wCum))
+      .withColumn("cum_b", sum(col("cnt_b")).over(wCum))
+    val pA = (col("cnt_a") + lit(1L)).cast("double") /
+      (col("tot_a") + lit(bins.toLong)).cast("double")
+    val pB = (col("cnt_b") + lit(1L)).cast("double") /
+      (col("tot_b") + lit(bins.toLong)).cast("double")
+    val expA = (col("cnt_a") + col("cnt_b")).cast("double") *
+      col("tot_a").cast("double") / (col("tot_a") + col("tot_b")).cast("double")
+    val expB = (col("cnt_a") + col("cnt_b")).cast("double") *
+      col("tot_b").cast("double") / (col("tot_a") + col("tot_b")).cast("double")
+    tot
+      .withColumn("share_a", col("cnt_a").cast("double") / col("tot_a"))
+      .withColumn("share_b", col("cnt_b").cast("double") / col("tot_b"))
+      .withColumn("psi_term", (pA - pB) * log(pA / pB))
+      .withColumn("chi2_term",
+        (col("cnt_a").cast("double") - expA) * (col("cnt_a").cast("double") - expA) / expA +
+          (col("cnt_b").cast("double") - expB) * (col("cnt_b").cast("double") - expB) / expB)
+      .withColumn("ecdf_gap",
+        abs(col("cum_a").cast("double") / col("tot_a") -
+          col("cum_b").cast("double") / col("tot_b")))
+      .select("bin", "bin_ord", "cnt_a", "cnt_b", "share_a", "share_b",
+        "psi_term", "chi2_term", "ecdf_gap")
+      .orderBy("bin_ord")
+  }
+
+  /** Amount-tier ordinal shared with the oracle SQL. */
+  def tierOrd(tier: Column): Column =
+    when(tier === "micro", 0).when(tier === "low", 1)
+      .when(tier === "medium", 2).when(tier === "high", 3)
+      .otherwise(4).cast("long")
+}

@@ -56,6 +56,55 @@ object Quantize {
       .select("vec_id", "label", "scale", "code_sum", "code_abs_sum",
         "code_min", "code_max", "max_abs_err", "cos_self")
 
+  /** Brute-force cosine top-k over the DEQUANTIZED int8 corpus — the
+    * measurement query for the storage axis: what does search look like
+    * when the corpus is stored as codes+scale (dim+8 bytes/row) instead
+    * of float32 (4·dim)? Reconstruction is row-local codegen math
+    * (scale·code rounded to FLOAT — the IEEE rounding is identical in
+    * both engines, so unlike the trained PQ path this search is
+    * hash-exact against the oracle); scoring reuses the native `vec_dot`
+    * expression and the two-phase topK cut. At 100 TB this path reads 4×
+    * fewer bytes than float brute for a ~1e-3 cosine perturbation
+    * (EvalDriftSpec pins recall vs the float golden set).
+    */
+  def knnInt8(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val dq = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("max_abs", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale", expr(
+        "CASE WHEN max_abs / 127.0 = 0 THEN 1.0 ELSE max_abs / 127.0 END"))
+      .withColumn("dq", expr(
+        s"transform(embedding, x -> CAST(scale * ${codeOf("x")} AS FLOAT))"))
+      .select(col("vec_id"), col("label"), col("dq"))
+      .withColumn("nrm", sqrt(expr("vec_dot(dq, dq)")))
+    val queries = dq.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = dq
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", expr("vec_dot(qv, dq)") / (col("q_nrm") * col("nrm")))
+    Similarity.topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
+  }
+
+  /** The dequantized-corpus CTE fragment of the knnInt8 oracle (DuckDB
+    * list dialect, same arithmetic). */
+  def dequantCteSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+       |  FROM embeddings
+       |), scaled AS (
+       |  SELECT vec_id, label, embedding,
+       |    CASE WHEN max_abs / 127.0 = 0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
+       |  FROM base
+       |), dqt AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(scale * ${codeOf("x")} AS FLOAT)) AS dq
+       |  FROM scaled
+       |)""".stripMargin
+
   /** DuckDB mirror: same per-element arithmetic via list_transform /
     * list_reduce (list_reduce seeds from the first element; 0.0 + x ≡ x
     * in IEEE double, so the fold matches Spark's aggregate-with-init). */

@@ -1,0 +1,236 @@
+package graft
+
+import graft.gold.{Attribution, Drift, Forensics, Rings}
+import graft.ml.Evaluation
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** r8 evaluation/monitoring family: exact ROC-AUC, calibration bins,
+  * binned drift (PSI/chi²/KS), Benford screen, shared-device ring pairs,
+  * and multi-touch attribution. */
+class EvalDriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- ROC-AUC ----
+
+  test("rocAuc matches the hand-computed Mann–Whitney value with ties") {
+    // scores: pos {0.9, 0.8, 0.5}, neg {0.5, 0.3, 0.1}
+    // pairs (pos > neg): 0.9 beats all 3; 0.8 beats all 3; 0.5 beats 2
+    // and ties 1 → U = 3 + 3 + 2.5 = 8.5, AUC = 8.5 / 9
+    val df = Seq(
+      (1L, 0.9f, 1L), (2L, 0.8f, 1L), (3L, 0.5f, 1L),
+      (4L, 0.5f, 0L), (5L, 0.3f, 0L), (6L, 0.1f, 0L)
+    ).toDF("id", "score", "label")
+    val r = Evaluation.rocAuc(df, "score", "label", "id").collect().head
+    assert(r.getAs[Long]("pos_n") === 3L)
+    assert(r.getAs[Long]("neg_n") === 3L)
+    assert(math.abs(r.getAs[Double]("auc") - 8.5 / 9.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gini") - (2 * 8.5 / 9.0 - 1)) < 1e-12)
+  }
+
+  test("rocAuc is 1.0 on perfectly separated scores and 0.5 on a constant") {
+    val perfect = Seq((1L, 0.9f, 1L), (2L, 0.8f, 1L), (3L, 0.2f, 0L), (4L, 0.1f, 0L))
+      .toDF("id", "score", "label")
+    assert(Evaluation.rocAuc(perfect, "score", "label", "id")
+      .collect().head.getAs[Double]("auc") === 1.0)
+    // all-tied scores: every pos/neg pair is a tie → AUC exactly 0.5
+    val const = Seq((1L, 0.5f, 1L), (2L, 0.5f, 1L), (3L, 0.5f, 0L), (4L, 0.5f, 0L))
+      .toDF("id", "score", "label")
+    assert(Evaluation.rocAuc(const, "score", "label", "id")
+      .collect().head.getAs[Double]("auc") === 0.5)
+  }
+
+  test("literal fraud scorer has real ranking power on the testdata") {
+    val r = Queries.all("q_roc_auc")(spark, TinySf).collect().head
+    val auc = r.getAs[Double]("auc")
+    assert(auc > 0.8 && auc <= 1.0, s"literal scorer AUC $auc")
+  }
+
+  // ---- calibration ----
+
+  test("calibration bins partition the scored rows and bound the rates") {
+    val cal = Queries.all("q_calibration")(spark, TinySf).collect()
+    val scored = Queries.all("q_fraud_score")(spark, TinySf)
+    assert(cal.map(_.getAs[Long]("n")).sum === scored.count())
+    cal.foreach { r =>
+      val n = r.getAs[Long]("n"); val pos = r.getAs[Long]("positives")
+      assert(pos >= 0 && pos <= n)
+      val lo = r.getAs[Double]("bin_lo")
+      val mp = r.getAs[Double]("mean_pred")
+      // micro-quantization can pull mean_pred at most 1e-6 below the bin
+      assert(mp >= lo - 1e-6 && mp < lo + 0.1 + 1e-6,
+        s"mean_pred $mp outside bin [$lo, ${lo + 0.1})")
+    }
+  }
+
+  // ---- threshold sweep ----
+
+  test("thresholdSweep rows satisfy the confusion-matrix identities and agree with q_model_eval") {
+    val rows = Queries.all("q_threshold_sweep")(spark, TinySf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fp") +
+      rows.head.getAs[Long]("fn") + rows.head.getAs[Long]("tn")
+    var lastRecall = Double.MaxValue
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn === total, "confusion matrix must cover all rows")
+      assert(tp + fn === rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn"),
+        "positives are threshold-invariant")
+      // recall is non-increasing in the threshold
+      val rec = r.getAs[Double]("recall")
+      assert(rec <= lastRecall + 1e-12)
+      lastRecall = rec
+    }
+    // on the SAME held-out split q_model_eval uses, the sweep's 0.5
+    // operating point must reproduce its confusion matrix
+    import graft.ml.FraudScore
+    import graft.operators.{Cleaning, Enrichment}
+    val scoredTest = FraudScore.withSplit(FraudScore.score(FraudScore.featureVector(
+        Enrichment.enrichOrders(Cleaning.cleanOrders(Tables.orders(spark, TinySf)),
+          Tables.customer(spark, TinySf), Tables.nation(spark, TinySf),
+          Tables.region(spark, TinySf)))))
+      .filter(col("is_test"))
+    val sweepTest = graft.ml.Evaluation
+      .thresholdSweep(scoredTest, "fraud_score", "label", 20).collect()
+    val at05 = sweepTest.find(_.getAs[Double]("threshold") === 0.5)
+    val eval = Queries.all("q_model_eval")(spark, TinySf).collect().head
+    at05.foreach { r =>
+      assert(r.getAs[Long]("tp") === eval.getAs[Long]("tp"))
+      assert(r.getAs[Long]("fp") === eval.getAs[Long]("fp"))
+      assert(r.getAs[Long]("fn") === eval.getAs[Long]("fn"))
+      assert(r.getAs[Long]("tn") === eval.getAs[Long]("tn"))
+    }
+    assert(at05.nonEmpty, "0.5 bin unoccupied at this SF — widen the check")
+  }
+
+  // ---- int8 search ----
+
+  test("knnInt8 recall@10 vs the float brute golden set is >= 0.9") {
+    import graft.sim.{Quantize, Similarity}
+    val emb = Tables.embeddings(spark, TinySf)
+    val golden = Similarity.knnBrute(emb).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Quantize.knnInt8(emb).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = golden.intersect(got).size.toDouble / golden.size
+    assert(recall >= 0.9, s"int8 recall@10 = $recall")
+  }
+
+  // ---- drift ----
+
+  test("binnedDrift is ~zero on identical halves and flags a planted shift") {
+    val same = (1 to 1000).map(i => (i.toLong, if (i % 2 == 0) "x" else "y", i % 4 < 2))
+      .toDF("id", "bin", "in_a")
+    val ord = when(col("bin") === "x", 0L).otherwise(1L)
+    val psiSame = Drift.binnedDrift(same, col("bin"), ord, col("in_a"), 2)
+      .agg(sum("psi_term")).as[Double].head()
+    assert(math.abs(psiSame) < 1e-4, s"psi on identical halves: $psiSame")
+
+    // period B heavily shifted toward bin y
+    val shifted = (1 to 1000).map { i =>
+      val inA = i <= 500
+      val bin = if (inA) (if (i % 2 == 0) "x" else "y")
+                else (if (i % 10 == 0) "x" else "y")
+      (i.toLong, bin, inA)
+    }.toDF("id", "bin", "in_a")
+    val drifted = Drift.binnedDrift(shifted, col("bin"), ord, col("in_a"), 2)
+    val psi = drifted.agg(sum("psi_term")).as[Double].head()
+    assert(psi > 0.2, s"psi on shifted halves: $psi")
+    // binned KS: ECDF gap at bin x is |0.5 - 0.1| = 0.4
+    val ks = drifted.agg(max("ecdf_gap")).as[Double].head()
+    assert(math.abs(ks - 0.4) < 1e-9)
+  }
+
+  // ---- Benford ----
+
+  test("leadingDigit is exact on decimal boundaries") {
+    val df = Seq(999.99, 1000.00, 100.00, 1.23, 95000.50).toDF("amt")
+      .select(Forensics.leadingDigit(col("amt")).as("d"))
+    assert(df.as[Long].collect().toSeq === Seq(9L, 1L, 1L, 1L, 9L))
+  }
+
+  test("benford passes Benford-like data and flags uniform leading digits") {
+    // Benford-ish: amounts 10^(u) for u uniform in [0,3) have Benford digits
+    val ben = (0 until 3000).map { i =>
+      val u = i / 1000.0 // deterministic grid over [0,3)
+      ("s", math.pow(10.0, u))
+    }.toDF("seg", "amt")
+    val benChi = Forensics.benford(ben, col("seg"), col("amt"))
+      .agg(sum("chi2_term")).as[Double].head()
+    // fabricated: every amount starts with digit 5
+    val fab = (0 until 3000).map(i => ("s", 5000.0 + i % 100)).toDF("seg", "amt")
+    val fabChi = Forensics.benford(fab, col("seg"), col("amt"))
+      .agg(sum("chi2_term")).as[Double].head()
+    // chi² critical value at 8 df / p=0.001 is 26.1
+    assert(benChi < 26.1, s"Benford grid flagged: $benChi")
+    assert(fabChi > 1000.0, s"uniform-digit data not flagged: $fabChi")
+  }
+
+  // ---- shared-device rings ----
+
+  test("sharedDevicePairs finds a planted ring and drops hot buckets") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    def ev(id: Long, user: Long, device: Int, dayOff: Int) =
+      (id, new java.sql.Timestamp(ts0.getTime + dayOff * 86400000L), user,
+        "purchase", 1.0, s"""{"k": $device}""")
+    // ring: users 1,2,3 share device 7 on day 0; pair (1,2) also on day 1
+    val ring = Seq(ev(1, 1, 7, 0), ev(2, 2, 7, 0), ev(3, 3, 7, 0),
+      ev(4, 1, 7, 1), ev(5, 2, 7, 1))
+    // hot bucket: 60 users on device 9 (NAT artifact) — excluded by governor
+    val hot = (100 until 160).map(u => ev(u.toLong, u.toLong, 9, 0))
+    // singleton: user 50 alone on device 3
+    val solo = Seq(ev(200, 50, 3, 0))
+    val events = (ring ++ hot ++ solo)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pairs = Rings.sharedDevicePairs(events).collect()
+    val byPair = pairs.map(r => ((r.getAs[Long]("user_a"), r.getAs[Long]("user_b")),
+      r.getAs[Long]("shared_device_days"))).toMap
+    assert(byPair.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected only the ring pairs, got ${byPair.keySet}")
+    assert(byPair((1L, 2L)) === 2L) // shared on both days
+    assert(byPair((1L, 3L)) === 1L)
+  }
+
+  // ---- attribution ----
+
+  test("multiTouch credits sum to purchase value; first/last and window bounds hold") {
+    val base = java.sql.Timestamp.valueOf("2024-01-10 12:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, minOff: Long, value: Double) =
+      (id, new java.sql.Timestamp(base + minOff * 60000L), user, typ, value, "{}")
+    val events = Seq(
+      ev(1, 1, "click", -300, 0.0),   // 5h before — in window
+      ev(2, 1, "view", -100, 0.0),    // in window
+      ev(3, 1, "click", -30, 0.0),    // in window (last touch)
+      ev(4, 1, "purchase", 0, 90.0),
+      ev(5, 1, "click", -1500, 0.0),  // 25h before — outside 24h
+      ev(6, 1, "click", 10, 0.0),     // after purchase — excluded
+      ev(7, 2, "purchase", 0, 50.0),  // no touches → no rows
+      ev(8, 3, "view", -10, 0.0),
+      ev(9, 3, "purchase", 0, 10.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val att = Attribution.multiTouch(events).collect()
+    val byPurchase = att.groupBy(_.getAs[Long]("purchase_id"))
+    assert(byPurchase.keySet === Set(4L, 9L))
+    val p4 = byPurchase(4L)
+    assert(p4.map(_.getAs[Long]("touch_id")).toSet === Set(1L, 2L, 3L))
+    assert(math.abs(p4.map(_.getAs[Double]("credit_linear")).sum - 90.0) < 1e-9)
+    assert(p4.filter(_.getAs[Boolean]("is_first_touch"))
+      .map(_.getAs[Long]("touch_id")).toSeq === Seq(1L))
+    assert(p4.filter(_.getAs[Boolean]("is_last_touch"))
+      .map(_.getAs[Long]("touch_id")).toSeq === Seq(3L))
+    val p9 = byPurchase(9L)
+    assert(p9.length === 1 &&
+      p9.head.getAs[Boolean]("is_first_touch") && p9.head.getAs[Boolean]("is_last_touch"))
+  }
+
+  test("multiTouch day-bin pairing crosses midnight (lookback spans two days)") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-09 23:30:00"), 1L, "click", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-10 00:30:00"), 1L, "purchase", 20.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val att = Attribution.multiTouch(events).collect()
+    assert(att.length === 1 && att.head.getAs[Long]("touch_id") === 1L)
+  }
+}
