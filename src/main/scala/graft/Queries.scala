@@ -1,6 +1,6 @@
 package graft
 
-import graft.gold.{Attribution, DataQuality, Drift, Forensics, FraudSummary, Pipelines, Revenue, Rings, StarSchema}
+import graft.gold.{Attribution, DataQuality, Drift, Forensics, FraudSummary, Graph, Markov, Pipelines, Revenue, Rings, Seasonal, StarSchema}
 import graft.ml.{Evaluation, FraudScore, GbtModel, TrainedModel}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Resample, Sessionize}
@@ -3315,8 +3315,246 @@ object Queries {
         |SELECT purchase_id, user_id, purchase_value, p_ts_us, touch_id, touch_type, t_ts_us,
         |  n_touches, purchase_value / CAST(n_touches AS DOUBLE) AS credit_linear,
         |  touch_id = first_t AS is_first_touch, touch_id = last_t AS is_last_touch
-        |FROM cred ORDER BY purchase_id, touch_id""".stripMargin))
+        |FROM cred ORDER BY purchase_id, touch_id""".stripMargin)),
+
+    // ---- r8 graph / resolution / robust-stats pack ----
+
+    // Integer-exact PageRank over the shared-device ring graph
+    // (gold/Graph.scala): BIGINT fixed-point mass, integer div per
+    // contribution, unrolled to the same 5 iterations in the oracle.
+    QueryDef("q_device_pagerank",
+      (s, d) => Graph.pageRank(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some(pageRankOracle)),
+
+    // Degree-ordered triangle counting + local clustering coefficient on
+    // the same graph; per-node counts are orientation-invariant, which is
+    // exactly what the id-ordered oracle enumeration checks.
+    QueryDef("q_triangles",
+      (s, d) => Graph.triangles(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some(DevicePairsCtes +
+        """
+        |, tri AS (
+        |  SELECT x.user_a AS a, x.user_b AS b, y.user_b AS c
+        |  FROM pairs x
+        |  JOIN pairs y ON y.user_a = x.user_a AND y.user_b > x.user_b
+        |  JOIN pairs z ON z.user_a = x.user_b AND z.user_b = y.user_b
+        |), roles AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |), tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM roles GROUP BY 1
+        |)
+        |SELECT d.node AS user_id, d.degree,
+        |  COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+        |  END AS clustering
+        |FROM deg d LEFT JOIN tc t USING (node)
+        |ORDER BY user_id""".stripMargin)),
+
+    // Blocked fuzzy entity resolution (operators/EntityResolution.scala):
+    // (nation × segment) blocks behind an occupancy governor, Levenshtein
+    // + balance-band verify.
+    QueryDef("q_entity_match",
+      (s, d) => operators.EntityResolution.matchCustomers(Tables.customer(s, d)),
+      Some("""WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |), ok AS (
+        |  SELECT c_nationkey, c_mktsegment FROM c
+        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500
+        |), adm AS (
+        |  SELECT c.* FROM c JOIN ok USING (c_nationkey, c_mktsegment)
+        |)
+        |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  a.c_nationkey, a.c_mktsegment,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+        |  abs(a.c_acctbal - b.c_acctbal) AS bal_diff
+        |FROM adm a JOIN adm b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |  AND abs(a.c_acctbal - b.c_acctbal) <= 100.0
+        |ORDER BY cust_a, cust_b""".stripMargin)),
+
+    // DSIR hashed-ngram importance weights (text/Dsir.scala): target =
+    // the corpus' en slice, raw = full corpus, 1024 md5 buckets,
+    // micro-nat-quantized log-ratio summed as exact BIGINTs.
+    QueryDef("q_dsir_weights",
+      (s, d) => text.Dsir.importanceWeights(
+        Tables.documents(s, d), col("lang") === "en"),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS is_target,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, lang, is_target, token,
+        |    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM tok WHERE token <> ''
+        |), raw AS (
+        |  SELECT bucket, count(*) AS cr FROM tok2 GROUP BY 1
+        |), tgt AS (
+        |  SELECT bucket, count(*) AS ct FROM tok2 WHERE is_target GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt
+        |), w AS (
+        |  SELECT r.bucket,
+        |    CAST(floor(CAST(CAST(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(CAST(CAST(ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w_micro
+        |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sum_w_micro
+        |  FROM tok2 JOIN w USING (bucket) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_w_micro AS BIGINT) AS sum_w_micro,
+        |  CAST(sum_w_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens AS dsir_weight
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Median/MAD robust outliers (operators/Robust.scala) on event values
+    // per type — the heavy-tail-safe twin of q_amount_outliers' z-score.
+    QueryDef("q_mad_outliers",
+      (s, d) => operators.Robust.madOutliers(
+          Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad", "abs_dev")
+        .orderBy("event_id"),
+      Some("""WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS abs_dev
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value, d.med, m.mad, d.abs_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.abs_dev > 3.0 * 1.4826 * m.mad
+        |ORDER BY d.event_id""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // (gold/Markov.scala): counts exact, probability one IEEE division,
+    // surprisal micro-nat-quantized.
+    QueryDef("q_event_transitions",
+      (s, d) => Markov.transitions(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, seqd AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM ev
+        |), cells AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+        |  FROM cells
+        |)
+        |SELECT prev_type, event_type, cnt, row_total,
+        |  CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob,
+        |  CAST(floor(CAST(CAST(-ln(CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS surprisal_micro
+        |FROM rt ORDER BY prev_type, event_type""".stripMargin)),
+
+    // Seasonal (dow × hour) baseline anomaly screen (gold/Seasonal.scala):
+    // hourly decimal totals vs the calendar-grain baseline.
+    QueryDef("q_seasonal_anomaly",
+      (s, d) => Seasonal.hourlyAnomalies(Tables.events(s, d)),
+      Some("""WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS dec_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), base AS (
+        |  SELECT dayofweek(day) + 1 AS dow, hr, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dec_total) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS baseline
+        |  FROM hourly GROUP BY 1, 2
+        |)
+        |SELECT h.day, h.hr, CAST(b.dow AS BIGINT) AS dow, b.n_days,
+        |  CAST(h.dec_total AS DOUBLE) AS actual, b.baseline,
+        |  CAST(h.dec_total AS DOUBLE) / b.baseline AS ratio,
+        |  (CAST(h.dec_total AS DOUBLE) / b.baseline < 0.5
+        |    OR CAST(h.dec_total AS DOUBLE) / b.baseline > 2.0) AS is_anomalous
+        |FROM hourly h JOIN base b ON dayofweek(h.day) + 1 = b.dow AND h.hr = b.hr
+        |ORDER BY h.day, h.hr""".stripMargin)),
+
+    // Efraimidis–Spirakis deterministic weighted sampling
+    // (Sampling.sampleWeighted): top-20 per language, inclusion odds
+    // proportional to n_chars, md5-derived uniforms.
+    QueryDef("q_sample_weighted",
+      (s, d) => operators.Sampling.sampleWeighted(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), col("doc_id"), col("n_chars"), 20)
+        .orderBy("lang", "sample_rank"),
+      Some("""WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(floor(CAST(CAST(ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lnum
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(lnum AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(lnum AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS BIGINT) AS sample_rank
+        |  FROM keyed
+        |)
+        |SELECT doc_id, lang, n_chars, es_key, sample_rank
+        |FROM ranked WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin))
   )
+
+  // Shared CTE chain for the device-ring graph queries: admitted
+  // (day, device) buckets → undirected user pairs → symmetric edge list →
+  // degrees. Mirrors Rings.sharedDevicePairs verbatim (incl. the 2..50
+  // occupancy governor).
+  // (lazy: declared after the registry that references it)
+  private lazy val DevicePairsCtes =
+    """WITH b AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS device, user_id
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL
+      |), ok AS (
+      |  SELECT day, device FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50
+      |), adm AS (
+      |  SELECT b.* FROM b JOIN ok USING (day, device)
+      |), pairs AS (
+      |  SELECT x.user_id AS user_a, y.user_id AS user_b
+      |  FROM adm x JOIN adm y USING (day, device)
+      |  WHERE x.user_id < y.user_id GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT user_a AS src, user_b AS dst FROM pairs
+      |  UNION ALL SELECT user_b, user_a FROM pairs
+      |), deg AS (
+      |  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1
+      |)""".stripMargin
+
+  // Unrolled integer-exact PageRank: same fixed-point contract as
+  // Graph.pageRank (1e12 mass units, pr div degree, 85/100 damping,
+  // 15/100 teleport), one CTE per iteration.
+  private def pageRankOracle: String = {
+    val iters = (1 to Graph.Iterations).map { i =>
+      s""", p$i AS (
+         |  SELECT n.node, n.degree, n.tele,
+         |    CAST(n.tele + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // p.degree) AS m
+         |    FROM p${i - 1} p JOIN edges e ON p.node = e.src GROUP BY 1
+         |  ) s USING (node))""".stripMargin
+    }.mkString("\n")
+    DevicePairsCtes +
+      s"""
+       |, nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+       |, nodes AS (
+       |  SELECT node, degree,
+       |    (15 * (1000000000000 // n)) // 100 AS tele,
+       |    1000000000000 // n AS pr0
+       |  FROM deg CROSS JOIN nn)
+       |, p0 AS (SELECT node, degree, tele, pr0 AS pr FROM nodes)
+       |$iters
+       |SELECT node AS user_id, degree, CAST(pr AS BIGINT) AS pr_units,
+       |  CAST(pr AS DOUBLE) / 1000000000000.0 AS pr_score
+       |FROM p${Graph.Iterations} ORDER BY user_id""".stripMargin
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.run).toMap

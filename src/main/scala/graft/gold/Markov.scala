@@ -1,0 +1,54 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** First-order Markov transition model over per-user event sequences:
+  * the global event_type → event_type transition matrix with empirical
+  * probabilities, plus a per-transition surprisal. The behavioral-
+  * baseline counterpart of [[Behavior]]'s fixed funnel: the funnel
+  * checks ONE prescribed path; the transition matrix learns what paths
+  * the population actually takes, and its low-probability cells are
+  * the "weird navigation" fraud signal (bot scripts hit purchase
+  * without view; account takeover skips signup flows).
+  *
+  * Scale shape: one (user_id)-keyed exchange for the lag window (the
+  * same exchange every sessionizer here rides), then a partial-agged
+  * groupBy onto a |event_types|² ≤ tens-of-rows frame — every
+  * subsequent window/division runs on that constant-size frame (the
+  * ScalableRank-offsets "bounded by construction" contract). Scan
+  * bound at any scale.
+  *
+  * Cross-engine exactness: counts are BIGINTs; probability is one IEEE
+  * division; surprisal quantizes −ln(p) through the UnigramLm
+  * float32-round contract.
+  */
+object Markov {
+
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val seq = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+
+    val cells = seq.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    // Row totals via a window over the ≤|types|² cell frame — bounded by
+    // construction, not by data.
+    val rowW = Window.partitionBy("prev_type")
+    cells
+      .withColumn("row_total", sum(col("cnt")).over(rowW))
+      .withColumn("prob",
+        col("cnt").cast("double") / col("row_total").cast("double"))
+      .withColumn("surprisal_micro",
+        floor(expr("CAST(CAST(-ln(CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
+          " * CAST(1000000.0 AS DOUBLE)").cast("double")).cast("long"))
+      .select("prev_type", "event_type", "cnt", "row_total", "prob",
+        "surprisal_micro")
+      .orderBy("prev_type", "event_type")
+  }
+}

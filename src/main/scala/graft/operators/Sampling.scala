@@ -59,4 +59,37 @@ object Sampling {
         df.withColumn("_hbp", hashBp(key)),
         Seq(stratum), Seq(col("_hbp").asc, key.asc), k, "sample_rank")
       .drop("_hbp")
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006): each row draws a reproducible uniform
+    * u ∈ (0, 1] from its md5 hash and ranks by the A-ES key u^(1/w) —
+    * the top-k per stratum is then an exact weighted sample without
+    * replacement, inclusion probability proportional to `weight`.
+    * Deterministic twin of reservoir algorithm A-ES: rerun/engine/
+    * partitioning invariant, like every sampler here.
+    *
+    * Ranking happens on ln(u)/w (monotone in the A-ES key): ln(u) is
+    * quantized once to micro-nats via the UnigramLm float32-round
+    * contract, so the per-row sort key is ONE IEEE division of exact
+    * inputs — identical doubles in every engine. Ties (only possible
+    * via quantization) break on the row key. Scale shape: row-local
+    * projection + the two-phase grouped top-k; no per-stratum
+    * single-partition window. */
+  def sampleWeighted(df: DataFrame, stratum: Column, key: Column,
+                     weight: Column, k: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val lnU = expr(
+      // (h + 1) / 2^60 ∈ (0, 1]; the >2^53 rounding in the double cast is
+      // IEEE-nearest in both engines.
+      "CAST(CAST(ln((CAST(_h AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)) AS FLOAT) AS DOUBLE)")
+    val keyed = df
+      .withColumn("_h", h)
+      .withColumn("_ln_u_micro", floor(lnU * lit(1000000.0)).cast("long"))
+      .withColumn("es_key",
+        col("_ln_u_micro").cast("double") / weight.cast("double"))
+    // A-ES keeps the LARGEST u^(1/w) ⇔ largest ln(u)/w (both negative).
+    ScalableRank.topKPerGroup(
+        keyed, Seq(stratum), Seq(col("es_key").desc, key.asc), k, "sample_rank")
+      .drop("_h", "_ln_u_micro")
+  }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import graft.gold.{Graph, Markov, Seasonal}
+import graft.operators.{EntityResolution, Robust, Sampling}
+import graft.text.Dsir
+import org.apache.spark.sql.functions._
+
+/** r8 graph / resolution / robust-stats pack: integer-exact PageRank,
+  * degree-ordered triangles, blocked entity resolution, DSIR importance
+  * weights, MAD outliers, Markov transitions, seasonal baselines, and
+  * Efraimidis–Spirakis weighted sampling. */
+class GraphPackSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairsDf(edges: (Long, Long)*) =
+    edges.toDF("user_a", "user_b")
+
+  // ---- PageRank ----
+
+  test("pageRank: a star hub outranks its leaves, and mass stays bounded") {
+    // star: 1 connected to 2,3,4,5 (+ an unrelated 6-7 edge)
+    val pr = Graph.pageRank(pairsDf(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L, 6L -> 7L))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("pr_units"))).toMap
+    val hub = pr(1L)._2
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => pr(l)._2 < hub),
+      s"hub must outrank leaves: $pr")
+    assert(pr(1L)._1 === 4L)
+    // integer truncation only ever LOSES mass: total ≤ initial, and the
+    // loss is a sliver (< 1% here).
+    val total = pr.values.map(_._2).sum
+    assert(total <= Graph.MassUnits && total > (Graph.MassUnits * 0.99).toLong,
+      s"total mass $total")
+  }
+
+  test("pageRank: symmetric graph gives equal ranks; reruns are bit-identical") {
+    // 4-cycle: all nodes structurally identical → identical integer ranks
+    val cyc = pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    val a = Graph.pageRank(cyc).collect().map(_.getAs[Long]("pr_units")).toSeq
+    assert(a.distinct.size === 1, s"cycle ranks must be equal: $a")
+    val b = Graph.pageRank(cyc).collect().map(_.getAs[Long]("pr_units")).toSeq
+    assert(a === b)
+  }
+
+  // ---- triangles ----
+
+  test("triangles: planted triangle counted at every corner, path counts zero") {
+    // triangle 1-2-3 plus pendant 3-4; path 5-6-7
+    val t = Graph.triangles(pairsDf(
+        1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 5L -> 6L, 6L -> 7L))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("triangles"), r.getAs[Double]("clustering"))).toMap
+    assert(t(1L)._1 === 1L && t(2L)._1 === 1L && t(3L)._1 === 1L)
+    assert(t(4L)._1 === 0L && t(5L)._1 === 0L && t(6L)._1 === 0L)
+    // node 3 has degree 3, one closed wedge of three: clustering 1/3
+    assert(math.abs(t(3L)._2 - 1.0 / 3.0) < 1e-12)
+    assert(t(1L)._2 === 1.0) // degree-2 corner of a closed triangle
+    assert(t(5L)._2 === 0.0)
+  }
+
+  test("triangles: K4 has 4 triangles, 3 per node, clustering 1") {
+    val k4 = pairsDf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val t = Graph.triangles(k4).collect()
+    assert(t.forall(_.getAs[Long]("triangles") === 3L))
+    assert(t.forall(_.getAs[Double]("clustering") === 1.0))
+  }
+
+  // ---- entity resolution ----
+
+  test("entity resolution matches planted near-duplicates and only those") {
+    val customers = Seq(
+      // near-dup pair: 1 edit apart, close balances, same block
+      (1L, "Customer#000000001", 3L, "BUILDING", 100.0),
+      (2L, "Customer#000000002", 3L, "BUILDING", 150.0),
+      // same block, names 1 edit apart but balances far → no match
+      (3L, "Customer#000000003", 3L, "BUILDING", 5000.0),
+      // same names but different nation → different block, no pair
+      (4L, "Customer#000000001", 7L, "BUILDING", 100.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val m = EntityResolution.matchCustomers(customers).collect()
+    assert(m.map(r => (r.getAs[Long]("cust_a"), r.getAs[Long]("cust_b"))).toSet
+      === Set(1L -> 2L))
+    assert(m.head.getAs[Long]("edit_dist") === 1L)
+  }
+
+  test("entity resolution: over-occupied blocks are dropped by the governor") {
+    // 3 identical-name customers in one block with maxBlock=2 → block dropped
+    val hot = Seq(
+      (1L, "Customer#000000001", 1L, "AUTO", 10.0),
+      (2L, "Customer#000000001", 1L, "AUTO", 10.0),
+      (3L, "Customer#000000001", 1L, "AUTO", 10.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    assert(EntityResolution.matchCustomers(hot, maxBlock = 2).count() === 0L)
+    assert(EntityResolution.matchCustomers(hot, maxBlock = 3).count() === 3L)
+  }
+
+  // ---- DSIR ----
+
+  test("DSIR weights rank a target-like doc above an off-target doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "alpha beta gamma delta", "xx"), // target-like text, raw lang
+      (4L, "zeta eta theta iota", "xx") // off-target text
+    ).toDF("doc_id", "text", "lang")
+    val w = Dsir.importanceWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    assert(w(3L) > w(4L),
+      s"target-like doc must outweigh off-target doc: $w")
+  }
+
+  // ---- MAD ----
+
+  test("MAD outliers flag a planted spike that the bulk does not") {
+    val vals = (1 to 100).map(i => (i.toLong, "a", 100.0 + (i % 11))) :+
+      (999L, "a", 100000.0)
+    val out = Robust.madOutliers(vals.toDF("event_id", "event_type", "value"),
+      Seq("event_type"), "value").collect()
+    assert(out.map(_.getAs[Long]("event_id")).contains(999L))
+    assert(!out.map(_.getAs[Long]("event_id")).contains(50L))
+  }
+
+  // ---- Markov transitions ----
+
+  test("transition matrix matches hand-computed probabilities") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    // user 1: a→b→a ; user 2: a→b→b
+    val ev = Seq(
+      (1L, 1L, "a", t(0)), (2L, 1L, "b", t(1)), (3L, 1L, "a", t(2)),
+      (4L, 2L, "a", t(0)), (5L, 2L, "b", t(1)), (6L, 2L, "b", t(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val m = Markov.transitions(ev).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("prob"))).toMap
+    assert(m(("a", "b")) === ((2L, 1.0))) // a always → b
+    assert(m(("b", "a"))._1 === 1L)
+    assert(m(("b", "b"))._1 === 1L)
+    assert(m(("b", "a"))._2 === 0.5)
+    // surprisal of p=1 is exactly 0 micro-nats
+    val s = Markov.transitions(ev).collect()
+      .find(r => r.getAs[String]("prev_type") == "a").get
+      .getAs[Long]("surprisal_micro")
+    assert(s === 0L)
+  }
+
+  // ---- seasonal baseline ----
+
+  test("seasonal baseline flags a spike hour against its dow-hour peers") {
+    // same weekday+hour across 4 weeks: 100, 100, 100, then a 4× spike —
+    // baseline (100+100+100+400)/4 = 175; normal ratio 0.571 stays in
+    // band, spike ratio 2.29 breaches it.
+    def p(day: String, v: Double, id: Long) =
+      (id, 7L, "purchase", v, java.sql.Timestamp.valueOf(s"$day 09:30:00"))
+    val ev = Seq(
+      p("2024-01-01", 100.0, 1L), p("2024-01-08", 100.0, 2L),
+      p("2024-01-15", 100.0, 3L), p("2024-01-22", 400.0, 4L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val rows = Seasonal.hourlyAnomalies(ev).collect()
+    val spike = rows.find(_.getAs[java.sql.Date]("day").toString == "2024-01-22").get
+    assert(spike.getAs[Boolean]("is_anomalous"),
+      s"spike must flag: ${rows.mkString(";")}")
+    assert(!rows.find(_.getAs[java.sql.Date]("day").toString == "2024-01-01")
+      .get.getAs[Boolean]("is_anomalous"))
+    assert(spike.getAs[Double]("baseline") === 175.0)
+  }
+
+  // ---- weighted sampling ----
+
+  test("weighted sample keeps exactly k per stratum, deterministically") {
+    val docs = spark.read.parquet(s"$TinySf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val s1 = Sampling.sampleWeighted(docs, col("lang"), col("doc_id"),
+      col("n_chars"), 5).collect()
+    val byLang = s1.groupBy(_.getAs[String]("lang"))
+    assert(byLang.forall { case (_, rows) => rows.length == 5 })
+    assert(byLang.forall { case (_, rows) =>
+      rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+    val s2 = Sampling.sampleWeighted(docs, col("lang"), col("doc_id"),
+      col("n_chars"), 5).collect()
+    assert(s1.map(_.toString).sorted.toSeq === s2.map(_.toString).sorted.toSeq)
+  }
+
+  test("weighted sampling favors heavy rows (statistical sanity)") {
+    // two strata-free populations: weight 1000 vs weight 1 — with k = 50
+    // of 200 rows, the heavy half must dominate the sample.
+    val rows = (1 to 200).map(i =>
+      (i.toLong, "g", if (i <= 100) 1000L else 1L)).toDF("id", "g", "w")
+    val kept = Sampling.sampleWeighted(rows, col("g"), col("id"), col("w"), 50)
+      .collect().map(_.getAs[Long]("id"))
+    val heavy = kept.count(_ <= 100)
+    assert(heavy >= 45, s"heavy rows in sample: $heavy/50")
+  }
+}
