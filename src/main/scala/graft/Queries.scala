@@ -3498,7 +3498,36 @@ object Queries {
         |)
         |SELECT doc_id, lang, n_chars, es_key, sample_rank
         |FROM ranked WHERE sample_rank <= 20
-        |ORDER BY lang, sample_rank""".stripMargin))
+        |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // PMI collocations (text/Colloc.scala): top-50 adjacent-pair
+    // collocations by integer-assembled micro-nat PMI.
+    QueryDef("q_pmi_collocations",
+      (s, d) => text.Colloc.pmiCollocations(Tables.documents(s, d)),
+      Some(text.Colloc.oracleSql())),
+
+    // Session path mining (Markov.sessionPaths): top-20 complete
+    // event-type journeys per 30-min gap session.
+    QueryDef("q_session_paths",
+      (s, d) => Markov.sessionPaths(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_boundary
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b
+        |), sp AS (
+        |  SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS path_len,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sx GROUP BY 1, 2
+        |)
+        |SELECT path, path_len, CAST(count(*) AS BIGINT) AS sessions
+        |FROM sp GROUP BY 1, 2
+        |ORDER BY sessions DESC, path LIMIT 20""".stripMargin))
   )
 
   // Shared CTE chain for the device-ring graph queries: admitted

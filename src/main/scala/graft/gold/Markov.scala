@@ -51,4 +51,30 @@ object Markov {
         "surprisal_micro")
       .orderBy("prev_type", "event_type")
   }
+
+  /** Session path mining: the top-k most common complete event-type
+    * journeys per gap-session ("view>click>purchase") — the sequence
+    * view the transition matrix marginalizes away. Paths assemble
+    * ROW-GROUP-LOCALLY: collect_list per (user, session) sorted by the
+    * (ts, event_id) struct order — bounded by one user's single-session
+    * activity, never a corpus-wide ordering; global frequencies are a
+    * partial-agged groupBy at path grain, and the cut is
+    * TakeOrderedAndProject (two-phase top-k). */
+  def sessionPaths(events: DataFrame,
+                   gapUs: Long = graft.operators.Sessionize.DefaultGapUs,
+                   topK: Int = 20): DataFrame = {
+    val sess = graft.operators.Sessionize.assignSessions(events, gapUs)
+    val paths = sess
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("path_len"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+    paths
+      .groupBy("path", "path_len")
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path"))
+      .limit(topK)
+  }
 }

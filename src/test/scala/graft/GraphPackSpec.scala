@@ -182,6 +182,48 @@ class GraphPackSpec extends SparkSpec {
     assert(s1.map(_.toString).sorted.toSeq === s2.map(_.toString).sorted.toSeq)
   }
 
+  // ---- PMI collocations ----
+
+  test("PMI ranks an always-together pair above independent pairs") {
+    // "san francisco" always adjacent; "the" pairs with everything.
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"the san francisco fog the cat$i sat the dog$i ran")).toDF("doc_id", "text")
+    val top = text.Colloc.pmiCollocations(docs, minCount = 5, topK = 5).collect()
+    // "san francisco" and "francisco fog" are equally exclusive (same
+    // counts, same PMI) — together they must own the top two slots.
+    val topTwo = top.take(2)
+      .map(r => (r.getAs[String]("token_x"), r.getAs[String]("token_y"))).toSet
+    assert(topTwo === Set("san" -> "francisco", "francisco" -> "fog"), s"top: $topTwo")
+    assert(top.take(2).forall(_.getAs[Long]("c_xy") === 10L))
+    assert(top.take(2).forall(_.getAs[Long]("c_x") === 10L))
+  }
+
+  test("PMI respects the min-count floor") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "rare pair")).toDF("doc_id", "text")
+    val pairs = text.Colloc.pmiCollocations(docs, minCount = 2, topK = 50)
+      .collect().map(r => (r.getAs[String]("token_x"), r.getAs[String]("token_y")))
+    assert(!pairs.contains(("rare", "pair")))
+    assert(pairs.contains(("a", "b")))
+  }
+
+  // ---- session paths ----
+
+  test("session paths split on the gap and order events within a session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offsetMin: Long) =
+      (id, user, typ, 0.0, new java.sql.Timestamp(base + offsetMin * 60000L),
+        (base + offsetMin * 60000L) * 1000000L)
+    val events = Seq(
+      ev(1L, 1L, "view", 0), ev(2L, 1L, "click", 5), // session 1: view>click
+      ev(3L, 1L, "purchase", 120), // session 2 (gap > 30 min)
+      ev(4L, 2L, "view", 0), ev(5L, 2L, "click", 5) // session 1 of user 2
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "ts_ns")
+    val paths = graft.gold.Markov.sessionPaths(events).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("sessions")).toMap
+    assert(paths("view>click") === 2L)
+    assert(paths("purchase") === 1L)
+  }
+
   test("weighted sampling favors heavy rows (statistical sanity)") {
     // two strata-free populations: weight 1000 vs weight 1 — with k = 50
     // of 200 rows, the heavy half must dominate the sample.
