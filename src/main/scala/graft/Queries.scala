@@ -3527,7 +3527,82 @@ object Queries {
         |)
         |SELECT path, path_len, CAST(count(*) AS BIGINT) AS sessions
         |FROM sp GROUP BY 1, 2
-        |ORDER BY sessions DESC, path LIMIT 20""".stripMargin))
+        |ORDER BY sessions DESC, path LIMIT 20""".stripMargin)),
+
+    // Bot-timing screen (Forensics.botTiming): inter-event-gap cv² per
+    // user from exact integer second-grain moments.
+    QueryDef("q_bot_timing",
+      (s, d) => Forensics.botTiming(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, g AS (
+        |  SELECT user_id,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM ev
+        |), g2 AS (
+        |  SELECT user_id, gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap_s AS DECIMAL(38,0))) AS sum_g,
+        |    sum(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS sum_g2
+        |  FROM g2 GROUP BY 1
+        |), st AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |    CAST(CAST(sum_g2 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |      * (CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS var_gap
+        |  FROM agg
+        |), cv AS (
+        |  SELECT user_id, n_gaps, mean_gap_s,
+        |    CASE WHEN mean_gap_s > 0 THEN var_gap / (mean_gap_s * mean_gap_s) END AS cv2
+        |  FROM st
+        |)
+        |SELECT user_id, n_gaps, mean_gap_s, cv2,
+        |  (n_gaps >= 20 AND cv2 IS NOT NULL AND cv2 < 0.1) AS is_bot_timing
+        |FROM cv ORDER BY user_id""".stripMargin)),
+
+    // RFM segmentation (gold/Rfm.scala): quintile-threshold scores from
+    // one fused percentile aggregate, label when-chain.
+    QueryDef("q_rfm_segments",
+      (s, d) => gold.Rfm.segments(Tables.orders(s, d)),
+      Some(gold.Rfm.oracleSql)),
+
+    // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
+    // integer-cents moment sums, one-day-ahead forecast.
+    QueryDef("q_revenue_trend",
+      (s, d) => Seasonal.dailyTrend(Tables.events(s, d)),
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents
+        |  FROM events GROUP BY 1, 2
+        |), dx AS (
+        |  SELECT event_type, y_cents,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+        |  FROM daily
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    max(x) AS max_x, CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |    sum(CAST(y_cents AS DECIMAL(38,0))) AS sum_y_dec,
+        |    sum(CAST(x * y_cents AS DECIMAL(38,0))) AS sum_xy_dec
+        |  FROM dx GROUP BY 1
+        |), st AS (
+        |  SELECT event_type, n_days, max_x, sum_x, sum_x2,
+        |    CAST(CAST(sum_y_dec AS VARCHAR) AS DOUBLE) AS sum_y,
+        |    CAST(CAST(sum_xy_dec AS VARCHAR) AS DOUBLE) AS sum_xy
+        |  FROM agg
+        |), sl AS (
+        |  SELECT *,
+        |    (n_days * sum_xy - sum_x * sum_y)
+        |      / CAST(n_days * sum_x2 - sum_x * sum_x AS DOUBLE) AS slope_cents
+        |  FROM st
+        |)
+        |SELECT event_type, n_days, slope_cents,
+        |  (sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE) AS intercept_cents,
+        |  ((sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE)
+        |    + slope_cents * CAST(max_x + 1 AS DOUBLE)) / 100.0 AS forecast_next
+        |FROM sl ORDER BY event_type""".stripMargin))
   )
 
   // Shared CTE chain for the device-ring graph queries: admitted

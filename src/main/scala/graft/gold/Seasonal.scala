@@ -51,4 +51,49 @@ object Seasonal {
         col("is_anomalous"))
       .orderBy("day", "hr")
   }
+
+  /** Per-series OLS trend over daily totals: slope, intercept, and a
+    * one-day-ahead forecast for each event type — the linear-trend
+    * component the dashboard's trend panel eyeballs, computed exactly.
+    * Least squares from the five classic sums (n, Σx, Σy, Σxy, Σx²)
+    * with x = epoch day:
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²).
+    *
+    * Exactness: daily totals are exact decimal sums; Σy and Σxy
+    * accumulate as DECIMAL (x is an integer day, so x·y is exact);
+    * Σx/Σx²/n are BIGINTs; every final double forms in fixed
+    * expression order from one VARCHAR-routed conversion per sum
+    * (the q_corr contract). Scale shape: fact scan → (type, day)
+    * partial agg (calendar-sized frame) → (type) partial agg of the
+    * moment sums → row-local algebra. Two exchanges, scan bound. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    // Daily totals as exact integer CENTS (the Forensics cast contract) so
+    // every moment sum is pure integer arithmetic — decimal×decimal would
+    // blow past width 38 in either engine's type promotion.
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("y_cents"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(col("x")).as("max_x"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y_cents").cast("decimal(38,0)")).as("sum_y_dec"),
+        sum((col("x") * col("y_cents")).cast("decimal(38,0)")).as("sum_xy_dec"))
+      .withColumn("sum_y", col("sum_y_dec").cast("string").cast("double"))
+      .withColumn("sum_xy", col("sum_xy_dec").cast("string").cast("double"))
+      .withColumn("slope_cents",
+        (col("n_days") * col("sum_xy") - col("sum_x") * col("sum_y")) /
+          (col("n_days") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double"))
+      .withColumn("intercept_cents",
+        (col("sum_y") - col("slope_cents") * col("sum_x")) / col("n_days").cast("double"))
+      .withColumn("forecast_next",
+        (col("intercept_cents") + col("slope_cents") * (col("max_x") + lit(1L)).cast("double"))
+          / lit(100.0))
+      .select("event_type", "n_days", "slope_cents", "intercept_cents",
+        "forecast_next")
+      .orderBy("event_type")
+  }
 }

@@ -224,6 +224,74 @@ class GraphPackSpec extends SparkSpec {
     assert(paths("purchase") === 1L)
   }
 
+  // ---- bot timing ----
+
+  test("bot timing flags metronomic users and spares bursty ones") {
+    val base = 1700000000000000000L // epoch ns
+    // user 1: exactly every 60 s (cv² = 0); user 2: alternating 10 s / 600 s
+    val bot = (0 until 30).map(i =>
+      (i.toLong, 1L, base + i * 60000000000L))
+    var t = base
+    val human = (100 until 130).map { i =>
+      t += (if (i % 2 == 0) 10000000000L else 600000000000L); (i.toLong, 2L, t)
+    }
+    val ev = (bot ++ human).toDF("event_id", "user_id", "ts_ns")
+    val r = graft.gold.Forensics.botTiming(ev)
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Boolean]("is_bot_timing"), x.getAs[Double]("cv2"))).toMap
+    assert(r(1L)._1 === true)
+    assert(r(1L)._2 === 0.0)
+    assert(r(2L)._1 === false)
+    assert(r(2L)._2 > 0.5)
+  }
+
+  test("bot timing needs the minimum event count") {
+    val base = 1700000000000000000L
+    val few = (0 until 5).map(i => (i.toLong, 1L, base + i * 60000000000L))
+      .toDF("event_id", "user_id", "ts_ns")
+    val r = graft.gold.Forensics.botTiming(few).collect().head
+    assert(r.getAs[Double]("cv2") === 0.0)
+    assert(r.getAs[Boolean]("is_bot_timing") === false) // only 4 gaps
+  }
+
+  // ---- RFM ----
+
+  test("RFM labels extremes correctly and scores stay in 1..5") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(offset: Int) = new java.sql.Date(d0.getTime + offset * 86400000L)
+    // customer 1: recent, frequent, big (champion);
+    // customer 2: ancient single small order (hibernating);
+    // customers 3..12: middling spread
+    val orders =
+      (1 to 10).map(i => (1L, 100000.0 + i, day(360 + i))) ++
+      Seq((2L, 100.0, day(0))) ++
+      (3 to 12).flatMap(c => (1 to 3).map(i =>
+        (c.toLong, 1000.0 * (c - 2) + i, day(30 * (c - 2) + i))))
+    val df = orders.toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val seg = graft.gold.Rfm.segments(df).collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[String]("segment"), r.getAs[Long]("r_score"),
+          r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))).toMap
+    assert(seg(1L)._1 === "champion", s"got ${seg(1L)}")
+    assert(seg(2L)._1 === "hibernating", s"got ${seg(2L)}")
+    assert(seg.values.forall { case (_, r, f, m) =>
+      Seq(r, f, m).forall(s => s >= 1 && s <= 5) })
+  }
+
+  // ---- OLS trend ----
+
+  test("daily trend recovers an exact linear series and its forecast") {
+    // value grows exactly 10/day: daily totals 100, 110, ..., 140
+    val ev = (0 until 5).map { i =>
+      (i.toLong, 1L, "purchase", 100.0 + 10 * i,
+        java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 12:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = graft.gold.Seasonal.dailyTrend(ev).collect().head
+    assert(math.abs(r.getAs[Double]("slope_cents") - 1000.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("forecast_next") - 150.0) < 1e-9)
+    assert(r.getAs[Long]("n_days") === 5L)
+  }
+
   test("weighted sampling favors heavy rows (statistical sanity)") {
     // two strata-free populations: weight 1000 vs weight 1 — with k = 50
     // of 200 rows, the heavy half must dominate the sample.
