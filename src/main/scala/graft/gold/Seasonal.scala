@@ -23,13 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Seasonal {
 
+  // The calendar-grain hourly frame feeds both the baseline fit and the
+  // scored output — persisted so the events fact table scans once.
+  @volatile private var lastHourly: Option[DataFrame] = None
+  def releaseCache(): Unit = {
+    lastHourly.foreach(_.unpersist(blocking = false))
+    lastHourly = None
+  }
+
   def hourlyAnomalies(events: DataFrame,
                       lowRatio: Double = 0.5,
                       highRatio: Double = 2.0): DataFrame = {
+    releaseCache()
     val hourly = events
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("dec_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastHourly = Some(hourly)
 
     val baseline = hourly
       .withColumn("dow", dayofweek(col("day")))

@@ -25,15 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  // The two stats frames are group-cardinality-sized (KBs) but each
+  // derives from a FULL fact scan — persisting them caps the query at
+  // three fact scans (median pass, MAD pass, filter pass) instead of
+  // re-deriving the median scan under every consumer.
+  @volatile private var lastStats: List[DataFrame] = Nil
+  def releaseCache(): Unit = {
+    lastStats.foreach(_.unpersist(blocking = false))
+    lastStats = Nil
+  }
+
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 3.0): DataFrame = {
+    releaseCache()
     val groups = groupCols.map(col)
     val med = df.groupBy(groups: _*)
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deviated = df.join(broadcast(med), groupCols)
       .withColumn("abs_dev", abs(col(valueCol) - col("med")))
     val mad = deviated.groupBy(groups: _*)
       .agg(expr("percentile(abs_dev, 0.5)").as("mad"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastStats = List(med, mad)
     deviated.join(broadcast(mad), groupCols)
       .withColumn("threshold", lit(k) * lit(1.4826) * col("mad"))
       .filter(col("abs_dev") > col("threshold"))

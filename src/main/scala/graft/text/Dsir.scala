@@ -34,6 +34,14 @@ object Dsir {
   private def bucketOf(token: Column): Column =
     conv(substring(md5(token), 1, 8), 16, 10).cast("long") % NumBuckets
 
+  // The ≤NumBuckets-row count frame feeds both the totals and the weight
+  // table — persisted so its corpus-scan lineage runs once.
+  @volatile private var lastCounts: Option[DataFrame] = None
+  def releaseCache(): Unit = {
+    lastCounts.foreach(_.unpersist(blocking = false))
+    lastCounts = None
+  }
+
   /** Per-document DSIR importance weight against a target slice.
     * `isTarget` selects the target sub-corpus (e.g. lang = 'en'). */
   def importanceWeights(documents: DataFrame, isTarget: Column): DataFrame = {
@@ -43,17 +51,21 @@ object Dsir {
       .filter(col("token") =!= "")
       .withColumn("bucket", bucketOf(col("token")))
 
-    val raw = tokens.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = tokens.filter(col("is_target"))
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("tr")).crossJoin(
-      broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+    // Raw and target counts in ONE token-grain pass (count + conditional
+    // count share the partial agg); totals fold from the ≤NumBuckets-row
+    // count frame, so the corpus is scanned once for the whole model fit.
+    releaseCache()
+    val counts = tokens.groupBy("bucket").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastCounts = Some(counts)
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
 
     // Constant-size (≤ NumBuckets rows) weight table; absent-in-target
     // buckets smooth to count 0.
-    val weights = raw.join(tgt, Seq("bucket"), "left")
+    val weights = counts
       .crossJoin(broadcast(totals))
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
       .withColumn("lp_t_micro", floor(expr(
         s"CAST(CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $NumBuckets AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
           " * CAST(1000000.0 AS DOUBLE)")).cast("long"))
