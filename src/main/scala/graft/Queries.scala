@@ -3353,6 +3353,29 @@ object Queries {
         |FROM deg d LEFT JOIN tc t USING (node)
         |ORDER BY user_id""".stripMargin)),
 
+    // Ring membership via star-contraction connected components over the
+    // device-pair graph (Graph.ringClusters); oracle = recursive CTE.
+    QueryDef("q_ring_clusters",
+      (s, d) => Graph.ringClusters(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some("WITH RECURSIVE " + DevicePairsCtes.stripPrefix("WITH ") +
+        """
+        |, edges2 AS (
+        |  SELECT user_a AS a, user_b AS b FROM pairs
+        |  UNION ALL SELECT user_b, user_a FROM pairs
+        |), walk(node, reach) AS (
+        |  SELECT a, a FROM edges2
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges2 e ON w.reach = e.a
+        |), lab AS (
+        |  SELECT node AS user_id, min(reach) AS ring_id FROM walk GROUP BY 1
+        |), sz AS (
+        |  SELECT ring_id, CAST(count(*) AS BIGINT) AS ring_size FROM lab GROUP BY 1
+        |)
+        |SELECT l.user_id, l.ring_id, sz.ring_size,
+        |  l.user_id = l.ring_id AS is_canonical
+        |FROM lab l JOIN sz USING (ring_id)
+        |ORDER BY l.user_id""".stripMargin)),
+
     // Blocked fuzzy entity resolution (operators/EntityResolution.scala):
     // (nation × segment) blocks behind an occupancy governor, Levenshtein
     // + balance-band verify.

@@ -108,6 +108,30 @@ object Graph {
       .orderBy("user_id")
   }
 
+  /** Ring membership: connected components over the shared-device pair
+    * graph — every user labeled with its ring id (component minimum) and
+    * ring size, the "who is in the web with whom" view that PageRank
+    * ranks and triangles densify. Runs on the star-contraction CC
+    * (Components.connectedComponentsStar): O(log n) shuffle rounds
+    * regardless of ring diameter — chain-shaped rings (A shares with B
+    * shares with C …) are exactly the high-diameter case label
+    * propagation handles poorly. */
+  def ringClusters(pairs: DataFrame): DataFrame = {
+    releaseCache()
+    val p = pairs.select(col("user_a"), col("user_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lastGraph = List(p)
+    val nodes = p.select(col("user_a").as("id"))
+      .union(p.select(col("user_b").as("id"))).distinct()
+    val edges = p.select(col("user_a").as("src"), col("user_b").as("dst"))
+    val cc = graft.text.Components.connectedComponentsStar(nodes, edges)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("ring_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("user_id"), col("cluster_id").as("ring_id"),
+        col("ring_size"), (col("id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("user_id")
+  }
+
   /** Per-node triangle participation + local clustering coefficient over
     * an undirected pair list (user_a < user_b, no duplicates). */
   def triangles(pairs: DataFrame): DataFrame = {

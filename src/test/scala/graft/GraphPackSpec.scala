@@ -66,6 +66,19 @@ class GraphPackSpec extends SparkSpec {
     assert(t.forall(_.getAs[Double]("clustering") === 1.0))
   }
 
+  // ---- ring clusters ----
+
+  test("ring clusters label a chain and an island as two components") {
+    // chain 1-2-3-4 (high diameter) + island 8-9
+    val rc = Graph.ringClusters(pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 8L -> 9L))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("ring_id"), r.getAs[Long]("ring_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(u => rc(u)._1 === 1L && rc(u)._2 === 4L))
+    assert(Seq(8L, 9L).forall(u => rc(u)._1 === 8L && rc(u)._2 === 2L))
+    assert(rc(1L)._3 && rc(8L)._3 && !rc(2L)._3)
+  }
+
   // ---- entity resolution ----
 
   test("entity resolution matches planted near-duplicates and only those") {
