@@ -143,9 +143,18 @@ object GraftFunctions {
   val cmsMergeBuilder: Seq[Expression] => Expression =
     cmsShapeBuilder("cms_merge_agg", CmsMergeAgg(_, _, _))
 
+  val bandedLevBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"levenshtein_leq expects 3 arguments (a, b, k), got ${exprs.length}")
+    BandedLevenshtein(exprs(0), exprs(1), exprs(2))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_leq", bandedLevBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", intersectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -184,6 +193,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       GraftFunctions.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("levenshtein_leq"),
+      new ExpressionInfo(classOf[BandedLevenshtein].getName, "levenshtein_leq"),
+      GraftFunctions.bandedLevBuilder))
     ext.injectFunction((
       FunctionIdentifier("morton2"),
       new ExpressionInfo(classOf[Morton2].getName, "morton2"),

@@ -53,9 +53,15 @@ object EntityResolution {
       col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
       col("c_acctbal").as("bal_b"))
+    // levenshtein_leq (functions/BandedLevenshtein): Ukkonen's banded DP —
+    // O(maxEdit·|name|) per pair instead of the built-in's full O(n·m)
+    // matrix. Above the band it returns maxEdit+1, which the filter drops;
+    // on the band the value IS the exact distance, so the output is
+    // bit-identical to the built-in (FunctionsSpec proves equality).
     a.join(b, Seq("c_nationkey", "c_mktsegment"))
       .filter(col("cust_a") < col("cust_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .withColumn("edit_dist",
+        expr(s"levenshtein_leq(name_a, name_b, $maxEdit)"))
       .withColumn("bal_diff", abs(col("bal_a") - col("bal_b")))
       .filter(col("edit_dist") <= maxEdit && col("bal_diff") <= maxBalDiff)
       .select(col("cust_a"), col("cust_b"), col("c_nationkey"),

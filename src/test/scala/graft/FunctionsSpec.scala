@@ -335,4 +335,40 @@ class FunctionsSpec extends SparkSpec {
         s"query $q: multiprobe ${rec(("multiprobe", q))} < bucketed ${rec(("bucketed", q))}")
     }
   }
+
+  test("levenshtein_leq equals the built-in on the band, k+1 above it") {
+    GraftFunctions.register(spark)
+    // seeded random pairs over a small alphabet so all distance regimes occur
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (1 to 500).map(_ => (word(), word()))
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    val both = df.select(
+      expr("levenshtein_leq(a, b, 3)").as("banded"),
+      least(levenshtein(col("a"), col("b")), lit(4)).cast("long").as("ref"))
+    assert(both.filter(col("banded") =!= col("ref")).count() === 0)
+    // both regimes actually occurred
+    assert(both.filter(col("banded") <= 3).count() > 0)
+    assert(both.filter(col("banded") === 4).count() > 0)
+  }
+
+  test("levenshtein_leq edge cases and codegen participation") {
+    GraftFunctions.register(spark)
+    import graft.functions.BandedLevenshtein.banded
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(banded(u(""), u(""), 2) === 0L)
+    assert(banded(u("abc"), u(""), 2) === 3L) // length gap 3 > 2 -> k+1
+    assert(banded(u("ab"), u(""), 2) === 2L)
+    assert(banded(u("kitten"), u("sitting"), 3) === 3L)
+    assert(banded(u("kitten"), u("sitting"), 2) === 3L) // above band -> k+1
+    assert(banded(u("same"), u("same"), 0) === 0L)
+    // codegen: over a parquet scan so doGenCode actually compiles
+    val df = Tables.customer(spark, TinySf)
+      .select(expr("levenshtein_leq(c_name, c_mktsegment, 2)").as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[levenshtein_leq".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+  }
 }
