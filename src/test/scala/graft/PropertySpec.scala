@@ -356,4 +356,84 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: triangles match an all-triples brute count on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    for (seed <- 1L to 5L) {
+      val edges = draw(edgeGen, seed)
+      val adj = edges.toSet
+      def connected(x: Long, y: Long) =
+        adj.contains((math.min(x, y), math.max(x, y)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = nodes.map { u =>
+        val others = nodes.filter(_ != u).filter(connected(u, _))
+        u -> others.combinations(2).count { case Seq(x, y) => connected(x, y) }
+      }.toMap
+      val got = graft.gold.Graph.triangles(edges.toDF("user_a", "user_b"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("triangles")).toMap
+      nodes.foreach { u =>
+        assert(got(u) === brute(u).toLong, s"seed $seed node $u: ${got(u)} vs ${brute(u)}")
+      }
+    }
+  }
+
+  test("property: integer PageRank matches a driver-side BigInt simulation") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    for (seed <- 11L to 13L) {
+      val pairs = draw(edgeGen, seed)
+      // driver oracle: same fixed-point contract, plain Long arithmetic
+      val sym = pairs ++ pairs.map(p => (p._2, p._1))
+      val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val nodes = deg.keys.toSeq.sorted
+      val nN = nodes.size.toLong
+      val pr0 = graft.gold.Graph.MassUnits / nN
+      val tele = (15L * pr0) / 100L
+      var pr = nodes.map(_ -> pr0).toMap
+      for (_ <- 1 to graft.gold.Graph.Iterations) {
+        val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+        }
+        pr = nodes.map(n => n -> (tele + (85L * contrib.getOrElse(n, 0L)) / 100L)).toMap
+      }
+      val got = graft.gold.Graph.pageRank(pairs.toDF("user_a", "user_b"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("pr_units")).toMap
+      nodes.foreach { n =>
+        assert(got(n) === pr(n), s"seed $seed node $n: ${got(n)} vs ${pr(n)}")
+      }
+    }
+  }
+
+  test("property: banded levenshtein equals a reference full DP on random pairs") {
+    import graft.functions.BandedLevenshtein.banded
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def full(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val pairGen = Gen.listOfN(300, Gen.zip(strGen, strGen))
+    for (seed <- 21L to 23L) {
+      draw(pairGen, seed).foreach { case (a, b) =>
+        for (k <- 0 to 5) {
+          val expected = math.min(full(a, b), k + 1).toLong
+          assert(banded(u(a), u(b), k) === expected,
+            s"seed $seed '$a' vs '$b' k=$k")
+        }
+      }
+    }
+  }
 }
