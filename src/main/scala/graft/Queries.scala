@@ -3353,6 +3353,43 @@ object Queries {
         |FROM deg d LEFT JOIN tc t USING (node)
         |ORDER BY user_id""".stripMargin)),
 
+    // Incrementally-maintained device-pair graph (Rings.pairDeviceStore):
+    // base days + delta days build separate mergeable (pair, device)
+    // stores; merged + rolled up they are BIT-IDENTICAL to the full
+    // recompute (day buckets are self-contained), so the oracle is the
+    // same SQL as q_shared_device_pairs.
+    QueryDef("q_ring_pairs_incremental",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = ev.agg(date_sub(max(to_date(col("ts"))), 7).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        Rings.releaseCache()
+        val base = Rings.pairDeviceStore(
+          tagged.filter(to_date(col("ts")) <= col("cut")), releaseFirst = false)
+        val delta = Rings.pairDeviceStore(
+          tagged.filter(to_date(col("ts")) > col("cut")), releaseFirst = false)
+        Rings.pairsFromStore(Rings.mergePairStores(base, delta))
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS device, user_id
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL
+        |), ok AS (
+        |  SELECT day, device FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50
+        |), adm AS (
+        |  SELECT b.* FROM b JOIN ok USING (day, device)
+        |)
+        |SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS shared_device_days,
+        |  CAST(count(DISTINCT x.device) AS BIGINT) AS shared_devices,
+        |  min(x.day) AS first_day, max(x.day) AS last_day
+        |FROM adm x JOIN adm y USING (day, device)
+        |WHERE x.user_id < y.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // Ring membership via star-contraction connected components over the
     // device-pair graph (Graph.ringClusters); oracle = recursive CTE.
     QueryDef("q_ring_clusters",

@@ -79,6 +79,28 @@ class GraphPackSpec extends SparkSpec {
     assert(rc(1L)._3 && rc(8L)._3 && !rc(2L)._3)
   }
 
+  // ---- incremental pair store ----
+
+  test("base+delta pair stores merge bit-identically to the full recompute") {
+    val ev = Tables.events(spark, TinySf)
+    // 30-day delta: wide enough that the tiny SF's sparse buckets put
+    // real admitted pairs on the delta side
+    val cut = ev.agg(date_sub(max(to_date(col("ts"))), 30).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    graft.gold.Rings.releaseCache()
+    val base = graft.gold.Rings.pairDeviceStore(
+      tagged.filter(to_date(col("ts")) <= col("cut")), releaseFirst = false)
+    val delta = graft.gold.Rings.pairDeviceStore(
+      tagged.filter(to_date(col("ts")) > col("cut")), releaseFirst = false)
+    val merged = graft.gold.Rings.pairsFromStore(
+      graft.gold.Rings.mergePairStores(base, delta)).collect()
+    val full = graft.gold.Rings.sharedDevicePairs(ev).collect()
+    assert(merged.map(_.toString).toSeq === full.map(_.toString).toSeq)
+    assert(merged.nonEmpty)
+    // the delta side contributed real rows (not a degenerate split)
+    assert(delta.count() > 0)
+  }
+
   // ---- entity resolution ----
 
   test("entity resolution matches planted near-duplicates and only those") {
