@@ -134,7 +134,7 @@ object Queries {
 
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5
+  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6
 
   private lazy val batch1: Seq[QueryDef] = Seq(
 
@@ -2580,34 +2580,54 @@ object Queries {
             "last_observed", "observation_count", "valid_to", "is_current")
           .orderBy("o_custkey", "version")
       },
-      Some(CleanOrdersCte +
+      Some(Scd2VersionCtes +
         """
-        |, daily AS (
-        |  SELECT o_custkey, order_date, amount_tier FROM (
-        |    SELECT o_custkey, order_date, amount_tier,
-        |      row_number() OVER (PARTITION BY o_custkey, order_date ORDER BY o_orderkey DESC) AS rn
-        |    FROM clean_orders) t WHERE rn = 1
-        |), flg AS (
-        |  SELECT o_custkey, order_date, amount_tier,
-        |    CASE WHEN lag(order_date) OVER w IS NULL
-        |           OR lag(amount_tier) OVER w IS DISTINCT FROM amount_tier
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date)
-        |), ver AS (
-        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY order_date
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
-        |  FROM flg
-        |), coll AS (
-        |  SELECT o_custkey, version, amount_tier,
-        |    min(order_date) AS valid_from, max(order_date) AS last_observed,
-        |    count(*) AS observation_count
-        |  FROM ver GROUP BY 1, 2, 3
-        |)
         |SELECT o_custkey, version, amount_tier, valid_from, last_observed, observation_count,
         |  COALESCE(lead(valid_from) OVER wv, DATE '9999-12-31') AS valid_to,
         |  lead(valid_from) OVER wv IS NULL AS is_current
         |FROM coll WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
         |ORDER BY o_custkey, version""".stripMargin)),
+
+    // Point-in-time (strictly-before) read of the SCD2 tier history: each
+    // order picks up the customer's tier version entering the order's day —
+    // the leakage-free feature-store join. Spark side: Scd.priorStateJoin
+    // (union+window, one custkey exchange shared with the scd2 build).
+    QueryDef("q_pit_join",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+          .repartition(col("o_custkey"))
+        val daily = clean.groupBy("o_custkey", "order_date")
+          .agg(expr("max_by(amount_tier, o_orderkey)").as("amount_tier"))
+        val versions = operators.Scd
+          .scd2(daily, "o_custkey", "order_date", Seq("amount_tier"))
+          .select(col("o_custkey"), col("valid_from"),
+            col("version"), col("amount_tier"))
+        val orders = clean.select("o_orderkey", "o_custkey", "order_date", "amount_tier")
+        operators.Scd.priorStateJoin(orders, versions,
+            "o_custkey", "order_date", "valid_from", Seq("amount_tier", "version"))
+          .withColumn("tier_changed",
+            col("prior_amount_tier").isNotNull
+              && col("prior_amount_tier") =!= col("amount_tier"))
+          .select("o_orderkey", "o_custkey", "order_date", "amount_tier",
+            "prior_amount_tier", "prior_version", "tier_changed")
+          .orderBy("o_orderkey")
+      },
+      Some(Scd2VersionCtes +
+        """
+        |, pri AS (
+        |  SELECT o_orderkey, prior_amount_tier, prior_version FROM (
+        |    SELECT o.o_orderkey, s.amount_tier AS prior_amount_tier,
+        |      s.version AS prior_version,
+        |      row_number() OVER (PARTITION BY o.o_orderkey ORDER BY s.version DESC) AS rn
+        |    FROM clean_orders o
+        |    JOIN coll s ON o.o_custkey = s.o_custkey AND s.valid_from < o.order_date
+        |  ) t WHERE rn = 1
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, o.order_date, o.amount_tier,
+        |  p.prior_amount_tier, p.prior_version,
+        |  p.prior_amount_tier IS NOT NULL AND p.prior_amount_tier <> o.amount_tier AS tier_changed
+        |FROM clean_orders o LEFT JOIN pri p ON o.o_orderkey = p.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin)),
 
     QueryDef("q_tfidf",
       (s, d) => text.TfIdf.topTerms(Tables.documents(s, d), 5)
@@ -3664,6 +3684,178 @@ object Queries {
         |    + slope_cents * CAST(max_x + 1 AS DOUBLE)) / 100.0 AS forecast_next
         |FROM sl ORDER BY event_type""".stripMargin))
   )
+
+  // r8 late batch: supervised categorical encoders (WOE/IV, K-fold OOF
+  // target encoding) and hybrid lexical+semantic retrieval fusion.
+  private lazy val batch6: Seq[QueryDef] = Seq(
+
+    // Weight-of-Evidence / Information-Value profile of the fraud label
+    // across the categorical features — the classic credit-risk encoder.
+    QueryDef("q_woe_encoding",
+      (s, d) => {
+        val enr = Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+        val base = enr
+          .withColumn("user_avg_amount",
+            operators.Features.winAvg(col("o_totalprice"), w))
+          .withColumn("amount_vs_user_avg",
+            col("o_totalprice") / col("user_avg_amount"))
+          .withColumn("label", FraudScore.fraudLabel(col("amount_vs_user_avg"),
+            col("region_risk"), col("amount_tier")).cast("long"))
+        ml.Encodings.woe(base, "label", Seq(
+            "amount_tier" -> col("amount_tier"),
+            "order_dow" -> dayofweek(col("order_date")).cast("long"),
+            "order_month" -> month(col("order_date")).cast("long"),
+            "is_weekend" -> dayofweek(col("order_date")).isin(1, 7).cast("long")))
+          .orderBy("feature", "category")
+      },
+      Some(EnrichedFeaturesCte +
+        """
+        |, base AS (
+        |  SELECT amount_tier, order_dow, order_month, is_weekend,
+        |    CAST((amount_vs_user_avg > 2.5 AND region_risk > 0.05)
+        |         OR (amount_tier = 'premium' AND region_risk >= 0.09) AS BIGINT) AS label
+        |  FROM fx
+        |), stacked AS (
+        |  SELECT 'amount_tier' AS feature, amount_tier AS category, label FROM base
+        |  UNION ALL SELECT 'order_dow', CAST(order_dow AS VARCHAR), label FROM base
+        |  UNION ALL SELECT 'order_month', CAST(order_month AS VARCHAR), label FROM base
+        |  UNION ALL SELECT 'is_weekend', CAST(is_weekend AS VARCHAR), label FROM base
+        |), bc AS (
+        |  SELECT feature, category, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_bad
+        |  FROM stacked GROUP BY 1, 2
+        |), bc2 AS (
+        |  SELECT *, CAST(n - n_bad AS BIGINT) AS n_good FROM bc
+        |), pf AS (
+        |  SELECT feature, CAST(sum(n_bad) AS BIGINT) AS bad_tot,
+        |    CAST(sum(n_good) AS BIGINT) AS good_tot
+        |  FROM bc2 GROUP BY 1
+        |), sh AS (
+        |  SELECT bc2.feature, bc2.category, bc2.n, bc2.n_bad, bc2.n_good,
+        |    (CAST(bc2.n_bad AS DOUBLE) + 0.5) / CAST(pf.bad_tot AS DOUBLE) AS bad_share,
+        |    (CAST(bc2.n_good AS DOUBLE) + 0.5) / CAST(pf.good_tot AS DOUBLE) AS good_share
+        |  FROM bc2 JOIN pf USING (feature)
+        |), wx AS (
+        |  SELECT *, CAST(CAST(ln(bad_share / good_share) AS FLOAT) AS DOUBLE) AS woe FROM sh
+        |)
+        |SELECT feature, category, n, n_bad, n_good, woe,
+        |  (bad_share - good_share) * woe AS iv_contrib
+        |FROM wx ORDER BY feature, category""".stripMargin)),
+
+    // Leakage-free K-fold out-of-fold target encoding of amount_tier:
+    // the (category, fold) lookup table a scorer broadcast-joins at apply
+    // time; each fold's encoding uses only the other folds' labels.
+    QueryDef("q_target_encode",
+      (s, d) => {
+        val enr = Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+        val base = enr
+          .withColumn("user_avg_amount",
+            operators.Features.winAvg(col("o_totalprice"), w))
+          .withColumn("amount_vs_user_avg",
+            col("o_totalprice") / col("user_avg_amount"))
+          .withColumn("label", FraudScore.fraudLabel(col("amount_vs_user_avg"),
+            col("region_risk"), col("amount_tier")).cast("long"))
+        ml.Encodings.targetEncodeOof(base, col("amount_tier"), "label",
+            col("o_orderkey") % 5, m = 10.0)
+          .orderBy("category", "fold")
+      },
+      Some(EnrichedFeaturesCte +
+        """
+        |, base AS (
+        |  SELECT amount_tier AS category, o_orderkey % 5 AS fold,
+        |    CAST((amount_vs_user_avg > 2.5 AND region_risk > 0.05)
+        |         OR (amount_tier = 'premium' AND region_risk >= 0.09) AS BIGINT) AS label
+        |  FROM fx
+        |), g AS (
+        |  SELECT category, CAST(fold AS BIGINT) AS fold,
+        |    CAST(count(*) AS BIGINT) AS n_in_fold, CAST(sum(label) AS BIGINT) AS sum_in_fold
+        |  FROM base GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT category, CAST(sum(n_in_fold) AS BIGINT) AS n_cat,
+        |    CAST(sum(sum_in_fold) AS BIGINT) AS sum_cat FROM g GROUP BY 1
+        |), ft AS (
+        |  SELECT fold, CAST(sum(n_in_fold) AS BIGINT) AS n_fold,
+        |    CAST(sum(sum_in_fold) AS BIGINT) AS sum_fold FROM g GROUP BY 1
+        |), gt AS (
+        |  SELECT CAST(sum(n_in_fold) AS BIGINT) AS n_all,
+        |    CAST(sum(sum_in_fold) AS BIGINT) AS sum_all FROM g
+        |), pri AS (
+        |  SELECT g.category, g.fold, g.n_in_fold,
+        |    CAST(ct.n_cat - g.n_in_fold AS BIGINT) AS n_oof,
+        |    CAST(ct.sum_cat - g.sum_in_fold AS BIGINT) AS sum_oof,
+        |    CAST(gt.sum_all - ft.sum_fold AS DOUBLE)
+        |      / CAST(gt.n_all - ft.n_fold AS DOUBLE) AS prior_oof
+        |  FROM g JOIN ct USING (category) JOIN ft USING (fold) CROSS JOIN gt
+        |)
+        |SELECT category, fold, n_in_fold, n_oof, sum_oof, prior_oof,
+        |  (CAST(sum_oof AS DOUBLE) + 10.0 * prior_oof)
+        |    / (CAST(n_oof AS DOUBLE) + 10.0) AS encoding
+        |FROM pri ORDER BY category, fold""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-50 fused with cosine-ANN top-50 (query =
+    // vec 0's embedding) by Reciprocal Rank Fusion, final top-20.
+    QueryDef("q_hybrid_rrf",
+      (s, d) => text.Hybrid.rrf(Tables.documents(s, d), Tables.embeddings(s, d),
+          Bm25QueryTerms, queryVecId = 0L, kPerSide = 50, k = 20)
+        .orderBy("rrf_rank"),
+      Some(text.Bm25.oracleCtes(Bm25QueryTerms) +
+        s"""
+        |, lex AS (
+        |  SELECT doc_id, bm25_rank FROM bm WHERE bm25_rank <= 50
+        |), qv AS (
+        |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+        |), semscored AS (
+        |  SELECT e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos_sim
+        |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+        |), sem AS (
+        |  SELECT vec_id, cos_sim, sem_rank FROM (
+        |    SELECT vec_id, cos_sim,
+        |      row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS sem_rank
+        |    FROM semscored) t WHERE sem_rank <= 50
+        |), fused AS (
+        |  SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id, l.bm25_rank, s.sem_rank, s.cos_sim,
+        |    COALESCE(1.0 / (60.0 + CAST(l.bm25_rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(s.sem_rank AS DOUBLE)), 0.0) AS rrf_score
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+        |)
+        |SELECT rrf_rank, doc_id, rrf_score, bm25_rank, sem_rank, cos_sim FROM (
+        |  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rrf_rank, *
+        |  FROM fused) t WHERE rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin))
+  )
+
+  // SCD2 tier-version CTE chain (mirrors the q_scd2_tiers Spark side up to
+  // the collapsed `coll` version rows), shared by q_scd2_tiers and the
+  // point-in-time join oracle (q_pit_join).
+  // (lazy: declared after the registry that references it)
+  private lazy val Scd2VersionCtes = CleanOrdersCte +
+    """
+    |, daily AS (
+    |  SELECT o_custkey, order_date, amount_tier FROM (
+    |    SELECT o_custkey, order_date, amount_tier,
+    |      row_number() OVER (PARTITION BY o_custkey, order_date ORDER BY o_orderkey DESC) AS rn
+    |    FROM clean_orders) t WHERE rn = 1
+    |), flg AS (
+    |  SELECT o_custkey, order_date, amount_tier,
+    |    CASE WHEN lag(order_date) OVER w IS NULL
+    |           OR lag(amount_tier) OVER w IS DISTINCT FROM amount_tier
+    |         THEN 1 ELSE 0 END AS chg
+    |  FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date)
+    |), ver AS (
+    |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY order_date
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+    |  FROM flg
+    |), coll AS (
+    |  SELECT o_custkey, version, amount_tier,
+    |    min(order_date) AS valid_from, max(order_date) AS last_observed,
+    |    count(*) AS observation_count
+    |  FROM ver GROUP BY 1, 2, 3
+    |)""".stripMargin
 
   // Shared CTE chain for the device-ring graph queries: admitted
   // (day, device) buckets → undirected user pairs → symmetric edge list →

@@ -57,4 +57,41 @@ object Scd {
       .withColumn("valid_to", coalesce(col("_next_from"), lit(HighDate).cast("date")))
       .drop("_next_from")
   }
+
+  /** Point-in-time join: attach to each event the state version that was
+    * current STRICTLY BEFORE the event's time — the feature-store
+    * correctness rule ("use only information available before the
+    * observation"), and the leakage-free way to read an SCD2 dimension
+    * from a fact (ref: dbt snapshot reads in the reference's marts join
+    * dim history by validity interval).
+    *
+    * Same union+window shape as AsOfJoin (one shuffle + one sort on the
+    * key, linear, no range-join explosion), but with the sides ordered so
+    * a state row AT the event's exact time is NOT visible: events sort
+    * before states at equal time, so `last(_, ignoreNulls)` over the
+    * preceding frame carries only strictly-earlier state. Events before
+    * the first state get NULL priors (left-join semantics).
+    *
+    * `states` must have one row per (key, stateTime): stateTime orders
+    * versions totally within a key (true of scd2's valid_from). */
+  def priorStateJoin(events: DataFrame, states: DataFrame, key: String,
+                     eventTime: String, stateTime: String,
+                     attrs: Seq[String]): DataFrame = {
+    val eventCols = events.columns.toSeq
+    val e = attrs.foldLeft(
+        events.withColumn("_t", col(eventTime)).withColumn("_side", lit(0)))(
+      (df, a) => df.withColumn(s"_s_$a",
+        lit(null).cast(states.schema(a).dataType)))
+    val s = states.select(
+      Seq(col(key), col(stateTime).as("_t"), lit(1).as("_side")) ++
+        eventCols.filterNot(_ == key).map(c =>
+          lit(null).cast(events.schema(c).dataType).as(c)) ++
+        attrs.map(a => col(a).as(s"_s_$a")): _*)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    attrs.foldLeft(e.unionByName(s))((df, a) =>
+        df.withColumn(s"prior_$a", last(col(s"_s_$a"), ignoreNulls = true).over(w)))
+      .filter(col("_side") === 0)
+      .drop("_t" +: "_side" +: attrs.map(a => s"_s_$a"): _*)
+  }
 }

@@ -108,7 +108,15 @@ object Bm25 {
 
   /** The DuckDB mirror of `rank` — same fused doc-grain shape and the same
     * fixed-order arithmetic, for the correctness oracle. */
-  def oracleSql(queryTerms: Seq[String], k: Int = 20): String = {
+  def oracleSql(queryTerms: Seq[String], k: Int = 20): String =
+    oracleCtes(queryTerms) +
+      s"""
+      |SELECT bm25_rank, doc_id, dl, score, ${queryTerms.map(t => s"c_$t").mkString(", ")}
+      |FROM bm WHERE bm25_rank <= $k ORDER BY bm25_rank""".stripMargin
+
+  /** The `rank` mirror as a CTE chain ending in `bm` (all docs, ranked) so
+    * composite oracles (e.g. Hybrid.rrf) can reuse the lexical side. */
+  def oracleCtes(queryTerms: Seq[String]): String = {
     val tfCols = queryTerms.map(t =>
       s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n      |    ")
     val dfCols = queryTerms.map(t =>
@@ -142,11 +150,10 @@ object Bm25 {
       |  WHERE $anyMatch
       |), ranked AS (
       |  SELECT *, $sumExpr AS score FROM contribs
-      |)
-      |SELECT * FROM (
+      |), bm AS (
       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank,
       |         doc_id, dl, score, ${queryTerms.map(t => s"c_$t").mkString(", ")}
       |  FROM ranked
-      |) t WHERE bm25_rank <= $k ORDER BY bm25_rank""".stripMargin
+      |)""".stripMargin
   }
 }

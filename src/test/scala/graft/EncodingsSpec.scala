@@ -1,0 +1,117 @@
+package graft
+
+import graft.ml.Encodings
+import graft.operators.Scd
+import graft.text.Hybrid
+import org.apache.spark.sql.functions._
+
+/** Supervised encoders (WOE / K-fold OOF target encoding), the point-in-time
+  * SCD2 read, and RRF hybrid retrieval fusion. */
+class EncodingsSpec extends SparkSpec {
+
+  test("priorStateJoin carries the strictly-previous state, null before the first") {
+    import spark.implicits._
+    val states = Seq(
+      (1L, "2024-01-01", "bronze", 1L),
+      (1L, "2024-01-10", "silver", 2L),
+      (2L, "2024-02-01", "gold", 1L)
+    ).toDF("k", "t", "tier", "version")
+      .select(col("k"), col("t").cast("date").as("t"), col("tier"), col("version"))
+    val events = Seq(
+      (100L, 1L, "2024-01-01"), // ON the first state day -> strictly-before = none
+      (101L, 1L, "2024-01-05"), // between v1 and v2 -> bronze
+      (102L, 1L, "2024-01-10"), // ON the v2 day -> still bronze (strict <)
+      (103L, 1L, "2024-01-20"), // after v2 -> silver
+      (104L, 2L, "2024-01-15"), // before cust 2's first state -> none
+      (105L, 2L, "2024-03-01")  // after -> gold
+    ).toDF("id", "k", "et")
+      .select(col("id"), col("k"), col("et").cast("date").as("et"))
+    val out = Scd.priorStateJoin(events, states, "k", "et", "t",
+        Seq("tier", "version"))
+      .select("id", "prior_tier", "prior_version")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(out(100L) == (None, None))
+    assert(out(101L) == (Some("bronze"), Some(1L)))
+    assert(out(102L) == (Some("bronze"), Some(1L)))
+    assert(out(103L) == (Some("silver"), Some(2L)))
+    assert(out(104L) == (None, None))
+    assert(out(105L) == (Some("gold"), Some(1L)))
+  }
+
+  test("q_pit_join prior tier agrees with a per-customer replay of the scd2 versions") {
+    val pit = Queries.all("q_pit_join")(spark, TinySf)
+    val rows = pit.select("o_custkey", "order_date", "prior_version", "amount_tier",
+        "prior_amount_tier", "tier_changed").collect()
+    assert(rows.nonEmpty)
+    // tier_changed is never null and is false whenever there is no prior
+    rows.foreach { r =>
+      val changed = r.getBoolean(5)
+      if (r.isNullAt(4)) assert(!changed)
+      else assert(changed == (r.getString(4) != r.getString(3)))
+    }
+    // each customer's first order (min date) has no prior version
+    val firstByCust = rows.groupBy(_.getLong(0)).values.map(rs =>
+      rs.minBy(_.getDate(1).toLocalDate.toEpochDay))
+    firstByCust.foreach(r => assert(r.isNullAt(2)))
+  }
+
+  test("woe matches a hand computation and iv contributions use the rounded woe") {
+    import spark.implicits._
+    // 10 rows: cat a -> 3 bad of 6; cat b -> 1 bad of 4
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq.fill(3)(("a", 0)) ++
+        Seq.fill(1)(("b", 1)) ++ Seq.fill(3)(("b", 0)))
+      .toDF("cat", "y")
+    val out = Encodings.woe(df, "y", Seq("cat" -> col("cat")))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (badTot, goodTot) = (4.0, 6.0)
+    def expWoe(nb: Double, ng: Double): Double =
+      math.log(((nb + 0.5) / badTot) / ((ng + 0.5) / goodTot)).toFloat.toDouble
+    val (na, nbadA, ngoodA, woeA, ivA) = out("a")
+    assert((na, nbadA, ngoodA) == (6L, 3L, 3L))
+    assert(woeA == expWoe(3, 3))
+    assert(ivA == ((3.5 / badTot) - (3.5 / goodTot)) * woeA)
+    val (_, _, _, woeB, _) = out("b")
+    assert(woeB == expWoe(1, 3))
+    // bad-heavier category has the higher woe
+    assert(woeA > woeB)
+  }
+
+  test("targetEncodeOof excludes the row's own fold from its encoding") {
+    import spark.implicits._
+    // category x: fold 0 has 2 rows (both bad), fold 1 has 2 rows (none bad)
+    val df = Seq(("x", 0L, 1), ("x", 0L, 1), ("x", 1L, 0), ("x", 1L, 0),
+        ("y", 0L, 0), ("y", 1L, 1)).toDF("cat", "f", "y")
+    val out = Encodings.targetEncodeOof(df, col("cat"), "y", col("f"), m = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // (x, fold 0): oof rows are x's fold-1 rows -> n_oof=2, sum_oof=0
+    val (nOof, sumOof, prior, enc) = out(("x", 0L))
+    assert((nOof, sumOof) == (2L, 0L))
+    // prior excludes fold 0 globally: folds!=0 have 3 rows, 1 bad
+    assert(prior == 1.0 / 3.0)
+    assert(enc == (0.0 + 1.0 * prior) / (2.0 + 1.0))
+    // (x, fold 1): oof = fold-0 rows -> 2 rows, 2 bad; prior over folds!=1 = 2/3...
+    val (n1, s1, p1, e1) = out(("x", 1L))
+    assert((n1, s1) == (2L, 2L))
+    assert(p1 == 2.0 / 3.0)
+    assert(e1 == (2.0 + 1.0 * p1) / (2.0 + 1.0))
+  }
+
+  test("rrf fusion sums exactly the per-list reciprocal ranks") {
+    val out = Queries.all("q_hybrid_rrf")(spark, TinySf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val lex = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val sem = Option(r.get(4)).map(_.asInstanceOf[Long])
+      assert(lex.isDefined || sem.isDefined)
+      val exp = lex.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(2) == exp)
+    }
+    // ranks are 1..n with strictly non-increasing scores
+    val scores = out.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to out.length).toSeq)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
