@@ -3826,7 +3826,56 @@ object Queries {
         |)
         |SELECT rrf_rank, doc_id, rrf_score, bm25_rank, sem_rank, cos_sim FROM (
         |  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rrf_rank, *
-        |  FROM fused) t WHERE rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin))
+        |  FROM fused) t WHERE rrf_rank <= 20 ORDER BY rrf_rank""".stripMargin)),
+
+    // Hard-negative mining for contrastive retrieval training: per query,
+    // the top-k most-similar vectors EXCLUDING near-duplicates (cos >=
+    // 0.95), i.e. the highest-scoring wrong answers.
+    QueryDef("q_hard_negatives",
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))
+        .orderBy("query_id", "neg_rank"),
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    ${cosSql("q.qv", "e.embedding")} AS cos_sim
+        |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+        |), fl AS (
+        |  SELECT * FROM scored WHERE cos_sim < 0.95
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS neg_rank
+        |  FROM fl
+        |)
+        |SELECT query_id, neg_rank, vec_id, label, cos_sim FROM ranked
+        |WHERE neg_rank <= 10 ORDER BY query_id, neg_rank""".stripMargin)),
+
+    // Incremental SCD2 maintenance: history built from pre-cutoff days,
+    // then the post-cutoff days applied via Scd.scd2Apply at stored-version
+    // grain — and the DuckDB oracle is the BATCH scd2 over all days, so the
+    // hash gate itself proves incremental ≡ from-scratch.
+    QueryDef("q_scd2_incremental",
+      (s, d) => {
+        val cutoff = lit("1997-06-01").cast("date")
+        val daily = Cleaning.cleanOrders(Tables.orders(s, d))
+          .repartition(col("o_custkey"))
+          .groupBy("o_custkey", "order_date")
+          .agg(expr("max_by(amount_tier, o_orderkey)").as("amount_tier"))
+        val existing = operators.Scd.scd2(daily.filter(col("order_date") < cutoff),
+          "o_custkey", "order_date", Seq("amount_tier"))
+        operators.Scd.scd2Apply(existing, daily.filter(col("order_date") >= cutoff),
+            "o_custkey", "order_date", Seq("amount_tier"))
+          .select("o_custkey", "version", "amount_tier", "valid_from",
+            "last_observed", "observation_count", "valid_to", "is_current")
+          .orderBy("o_custkey", "version")
+      },
+      Some(Scd2VersionCtes +
+        """
+        |SELECT o_custkey, version, amount_tier, valid_from, last_observed, observation_count,
+        |  COALESCE(lead(valid_from) OVER wv, DATE '9999-12-31') AS valid_to,
+        |  lead(valid_from) OVER wv IS NULL AS is_current
+        |FROM coll WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin))
   )
 
   // SCD2 tier-version CTE chain (mirrors the q_scd2_tiers Spark side up to

@@ -33,20 +33,35 @@ object Scd {
     * [valid_from, valid_to) bounds on `seqCol`, a 1-based `version`, and
     * `is_current`. `seqCol` must totally order observations within a key. */
   def scd2(observations: DataFrame, key: String, seqCol: String,
-           attrs: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(seqCol)
+           attrs: Seq[String]): DataFrame =
+    collapseRuns(observations.select(
+      Seq(col(key)) ++ attrs.map(col) ++ Seq(
+        col(seqCol).as("valid_from"),
+        col(seqCol).as("last_observed"),
+        lit(1L).as("observation_count")): _*), key, attrs)
+
+  /** Collapse version "runs" — rows carrying (valid_from, last_observed,
+    * observation_count) spans — into SCD2 intervals: adjacent runs with
+    * equal attributes merge (count-summed, span-unioned), versions
+    * renumber from 1, and valid_to/is_current re-derive. `scd2` is the
+    * unit-run special case; `scd2Apply` feeds it stored versions plus new
+    * unit observations, which is what makes incremental maintenance give
+    * bit-identical results to a from-scratch rebuild. */
+  private def collapseRuns(runs: DataFrame, key: String,
+                           attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("valid_from")
     val changed: Column = attrs
       .map(a => !(lag(col(a), 1).over(w) <=> col(a)))
       .reduce(_ || _)
-    val versioned = observations
-      .withColumn("_chg", when(lag(col(seqCol), 1).over(w).isNull || changed, 1L).otherwise(0L))
+    val versioned = runs
+      .withColumn("_chg", when(lag(col("valid_from"), 1).over(w).isNull || changed, 1L).otherwise(0L))
       .withColumn("version",
         sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val collapsed = versioned
       .groupBy(Seq(col(key), col("version")) ++ attrs.map(col): _*)
-      .agg(min(col(seqCol)).as("valid_from"),
-        max(col(seqCol)).as("last_observed"),
-        count(lit(1)).as("observation_count"))
+      .agg(min(col("valid_from")).as("valid_from"),
+        max(col("last_observed")).as("last_observed"),
+        sum(col("observation_count")).as("observation_count"))
     val wv = Window.partitionBy(key).orderBy("version")
     // open intervals close at the conventional SCD2 high-date sentinel
     // rather than NULL: downstream between-predicates need no null branch,
@@ -56,6 +71,36 @@ object Scd {
       .withColumn("is_current", col("_next_from").isNull)
       .withColumn("valid_to", coalesce(col("_next_from"), lit(HighDate).cast("date")))
       .drop("_next_from")
+  }
+
+  /** Incremental SCD2 maintenance: apply a batch of NEW observations to an
+    * already-built `existing` SCD2 table (the `scd2` output schema) without
+    * reprocessing history — the dimension-side analog of the CDC→gold
+    * incremental loop. Only keys present in `newObs` are rebuilt, at the
+    * grain of their STORED VERSION ROWS plus the new unit observations
+    * (≤ versions + new obs rows per key, not the key's full history);
+    * untouched keys pass through byte-identical, so at scale this is a
+    * key-pruned window over a frame proportional to the delta.
+    *
+    * Precondition for exact batch parity (asserted by spec, not here):
+    * append-only observation — each new observation's seq is ≥ its key's
+    * stored last_observed (an earlier out-of-order seq landing INSIDE a
+    * stored version span with different attributes would need that span
+    * split, which run-grain merge cannot do). */
+  def scd2Apply(existing: DataFrame, newObs: DataFrame, key: String,
+                seqCol: String, attrs: Seq[String]): DataFrame = {
+    val touched = newObs.select(col(key)).distinct()
+    val untouched = existing.join(touched, Seq(key), "left_anti")
+    val storedRuns = existing.join(touched, Seq(key), "left_semi")
+      .select(Seq(col(key)) ++ attrs.map(col) ++ Seq(
+        col("valid_from"), col("last_observed"), col("observation_count")): _*)
+    val newRuns = newObs.select(
+      Seq(col(key)) ++ attrs.map(col) ++ Seq(
+        col(seqCol).as("valid_from"),
+        col(seqCol).as("last_observed"),
+        lit(1L).as("observation_count")): _*)
+    val rebuilt = collapseRuns(storedRuns.unionByName(newRuns), key, attrs)
+    untouched.unionByName(rebuilt.select(untouched.columns.map(col): _*))
   }
 
   /** Point-in-time join: attach to each event the state version that was

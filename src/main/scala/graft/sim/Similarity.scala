@@ -59,6 +59,31 @@ object Similarity {
     topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
   }
 
+  /** Hard-negative mining for retrieval/embedding training: per query, the
+    * top-k most-similar corpus vectors AFTER excluding near-duplicates
+    * (cos >= dupThreshold) — the highest-scoring wrong answers, which is
+    * what contrastive training wants as negatives (near-dups would be
+    * false negatives and poison the loss). Same scan shape as knnBrute
+    * (broadcast queries, one corpus pass, two-phase ranked cut); the dup
+    * exclusion is a row-local filter pushed before the cut. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                    dupThreshold: Double = 0.95): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("q_nrm"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
+      .filter(col("cos_sim") < lit(dupThreshold))
+    topK(scored, k)
+      .select(col("query_id"), col("rank").as("neg_rank"), col("vec_id"),
+        col("label"), col("cos_sim"))
+  }
+
   /** Sign-LSH bucket key: one bit per leading dimension. */
   def bucketKey(v: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>

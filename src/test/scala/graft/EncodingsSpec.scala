@@ -98,6 +98,71 @@ class EncodingsSpec extends SparkSpec {
     assert(e1 == (2.0 + 1.0 * p1) / (2.0 + 1.0))
   }
 
+  test("scd2Apply over a split equals the batch build bit for bit") {
+    import spark.implicits._
+    val daily = graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+      .groupBy("o_custkey", "order_date")
+      .agg(expr("max_by(amount_tier, o_orderkey)").as("amount_tier"))
+    val cutoff = lit("1997-06-01").cast("date")
+    val batch = Scd.scd2(daily, "o_custkey", "order_date", Seq("amount_tier"))
+    val incr = Scd.scd2Apply(
+      Scd.scd2(daily.filter(col("order_date") < cutoff),
+        "o_custkey", "order_date", Seq("amount_tier")),
+      daily.filter(col("order_date") >= cutoff),
+      "o_custkey", "order_date", Seq("amount_tier"))
+    val cols = Seq("o_custkey", "version", "amount_tier", "valid_from",
+      "last_observed", "observation_count", "valid_to", "is_current")
+    val b = batch.select(cols.map(col): _*).orderBy("o_custkey", "version").collect()
+    val i = incr.select(cols.map(col): _*).orderBy("o_custkey", "version").collect()
+    assert(b.length == i.length && b.length > 0)
+    b.zip(i).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("scd2Apply extends the current run, opens new versions, admits new keys") {
+    import spark.implicits._
+    def obs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "t", "attr").select(col("k"), col("t").cast("date").as("t"), col("attr"))
+    val existing = Scd.scd2(obs(Seq(
+      (1L, "2024-01-01", "a"), (1L, "2024-01-02", "a"), (1L, "2024-01-05", "b"),
+      (2L, "2024-01-01", "x"))), "k", "t", Seq("attr"))
+    val out = Scd.scd2Apply(existing, obs(Seq(
+        (1L, "2024-01-08", "b"), // same attr -> extends version 2
+        (1L, "2024-01-09", "c"), // change -> version 3
+        (3L, "2024-01-04", "z") // brand-new key
+      )), "k", "t", Seq("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDate(4).toString, r.getLong(5), r.getBoolean(6).asInstanceOf[Any], r.getDate(3).toString)).toMap
+    // (k=1, v2): b extended through 01-08, count 2, no longer needs reopening
+    assert(out((1L, 2L))._1 == "b" && out((1L, 2L))._2 == "2024-01-08"
+      && out((1L, 2L))._3 == 2L)
+    assert(out((1L, 3L))._1 == "c")
+    // untouched key 2 passes through as current
+    assert(out((2L, 1L))._1 == "x")
+    // new key 3 appears with version 1
+    assert(out((3L, 1L))._1 == "z" && out((3L, 1L))._5 == "2024-01-04")
+  }
+
+  test("hard negatives are the brute ranking minus near-duplicates") {
+    val brute = graft.sim.Similarity.knnBrute(Tables.embeddings(spark, TinySf),
+      numQueries = 5, k = 1000)
+    val hard = graft.sim.Similarity.hardNegatives(Tables.embeddings(spark, TinySf),
+      numQueries = 5, k = 10, dupThreshold = 0.95).collect()
+    assert(hard.nonEmpty)
+    // no negative is a near-duplicate, ranks contiguous from 1 per query
+    hard.foreach(r => assert(r.getDouble(4) < 0.95))
+    hard.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // equals filtering the full brute ranking then re-ranking
+    val expected = brute.collect().filter(_.getDouble(4) < 0.95)
+      .groupBy(_.getLong(0)).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r.getDouble(4), r.getLong(2))).take(10).zipWithIndex
+          .map { case (r, i) => (q, i + 1L, r.getLong(2), r.getDouble(4)) }
+      }.toSet
+    val got = hard.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
   test("rrf fusion sums exactly the per-list reciprocal ranks") {
     val out = Queries.all("q_hybrid_rrf")(spark, TinySf).collect()
     assert(out.nonEmpty && out.length <= 20)
