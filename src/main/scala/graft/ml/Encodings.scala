@@ -21,6 +21,22 @@ object Encodings {
   /** Laplace count smoothing for empty cells. */
   val WoeSmoothing = 0.5
 
+  // The grouped count frames feed two (woe) / four (targetEncodeOof)
+  // totals branches — persisted so the corpus-grain input aggregates
+  // exactly once per run instead of once per branch (the Rfm pattern).
+  // The cached frames are category-grain (KBs), never data.
+  @volatile private var lastGrouped: Option[DataFrame] = None
+  private[graft] def releaseCache(): Unit = {
+    lastGrouped.foreach(_.unpersist(blocking = false))
+    lastGrouped = None
+  }
+  private def cacheGrouped(df: DataFrame): DataFrame = {
+    releaseCache()
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastGrouped = Some(p)
+    p
+  }
+
   /** WOE/IV table for the given (featureName -> category column) pairs over
     * a binary `labelCol` (1 = event/bad). One pass: each row is exploded to
     * its (feature, category) memberships, then a single groupBy counts.
@@ -38,9 +54,9 @@ object Encodings {
         col(labelCol).cast("long").as("_label"))
       .select(col("fc.feature").as("feature"), col("fc.category").as("category"),
         col("_label"))
-    val byCat = stacked.groupBy("feature", "category")
+    val byCat = cacheGrouped(stacked.groupBy("feature", "category")
       .agg(count(lit(1)).as("n"), sum(col("_label")).as("n_bad"))
-      .withColumn("n_good", col("n") - col("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad")))
     // per-feature totals reduce the already-grouped frame — no second
     // corpus scan (every feature covers every row, so totals per feature
     // equal the global totals, but computing them here keeps one lineage)
@@ -69,11 +85,11 @@ object Encodings {
     * The output is the lookup table: rows join it on (category, fold). */
   def targetEncodeOof(labeled: DataFrame, categoryCol: Column, labelCol: String,
                       foldCol: Column, m: Double = 10.0): DataFrame = {
-    val g = labeled
+    val g = cacheGrouped(labeled
       .select(categoryCol.cast("string").as("category"), foldCol.cast("long").as("fold"),
         col(labelCol).cast("long").as("_label"))
       .groupBy("category", "fold")
-      .agg(count(lit(1)).as("n_in_fold"), sum(col("_label")).as("sum_in_fold"))
+      .agg(count(lit(1)).as("n_in_fold"), sum(col("_label")).as("sum_in_fold")))
     val catTot = g.groupBy("category")
       .agg(sum(col("n_in_fold")).as("n_cat"), sum(col("sum_in_fold")).as("sum_cat"))
     val foldTot = g.groupBy("fold")
