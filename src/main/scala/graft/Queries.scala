@@ -23,7 +23,7 @@ object Queries {
   // Shared by q_dedup_clusters and q_dedup_clusters_star: both algorithms
   // contract every component to its minimum doc_id, so one recursive-CTE
   // oracle gates both.
-  private val DedupClustersOracle =
+  private val DedupClusterCtes =
     "WITH RECURSIVE " + text.MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
       """
       |, edges AS (
@@ -37,7 +37,10 @@ object Queries {
       |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
       |), sz AS (
       |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
-      |)
+      |)""".stripMargin
+
+  private val DedupClustersOracle = DedupClusterCtes +
+    """
       |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
       |  l.doc_id = l.cluster_id AS is_canonical
       |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin
@@ -3849,6 +3852,25 @@ object Queries {
         |)
         |SELECT query_id, neg_rank, vec_id, label, cos_sim FROM ranked
         |WHERE neg_rank <= 10 ORDER BY query_id, neg_rank""".stripMargin)),
+
+    // Leakage-free train/val/test split: the split key is the document's
+    // DEDUP CLUSTER id, not the document id — every near-duplicate group
+    // lands in one split, so eval can never contain a near-copy of a
+    // training doc (the split-side complement of decontamination).
+    QueryDef("q_split_leakage_free",
+      (s, d) => operators.Sampling.hashSplit(
+          Components.dedupClusters(Tables.documents(s, d))
+            .select(col("doc_id"), col("cluster_id")),
+          col("cluster_id"), trainBp = 8000, valBp = 1000)
+        .orderBy("doc_id"),
+      Some(DedupClusterCtes +
+        """
+        |SELECT doc_id, cluster_id,
+        |  CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS split_bp,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin)),
 
     // Incremental SCD2 maintenance: history built from pre-cutoff days,
     // then the post-cutoff days applied via Scd.scd2Apply at stored-version

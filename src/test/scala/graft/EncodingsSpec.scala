@@ -163,6 +163,21 @@ class EncodingsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("leakage-free split keeps every dedup cluster in one split") {
+    val out = Queries.all("q_split_leakage_free")(spark, TinySf).collect()
+    assert(out.nonEmpty)
+    // one split per cluster — a near-dup can never straddle train/eval
+    out.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(3)).distinct.length == 1)
+    }
+    // and the split assignment is the documented md5-bp rule on cluster_id
+    out.foreach { r =>
+      val bp = r.getLong(2)
+      val expected = if (bp < 8000) "train" else if (bp < 9000) "validation" else "test"
+      assert(r.getString(3) == expected)
+    }
+  }
+
   test("rrf fusion sums exactly the per-list reciprocal ranks") {
     val out = Queries.all("q_hybrid_rrf")(spark, TinySf).collect()
     assert(out.nonEmpty && out.length <= 20)
