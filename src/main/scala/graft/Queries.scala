@@ -3872,6 +3872,57 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Robust-scaler preprocessing statistics: per-feature exact quartiles
+    // (rank-interpolated, non-buffering) + decimal-exact mean/std + IQR —
+    // the broadcast lookup for median/IQR feature scaling.
+    QueryDef("q_robust_scaler",
+      (s, d) => operators.Profiling.robustScaler(
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)),
+          Seq("l_quantity" -> col("l_quantity"),
+            "l_extendedprice" -> col("l_extendedprice"),
+            "l_discount" -> col("l_discount")))
+        .orderBy("feature"),
+      Some(CleanLineitemCte +
+        """
+        |, stacked AS (
+        |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM clean_lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM clean_lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM clean_lineitem
+        |), agg AS (
+        |  SELECT feature, CAST(count(*) AS BIGINT) AS n,
+        |    min(v) AS min_v, max(v) AS max_v,
+        |    CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2,
+        |    quantile_cont(v, 0.25) AS p25,
+        |    quantile_cont(v, 0.5) AS median,
+        |    quantile_cont(v, 0.75) AS p75
+        |  FROM stacked WHERE v IS NOT NULL GROUP BY 1
+        |)
+        |SELECT feature, n, min_v, max_v,
+        |  s / n AS mean,
+        |  sqrt(s2 / n - (s / n) * (s / n)) AS std,
+        |  p25, median, p75, p75 - p25 AS iqr
+        |FROM agg ORDER BY feature""".stripMargin)),
+
+    // Stored mergeable quantile sketches: per-day bottom-k-by-hash samples
+    // of order amounts, merged to month grain WITHOUT re-scanning raw rows
+    // (rows-only: xxhash64 priorities are engine-local; SketchesSpec binds
+    // exact merge associativity and the estimate error vs exact).
+    QueryDef("q_quantile_sketch",
+      (s, d) => {
+        val co = Cleaning.cleanOrders(Tables.orders(s, d))
+          .withColumn("order_month", date_trunc("month", col("order_date")).cast("date"))
+        val daily = gold.QuantileSketch.sketch(co,
+          Seq("order_month", "order_date"), col("o_totalprice"), col("o_orderkey"))
+        val monthly = gold.QuantileSketch.merge(daily, Seq("order_month"))
+        gold.QuantileSketch.estimate(monthly,
+            Seq("est_p50" -> 0.5, "est_p90" -> 0.9, "est_p99" -> 0.99))
+          .select("order_month", "n_rows", "sample_size",
+            "est_p50", "est_p90", "est_p99")
+          .orderBy("order_month")
+      },
+      None),
+
     // Incremental SCD2 maintenance: history built from pre-cutoff days,
     // then the post-cutoff days applied via Scd.scd2Apply at stored-version
     // grain — and the DuckDB oracle is the BATCH scd2 over all days, so the

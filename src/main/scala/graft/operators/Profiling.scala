@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.util.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic column profiling: count / nulls / distinct / min / max /
@@ -93,4 +93,42 @@ object Profiling {
             * sqrt(col("sum_y2") / col("n") - (col("sum_y") / col("n")) * (col("sum_y") / col("n")))))
       .select(lit(x).as("x_column"), lit(y).as("y_column"), col("n"),
         col("covariance"), col("corr"))
+
+  /** Robust-scaler statistics table: per feature the exact
+    * min/max/mean/std and exact interpolated quartiles (p25/median/p75 +
+    * IQR) — the lookup a preprocessing stage broadcast-joins to
+    * median-center and IQR-scale numeric features (scikit-learn's
+    * RobustScaler contract, outlier-insensitive where mean/std scaling is
+    * not).
+    *
+    * One pass: features stack row-wise, ONE exchange on feature
+    * (RankPercentile.ranked — the non-buffering exact-percentile shape),
+    * then a single bounded groupBy computes the decimal moments AND the
+    * rank-interpolated quartiles over the same co-partitioned frame. No
+    * `percentile` aggregate (its buffer grows with group size — a feature
+    * group here spans the corpus). */
+  def robustScaler(df: DataFrame, features: Seq[(String, Column)]): DataFrame = {
+    val stacked = df.select(explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("double").as("v"))
+      }: _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val ranked = RankPercentile.ranked(stacked, Seq("feature"), col("v"))
+    val vc = col(RankPercentile.ValueCol)
+    ranked.groupBy("feature")
+      .agg(
+        count(lit(1)).as("n"),
+        min(vc).as("min_v"), max(vc).as("max_v"),
+        graft.util.Cols.sumMoneyBig(vc).as("_s"),
+        graft.util.Cols.sumMoneySqBig(vc, vc).as("_s2"),
+        RankPercentile.pct(0.25).as("p25"),
+        RankPercentile.pct(0.5).as("median"),
+        RankPercentile.pct(0.75).as("p75"))
+      .withColumn("mean", col("_s") / col("n"))
+      .withColumn("std",
+        sqrt(col("_s2") / col("n") - (col("_s") / col("n")) * (col("_s") / col("n"))))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .select("feature", "n", "min_v", "max_v", "mean", "std",
+        "p25", "median", "p75", "iqr")
+  }
 }

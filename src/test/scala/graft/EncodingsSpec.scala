@@ -163,6 +163,31 @@ class EncodingsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("robust scaler matches a driver-side exact computation") {
+    val out = Queries.all("q_robust_scaler")(spark, TinySf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("l_quantity", "l_extendedprice", "l_discount"))
+    val vals = graft.operators.Cleaning.cleanLineitem(Tables.lineitem(spark, TinySf))
+      .select("l_quantity").collect().map(_.getDouble(0)).sorted
+    def interp(p: Double): Double = {
+      val pos = p * (vals.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) vals(lo)
+      else (hi - pos) * vals(lo) + (pos - lo) * vals(hi)
+    }
+    val r = out("l_quantity")
+    assert(r.getLong(1) == vals.length)
+    assert(r.getDouble(2) == vals.head && r.getDouble(3) == vals.last)
+    assert(math.abs(r.getDouble(4) - vals.sum / vals.length) < 1e-9)
+    assert(r.getDouble(6) == interp(0.25) && r.getDouble(7) == interp(0.5)
+      && r.getDouble(8) == interp(0.75))
+    assert(r.getDouble(9) == r.getDouble(8) - r.getDouble(6))
+    // std positive and consistent with the population formula
+    val mean = vals.sum / vals.length
+    val popStd = math.sqrt(vals.map(v => v * v).sum / vals.length - mean * mean)
+    assert(math.abs(r.getDouble(5) - popStd) < 1e-6)
+  }
+
   test("leakage-free split keeps every dedup cluster in one split") {
     val out = Queries.all("q_split_leakage_free")(spark, TinySf).collect()
     assert(out.nonEmpty)

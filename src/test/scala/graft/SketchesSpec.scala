@@ -274,4 +274,45 @@ class SketchesSpec extends SparkSpec {
     val e2 = intercept[Exception](df.agg(expr("cms_sketch(v, 4)")).collect())
     assert(e2.getMessage.contains("3 arguments"))
   }
+
+  test("quantile sketch merge is exactly associative: merged days == direct month sketch") {
+    val co = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+      .withColumn("order_month", date_trunc("month", col("order_date")).cast("date"))
+    val merged = graft.gold.QuantileSketch.merge(
+      graft.gold.QuantileSketch.sketch(co, Seq("order_month", "order_date"),
+        col("o_totalprice"), col("o_orderkey")),
+      Seq("order_month"))
+    val direct = graft.gold.QuantileSketch.sketch(co, Seq("order_month"),
+      col("o_totalprice"), col("o_orderkey"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Seq[org.apache.spark.sql.Row]]("qsk").toList, r.getAs[Long]("n_rows"))).toMap
+    val m = toMap(merged.select("order_month", "qsk", "n_rows"))
+    val dct = toMap(direct.select("order_month", "qsk", "n_rows"))
+    assert(m.keySet == dct.keySet && m.nonEmpty)
+    m.foreach { case (k, v) => assert(v == dct(k), s"month $k sketch mismatch") }
+  }
+
+  test("quantile sketch estimates: exact for small groups, bounded error overall") {
+    val out = Queries.all("q_quantile_sketch")(spark, TinySf).collect()
+    assert(out.nonEmpty)
+    val co = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+      .withColumn("order_month", date_trunc("month", col("order_date")).cast("date"))
+    val exactVals = co.select("order_month", "o_totalprice").collect()
+      .groupBy(_.getDate(0).toString)
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    def type1(v: Array[Double], q: Double): Double =
+      v(math.max(1, math.ceil(q * v.length).toInt) - 1)
+    out.foreach { r =>
+      val (month, n, m) = (r.getDate(0).toString, r.getLong(1), r.getLong(2))
+      val v = exactVals(month)
+      assert(n == v.length)
+      assert(m == math.min(n, graft.gold.QuantileSketch.DefaultK))
+      val (p50, ex50) = (r.getDouble(3), type1(v, 0.5))
+      if (n <= graft.gold.QuantileSketch.DefaultK)
+        assert(p50 == ex50, s"$month: exact-regime p50 $p50 != $ex50")
+      else
+        assert(math.abs(p50 - ex50) / ex50 < 0.5, s"$month: p50 $p50 vs $ex50")
+    }
+  }
 }
