@@ -3872,6 +3872,32 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Tokenizer-artifact persistence: train BPE merges once, publish
+    // through the versioned registry, reload, and prove the reloaded
+    // table tokenizes every document identically to the live one
+    // (rows-only: the merge table is a learned artifact; CurationSpec
+    // asserts table round-trip equality and all-docs token parity).
+    QueryDef("q_bpe_reload",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = java.nio.file.Files.createTempDirectory("graft-bpe-registry").toString
+        val merges = text.Bpe.trainMerges(docs, numMerges = 64)
+        val version = text.Bpe.saveMerges(s, merges, root)
+        val live = text.Bpe.encode(docs, merges)
+          .select(col("doc_id"), col("tokens").as("tokens_live"))
+        val re = text.Bpe.encode(docs, text.Bpe.loadMerges(s, root))
+          .select(col("doc_id"), col("tokens").as("tokens_reloaded"))
+        live.join(re, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            lit(merges.length.toLong).as("n_merges"),
+            lit(version).as("merges_version"),
+            size(col("tokens_live")).cast("long").as("n_tokens_live"),
+            size(col("tokens_reloaded")).cast("long").as("n_tokens_reloaded"),
+            (col("tokens_live") <=> col("tokens_reloaded")).as("tokens_equal"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Robust-scaler preprocessing statistics: per-feature exact quartiles
     // (rank-interpolated, non-buffering) + decimal-exact mean/std + IQR —
     // the broadcast lookup for median/IQR feature scaling.

@@ -140,6 +140,34 @@ object Bpe {
       .toDF("doc_id", "tokens")
   }
 
+  /** Versioned persistence of the trained merge table through the model
+    * registry (same temp-write → rename → commit protocol as the GBT and
+    * ANN artifacts): a production tokenizer ships as DATA — train once,
+    * publish, apply anywhere — never as a retrain-per-consumer.
+    * The table is numMerges rows (KBs); storing it as ordered parquet
+    * keeps it engine-readable for audits. */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+                 root: String, name: String = "bpe-merges"): Long =
+    graft.ml.ModelRegistry.saveArtifact(spark, root, name) { tmp =>
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.parquet(s"$tmp/merges")
+    }
+
+  /** Reload a published merge table in training order. The collect is the
+    * tokenizer artifact itself (numMerges rows, KBs) — the same
+    * driver-side-artifact exception as AnnIndex.load. */
+  def loadMerges(spark: SparkSession, root: String,
+                 name: String = "bpe-merges",
+                 version: Option[Long] = None): Seq[(String, String)] = {
+    val path = graft.ml.ModelRegistry.versionPath(spark, root, name, version)
+    spark.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Per-document subword accounting under a corpus-trained merge table:
     * whitespace word count, BPE token count, and chars-per-token (the
     * compression the learned vocabulary achieves). One map-only encode

@@ -514,4 +514,25 @@ class CurationSpec extends SparkSpec {
     assert(nTok < noMerges)
     sample.unpersist()
   }
+
+  test("BPE merge table round-trips the registry and tokenizes identically") {
+    val docs = Tables.documents(spark, TinySf)
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-spec").toString
+    val merges = graft.text.Bpe.trainMerges(docs, numMerges = 32)
+    val v1 = graft.text.Bpe.saveMerges(spark, merges, root)
+    // table round-trip is exact and ordered
+    assert(graft.text.Bpe.loadMerges(spark, root) == merges)
+    // a second publish bumps the version; latest wins, old stays loadable
+    val v2 = graft.text.Bpe.saveMerges(spark, merges.take(8), root)
+    assert(v2 == v1 + 1)
+    assert(graft.text.Bpe.loadMerges(spark, root).length == 8)
+    assert(graft.text.Bpe.loadMerges(spark, root, version = Some(v1)) == merges)
+    // the parity query reports zero mismatches
+    val out = Queries.all("q_bpe_reload")(spark, TinySf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(5), s"doc ${r.getLong(0)} tokenized differently")
+      assert(r.getLong(3) == r.getLong(4))
+    }
+  }
 }
