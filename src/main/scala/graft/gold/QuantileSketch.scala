@@ -53,7 +53,12 @@ object QuantileSketch {
             k: Int = DefaultK): DataFrame =
     sketches.groupBy(groups.map(col): _*)
       .agg(
-        slice(array_sort(flatten(collect_list(col("qsk")))), 1, k).as("qsk"),
+        // array_distinct: a (pri, key) entry identifies one source row, so
+        // dropping exact duplicates makes the sample side of merge
+        // idempotent under re-delivered inputs (no-op for disjoint row
+        // sets, which never share a key)
+        slice(array_sort(array_distinct(flatten(collect_list(col("qsk"))))), 1, k)
+          .as("qsk"),
         sum(col("n_rows")).as("n_rows"))
 
   /** Type-1 (inverse-ECDF) quantile estimates from a sketch state: the

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.util.Cols._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -183,6 +183,45 @@ object StreamOps {
           case Some(v) => graft.operators.MergeUpsert.merge(
             s.read.parquet(s"$targetDir/v=$v").drop("_merge_action"), src, keys)
           case None => src.withColumn("_merge_action", lit("inserted"))
+        }
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$targetDir/v=${latest.getOrElse(0L) + 1}")
+        ()
+      }
+      .start()
+
+  /** Streaming maintenance of stored quantile sketches: each micro-batch
+    * builds day-grain bottom-k-by-hash states for ITS rows only, then
+    * merges them onto the latest stored snapshot (QuantileSketch.merge is
+    * exactly associative, so the streamed store is bit-identical to a
+    * batch sketch of everything seen — StreamingSpec proves it). The
+    * sample side is replay-safe (merge dedups on the per-row (pri, key)
+    * identity); n_rows counts assume checkpointed exactly-once delivery,
+    * same as any streaming counter. Versioned snapshots, the mergeSink
+    * scheme. */
+  def sketchSink(stream: DataFrame, dayCol: String, value: Column,
+                 rowKey: Column, targetDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val latest =
+          if (!fs.exists(dir)) None
+          else {
+            val vs = fs.listStatus(dir).map(_.getPath.getName)
+              .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+            if (vs.isEmpty) None else Some(vs.max)
+          }
+        val fresh = graft.gold.QuantileSketch.sketch(
+          batch.toDF(), Seq(dayCol), value, rowKey)
+        val merged = latest match {
+          case Some(v) => graft.gold.QuantileSketch.merge(
+            s.read.parquet(s"$targetDir/v=$v").unionByName(fresh), Seq(dayCol))
+          case None => fresh
         }
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$targetDir/v=${latest.getOrElse(0L) + 1}")

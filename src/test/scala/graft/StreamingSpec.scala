@@ -680,6 +680,54 @@ class StreamingSpec extends SparkSpec {
     assert(m.readSilver("orders_enriched")
       .filter(col("_merge_action") === "updated").count() > 0)
   }
+
+  test("streaming sketch maintenance equals a batch sketch of everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.operators.Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+      .select(col("order_date").cast("timestamp").as("ts"),
+        col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+      .as[(java.sql.Timestamp, Double, Long)].collect().toSeq
+    val (a, rest) = rows.splitAt(rows.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val store = java.nio.file.Files.createTempDirectory("graft-qsk-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qsk-ckpt").toString
+
+    val stream = MemoryStream[(java.sql.Timestamp, Double, Long)]
+    val df = stream.toDF.toDF("ts", "v", "k")
+      .withColumn("day", col("ts").cast("date"))
+    val q = StreamOps.sketchSink(df, "day", col("v"), col("k"), store, ckpt)
+    Seq(a, b, c).foreach { part => stream.addData(part); q.processAllAvailable() }
+    q.stop()
+
+    val latest = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(latest == 3L) // one snapshot per micro-batch
+    val streamed = spark.read.parquet(s"$store/v=$latest")
+    val direct = graft.gold.QuantileSketch.sketch(
+      rows.toDF("ts", "v", "k").withColumn("day", col("ts").cast("date")),
+      Seq("day"), col("v"), col("k"))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("day", "qsk", "n_rows").collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getSeq[org.apache.spark.sql.Row](1).toList.map(_.toSeq.toList),
+            r.getLong(2))).toMap
+    val (sm, dm) = (toMap(streamed), toMap(direct))
+    assert(sm.keySet == dm.keySet && sm.nonEmpty)
+    sm.foreach { case (day, v) =>
+      assert(v == dm(day), s"day $day: streamed sketch diverged from batch")
+    }
+    // re-merging the streamed store with a replay of batch c is a no-op on
+    // the sample side (per-row identity dedup)
+    val replay = graft.gold.QuantileSketch.merge(
+      streamed.unionByName(graft.gold.QuantileSketch.sketch(
+        c.toDF("ts", "v", "k").withColumn("day", col("ts").cast("date")),
+        Seq("day"), col("v"), col("k"))),
+      Seq("day"))
+    val rm = toMap(replay)
+    sm.foreach { case (day, (qsk, _)) =>
+      assert(rm(day)._1 == qsk, s"day $day: replay changed the sample") }
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
