@@ -436,4 +436,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- quantile sketch merge associativity --------------------------------
+
+  test("quantile sketch: any random partition of rows merges to the direct sketch") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(400, for {
+      g <- Gen.choose(1, 3)
+      v <- Gen.choose(0, 10000)
+    } yield (g, v.toDouble)).map(_.zipWithIndex.map {
+      case ((g, v), i) => (i.toLong, s"g$g", v)
+    })
+    for (seed <- 31L to 33L) {
+      val rows = draw(rowsGen, seed)
+      val df = rows.toDF("k", "grp", "v")
+      val direct = graft.gold.QuantileSketch.sketch(df, Seq("grp"), col("v"), col("k"), k = 32)
+      // random 3-way partition, sketch each part, merge
+      val parts = rows.groupBy(r => r._1 % 3).values.toSeq
+      val partSketches = parts.map(p =>
+        graft.gold.QuantileSketch.sketch(p.toDF("k", "grp", "v"), Seq("grp"), col("v"), col("k"), k = 32))
+      val merged = graft.gold.QuantileSketch.merge(
+        partSketches.reduce(_ unionByName _), Seq("grp"), k = 32)
+      def toMap(d: DataFrame) = d.select("grp", "qsk", "n_rows").collect()
+        .map(r => r.getString(0) ->
+          (r.getSeq[org.apache.spark.sql.Row](1).toList.map(_.toSeq.toList), r.getLong(2))).toMap
+      val (dm, mm) = (toMap(direct), toMap(merged))
+      assert(dm.keySet == mm.keySet && dm.nonEmpty, s"seed $seed")
+      dm.foreach { case (g, v) => assert(v == mm(g), s"seed $seed group $g") }
+    }
+  }
+
+  // ---- point-in-time prior-state join vs brute oracle ----------------------
+
+  test("priorStateJoin: random events match the brute strictly-before oracle") {
+    import spark.implicits._
+    val stateGen = Gen.listOfN(20, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 30L)
+    } yield (k, t)).map(_.distinct.zipWithIndex.map {
+      case ((k, t), i) => (k, t, s"s$i", i.toLong)
+    })
+    val eventGen = Gen.listOfN(40, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 30L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    for (seed <- 41L to 43L) {
+      val states = draw(stateGen, seed)
+      val events = draw(eventGen, seed + 100)
+      val out = graft.operators.Scd.priorStateJoin(
+          events.toDF("id", "k", "t"),
+          states.toDF("k", "t", "attr", "ver"),
+          "k", "t", "t", Seq("attr"))
+        .select("id", "prior_attr").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      events.foreach { case (id, k, t) =>
+        val expected = states.filter(s => s._1 == k && s._2 < t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(out(id) == expected, s"seed $seed event $id")
+      }
+    }
+  }
 }
