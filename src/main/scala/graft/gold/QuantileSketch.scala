@@ -26,14 +26,21 @@ object QuantileSketch {
   val DefaultK = 256
 
   /** Per-group sketch state: `qsk` = priority-sorted array of
-    * struct(pri, key, v) (ties broken by the unique row key, which is what
-    * makes merge exactly associative under hash collisions), plus the
-    * observed row count. */
+    * struct(pri, key, v); `_key` is a SECOND independent hash of the row
+    * key (Murmur3 vs the priority's xxhash64 — works for any key type,
+    * unlike a numeric cast), so ties on priority still break
+    * deterministically and the (pri, key) pair identifies the source row
+    * for merge's replay dedup (a double collision is ~2^-96). Null values
+    * are excluded up front (a null can neither rank nor estimate; counting
+    * it would skew n_rows against the sample), the Profiling.robustScaler
+    * convention. Rows are counted AFTER the filter so n_rows and the
+    * sample describe the same population. */
   def sketch(df: DataFrame, groups: Seq[String], value: Column,
              rowKey: Column, k: Int = DefaultK): DataFrame = {
     val prioritized = df.select(groups.map(col) ++ Seq(
-      xxhash64(rowKey).as("_pri"), rowKey.cast("long").as("_key"),
-      value.cast("double").as("_v")): _*)
+        xxhash64(rowKey).as("_pri"), hash(rowKey).cast("long").as("_key"),
+        value.cast("double").as("_v")): _*)
+      .filter(col("_v").isNotNull)
     val kept = ScalableRank.topKPerGroup(prioritized, groups.map(col),
       Seq(col("_pri").asc, col("_key").asc), k, "_qsr")
     // counts come from the pre-cut frame: one extra partial agg sharing the

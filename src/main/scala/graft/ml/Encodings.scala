@@ -24,14 +24,18 @@ object Encodings {
   // The grouped count frames feed two (woe) / four (targetEncodeOof)
   // totals branches — persisted so the corpus-grain input aggregates
   // exactly once per run instead of once per branch (the Rfm pattern).
-  // The cached frames are category-grain (KBs), never data.
-  @volatile private var lastGrouped: Option[DataFrame] = None
-  private[graft] def releaseCache(): Unit = {
+  // The cached frames are category-grain (KBs), never data. ONE live
+  // frame: building a second encoder releases the first's cache, so
+  // execute an encoder's result before building the next (Rfm semantics);
+  // release/replace is synchronized so concurrent builds cannot leak a
+  // persisted frame.
+  private var lastGrouped: Option[DataFrame] = None
+  private[graft] def releaseCache(): Unit = synchronized {
     lastGrouped.foreach(_.unpersist(blocking = false))
     lastGrouped = None
   }
-  private def cacheGrouped(df: DataFrame): DataFrame = {
-    releaseCache()
+  private def cacheGrouped(df: DataFrame): DataFrame = synchronized {
+    lastGrouped.foreach(_.unpersist(blocking = false))
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastGrouped = Some(p)
     p

@@ -83,10 +83,14 @@ object Scd {
     * key-pruned window over a frame proportional to the delta.
     *
     * Precondition for exact batch parity (asserted by spec, not here):
-    * append-only observation — each new observation's seq is ≥ its key's
-    * stored last_observed (an earlier out-of-order seq landing INSIDE a
-    * stored version span with different attributes would need that span
-    * split, which run-grain merge cannot do). */
+    * append-only observation — each new observation's seq is STRICTLY
+    * GREATER than its key's stored last_observed. An earlier out-of-order
+    * seq landing inside a stored version span would need that span split
+    * (run-grain merge cannot do it), and an EQUAL seq would tie the new
+    * run with the stored one on valid_from, making the collapse's window
+    * order — and thus version numbering — partition-dependent. (Equality
+    * also violates scd2's own "seqCol totally orders observations within
+    * a key" contract.) */
   def scd2Apply(existing: DataFrame, newObs: DataFrame, key: String,
                 seqCol: String, attrs: Seq[String]): DataFrame = {
     val touched = newObs.select(col(key)).distinct()

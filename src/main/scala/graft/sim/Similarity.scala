@@ -45,19 +45,9 @@ object Similarity {
     * Norms are projected once per vector BEFORE the pair join — at n
     * queries × m corpus pairs that saves (n·m − n − m) norm computations
     * (the dominant cost of naive cosine at scale). */
-  def knnBrute(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val corpus = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("nrm", sqrt(fastDot("embedding", "embedding")))
-    val queries = corpus.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("q_nrm"))
-    val scored = corpus
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
-    topK(scored, k).select("query_id", "rank", "vec_id", "label", "cos_sim")
-  }
+  def knnBrute(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame =
+    topK(bruteScoredPairs(embeddings, numQueries), k)
+      .select("query_id", "rank", "vec_id", "label", "cos_sim")
 
   /** Hard-negative mining for retrieval/embedding training: per query, the
     * top-k most-similar corpus vectors AFTER excluding near-duplicates
@@ -67,7 +57,18 @@ object Similarity {
     * (broadcast queries, one corpus pass, two-phase ranked cut); the dup
     * exclusion is a row-local filter pushed before the cut. */
   def hardNegatives(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-                    dupThreshold: Double = 0.95): DataFrame = {
+                    dupThreshold: Double = 0.95): DataFrame =
+    topK(bruteScoredPairs(embeddings, numQueries)
+        .filter(col("cos_sim") < lit(dupThreshold)), k)
+      .select(col("query_id"), col("rank").as("neg_rank"), col("vec_id"),
+        col("label"), col("cos_sim"))
+
+  /** Shared exact-cosine scoring pass: norms projected once per vector
+    * BEFORE the broadcast non-equi pair join (at n queries × m corpus
+    * pairs that saves (n·m − n − m) norm computations — the dominant cost
+    * of naive cosine at scale). One corpus scan; the query side is a
+    * broadcast. */
+  private def bruteScoredPairs(embeddings: DataFrame, numQueries: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val corpus = embeddings
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -75,13 +76,9 @@ object Similarity {
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("q_nrm"))
-    val scored = corpus
+    corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
-      .filter(col("cos_sim") < lit(dupThreshold))
-    topK(scored, k)
-      .select(col("query_id"), col("rank").as("neg_rank"), col("vec_id"),
-        col("label"), col("cos_sim"))
   }
 
   /** Sign-LSH bucket key: one bit per leading dimension. */

@@ -164,6 +164,24 @@ object StreamOps {
   def mergeSink(stream: DataFrame, keys: Seq[String], tiebreak: Seq[String],
                 targetDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedSnapshotSink(stream, targetDir, checkpointDir) { (latest, batch) =>
+      val src = graft.operators.Cleaning.deterministicDedup(batch, keys, tiebreak)
+      latest match {
+        case Some(prev) => graft.operators.MergeUpsert.merge(
+          prev.drop("_merge_action"), src, keys)
+        case None => src.withColumn("_merge_action", lit("inserted"))
+      }
+    }
+
+  /** Shared snapshot-versioning scaffold for foreachBatch sinks: each
+    * micro-batch folds onto the latest COMMITTED snapshot and publishes
+    * v=N+1 via temp-write → atomic rename (the ModelRegistry protocol), so
+    * a crash mid-write leaves only an invisible `.tmp-*` directory — a
+    * partial snapshot can never be adopted as the next batch's base. */
+  private def versionedSnapshotSink(stream: DataFrame, targetDir: String,
+                                    checkpointDir: String)
+      (fold: (Option[DataFrame], DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -171,21 +189,22 @@ object StreamOps {
         val s = batch.sparkSession
         val dir = new org.apache.hadoop.fs.Path(targetDir)
         val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val latest =
-          if (!fs.exists(dir)) None
-          else {
-            val vs = fs.listStatus(dir).map(_.getPath.getName)
-              .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-            if (vs.isEmpty) None else Some(vs.max)
-          }
-        val src = graft.operators.Cleaning.deterministicDedup(batch.toDF(), keys, tiebreak)
-        val merged = latest match {
-          case Some(v) => graft.operators.MergeUpsert.merge(
-            s.read.parquet(s"$targetDir/v=$v").drop("_merge_action"), src, keys)
-          case None => src.withColumn("_merge_action", lit("inserted"))
+        fs.mkdirs(dir)
+        val latest = {
+          val vs = fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          if (vs.isEmpty) None else Some(vs.max)
         }
+        val merged = fold(
+          latest.map(v => s.read.parquet(s"$targetDir/v=$v")), batch.toDF())
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".tmp-${java.util.UUID.randomUUID()}")
         merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$targetDir/v=${latest.getOrElse(0L) + 1}")
+          .parquet(tmp.toString)
+        val dest = new org.apache.hadoop.fs.Path(dir,
+          s"v=${latest.getOrElse(0L) + 1}")
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"snapshot commit failed: $dest")
         ()
       }
       .start()
@@ -202,32 +221,15 @@ object StreamOps {
   def sketchSink(stream: DataFrame, dayCol: String, value: Column,
                  rowKey: Column, targetDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val latest =
-          if (!fs.exists(dir)) None
-          else {
-            val vs = fs.listStatus(dir).map(_.getPath.getName)
-              .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-            if (vs.isEmpty) None else Some(vs.max)
-          }
-        val fresh = graft.gold.QuantileSketch.sketch(
-          batch.toDF(), Seq(dayCol), value, rowKey)
-        val merged = latest match {
-          case Some(v) => graft.gold.QuantileSketch.merge(
-            s.read.parquet(s"$targetDir/v=$v").unionByName(fresh), Seq(dayCol))
-          case None => fresh
-        }
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$targetDir/v=${latest.getOrElse(0L) + 1}")
-        ()
+    versionedSnapshotSink(stream, targetDir, checkpointDir) { (latest, batch) =>
+      val fresh = graft.gold.QuantileSketch.sketch(
+        batch, Seq(dayCol), value, rowKey)
+      latest match {
+        case Some(prev) => graft.gold.QuantileSketch.merge(
+          prev.unionByName(fresh), Seq(dayCol))
+        case None => fresh
       }
-      .start()
+    }
 
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
