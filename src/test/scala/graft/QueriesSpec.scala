@@ -26,6 +26,20 @@ class QueriesSpec extends SparkSpec {
       s"queries registered but absent from SURVEY.md: ${missing.toSeq.sorted}")
   }
 
+  test("SURVEY.md §4 documents every rows-only query (no silent oracle gaps)") {
+    // a query shipped without an oracle weakens the correctness gate; §4
+    // is where each one must carry its reason and its binding spec, so an
+    // undocumented no-oracle query is drift, not a choice
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val s4 = survey.substring(survey.indexOf("### Rows-only queries"),
+      survey.indexOf("## §5"))
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = rowsOnly.filterNot(q => s4.contains(s"`$q`"))
+    assert(undocumented.isEmpty,
+      s"no-oracle queries missing from SURVEY §4: ${undocumented.toSeq.sorted}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 and returns rows") {
       val n = fn(spark, TinySf).count()
