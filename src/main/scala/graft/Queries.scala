@@ -3872,6 +3872,34 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget sampling: per-language corpus cut denominated in TOKENS
+    // ("20k tokens of en"), walked in deterministic hash order via the
+    // distributed grouped prefix sum (no per-language single-partition
+    // window).
+    QueryDef("q_sample_token_budget",
+      (s, d) => operators.Sampling.sampleTokenBudget(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          col("lang"), col("doc_id"), col("n_tokens"),
+          Map("en" -> 6000L, "zh" -> 2000L), defaultBudget = 1500L)
+        .select("doc_id", "lang", "n_tokens", "tokens_before")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS hbp
+        |  FROM documents
+        |), ps AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hbp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tokens, tokens_before FROM ps
+        |WHERE tokens_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000 ELSE 1500 END
+        |ORDER BY doc_id""".stripMargin)),
+
     // Tokenizer-artifact persistence: train BPE merges once, publish
     // through the versioned registry, reload, and prove the reloaded
     // table tokenizes every document identically to the live one

@@ -48,6 +48,33 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** Token-BUDGET sampling: per stratum, walk documents in deterministic
+    * hash order and keep them while the EXCLUSIVE running token total
+    * stays under the stratum's budget — how an LLM data mix is actually
+    * specified ("20B tokens of English"), vs. the count/rate-based cuts
+    * (`sampleStratified`, `mixtureSample`). Greedy floor-crossing rule:
+    * the first document whose preceding total is still under budget is
+    * kept, so the kept total is ≤ budget + one document.
+    *
+    * The running total is ScalableRank.withGroupedPrefixSum — the
+    * distributed prefix-sum primitive — so a stratum spanning most of a
+    * 100 TB corpus never funnels into one partition. Deterministic and
+    * append-stable in the same sense as hashSplit: a document's hash
+    * position never changes, so re-running over a grown corpus keeps a
+    * superset-stable prefix order. */
+  def sampleTokenBudget(df: DataFrame, stratum: Column, key: Column,
+                        tokens: Column, budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(stratum === s, lit(b)).otherwise(acc)
+    }
+    ScalableRank.withGroupedPrefixSum(
+        df.withColumn("_hbp", hashBp(key)),
+        stratum, Seq(col("_hbp"), key), tokens, "tokens_before")
+      .filter(col("tokens_before") < budget)
+      .drop("_hbp")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank rows within each
     * stratum by (hash, key) — a uniform but reproducible order — and keep
     * the first k. The deterministic replacement for reservoir sampling,

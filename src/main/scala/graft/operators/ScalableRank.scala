@@ -73,6 +73,46 @@ object ScalableRank {
       .drop("_mid", "_pid", "_lrn", "_opid", "_poff")
   }
 
+  /** Exact per-group EXCLUSIVE prefix sum of `value` (long) under `order`,
+    * without funneling a group into one partition — the distributed
+    * prefix-sum primitive (running totals over a group that spans the
+    * corpus, e.g. cumulative token counts per language).
+    *
+    * Same offset decomposition as withGlobalRowNumber: range-partition on
+    * (group, order) so a group's rows are contiguous in partition-id
+    * order; a local exclusive prefix within each (partition, group) slice
+    * (every window frame bounded by one partition's slice of one group);
+    * per-(partition, group) totals — ≤ P rows per group, config-bounded —
+    * prefix-summed per group and broadcast back as offsets.
+    * `order` must totally order rows within a group. */
+  def withGroupedPrefixSum(df: DataFrame, group: Column, order: Seq[Column],
+                           value: Column, out: String): DataFrame = {
+    val keys = group +: order
+    val ranged = persisted(df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_v", value.cast("long")))
+    val wLocal = Window.partitionBy(col("_pid"), group).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged
+      .withColumn("_lps", coalesce(sum(col("_v")).over(wLocal), lit(0L)))
+    val totals = ranged.groupBy(col("_pid"), group.as("_g"))
+      .agg(sum(col("_v")).as("_ptot"))
+    // one row per (shuffle partition × group) slice: the per-group window
+    // below is over ≤ P rows per group — bounded by config, not data
+    val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_goff", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
+      .select(col("_pid").as("_opid"), col("_g"), col("_goff"))
+    local.join(broadcast(offsets),
+        col("_pid") === col("_opid") && group <=> col("_g"))
+      .withColumn(out, col("_lps") + col("_goff"))
+      .drop("_mid", "_pid", "_v", "_lps", "_opid", "_g", "_goff")
+  }
+
   /** Exact per-group top-k without concentrating each group into one
     * partition. `Window.partitionBy(group)` funnels a group's entire row
     * set into a single task — unbounded when a group spans the corpus

@@ -466,6 +466,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- distributed grouped prefix sum vs brute oracle ----------------------
+
+  test("withGroupedPrefixSum matches a brute per-group running total on random rows") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(300, for {
+      g <- Gen.choose(1, 4); v <- Gen.choose(0L, 50L)
+    } yield (g, v)).map(_.zipWithIndex.map {
+      case ((g, v), i) => (i.toLong, s"g$g", v)
+    })
+    for (seed <- 51L to 53L) {
+      val rows = draw(rowsGen, seed)
+      // deliberately poor partitioning: many small partitions so groups
+      // straddle partition boundaries and the offset path is exercised
+      val df = rows.toDF("k", "grp", "v").repartition(7)
+      val got = graft.operators.ScalableRank.withGroupedPrefixSum(
+          df, col("grp"), Seq(col("k")), col("v"), "ps")
+        .select("k", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = rows.groupBy(_._2).values.flatMap { grp =>
+        val sorted = grp.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+      }.toMap
+      rows.foreach { case (k, _, _) =>
+        assert(got(k) == brute(k), s"seed $seed key $k") }
+    }
+  }
+
   // ---- point-in-time prior-state join vs brute oracle ----------------------
 
   test("priorStateJoin: random events match the brute strictly-before oracle") {
