@@ -1882,34 +1882,13 @@ object Queries {
 
     QueryDef("q_text_quality",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
-      Some {
-        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH t AS (
-           |  SELECT doc_id, lang,
-           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
-           |  FROM documents
-           |), t2 AS (
-           |  SELECT *,
-           |    CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
-           |    CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
-           |    CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
-           |         WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
-           |         ELSE CAST(200.0 AS DOUBLE) / n_tokens END AS len_score
-           |  FROM t
-           |), t3 AS (
-           |  SELECT *,
-           |    len_score * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - dup_ratio) * CAST(0.4 AS DOUBLE)
-           |      + stopword_ratio * CAST(0.2 AS DOUBLE) AS quality_score
-           |  FROM t2
-           |)
-           |SELECT doc_id, lang, n_tokens, n_distinct, dup_ratio, stopword_hits, stopword_ratio,
-           |  len_score, quality_score,
-           |  CASE WHEN quality_score >= 0.7 THEN 'high'
-           |       WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
-           |FROM t3 ORDER BY doc_id""".stripMargin
-      }),
+      Some(QualityCtes +
+        """
+        |SELECT doc_id, lang, n_tokens, n_distinct, dup_ratio, stopword_hits, stopword_ratio,
+        |  len_score, quality_score,
+        |  CASE WHEN quality_score >= 0.7 THEN 'high'
+        |       WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+        |FROM t3 ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q_lang_id",
       (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
@@ -3872,6 +3851,59 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Corpus accounting: the data-governance table per (lang, source) —
+    // docs/tokens/chars, corpus-wide exact-dup share (hash-grain join,
+    // never a text broadcast), and quality-bucket counts. All exact-int
+    // aggregates; shares are int/int ratios formed once.
+    QueryDef("q_corpus_accounting",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val quality = TextAnalysis.qualityScore(docs)
+          .select("doc_id", "n_tokens", "quality_bucket")
+        val hashed = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("h"))
+        val dupCounts = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+        hashed.join(dupCounts, "h")
+          .withColumn("is_dup", col("c") > 1)
+          .join(quality, "doc_id")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("is_dup").cast("long")).as("dup_docs"),
+            sum((col("quality_bucket") === "high").cast("long")).as("high_q_docs"),
+            sum((col("quality_bucket") === "medium").cast("long")).as("med_q_docs"),
+            sum((col("quality_bucket") === "low").cast("long")).as("low_q_docs"))
+          .withColumn("dup_share", col("dup_docs").cast("double") / col("n_docs"))
+          .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
+          .orderBy("lang", "source")
+      },
+      Some(QualityCtes +
+        """
+        |, d AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS h FROM documents
+        |), hc AS (
+        |  SELECT h, count(*) AS c FROM d GROUP BY 1
+        |), f AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars, hc.c > 1 AS is_dup
+        |  FROM d JOIN hc USING (h)
+        |), j AS (
+        |  SELECT f.lang, f.source, f.n_chars, f.is_dup, t3.n_tokens,
+        |    CASE WHEN t3.quality_score >= 0.7 THEN 'high'
+        |         WHEN t3.quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS qb
+        |  FROM f JOIN t3 ON f.doc_id = t3.doc_id
+        |)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN qb = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS high_q_docs,
+        |  CAST(sum(CASE WHEN qb = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS med_q_docs,
+        |  CAST(sum(CASE WHEN qb = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS low_q_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_share,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Token-budget sampling: per-language corpus cut denominated in TOKENS
     // ("20k tokens of en"), walked in deterministic hash order via the
     // distributed grouped prefix sum (no per-language single-partition
@@ -4004,6 +4036,33 @@ object Queries {
         |FROM coll WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
         |ORDER BY o_custkey, version""".stripMargin))
   )
+
+  // Quality-score CTE chain ending in `t3` (per-doc tokens/ratios/score),
+  // shared by q_text_quality and the corpus-accounting oracle.
+  // (lazy: declared after the registry that references it)
+  private lazy val QualityCtes: String = {
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+       |  FROM documents
+       |), t2 AS (
+       |  SELECT *,
+       |    CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+       |    CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       |    CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+       |         WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+       |         ELSE CAST(200.0 AS DOUBLE) / n_tokens END AS len_score
+       |  FROM t
+       |), t3 AS (
+       |  SELECT *,
+       |    len_score * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - dup_ratio) * CAST(0.4 AS DOUBLE)
+       |      + stopword_ratio * CAST(0.2 AS DOUBLE) AS quality_score
+       |  FROM t2
+       |)""".stripMargin
+  }
 
   // SCD2 tier-version CTE chain (mirrors the q_scd2_tiers Spark side up to
   // the collapsed `coll` version rows), shared by q_scd2_tiers and the
