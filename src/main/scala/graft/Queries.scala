@@ -3851,6 +3851,26 @@ object Queries {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic per-epoch corpus shuffle: reproducible independent
+    // permutations per training epoch, global position via the grouped
+    // prefix-sum primitive.
+    QueryDef("q_epoch_shuffle",
+      (s, d) => operators.Sampling.epochShuffle(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"), epochs = 2)
+        .select("epoch", "position", "doc_id")
+        .orderBy("epoch", "position"),
+      Some("""WITH e AS (
+        |  SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+        |), k AS (
+        |  SELECT doc_id, epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS sk
+        |  FROM e
+        |)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS BIGINT) AS position,
+        |  doc_id
+        |FROM k ORDER BY epoch, position""".stripMargin)),
+
     // Corpus accounting: the data-governance table per (lang, source) —
     // docs/tokens/chars, corpus-wide exact-dup share (hash-grain join,
     // never a text broadcast), and quality-bucket counts. All exact-int

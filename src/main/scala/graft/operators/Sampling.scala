@@ -75,6 +75,27 @@ object Sampling {
       .drop("_hbp")
   }
 
+  /** Deterministic per-epoch corpus shuffle: every training epoch gets its
+    * own uniform-random but REPRODUCIBLE permutation — position = rank of
+    * md5(key ":" epoch), so reruns, resumed jobs, and other engines agree
+    * on the exact order (the data-loader contract for reproducible
+    * training), and each epoch is an independent permutation. The global
+    * per-epoch position comes from ScalableRank.withGroupedPrefixSum over
+    * unit weights (an epoch's permutation spans the whole corpus — never
+    * a single-partition rank). */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int): DataFrame = {
+    require(epochs > 0, "epochs must be positive")
+    val expanded = df
+      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e)): _*)))
+      .withColumn("_sk",
+        md5(concat(key.cast("string"), lit(":"), col("epoch").cast("string"))))
+    ScalableRank.withGroupedPrefixSum(expanded, col("epoch"),
+        Seq(col("_sk"), key), lit(1L), "_pos0")
+      .withColumn("position", col("_pos0") + lit(1L))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("_sk", "_pos0")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank rows within each
     * stratum by (hash, key) — a uniform but reproducible order — and keep
     * the first k. The deterministic replacement for reservoir sampling,

@@ -188,6 +188,24 @@ class EncodingsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - popStd) < 1e-6)
   }
 
+  test("epoch shuffle: exact permutations per epoch, independent across epochs") {
+    val out = Queries.all("q_epoch_shuffle")(spark, TinySf).collect()
+    val byEpoch = out.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    // each epoch is a complete 1..n permutation of the corpus
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+    }
+    // the two epochs order the corpus differently (independent permutations)
+    def order(e: Long) = byEpoch(e).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(order(0L) != order(1L))
+    // and the shuffle is reproducible: a recompute yields the same order
+    val again = Queries.all("q_epoch_shuffle")(spark, TinySf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("leakage-free split keeps every dedup cluster in one split") {
     val out = Queries.all("q_split_leakage_free")(spark, TinySf).collect()
     assert(out.nonEmpty)
