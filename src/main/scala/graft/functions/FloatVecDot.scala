@@ -150,11 +150,20 @@ object GraftFunctions {
     BandedLevenshtein(exprs(0), exprs(1), exprs(2))
   }
 
+  val jaroWinklerBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"jaro_winkler expects 2 arguments (a, b), got ${exprs.length}")
+    JaroWinkler(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "levenshtein_leq", bandedLevBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", intersectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -197,6 +206,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("levenshtein_leq"),
       new ExpressionInfo(classOf[BandedLevenshtein].getName, "levenshtein_leq"),
       GraftFunctions.bandedLevBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      GraftFunctions.jaroWinklerBuilder))
     ext.injectFunction((
       FunctionIdentifier("morton2"),
       new ExpressionInfo(classOf[Morton2].getName, "morton2"),
