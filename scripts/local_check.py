@@ -59,6 +59,19 @@ def main():
             n_fail += 1
             continue
 
+        # array-column gate (the r8 q_embed_pca class): the DRIVER sorts raw
+        # values and crashes on unhashable numpy arrays; local str-casting
+        # would mask it. Any array/list-valued cell in the Spark output is
+        # a FAIL — serialize it (concat_ws / md5) in the query surface.
+        arr_cols = [c for c in spark_df.columns
+                    if spark_df[c].dtype == object and len(spark_df) > 0
+                    and isinstance(spark_df[c].iloc[0], (np.ndarray, list))]
+        if arr_cols:
+            print(f"FAIL {name}: unserialized array column(s) "
+                  f"{arr_cols} (driver sort WILL crash)")
+            n_fail += 1
+            continue
+
         s, d = norm(spark_df), norm(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
@@ -66,6 +79,27 @@ def main():
             continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        # dtype-FAMILY gate (the r8 HUGEINT class): the driver hashes value
+        # representations, so DuckDB HUGEINT -> pandas float64 `0.0` vs
+        # Spark BIGINT `0` hash-mismatches even though the cells compare
+        # equal. Mirror that strictness here: an int-vs-float family split
+        # between the two sides is a FAIL (fix the oracle with CAST(... AS
+        # BIGINT) around sum(CASE...)/sum(int) columns).
+        fam_bad = []
+        for c in s.columns:
+            sf_ = ("int" if np.issubdtype(s[c].dtype, np.integer)
+                   else "float" if np.issubdtype(s[c].dtype, np.floating)
+                   else "other")
+            df_ = ("int" if np.issubdtype(d[c].dtype, np.integer)
+                   else "float" if np.issubdtype(d[c].dtype, np.floating)
+                   else "other")
+            if {sf_, df_} == {"int", "float"}:
+                fam_bad.append(f"{c}: spark={s[c].dtype} duck={d[c].dtype}")
+        if fam_bad:
+            print(f"FAIL {name}: dtype family mismatch (HUGEINT class — "
+                  f"driver hash WILL fail): " + "; ".join(fam_bad))
             n_fail += 1
             continue
         bad = []

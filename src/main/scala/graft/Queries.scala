@@ -2047,6 +2047,13 @@ object Queries {
     QueryDef("q_embed_pca",
       (s, d) => sim.Pca.embedPca(Tables.embeddings(s, d), k = 8,
           cacheKey = Some(s"$d#pca"))
+        // Harness surface: the raw array<float> projection crashes the
+        // driver's pandas sort (unhashable ndarray) — emit a deterministic
+        // string digest of pv instead; FunctionsSpec binds the raw arrays.
+        .withColumn("pv_sig",
+          md5(concat_ws(",",
+            transform(col("pv"), x => round(x.cast("double"), 5).cast("string")))))
+        .drop("pv")
         .orderBy("vec_id"),
       None),
 

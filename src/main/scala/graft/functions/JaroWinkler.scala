@@ -52,9 +52,10 @@ case class JaroWinkler(left: Expression, right: Expression)
 object JaroWinkler {
 
   /** Static (Java-visible) so generated code calls it directly.
-    * O(n·m) worst case but O(n + m + window·matches) typical; the 64-bit
-    * match bitmaps avoid any allocation for strings ≤ 64 code units
-    * (every name in the corpus), falling back to boolean arrays above. */
+    * O(n·m) worst case but O(n + m + window·matches) typical; two 64-bit
+    * match bitmaps replace the boolean-array allocations for strings
+    * ≤ 64 code units (every name in the corpus; the two String copies
+    * for code-unit access remain), falling back to boolean arrays above. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
     val a = ua.toString
     val b = ub.toString
@@ -63,7 +64,9 @@ object JaroWinkler {
     // DuckDB scores the empty-vs-empty pair 0.0 (probed), not the
     // textbook 1.0 — matched deliberately so the oracle gates hash-exact.
     if (n == 0 || m == 0) return 0.0
-    val jaro = jaroSim(a, b, n, m)
+    val jaro =
+      if (n <= 64 && m <= 64) jaroSimBits(a, b, n, m)
+      else jaroSim(a, b, n, m)
     if (jaro <= 0.7) return jaro
     // common prefix, capped at 4
     var l = 0
@@ -72,7 +75,45 @@ object JaroWinkler {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 
-  private def jaroSim(a: String, b: String, n: Int, m: Int): Double = {
+  /** Allocation-free match bookkeeping via two Long bitmaps; requires
+    * n, m ≤ 64. Bit-identical scoring to [[jaroSim]] (PrivacyErSpec
+    * cross-checks the two paths on strings straddling the cutover). */
+  private[graft] def jaroSimBits(a: String, b: String, n: Int, m: Int): Double = {
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    var aM = 0L
+    var bM = 0L
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if ((bM & (1L << j)) == 0L && a.charAt(i) == b.charAt(j)) {
+          aM |= 1L << i; bM |= 1L << j; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < n) {
+      if ((aM & (1L << i)) != 0L) {
+        while ((bM & (1L << j)) == 0L) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    (mm / n + mm / m + (mm - t / 2) / mm) / 3.0
+  }
+
+  private[graft] def jaroSim(a: String, b: String, n: Int, m: Int): Double = {
     val window = math.max(0, math.max(n, m) / 2 - 1)
     val aMatch = new Array[Boolean](n)
     val bMatch = new Array[Boolean](m)

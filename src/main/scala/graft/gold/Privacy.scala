@@ -144,11 +144,18 @@ object Privacy {
     s"""(-($scaleB)) * sign((CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '|$ReleaseTag')), 1, 8)) AS BIGINT) * 2.0 + 1.0) / 4294967296.0 - 1.0)
        |  * CAST(CAST(ln(1.0 - abs((CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '|$ReleaseTag')), 1, 8)) AS BIGINT) * 2.0 + 1.0) / 4294967296.0 - 1.0)) AS FLOAT) AS DOUBLE)""".stripMargin
 
-  /** ε-DP per-nation revenue release: exact decimal revenue sum and
-    * count, plus Laplace(sensitivity/ε) noise per statistic. The noisy
-    * columns are what a DP deployment would publish; the true columns
-    * are retained here because the release is an auditable artifact
-    * (and the oracle checks both). */
+  /** ε-DP *plan-shape demo* — NOT a differentially-private release.
+    * Computes the exact decimal revenue sum and count per nation plus
+    * Laplace(sensitivity/ε)-shaped noise per statistic. Two deliberate
+    * departures from a real DP deployment, made so the output is
+    * deterministic and oracle-checkable: (1) the true columns are
+    * retained in the output (a real release would drop them — publishing
+    * them voids any privacy guarantee); (2) the noise is derived
+    * deterministically from the data-dependent group key rather than a
+    * CSPRNG, so it carries no DP guarantee either. What this query
+    * demonstrates is the *plan*: one broadcast-dim aggregate plus a
+    * per-row noise expression, exactly the shape a real ε-DP release
+    * would run with the two substitutions above. */
   def dpRevenueByNation(orders: DataFrame, customer: DataFrame,
                         nation: DataFrame,
                         epsilon: Double = 1.0,

@@ -78,7 +78,10 @@ object SourceReputation {
       |    sum(CASE WHEN len < $minChars THEN 1 ELSE 0 END) AS short_docs
       |  FROM hashed JOIN copies c USING (h) GROUP BY source
       |)
-      |SELECT source, n_docs, dup_docs, total_chars, short_docs,
+      |SELECT source, n_docs,
+      |  CAST(dup_docs AS BIGINT) AS dup_docs,
+      |  CAST(total_chars AS BIGINT) AS total_chars,
+      |  CAST(short_docs AS BIGINT) AS short_docs,
       |  CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share,
       |  CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
       |  CAST(short_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_share,

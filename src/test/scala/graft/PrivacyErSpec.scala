@@ -37,6 +37,28 @@ class PrivacyErSpec extends SparkSpec {
     }
   }
 
+  test("jaro bitmap fast path is bit-identical to the boolean-array path") {
+    val rnd = new scala.util.Random(7)
+    // lengths straddle the 64-code-unit cutover (the fast path requires
+    // n,m ≤ 64; similarity() itself only takes the bitmap branch below it)
+    for (_ <- 1 to 2000) {
+      val n = 1 + rnd.nextInt(64)
+      val m = 1 + rnd.nextInt(64)
+      // alphabet of 4 so matches/transpositions are dense
+      val a = Seq.fill(n)("abcd" (rnd.nextInt(4))).mkString
+      val b = Seq.fill(m)("abcd" (rnd.nextInt(4))).mkString
+      val bits = functions.JaroWinkler.jaroSimBits(a, b, n, m)
+      val arr = functions.JaroWinkler.jaroSim(a, b, n, m)
+      assert(bits == arr, s"paths diverge on ($a, $b): $bits vs $arr")
+    }
+    // boundary: exactly 64 and 65 code units through the public surface
+    val s64 = "ab" * 32
+    val s65 = s64 + "c"
+    assert(jw(s64, s64) == 1.0)
+    assert(jw(s65, s65) == 1.0)
+    assert(jw(s64, s65) == jw(s65, s64))
+  }
+
   test("jaro_winkler SQL function runs inside codegen and agrees with the static impl") {
     // parquet-backed input so the optimizer cannot constant-fold the
     // expression into a LocalTableScan
