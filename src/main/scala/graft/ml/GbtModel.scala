@@ -73,6 +73,19 @@ object GbtModel {
     * path call this between generations). */
   private[graft] def clearSharedFits(): Unit = sharedFit.clear()
 
+  /** Fit one production CANDIDATE on the 80% split — the train stage of
+    * the retrain DAG (ref airflow/dags/ml_training_dag.py train_model).
+    * Deliberately NOT memoized: a retrain run must see today's data.
+    * Returns the model plus the assembled split frame so evaluation
+    * reuses the same materialization. */
+  def trainCandidate(fullFeatures: DataFrame,
+                     maxIter: Int = 5): (GBTClassificationModel, DataFrame) = {
+    val assembled = TrainedModel.assembleSplit(fullFeatures)
+    val model = baseEstimator(maxIter)
+      .fit(withClassWeight(assembled.filter(!col("is_test"))))
+    (model, assembled)
+  }
+
   private def baseEstimator(maxIter: Int): GBTClassifier =
     new GBTClassifier()
       .setFeaturesCol("fv").setLabelCol("label").setWeightCol("w")

@@ -92,6 +92,19 @@ object Observability {
       while (opBuf.size() > maxRows) opBuf.pollFirst()
     }
 
+    /** Driver-side snapshot of captured batches (the scrape surface —
+      * the exposition formatter reads this, no Spark job). */
+    def snapshot: Seq[BatchMetric] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq
+    }
+
+    /** Driver-side snapshot of per-operator rows. */
+    def operatorSnapshot: Seq[OperatorMetric] = {
+      import scala.jdk.CollectionConverters._
+      opBuf.iterator().asScala.toSeq
+    }
+
     /** Snapshot of captured batches as a queryable frame. */
     def metrics(spark: SparkSession): DataFrame = {
       import spark.implicits._

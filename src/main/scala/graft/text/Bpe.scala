@@ -33,10 +33,29 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** Vocabularies at or under this row count train driver-side (see
+    * [[trainMerges]]); larger ones use the distributed merge loop. The
+    * local table at the budget is ≲100 MB of short strings — trivially
+    * driver-resident — while the distributed loop's per-round cost is
+    * ~2 Spark jobs, so the crossover is scheduling overhead, not memory. */
+  val DriverVocabRowBudget: Long = 2000000L
+
   /** Ordered merge table learned from the corpus: (rank, left, right).
-    * Deterministic: ties broken by (left, right) lexicographic; training
-    * stops early when no pair occurs twice. */
-  def trainMerges(documents: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    * Deterministic: ties broken by (left, right) UTF-8-byte lexicographic;
+    * training stops early when no pair occurs twice.
+    *
+    * Hybrid execution: the corpus ALWAYS collapses distributed into the
+    * zipf-bounded (word, freq) vocabulary; then, when the vocabulary fits
+    * [[DriverVocabRowBudget]] (it does until roughly web scale — ~10⁶–10⁷
+    * distinct words at 100 TB), the merge loop runs driver-side in
+    * milliseconds — the standard tokenizer-trainer shape (HuggingFace,
+    * SentencePiece train single-node over the word table) — instead of
+    * paying ~2 Spark jobs per merge round. Vocabularies over the budget
+    * fall back to the distributed loop. Both paths share [[mergePair]] and
+    * the identical argmax order, so the merge table is bit-for-bit equal
+    * (CurationSpec asserts the cross-path parity). */
+  def trainMerges(documents: DataFrame, numMerges: Int,
+                  driverRowBudget: Long = DriverVocabRowBudget): Seq[(String, String)] = {
     val spark = documents.sparkSession
     import spark.implicits._
 
@@ -48,6 +67,12 @@ object Bpe {
         .as[(String, Long)]
         .map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }
         .localCheckpoint()
+
+    if (words.count() <= driverRowBudget) {
+      val local = words.collect()
+      words.unpersist(blocking = false)
+      return trainMergesLocal(local, numMerges)
+    }
 
     val merges = ArrayBuffer.empty[(String, String)]
     var done = false
@@ -79,6 +104,65 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** Driver-side merge loop over a collected (symbols, freq) vocabulary —
+    * the under-budget path of [[trainMerges]]. Same argmax contract as the
+    * distributed loop: count desc, then (left, right) ascending in UTF-8
+    * BYTE order (Spark's UTF8String comparison), so both paths produce the
+    * identical merge table. */
+  private[text] def trainMergesLocal(vocab: Array[(Array[String], Long)],
+                                     numMerges: Int): Seq[(String, String)] = {
+    var words = vocab
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i + 1 < sym.length) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      var bestPair: (String, String) = null
+      var bestCnt = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bestCnt || (c == bestCnt && pairUtf8Compare(p, bestPair) < 0)) {
+          bestPair = p; bestCnt = c
+        }
+      }
+      if (bestPair == null || bestCnt < 2) done = true
+      else {
+        merges += bestPair
+        val (a, b) = bestPair
+        words = words.map { case (sym, f) => (mergePair(sym, a, b), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** (left, right) comparison in UTF-8 byte order — exactly Spark's
+    * UTF8String binary ordering, which the distributed argmax's
+    * `orderBy(left, right)` uses. Java String.compareTo is UTF-16-unit
+    * order and diverges above the BMP, so byte comparison it is. */
+  private def pairUtf8Compare(x: (String, String), y: (String, String)): Int = {
+    val c = utf8Compare(x._1, y._1)
+    if (c != 0) c else utf8Compare(x._2, y._2)
+  }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** One merge applied everywhere it occurs in a symbol sequence

@@ -488,6 +488,18 @@ class CurationSpec extends SparkSpec {
     assert(graft.text.Bpe.trainMerges(corpus, 3) === merges)
   }
 
+  test("BPE driver-side and distributed merge loops are bit-for-bit equal") {
+    import spark.implicits._
+    val sample = docs.limit(60).cache()
+    // driverRowBudget=0 forces the distributed loop; the default takes the
+    // driver-side path. Same corpus, same merge count — identical table,
+    // including tie-break order deep into the schedule.
+    val local = graft.text.Bpe.trainMerges(sample, 48)
+    val dist = graft.text.Bpe.trainMerges(sample, 48, driverRowBudget = 0L)
+    assert(local === dist)
+    sample.unpersist()
+  }
+
   test("BPE encode round-trips exactly and compresses under more merges") {
     import spark.implicits._
     val sample = docs.limit(40).cache()

@@ -163,4 +163,54 @@ class OrchestratorSpec extends SparkSpec {
     assert(rep.columns.toSet ==
       Set("stage", "status", "attempts", "duration_ms", "sla_breached", "error"))
   }
+
+  test("ML retrain DAG: passing gates publish + hot-reload; failing gates keep the previous model") {
+    import graft.pipeline.MlTrainingDag
+    import graft.pipeline.MlTrainingDag.QualityGates
+    import graft.ml.ModelRegistry
+    import graft.operators.Cleaning
+    import graft.streaming.StreamScoring
+
+    val clean = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+    val feats = graft.ml.FraudScore.fullFeatureVector(
+        graft.operators.Enrichment.enrichOrders(clean,
+          Tables.customer(spark, TinySf), Tables.nation(spark, TinySf),
+          Tables.region(spark, TinySf)),
+        clean, Cleaning.cleanLineitem(Tables.lineitem(spark, TinySf)))
+      .persist()
+    val root = java.nio.file.Files.createTempDirectory("graft_retrain_dag").toString
+    val scorer = new StreamScoring.HotModelScorer(root, "fraud_gbt")
+
+    // run 1: gates wide open → train, promote v1, serving picks it up
+    val r1 = MlTrainingDag.run(feats, root, scorer,
+      gates = QualityGates(0.0, 0.0, 0.0), maxIter = 2)
+    val st1 = statusOf(r1.report)
+    assert(st1("validate_features") == "success" && st1("train_model") == "success")
+    assert(st1("evaluate_model") == "success" && st1("quality_gate") == "success")
+    assert(st1("promote_model") == "success", r1.report.mkString("\n"))
+    assert(st1("notify_rejection") == "skipped_done") // the un-taken branch
+    assert(st1("reload_serving") == "success")
+    assert(r1.promoted && r1.publishedVersion.contains(1L))
+    assert(r1.servingVersion.contains(1L) && scorer.loadedVersion.contains(1L))
+    assert(Set("roc_auc", "precision", "recall").subsetOf(r1.metrics.keySet))
+    assert(r1.metrics("roc_auc") >= 0.0 && r1.metrics("roc_auc") <= 1.0)
+
+    // run 2: impossible gates → candidate REJECTED, v1 keeps serving —
+    // rejection is an outcome, not a failure (ref notify_rejection)
+    val r2 = MlTrainingDag.run(feats, root, scorer,
+      gates = QualityGates(1.01, 1.01, 1.01), maxIter = 2)
+    val st2 = statusOf(r2.report)
+    assert(st2("promote_model") == "skipped_done" && st2("reload_serving") == "skipped_done")
+    assert(st2("notify_rejection") == "success")
+    assert(!r2.promoted && r2.publishedVersion.isEmpty)
+    assert(ModelRegistry.latestVersion(spark, root, "fraud_gbt").contains(1L))
+    assert(r2.servingVersion.contains(1L) && scorer.loadedVersion.contains(1L))
+
+    // run 3: gates open again → v2 published and served
+    val r3 = MlTrainingDag.run(feats, root, scorer,
+      gates = QualityGates(0.0, 0.0, 0.0), maxIter = 2)
+    assert(r3.promoted && r3.publishedVersion.contains(2L))
+    assert(r3.servingVersion.contains(2L) && scorer.loadedVersion.contains(2L))
+    feats.unpersist()
+  }
 }
