@@ -251,16 +251,22 @@ object AnnIndex {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("live_vec"), col("cos_sim").as("live_sim"))
     val relRes = search(embeddings, reloaded)
-    // FULL OUTER on the (query_id, rank) slot grain: a neighbor present on
-    // only one side is a mismatch too — an inner join would let a reloaded
-    // index that silently returns fewer rows still report 0 mismatches
-    val mismatches = relRes
+    val mismatches = slotMismatches(liveRes, relRes)
+    relRes.withColumn("index_version", lit(version))
+      .withColumn("reload_mismatches", lit(mismatches))
+  }
+
+  /** Slot-grain parity count between a live search (columns query_id,
+    * rank, live_vec, live_sim) and a reloaded search (query_id, rank,
+    * vec_id, cos_sim). FULL OUTER on the (query_id, rank) slot grain: a
+    * neighbor present on only one side is a mismatch too — an inner join
+    * would let a reloaded index that silently returns FEWER rows still
+    * report 0 mismatches (AnnIndexSpec pins the truncated case). */
+  private[graft] def slotMismatches(liveRes: DataFrame, relRes: DataFrame): Long =
+    relRes
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
       .join(liveRes, Seq("query_id", "rank"), "full_outer")
       .filter(col("vec_id").isNull || col("live_vec").isNull ||
         col("vec_id") =!= col("live_vec") ||
         col("cos_sim") =!= col("live_sim")).count()
-    relRes.withColumn("index_version", lit(version))
-      .withColumn("reload_mismatches", lit(mismatches))
-  }
 }

@@ -39,6 +39,24 @@ class AnnIndexSpec extends SparkSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("slot parity counts a TRUNCATED reload as mismatches (full-outer, not inner)") {
+    import spark.implicits._
+    val live = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8), (1L, 3, 12L, 0.7))
+      .toDF("query_id", "rank", "live_vec", "live_sim")
+    val full = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8), (1L, 3, 12L, 0.7))
+      .toDF("query_id", "rank", "vec_id", "cos_sim")
+    assert(AnnIndex.slotMismatches(live, full) == 0L)
+    // a reload that silently drops the tail slot: 1 mismatch, not 0
+    assert(AnnIndex.slotMismatches(live, full.filter(col("rank") < 3)) == 1L)
+    // and a reload that returns EXTRA slots the live search lacks
+    val extra = full.union(Seq((1L, 4, 13L, 0.6)).toDF("query_id", "rank", "vec_id", "cos_sim"))
+    assert(AnnIndex.slotMismatches(live, extra) == 1L)
+    // a same-shape wrong neighbor still counts
+    val wrong = full.withColumn("vec_id",
+      when(col("rank") === 2, lit(99L)).otherwise(col("vec_id")))
+    assert(AnnIndex.slotMismatches(live, wrong) == 1L)
+  }
+
   test("quantizer fits are shared per (dataset, params): one coarse + one codebook fit serve every keyed ANN query") {
     import graft.sim.Similarity
     val key = Some(s"ann-shared-test:$TinySf")
