@@ -75,25 +75,36 @@ object DeletionVectors {
   /** Merge-on-read scan: the table minus its tombstones. The anti join
     * keys on (file, row_index); the vector side is delete-sized, so AQE
     * picks a broadcast build in the common case. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val data = spark.read.parquet(dir)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    applyVectors(spark, dir, spark.read.parquet(dir))
+
+  /** Apply `dir`'s vectors to a frame scanned from its files — including
+    * a SUBSET of them (manifest-planned range reads): positions key on
+    * the scanned file's path, so partial scans subtract exactly their own
+    * tombstones. No-op (and no plan change) when the table has no
+    * vectors. */
+  def applyVectors(spark: SparkSession, dir: String, data: DataFrame): DataFrame =
     if (!hasVectors(spark, dir)) data
     else data
       .withColumn("dv_file", col("_metadata.file_path"))
       .withColumn("dv_row_index", col("_metadata.row_index"))
       .join(vectors(spark, dir), Seq("dv_file", "dv_row_index"), "left_anti")
       .drop("dv_file", "dv_row_index")
-  }
 
   /** Compaction of the merge-on-read debt: rewrite survivors, clear the
     * vectors. After this the table is vector-free and reads cost a plain
     * scan again — run when vectors grow past a few % of the table (the
     * trigger Delta documents for PURGE). Staged write + swap, same as
-    * Compaction. Returns the surviving row count. */
-  def materialize(spark: SparkSession, dir: String): Long = {
+    * Compaction. Pass the table's partition columns so the rewrite
+    * preserves its directory layout (and its pruning axis). Returns the
+    * surviving row count. */
+  def materialize(spark: SparkSession, dir: String,
+                  partitionCols: Seq[String] = Nil): Long = {
     val p = new Path(dir)
     val tmp = new Path(p.getParent, p.getName + "__dv_rewrite")
-    read(spark, dir).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = read(spark, dir).write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     fs.rename(tmp, p)

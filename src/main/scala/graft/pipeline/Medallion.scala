@@ -48,7 +48,9 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * wins on o_orderkey) — running this any number of times yields the
     * same table. */
   def runSilver(): Unit = {
-    val bronzeOrders = spark.read.parquet(path("bronze", "orders"))
+    // merge-on-read: rows tombstoned in bronze (GDPR erasure) must not
+    // resurrect into a rebuilt silver
+    val bronzeOrders = DeletionVectors.read(spark, path("bronze", "orders"))
       .drop("order_date") // re-derived by cleaning
     val enriched = Enrichment.enrichOrders(
       Cleaning.cleanOrders(bronzeOrders),
@@ -142,22 +144,26 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * crashed half-written v=N must never be readable as latest (the
     * poor-man's transaction-log visibility rule; Delta gets the same
     * from its log). */
-  def latestVersion(table: String): Option[Long] = {
+  def latestVersion(table: String): Option[Long] =
+    committedVersions(table).lastOption
+
+  /** Every COMMITTED silver version of `table` (carrying the _SUCCESS
+    * visibility marker), ascending. */
+  def committedVersions(table: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(path("silver", table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else {
-      val vs = fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith("v="))
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(_.getName.stripPrefix("v=").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
   }
 
-  /** Point-in-time read of a specific silver snapshot. */
+  /** Point-in-time read of a specific silver snapshot — merge-on-read:
+    * deletion vectors (row-level deletes, GDPR erasure) are subtracted.
+    * Vector-free snapshots cost one fs.exists beyond a plain scan. */
   def readSilverVersion(table: String, version: Long): DataFrame =
-    spark.read.parquet(path("silver", table) + s"/v=$version")
+    DeletionVectors.read(spark, path("silver", table) + s"/v=$version")
 
   /** Change-data-feed between two silver snapshots (Delta
     * `table_changes` equivalent): inserts/updates/deletes of `attrs` at
@@ -198,9 +204,12 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   }
 
   /** Manifest-planned range read of a gold table (see FileStats): only
-    * files whose [min,max] on `column` intersects [lo,hi] reach the scan. */
+    * files whose [min,max] on `column` intersects [lo,hi] reach the scan.
+    * Merge-on-read like every other reader — a partial scan subtracts
+    * exactly its own files' tombstones. */
   def readGoldRange(table: String, column: String, lo: Any, hi: Any): DataFrame =
-    FileStats.readRange(spark, path("gold", table), column, lo, hi)._1
+    DeletionVectors.applyVectors(spark, path("gold", table),
+      FileStats.readRange(spark, path("gold", table), column, lo, hi)._1)
 
   /** Incremental gold maintenance: recompute date-partitioned gold tables
     * ONLY for the given dates and overwrite just those partitions (dynamic
@@ -363,7 +372,83 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   def runAllOrchestrated(parallelism: Int = 4): Seq[Orchestrator.StageResult] =
     Orchestrator.run(stages(), parallelism)
 
-  def readGold(table: String): DataFrame = spark.read.parquet(path("gold", table))
+  /** Gold read — merge-on-read like silver: deletion vectors subtracted. */
+  def readGold(table: String): DataFrame =
+    DeletionVectors.read(spark, path("gold", table))
+
+  // ---- GDPR right-to-be-forgotten (Art. 17) -------------------------------
+
+  /** Erase data subject `key` across the lakehouse: tombstone every row
+    * keyed to the subject in every layer — bronze orders (o_custkey) and
+    * events (user_id), EVERY retained silver snapshot (time travel must
+    * not resurrect an erased subject), and the subject-grain gold tables
+    * (fraud_scores, user_risk_scores) — via deletion vectors, so all
+    * readers exclude the rows immediately while the data files stay
+    * immutable. Returns the audit receipt: one row per table scope with
+    * the rows erased (GDPR's demonstrability requirement); a second call
+    * for the same subject erases 0 everywhere (idempotent).
+    *
+    * Out of scope by the anonymous-aggregate carve-out: aggregate-grain
+    * gold (revenue_daily, fraud_summary) and trained model artifacts —
+    * both re-derive from the erased silver on their next rebuild.
+    * Physical removal completes via [[completeErasure]] (and vacuum of
+    * expired versions) inside the compliance window — the
+    * Delta-documented operating pattern: DELETE now, VACUUM/PURGE before
+    * the deadline.
+    *
+    * Scale shape: each erase is ONE distributed scan column-pruned to
+    * the key column, writing positions sized by the subject's rows; no
+    * table rewrite, nothing row-shaped at the driver. */
+  def forgetCustomer(key: Long): DataFrame = {
+    import spark.implicits._
+    def erase(layer: String, table: String, scope: String, keyCol: String) = {
+      val dir = path(layer, table) + scope
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some((layer, table, scope, keyCol,
+        DeletionVectors.delete(spark, dir, col(keyCol) === lit(key))))
+    }
+    val rows =
+      erase("bronze", "orders", "", "o_custkey").toSeq ++
+        erase("bronze", "events", "", "user_id") ++
+        committedVersions("orders_enriched").flatMap(v =>
+          erase("silver", "orders_enriched", s"/v=$v", "o_custkey")) ++
+        erase("gold", "fraud_scores", "", "o_custkey") ++
+        erase("gold", "user_risk_scores", "", "user_id")
+    rows.toDF("layer", "table", "scope", "key_column", "rows_erased")
+  }
+
+  /** Physical completion of logical erasures: every table directory
+    * holding deletion vectors is rewritten without its tombstones
+    * (partition layout preserved) and its vectors cleared; the
+    * fraud_scores data-skipping manifest is re-collected over the
+    * rewritten files. Returns (layer, table, scope, surviving_rows) for
+    * each rewritten directory — vector-free directories are untouched,
+    * so the rewrite cost is proportional to the tables that actually
+    * carry erasures, run once per compliance window, not per request. */
+  def completeErasure(): DataFrame = {
+    import spark.implicits._
+    def purge(layer: String, table: String, scope: String,
+              parts: Seq[String]) = {
+      val dir = path(layer, table) + scope
+      if (!DeletionVectors.hasVectors(spark, dir)) None
+      else Some((layer, table, scope,
+        DeletionVectors.materialize(spark, dir, parts)))
+    }
+    val rows =
+      purge("bronze", "orders", "", Seq("order_date")).toSeq ++
+        purge("bronze", "events", "", Seq("event_date")) ++
+        committedVersions("orders_enriched").flatMap(v =>
+          purge("silver", "orders_enriched", s"/v=$v", Seq("order_date"))) ++
+        purge("gold", "fraud_scores", "", Nil).map { r =>
+          FileStats.collect(spark, path("gold", "fraud_scores"),
+            Seq("risk_label", "fraud_score"))
+          r
+        } ++
+        purge("gold", "user_risk_scores", "", Nil)
+    rows.toDF("layer", "table", "scope", "surviving_rows")
+  }
 
   /** Latest silver snapshot. */
   def readSilver(table: String): DataFrame =

@@ -34,11 +34,13 @@ object Bpe {
   val EndOfWord = "</w>"
 
   /** Vocabularies at or under this row count train driver-side (see
-    * [[trainMerges]]); larger ones use the distributed merge loop. The
-    * local table at the budget is ≲100 MB of short strings — trivially
-    * driver-resident — while the distributed loop's per-round cost is
-    * ~2 Spark jobs, so the crossover is scheduling overhead, not memory. */
-  val DriverVocabRowBudget: Long = 2000000L
+    * [[trainMerges]]); larger ones use the distributed merge loop. At the
+    * budget the local table is ~1M words × ~8 symbol Strings ≈ a few
+    * hundred MB of JVM objects — comfortably driver-resident on any
+    * production driver — while the distributed loop costs ~2 Spark jobs
+    * per merge round, so the crossover is scheduling overhead, not
+    * memory. */
+  val DriverVocabRowBudget: Long = 1000000L
 
   /** Ordered merge table learned from the corpus: (rank, left, right).
     * Deterministic: ties broken by (left, right) UTF-8-byte lexicographic;
@@ -46,8 +48,8 @@ object Bpe {
     *
     * Hybrid execution: the corpus ALWAYS collapses distributed into the
     * zipf-bounded (word, freq) vocabulary; then, when the vocabulary fits
-    * [[DriverVocabRowBudget]] (it does until roughly web scale — ~10⁶–10⁷
-    * distinct words at 100 TB), the merge loop runs driver-side in
+    * [[DriverVocabRowBudget]] (it does until roughly web scale — ~10⁶–10⁷ distinct-word
+    * vocabularies at 100 TB straddle the budget), the merge loop runs driver-side in
     * milliseconds — the standard tokenizer-trainer shape (HuggingFace,
     * SentencePiece train single-node over the word table) — instead of
     * paying ~2 Spark jobs per merge round. Vocabularies over the budget

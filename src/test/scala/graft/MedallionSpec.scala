@@ -504,6 +504,71 @@ class MedallionSpec extends SparkSpec {
       == wantSum)
   }
 
+  test("GDPR erasure: forgetCustomer tombstones every layer, completeErasure makes it physical") {
+    import graft.pipeline.DeletionVectors
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_gdpr").toString
+    val m = new Medallion(spark, TinySf, wh)
+    m.runAll()
+    m.runSilver() // a second committed version: erasure must cover time travel
+    assert(m.committedVersions("orders_enriched") == Seq(1L, 2L))
+
+    // a subject present in BOTH id spaces: has orders and events
+    val key = m.readSilver("orders_enriched")
+      .filter(col("o_custkey") < 15).select("o_custkey").first().getLong(0)
+    def silverRows(v: Long) = m.readSilverVersion("orders_enriched", v)
+      .filter(col("o_custkey") === key).count()
+    val preS1 = silverRows(1L)
+    val preRisk = m.readGold("user_risk_scores")
+      .filter(col("user_id") === key).count()
+    assert(preS1 > 0 && preRisk == 1L)
+
+    val receipt = m.forgetCustomer(key).cache()
+    // audit rows for both bronze tables, both silver versions, both
+    // subject-grain gold tables — with real counts
+    assert(receipt.count() == 6)
+    val byScope = receipt.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
+    assert(byScope(("silver", "orders_enriched", "/v=1")) == preS1)
+    assert(byScope(("gold", "user_risk_scores", "")) == 1L)
+    assert(byScope(("bronze", "events", "")) > 0)
+    receipt.unpersist(blocking = false)
+
+    // every reader excludes the subject immediately (merge-on-read)
+    assert(silverRows(1L) == 0 && silverRows(2L) == 0)
+    assert(m.readSilver("orders_enriched").filter(col("o_custkey") === key).count() == 0)
+    assert(m.readGold("fraud_scores").filter(col("o_custkey") === key).count() == 0)
+    assert(m.readGold("user_risk_scores").filter(col("user_id") === key).count() == 0)
+    assert(m.readGoldRange("fraud_scores", "fraud_score", 0.0, 1.0)
+      .filter(col("o_custkey") === key).count() == 0, "manifest-planned reads too")
+    // other subjects untouched
+    assert(m.readSilver("orders_enriched").count() ==
+      Tables.orders(spark, TinySf).filter(col("o_custkey") =!= key).count())
+
+    // idempotent: a second request erases nothing new
+    assert(m.forgetCustomer(key).agg(sum("rows_erased")).collect()(0).getLong(0) == 0L)
+
+    // a silver REBUILD from erased bronze does not resurrect the subject
+    m.runSilver()
+    assert(m.readSilver("orders_enriched").filter(col("o_custkey") === key).count() == 0)
+
+    // physical completion: vectors cleared, raw scans agree, layout kept
+    val purged = m.completeErasure().collect()
+    assert(purged.nonEmpty)
+    assert(!DeletionVectors.hasVectors(spark, s"$wh/bronze/orders"))
+    assert(spark.read.parquet(s"$wh/bronze/orders")
+      .filter(col("o_custkey") === key).count() == 0)
+    assert(spark.read.parquet(s"$wh/silver/orders_enriched/v=1")
+      .filter(col("o_custkey") === key).count() == 0)
+    // partition layout survived the rewrite (pruning axis intact)
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/bronze/orders")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/bronze/orders"))
+      .exists(_.getPath.getName.startsWith("order_date=")))
+    // the re-collected manifest still plans correct range reads
+    assert(m.readGoldRange("fraud_scores", "fraud_score", 0.0, 1.0).count() ==
+      m.readGold("fraud_scores").count())
+  }
+
   test("CHECK constraints fail a violating silver write without committing a version") {
     import spark.implicits._
     import graft.operators.Constraints
