@@ -63,9 +63,13 @@ def main():
         # values and crashes on unhashable numpy arrays; local str-casting
         # would mask it. Any array/list-valued cell in the Spark output is
         # a FAIL — serialize it (concat_ws / md5) in the query surface.
+        # scan the WHOLE column, not iloc[0]: a nullable array column whose
+        # first row is None would slip past a head-only probe and still
+        # crash the driver's sort on its non-null rows
         arr_cols = [c for c in spark_df.columns
                     if spark_df[c].dtype == object and len(spark_df) > 0
-                    and isinstance(spark_df[c].iloc[0], (np.ndarray, list))]
+                    and any(isinstance(v, (np.ndarray, list))
+                            for v in spark_df[c])]
         if arr_cols:
             print(f"FAIL {name}: unserialized array column(s) "
                   f"{arr_cols} (driver sort WILL crash)")

@@ -101,7 +101,11 @@ object DeletionVectors {
   def materialize(spark: SparkSession, dir: String,
                   partitionCols: Seq[String] = Nil): Long = {
     val p = new Path(dir)
-    val tmp = new Path(p.getParent, p.getName + "__dv_rewrite")
+    // dot-prefixed staging dir: invisible to Spark readers AND to any
+    // sibling-name convention (a silver snapshot's staging dir must never
+    // match the `v=`-prefix version listing — "v=1__dv_rewrite" would
+    // crash latestVersion/vacuum, permanently if a crash strands it)
+    val tmp = new Path(p.getParent, "." + p.getName + "__dv_rewrite")
     val writer = read(spark, dir).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)

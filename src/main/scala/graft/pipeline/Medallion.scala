@@ -178,6 +178,17 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
 
   // ---- gold: aggregates, sorted-within-partition on the filter axis ----
 
+  /** Gold's view of events: the BRONZE layer read through its deletion
+    * vectors — NOT the raw source. The layering rule that makes erasure
+    * stick: a gold rebuild that read the un-erased source would resurrect
+    * a forgotten subject into subject-grain gold (and its Overwrite wipes
+    * the tombstones that were hiding it). `ts` is restored from the
+    * bronze partition date for the date-grain consumers (bit-identical:
+    * they only cast it straight back to a date). */
+  private def eventsForGold: DataFrame =
+    DeletionVectors.read(spark, path("bronze", "events"))
+      .withColumn("ts", col("event_date").cast("timestamp"))
+
   def runGold(): Unit = {
     val silver = readSilver("orders_enriched")
     Revenue.revenueDaily(silver)
@@ -189,10 +200,10 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
       .sortWithinPartitions("risk_label")
       .write.mode(SaveMode.Overwrite).parquet(path("gold", "fraud_scores"))
 
-    FraudSummary.userRiskScores(graft.Tables.events(spark, sfDir))
+    FraudSummary.userRiskScores(eventsForGold)
       .write.mode(SaveMode.Overwrite).parquet(path("gold", "user_risk_scores"))
 
-    FraudSummary.fraudSummaryDaily(graft.Tables.events(spark, sfDir))
+    FraudSummary.fraudSummaryDaily(eventsForGold)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(path("gold", "fraud_summary"))
@@ -226,8 +237,8 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("order_date")
         .parquet(path("gold", "revenue_daily"))
-      val eventsSlice = graft.Tables.events(spark, sfDir)
-        .filter(col("ts").cast("date").isin(dates: _*))
+      val eventsSlice = eventsForGold
+        .filter(col("event_date").isin(dates: _*)) // partition-pruned
       FraudSummary.fraudSummaryDaily(eventsSlice)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("event_date")
@@ -341,10 +352,10 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
           ()
         }),
       Stage("gold_user_risk_scores", Seq("bronze_events"),
-        () => FraudSummary.userRiskScores(graft.Tables.events(spark, sfDir))
+        () => FraudSummary.userRiskScores(eventsForGold)
           .write.mode(SaveMode.Overwrite).parquet(path("gold", "user_risk_scores"))),
       Stage("gold_fraud_summary", Seq("bronze_events"),
-        () => FraudSummary.fraudSummaryDaily(graft.Tables.events(spark, sfDir))
+        () => FraudSummary.fraudSummaryDaily(eventsForGold)
           .write.mode(SaveMode.Overwrite).partitionBy("event_date")
           .parquet(path("gold", "fraud_summary"))),
       // the DAG-terminal quality gate (the reference's dbt-test / DQ
@@ -399,23 +410,38 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * Scale shape: each erase is ONE distributed scan column-pruned to
     * the key column, writing positions sized by the subject's rows; no
     * table rewrite, nothing row-shaped at the driver. */
+  /** One row of the erasure topology: a subject-keyed table scope with
+    * its key column and partition layout. */
+  private case class SubjectScope(layer: String, table: String,
+                                  scope: String, keyCol: String,
+                                  partitionCols: Seq[String])
+
+  /** The erasure topology — ONE list drives both [[forgetCustomer]] and
+    * [[completeErasure]], so the GDPR coverage surface (which tables hold
+    * the subject, under which key, in which layout) cannot drift between
+    * the logical erase and the physical purge. Extend HERE when a new
+    * subject-grain table joins a layer. */
+  private def subjectScopes(): Seq[SubjectScope] =
+    Seq(
+      SubjectScope("bronze", "orders", "", "o_custkey", Seq("order_date")),
+      SubjectScope("bronze", "events", "", "user_id", Seq("event_date"))) ++
+      committedVersions("orders_enriched").map(v =>
+        SubjectScope("silver", "orders_enriched", s"/v=$v", "o_custkey",
+          Seq("order_date"))) ++
+      Seq(
+        SubjectScope("gold", "fraud_scores", "", "o_custkey", Nil),
+        SubjectScope("gold", "user_risk_scores", "", "user_id", Nil))
+
   def forgetCustomer(key: Long): DataFrame = {
     import spark.implicits._
-    def erase(layer: String, table: String, scope: String, keyCol: String) = {
-      val dir = path(layer, table) + scope
+    val rows = subjectScopes().flatMap { s =>
+      val dir = path(s.layer, s.table) + s.scope
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
-      else Some((layer, table, scope, keyCol,
-        DeletionVectors.delete(spark, dir, col(keyCol) === lit(key))))
+      else Some((s.layer, s.table, s.scope, s.keyCol,
+        DeletionVectors.delete(spark, dir, col(s.keyCol) === lit(key))))
     }
-    val rows =
-      erase("bronze", "orders", "", "o_custkey").toSeq ++
-        erase("bronze", "events", "", "user_id") ++
-        committedVersions("orders_enriched").flatMap(v =>
-          erase("silver", "orders_enriched", s"/v=$v", "o_custkey")) ++
-        erase("gold", "fraud_scores", "", "o_custkey") ++
-        erase("gold", "user_risk_scores", "", "user_id")
     rows.toDF("layer", "table", "scope", "key_column", "rows_erased")
   }
 
@@ -429,24 +455,17 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
     * carry erasures, run once per compliance window, not per request. */
   def completeErasure(): DataFrame = {
     import spark.implicits._
-    def purge(layer: String, table: String, scope: String,
-              parts: Seq[String]) = {
-      val dir = path(layer, table) + scope
+    val rows = subjectScopes().flatMap { s =>
+      val dir = path(s.layer, s.table) + s.scope
       if (!DeletionVectors.hasVectors(spark, dir)) None
-      else Some((layer, table, scope,
-        DeletionVectors.materialize(spark, dir, parts)))
+      else {
+        val survivors = DeletionVectors.materialize(spark, dir, s.partitionCols)
+        // the rewrite invalidated fraud_scores' data-skipping manifest
+        if (s.table == "fraud_scores")
+          FileStats.collect(spark, dir, Seq("risk_label", "fraud_score"))
+        Some((s.layer, s.table, s.scope, survivors))
+      }
     }
-    val rows =
-      purge("bronze", "orders", "", Seq("order_date")).toSeq ++
-        purge("bronze", "events", "", Seq("event_date")) ++
-        committedVersions("orders_enriched").flatMap(v =>
-          purge("silver", "orders_enriched", s"/v=$v", Seq("order_date"))) ++
-        purge("gold", "fraud_scores", "", Nil).map { r =>
-          FileStats.collect(spark, path("gold", "fraud_scores"),
-            Seq("risk_label", "fraud_score"))
-          r
-        } ++
-        purge("gold", "user_risk_scores", "", Nil)
     rows.toDF("layer", "table", "scope", "surviving_rows")
   }
 

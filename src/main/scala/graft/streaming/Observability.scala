@@ -52,9 +52,14 @@ object Observability {
   /** Captures per-batch metrics; bounded so a long-running query can't
     * grow driver memory without limit (Prometheus scrape semantics: recent
     * window matters, history lives downstream). */
+  /** Monotonic per-query lifetime totals — survive ring eviction, so
+    * scrape counters never decrease (Prometheus counter semantics). */
+  case class QueryTotals(input_rows: Long, batches: Long, duration_ms_sum: Long)
+
   class MetricsListener(maxRows: Int = 10000) extends StreamingQueryListener {
     private val buf = new java.util.concurrent.ConcurrentLinkedDeque[BatchMetric]()
     private val opBuf = new java.util.concurrent.ConcurrentLinkedDeque[OperatorMetric]()
+    private val cum = new java.util.concurrent.ConcurrentHashMap[String, QueryTotals]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -75,6 +80,10 @@ object Observability {
         watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
         state_rows = states.map(_.numRowsTotal).sum,
         state_memory_bytes = states.map(_.memoryUsedBytes).sum))
+      cum.merge(Option(p.name).getOrElse(""),
+        QueryTotals(p.numInputRows, 1L, p.batchDuration),
+        (a, b) => QueryTotals(a.input_rows + b.input_rows,
+          a.batches + b.batches, a.duration_ms_sum + b.duration_ms_sum))
       while (buf.size() > maxRows) buf.pollFirst()
       states.foreach { s =>
         opBuf.addLast(OperatorMetric(
@@ -103,6 +112,12 @@ object Observability {
     def operatorSnapshot: Seq[OperatorMetric] = {
       import scala.jdk.CollectionConverters._
       opBuf.iterator().asScala.toSeq
+    }
+
+    /** Lifetime per-query totals (never evicted — the counter source). */
+    def totalsSnapshot: Map[String, QueryTotals] = {
+      import scala.jdk.CollectionConverters._
+      cum.asScala.toMap
     }
 
     /** Snapshot of captured batches as a queryable frame. */
@@ -150,7 +165,7 @@ object Observability {
           max(col("state_rows")).as("max_state_rows"),
           max(col("watermark")).as("max_watermark"))
 
-    def clear(): Unit = { buf.clear(); opBuf.clear() }
+    def clear(): Unit = { buf.clear(); opBuf.clear(); cum.clear() }
   }
 
   /** Attach a fresh listener to the session; caller owns removal. */

@@ -22,7 +22,7 @@ object PrometheusExposition {
 
   /** Render one scrape of the listener's current snapshots. */
   def render(l: Observability.MetricsListener): String =
-    render(l.snapshot, l.operatorSnapshot)
+    render(l.snapshot, l.operatorSnapshot, l.totalsSnapshot)
 
   /** Render a scrape from explicit snapshots (test seam; the listener
     * overload is the production path).
@@ -31,20 +31,30 @@ object PrometheusExposition {
     * (`ml_predictions_total` analog), a latency summary with quantile
     * labels (`ml_prediction_latency_ms` Histogram analog), and current
     * gauges for throughput, state size and watermark age — the panels the
-    * Grafana dashboard reads. */
+    * Grafana dashboard reads.
+    *
+    * Counters and the summary's `_sum`/`_count` come from `totals` — the
+    * listener's LIFETIME per-query accumulators, which survive ring
+    * eviction — never from sums over the bounded window: a windowed
+    * "counter" DECREASES once eviction starts, and Prometheus reads any
+    * decrease as a process restart (rate()/increase() then book phantom
+    * spikes). Quantiles stay window-scoped — sliding-window quantiles
+    * with cumulative _sum/_count is exactly the client-library summary
+    * contract. */
   def render(batches: Seq[Observability.BatchMetric],
-             operators: Seq[Observability.OperatorMetric]): String = {
+             operators: Seq[Observability.OperatorMetric],
+             totals: Map[String, Observability.QueryTotals]): String = {
     val sb = new StringBuilder
     val byQuery = batches.groupBy(_.query_name).toSeq.sortBy(_._1)
+    val byTotals = totals.toSeq.sortBy(_._1)
 
-    // counters: monotonic over the captured window
+    // counters: lifetime monotonic totals
     family(sb, "graft_stream_input_rows_total",
-      "Total input rows across captured micro-batches", "counter",
-      byQuery.map { case (q, ms) =>
-        (Seq("query" -> q), num(ms.map(_.num_input_rows).sum)) })
+      "Total input rows over the query lifetime", "counter",
+      byTotals.map { case (q, t) => (Seq("query" -> q), num(t.input_rows)) })
     family(sb, "graft_stream_batches_total",
-      "Micro-batches captured", "counter",
-      byQuery.map { case (q, ms) => (Seq("query" -> q), num(ms.size.toLong)) })
+      "Micro-batches over the query lifetime", "counter",
+      byTotals.map { case (q, t) => (Seq("query" -> q), num(t.batches)) })
 
     // gauges: most-recent batch per query
     def latest[A](f: Observability.BatchMetric => A) =
@@ -63,13 +73,15 @@ object PrometheusExposition {
       latest(_.state_memory_bytes).map { case (q, v) => (Seq("query" -> q), num(v)) })
 
     // batch duration as a summary (quantile-labeled, like the reference's
-    // latency Histogram): quantiles over the captured window + _sum/_count
+    // latency Histogram): quantiles over the retained window, _sum/_count
+    // from the lifetime totals (the client-library summary contract)
     val durSamples = byQuery.flatMap { case (q, ms) =>
       val ds = ms.map(_.batch_duration_ms.toDouble).sorted
+      val t = totals.getOrElse(q, Observability.QueryTotals(0L, 0L, 0L))
       Seq("0.5", "0.95", "0.99").map(p =>
         (Seq("query" -> q, "quantile" -> p), num(quantile(ds, p.toDouble)))) :+
-        (Seq("query" -> q, "__suffix" -> "_sum"), num(ds.sum)) :+
-        (Seq("query" -> q, "__suffix" -> "_count"), num(ds.size.toLong))
+        (Seq("query" -> q, "__suffix" -> "_sum"), num(t.duration_ms_sum.toDouble)) :+
+        (Seq("query" -> q, "__suffix" -> "_count"), num(t.batches))
     }
     family(sb, "graft_stream_batch_duration_ms",
       "Micro-batch duration summary", "summary", durSamples)
