@@ -1669,6 +1669,63 @@ object Queries {
         |  n_tokens
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sequence-grain rollup of the packed stream (q_pack_sequences is the
+    // slice grain): docs per training sequence, docs starting in it, token
+    // fill, and carryover (cross-contaminated) tokens — the contamination
+    // metric whole-doc bin packing (q_pack_bins) drives to zero.
+    QueryDef("q_pack_seq_stats",
+      (s, d) => text.Packing.packSequences(Tables.documents(s, d), 128,
+          docsPerBucket = 100L)
+        .groupBy(col("lang"), col("seq_idx"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_offset") === 0L, 1L).otherwise(0L)).as("n_starts"),
+          sum(col("tokens_in_seq")).as("fill_tokens"),
+          sum(when(col("doc_offset") > 0L, col("tokens_in_seq")).otherwise(0L))
+            .as("carryover_tokens"))
+        .orderBy("lang", "seq_idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM t
+        |), s AS (
+        |  SELECT *, tok_end - n_tokens AS tok_start,
+        |    (tok_end - n_tokens) // 128 AS first_seq, (tok_end - 1) // 128 AS last_seq
+        |  FROM c
+        |), e AS (
+        |  SELECT lang, tok_start, tok_end,
+        |    unnest(range(first_seq, last_seq + 1)) AS seq_idx
+        |  FROM s
+        |)
+        |SELECT lang, CAST(seq_idx AS BIGINT) AS seq_idx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_start >= seq_idx * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(sum(least(tok_end, seq_idx * 128 + 128)
+        |    - greatest(tok_start, seq_idx * 128)) AS BIGINT) AS fill_tokens,
+        |  CAST(sum(CASE WHEN tok_start < seq_idx * 128
+        |    THEN least(tok_end, seq_idx * 128 + 128) - seq_idx * 128
+        |    ELSE 0 END) AS BIGINT) AS carryover_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY lang, seq_idx""".stripMargin)),
+
+    // Whole-document bin packing (SFT packing without cross-contamination):
+    // bounded length histogram → driver-side greedy templates → distributed
+    // rank-to-slot assignment. Rows-only: the packer is a custom algorithm
+    // with no SQL counterpart; CurationSpec binds capacity, bijectivity,
+    // determinism and a bin-count optimality bound (SURVEY §4).
+    QueryDef("q_pack_bins",
+      (s, d) => text.BinPacking.packBins(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("q_pack_bin_stats",
+      (s, d) => text.BinPacking.packBinStats(Tables.documents(s, d))
+        .orderBy("bin_id"),
+      None),
+
     // Deterministic 80/10/10 train/val/test assignment: pure function of
     // doc_id (append-stable — growing the corpus never reassigns a row).
     QueryDef("q_data_split",

@@ -547,4 +547,76 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(3) == r.getLong(4))
     }
   }
+
+  test("packHistogram respects capacity, preserves counts, and meets the 2x bin bound") {
+    val cap = 100
+    val hist = Map(60 -> 5L, 40 -> 7L, 30 -> 4L, 25 -> 10L, 3 -> 50L)
+    val strategies = graft.text.BinPacking.packHistogram(hist, cap)
+    // every composition fits, every length class is fully consumed
+    strategies.foreach(s => assert(s.lengths.sum <= cap && s.count > 0))
+    val consumed = strategies.flatMap(s => s.lengths.map(_ -> s.count))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    assert(consumed == hist)
+    // theorem-backed bound: at most one bin fills <= cap/2 (a half-empty
+    // bin means nothing remaining fit), so n_bins <= 2*LB + 1
+    val totalTokens = hist.map { case (l, c) => l * c }.sum
+    val nBins = strategies.map(_.count).sum
+    val lb = (totalTokens + cap - 1) / cap
+    assert(nBins <= 2 * lb + 1, s"$nBins bins vs lower bound $lb")
+  }
+
+  test("packBins assigns every doc exactly once within capacity; overflow isolated") {
+    import spark.implicits._
+    val cap = 64
+    val synth = Seq(
+      (1L, ("w " * 70).trim),  // 70 tokens: overflow
+      (2L, ("w " * 40).trim), (3L, ("w " * 40).trim),
+      (4L, ("w " * 24).trim), (5L, ("w " * 24).trim),
+      (6L, ("w " * 10).trim), (7L, ("w " * 3).trim)
+    ).toDF("doc_id", "text")
+    val out = graft.text.BinPacking.packBins(synth, cap).cache()
+    try {
+      // bijective: one row per doc
+      assert(out.count() == 7 && out.select("doc_id").distinct().count() == 7)
+      // non-overflow bins never exceed capacity; overflow docs sit alone
+      val perBin = out.groupBy("bin_id", "overflow")
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n")).collect()
+      perBin.foreach { r =>
+        if (r.getAs[Long]("overflow") == 0L)
+          assert(r.getAs[Long]("fill") <= cap.toLong)
+        else assert(r.getAs[Long]("n") == 1L)
+      }
+      // the overflow doc's bin id sits above the normal id space
+      val overBin = out.filter(col("overflow") === 1L)
+        .select("bin_id").head().getLong(0)
+      val maxNormal = out.filter(col("overflow") === 0L)
+        .agg(max("bin_id")).head().getLong(0)
+      assert(overBin > maxNormal)
+    } finally out.unpersist()
+  }
+
+  test("packBins is deterministic under repartitioning and meets the bin bound on the corpus") {
+    val cap = 128
+    val base = graft.text.BinPacking.packBins(docs, cap)
+      .orderBy("doc_id").collect().toSeq
+    val reparted = graft.text.BinPacking.packBins(docs.repartition(7), cap)
+      .orderBy("doc_id").collect().toSeq
+    assert(base == reparted, "bin assignment moved under repartitioning")
+    // every doc placed, capacity respected, bin count near-optimal
+    val byBin = base.filter(_.getAs[Long]("overflow") == 0L)
+      .groupBy(_.getAs[Long]("bin_id"))
+    byBin.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum <= cap.toLong)
+    }
+    val totalTokens = base.filter(_.getAs[Long]("overflow") == 0L)
+      .map(_.getAs[Long]("n_tokens")).sum
+    val lb = (totalTokens + cap - 1) / cap
+    assert(byBin.size.toLong <= 2 * lb + 1)
+    // bin-stats view is consistent with the assignment
+    val stats = graft.text.BinPacking.packBinStats(docs, cap)
+    val statTotal = stats.agg(sum("fill_tokens")).head().getLong(0)
+    assert(statTotal == base.map(_.getAs[Long]("n_tokens")).sum)
+    assert(stats.filter(col("overflow") === 0L &&
+      col("slack_tokens") =!= lit(cap.toLong) - col("fill_tokens")).count() == 0)
+  }
 }
