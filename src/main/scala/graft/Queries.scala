@@ -1384,6 +1384,15 @@ object Queries {
       },
       None),
 
+    // Learned document-quality classifier (fastText/CCNet shape): hashed
+    // n-gram features + LR against the Gopher weak label, scoring every
+    // doc. Rows-only: learned weights are engine-local (SURVEY §4);
+    // MlSpec binds held-out AUC, determinism, and structure.
+    QueryDef("q_quality_classifier",
+      (s, d) => ml.QualityClassifier.trainScore(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      None),
+
     QueryDef("q_fraud_summary",
       (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))
         .select("event_date", "total_events", "error_events", "purchase_events",

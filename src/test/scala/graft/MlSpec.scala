@@ -157,4 +157,33 @@ class MlSpec extends SparkSpec {
         s"best signal rank $signal not above best calendar rank $noise")
     } finally feats.unpersist()
   }
+
+  test("quality classifier recovers the rule signal on held-out docs, deterministically") {
+    import graft.ml.{Evaluation, QualityClassifier}
+    val docs = Tables.documents(spark, TinySf)
+    val first = QualityClassifier.trainScore(docs).orderBy("doc_id").collect().toSeq
+    // one row per doc, scores are probabilities, both classes held out
+    assert(first.size == docs.count())
+    assert(first.forall { r =>
+      val s = r.getAs[Double]("quality_score"); s >= 0.0 && s <= 1.0
+    })
+    val test = first.filter(_.getAs[Boolean]("is_test"))
+    val testPos = test.count(_.getAs[Long]("label") == 1L)
+    assert(testPos > 0 && testPos < test.size, "held-out split is single-class")
+    // the n-gram model must recover the Gopher rule verdict from raw
+    // text alone: held-out exact ROC-AUC well above chance
+    import spark.implicits._
+    val scored = test
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("quality_score")))
+      .toDF("doc_id", "label", "quality_score")
+    val auc = Evaluation.rocAuc(scored, "quality_score", "label", "doc_id")
+      .head().getAs[Double]("auc")
+    assert(auc >= 0.8, f"held-out AUC $auc%.3f below floor")
+    // retrain in-session is bit-identical (hash split + seedless hashing
+    // trick + L-BFGS over the same partitioning)
+    val second = QualityClassifier.trainScore(docs).orderBy("doc_id").collect().toSeq
+    assert(first == second, "retrain diverged")
+    QualityClassifier.releaseCache()
+  }
 }
