@@ -3641,6 +3641,19 @@ object Queries {
       (s, d) => text.Colloc.pmiCollocations(Tables.documents(s, d)),
       Some(text.Colloc.oracleSql())),
 
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // word score = degree/freq (one IEEE division of exact BIGINTs),
+    // phrase score = exact integer micro-score sum.
+    QueryDef("q_rake_words",
+      (s, d) => text.Keywords.rakeWordScores(Tables.documents(s, d))
+        .orderBy("word"),
+      Some(text.Keywords.wordOracleSql)),
+
+    QueryDef("q_rake_phrases",
+      (s, d) => text.Keywords.rakePhrases(Tables.documents(s, d))
+        .orderBy("phrase"),
+      Some(text.Keywords.phraseOracleSql)),
+
     // Session path mining (Markov.sessionPaths): top-20 complete
     // event-type journeys per 30-min gap session.
     QueryDef("q_session_paths",

@@ -548,6 +548,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("RAKE scores match the hand-computed degree/freq example") {
+    import spark.implicits._
+    // phrases: [deep learning], [deep networks] — "of"/"the" break
+    val synth = Seq((1L, "Deep learning of the deep networks")).toDF("doc_id", "text")
+    val words = graft.text.Keywords.rakeWordScores(synth).collect()
+      .map(r => r.getAs[String]("word") -> r).toMap
+    assert(words.keySet == Set("deep", "learning", "networks"))
+    assert(words("deep").getAs[Long]("freq") == 2L)
+    assert(words("deep").getAs[Long]("degree") == 4L)      // 2 phrases of len 2
+    assert(words("deep").getAs[Double]("score") == 2.0)
+    assert(words("learning").getAs[Long]("degree") == 2L)  // its phrase's length
+    val phrases = graft.text.Keywords.rakePhrases(synth).collect()
+      .map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(phrases.keySet == Set("deep learning", "deep networks"))
+    assert(phrases("deep learning").getAs[Long]("score_micro") == 4000000L)
+    assert(phrases("deep learning").getAs[Long]("occurrences") == 1L)
+    assert(phrases("deep learning").getAs[Long]("n_words") == 2L)
+  }
+
   test("packHistogram respects capacity, preserves counts, and meets the 2x bin bound") {
     val cap = 100
     val hist = Map(60 -> 5L, 40 -> 7L, 30 -> 4L, 25 -> 10L, 3 -> 50L)
