@@ -235,6 +235,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
       GraftFunctions.cmsMergeBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // ASOF JOIN SQL syntax (Snowflake shape) -> AsOfJoinNode; ordinary SQL
     // passes through to Spark's parser untouched

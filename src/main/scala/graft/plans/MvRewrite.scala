@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin, sum => ssum}
+
+/** Transparent materialized-view rewrite (the Calcite/warehouse
+  * "aggregate rewrite" shape): an `Aggregate` over a registered base
+  * relation is rewritten by the optimizer to re-aggregate the stored MV's
+  * partial states instead of scanning the base table — the user keeps
+  * writing queries against the base table and silently reads group-grain
+  * data. Composes with [[graft.gold.DeltaView]]: DeltaView maintains the
+  * MV incrementally; this rule makes consumers USE it without knowing it
+  * exists.
+  *
+  * Soundness model (each checked structurally before rewriting):
+  *  - the query's grouping keys are plain attributes and a SUBSET of the
+  *    MV's key columns (coarser grains re-aggregate the states: SUM of
+  *    sums, SUM of counts, MIN of mins, MAX of maxes);
+  *  - every aggregate is a non-DISTINCT, un-FILTERed sum/count/min/max
+  *    whose input column has a registered state column;
+  *  - between the Aggregate and the base scan only attribute-preserving
+  *    Projects and Filters over MV KEY columns appear (key predicates
+  *    commute with the group-grain rollup; a filter on a non-key column
+  *    would need row grain and blocks the rewrite);
+  *  - aggregate output is cast back to the original expression's type
+  *    (re-aggregating a decimal sum widens precision) and re-aliased
+  *    under the ORIGINAL exprIds, so parent operators never notice.
+  *
+  * Freshness is the registry contract: registering states that the MV
+  * maintenance job does not keep in sync with the base is the same bug as
+  * a stale mart. `spark.graft.mv.rewrite.enabled=false` disables the rule
+  * without unregistering.
+  *
+  * 100 TB shape: the rewrite turns a full base-table scan + row-grain
+  * shuffle into a scan of the group-grain MV (orders of magnitude
+  * smaller) + a group-grain re-agg. The rule itself does no I/O beyond
+  * reusing the MV's analyzed scan template ([[MvRegistry.register]] reads
+  * the footer once; each rewrite stamps fresh exprIds via newInstance).
+  *
+  * Ref: the reference serves dashboard aggregates from pre-built marts by
+  * NAME (grafana queries hit gold tables directly); this is the engine
+  * form — same marts, resolved by the optimizer instead of by
+  * convention.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One registered MV: key columns, state columns keyed by
+    * (function, base column) with "*" for count(*), and the analyzed MV
+    * scan to instantiate per rewrite. */
+  final case class MvDef(mvPath: String, keys: Seq[String],
+                         states: Map[(String, String), String],
+                         template: LogicalRelation)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private def normalize(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.toUri.getPath match { case null | "" => p.toString case u => u }
+  }
+
+  /** Register `mvPath` (parquet, written by [[materialize]]) as the MV of
+    * `basePath` with the given keys/states. Reads the MV footer once to
+    * capture the scan template. */
+  def register(spark: SparkSession, basePath: String, mvPath: String,
+               keys: Seq[String], states: Map[(String, String), String]): Unit = {
+    val template = spark.read.parquet(mvPath).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mvPath did not analyze to a file relation"))
+    val missing = (keys ++ states.values).filterNot(template.output.map(_.name).contains)
+    require(missing.isEmpty, s"MV at $mvPath lacks columns $missing")
+    registry.put(normalize(basePath), MvDef(mvPath, keys, states, template))
+  }
+
+  def unregister(basePath: String): Unit = registry.remove(normalize(basePath))
+  def clear(): Unit = registry.clear()
+
+  /** Build + write the partial-state MV for a base frame: one state
+    * column per spec — ("sum", c) → sum_c, ("min", c) → min_c,
+    * ("max", c) → max_c — plus the ("count", "*") → cnt row count.
+    * Returns the states map to pass to [[register]]. */
+  def materialize(base: DataFrame, keys: Seq[String],
+                  specs: Seq[(String, String)], mvPath: String): Map[(String, String), String] = {
+    val stateCols = specs.map {
+      case ("sum", c) => ssum(col(c)).as(s"sum_$c")
+      case ("min", c) => smin(col(c)).as(s"min_$c")
+      case ("max", c) => smax(col(c)).as(s"max_$c")
+      case (f, c) => throw new IllegalArgumentException(s"unsupported state ($f, $c)")
+    } :+ count(lit(1)).as("cnt")
+    base.groupBy(keys.map(col): _*)
+      .agg(stateCols.head, stateCols.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    specs.map { case (f, c) => (f, c) -> s"${f}_$c" }.toMap +
+      (("count", "*") -> "cnt")
+  }
+
+  private def enabled: Boolean =
+    SparkSession.getActiveSession.forall(
+      _.conf.get("spark.graft.mv.rewrite.enabled", "true") == "true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty || !enabled) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** Peel attribute-preserving Projects and key-only Filters down to the
+    * base scan; collect the filter conditions (expressed over base
+    * attribute NAMES). */
+  private def peel(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(child)
+      case Filter(cond, child) =>
+        peel(child).map { case (lr, conds) => (lr, cond +: conds) }
+      case _ => None
+    }
+
+  private def basePaths(lr: LogicalRelation): Seq[String] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.map(p => normalize(p.toString))
+    case _ => Nil
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val Aggregate(groupExprs, aggExprs, child, _) = agg
+    for {
+      (lr, conds) <- peel(child)
+      mv <- basePaths(lr).iterator.flatMap(p => Option(registry.get(p))).nextOption()
+      result <- rewriteWith(agg, groupExprs, aggExprs, conds, mv)
+    } yield result
+  }
+
+  private def rewriteWith(agg: Aggregate, groupExprs: Seq[Expression],
+                          aggExprs: Seq[NamedExpression], conds: Seq[Expression],
+                          mv: MvDef): Option[LogicalPlan] = {
+    // grouping keys: plain attributes, all registered MV keys
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference if mv.keys.contains(a.name) => a
+      case _ => return None
+    }
+    // filters may touch only MV key columns
+    if (conds.exists(_.references.exists(a => !mv.keys.contains(a.name))))
+      return None
+
+    val scan = mv.template.newInstance()
+    val byName = scan.output.map(a => a.name -> a).toMap
+
+    def remapCond(e: Expression): Expression = e.transform {
+      case a: AttributeReference => byName(a.name)
+    }
+
+    // each output: a grouping key (re-aliased MV key) or a derivable agg
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if mv.keys.contains(a.name) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        derive(ae, mv, byName).map(d =>
+          Alias(Cast(d, al.dataType), name)(exprId = al.exprId))
+          .getOrElse(return None)
+      case _ => return None
+    }
+    val newChild = conds.foldLeft(scan: LogicalPlan)((p, c) => Filter(remapCond(c), p))
+    Some(Aggregate(groupAttrs.map(a => byName(a.name)), newAggExprs, newChild))
+  }
+
+  /** sum(x)→sum(sum_x), count(*)→sum(cnt), count(x)→sum(cnt_x) if
+    * registered, min(x)→min(min_x), max(x)→max(max_x). */
+  private def derive(ae: AggregateExpression, mv: MvDef,
+                     byName: Map[String, Attribute]): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.nonEmpty) return None
+    def state(fn: String, c: String): Option[Attribute] =
+      mv.states.get((fn, c)).flatMap(byName.get)
+    ae.aggregateFunction match {
+      case Sum(a: AttributeReference, _) =>
+        state("sum", a.name).map(s => Sum(s).toAggregateExpression())
+      case Count(Seq(Literal(_, _))) | Count(Nil) =>
+        state("count", "*").map(s => Sum(s).toAggregateExpression())
+      case Count(Seq(a: AttributeReference)) =>
+        state("count", a.name).map(s => Sum(s).toAggregateExpression())
+      case Min(a: AttributeReference) =>
+        state("min", a.name).map(s => Min(s).toAggregateExpression())
+      case Max(a: AttributeReference) =>
+        state("max", a.name).map(s => Max(s).toAggregateExpression())
+      case _ => None
+    }
+  }
+}

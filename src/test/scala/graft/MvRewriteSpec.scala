@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+
+/** Transparent MV rewrite: queries written against the base table must be
+  * served from the registered group-grain MV — same answers, MV scan in
+  * the physical plan — and every soundness guard must block the rewrite
+  * when derivability fails. */
+class MvRewriteSpec extends SparkSpec {
+
+  private val basePath = s"$TinySf/lineitem.parquet"
+  private lazy val mvRoot =
+    java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+
+  /** Root paths of every file scan in the executed plan. */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // finalize AQE
+    allNodes(finalPlan(df)).collect {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+  }
+
+  private def registered(): String = {
+    val mvPath = s"$mvRoot/lineitem_mv"
+    val states = MvRewrite.materialize(
+      Tables.lineitem(spark, TinySf),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      specs = Seq(("sum", "l_quantity"), ("min", "l_discount"), ("max", "l_discount")),
+      mvPath = mvPath)
+    MvRewrite.register(spark, basePath, mvPath,
+      Seq("l_returnflag", "l_linestatus"), states)
+    mvPath
+  }
+
+  private def baseAgg() = Tables.lineitem(spark, TinySf)
+    .groupBy("l_returnflag")
+    .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+      min("l_discount").as("min_disc"), max("l_discount").as("max_disc"))
+
+  test("covered aggregate is served from the MV with identical results") {
+    MvRewrite.clear()
+    val expected = baseAgg().orderBy("l_returnflag").collect().toSeq
+    val mvPath = registered()
+    try {
+      val got = baseAgg().orderBy("l_returnflag")
+      assert(got.collect().toSeq == expected, "rewritten answer diverged")
+      val paths = scanPaths(got)
+      assert(paths.exists(_.contains("lineitem_mv")), s"no MV scan in $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")),
+        s"base table still scanned: $paths")
+      // schema (names + types) survives the rewrite exactly
+      assert(got.schema == baseAgg().schema)
+    } finally MvRewrite.clear()
+  }
+
+  test("key-column filters commute with the rollup and still hit the MV") {
+    MvRewrite.clear()
+    val q = () => Tables.lineitem(spark, TinySf)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+    val expected = q().collect().toSeq
+    registered()
+    try {
+      val got = q()
+      assert(got.collect().toSeq == expected)
+      assert(scanPaths(got).exists(_.contains("lineitem_mv")))
+    } finally MvRewrite.clear()
+  }
+
+  test("soundness guards: uncovered column, non-key filter, distinct, disabled flag") {
+    MvRewrite.clear()
+    registered()
+    try {
+      // aggregate over a column with no registered state → base scan
+      val uncovered = Tables.lineitem(spark, TinySf)
+        .groupBy("l_returnflag").agg(sum("l_extendedprice").as("s"))
+      assert(scanPaths(uncovered).exists(_.contains("lineitem.parquet")))
+      // filter on a NON-key column needs row grain → base scan
+      val rowFilter = Tables.lineitem(spark, TinySf)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(rowFilter).exists(_.contains("lineitem.parquet")))
+      // DISTINCT aggregates are not derivable from sums
+      val distinctAgg = Tables.lineitem(spark, TinySf)
+        .groupBy("l_returnflag").agg(countDistinct(col("l_suppkey")).as("s"))
+      assert(scanPaths(distinctAgg).exists(_.contains("lineitem.parquet")))
+      // kill switch
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try assert(scanPaths(baseAgg()).exists(_.contains("lineitem.parquet")))
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    } finally MvRewrite.clear()
+  }
+
+  test("grouping by BOTH keys re-aggregates at MV grain with exact equality") {
+    MvRewrite.clear()
+    val q = () => Tables.lineitem(spark, TinySf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val expected = q().collect().toSeq
+    registered()
+    try {
+      val got = q()
+      assert(got.collect().toSeq == expected)
+      assert(scanPaths(got).exists(_.contains("lineitem_mv")))
+    } finally MvRewrite.clear()
+  }
+}
