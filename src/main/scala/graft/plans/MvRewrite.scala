@@ -81,12 +81,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   def unregister(basePath: String): Unit = registry.remove(normalize(basePath))
   def clear(): Unit = registry.clear()
 
-  /** Build + write the partial-state MV for a base frame: one state
-    * column per spec — ("sum", c) → sum_c, ("min", c) → min_c,
-    * ("max", c) → max_c — plus the ("count", "*") → cnt row count.
-    * Returns the states map to pass to [[register]]. */
-  def materialize(base: DataFrame, keys: Seq[String],
-                  specs: Seq[(String, String)], mvPath: String): Map[(String, String), String] = {
+  /** Group-grain partial states for a base frame: one state column per
+    * spec — ("sum", c) → sum_c, ("min", c) → min_c, ("max", c) → max_c —
+    * plus the cnt row count. The mergeable representation both the batch
+    * build and the streaming sink ([[graft.streaming.StreamOps.mvSink]])
+    * produce. */
+  def partialStates(base: DataFrame, keys: Seq[String],
+                    specs: Seq[(String, String)]): DataFrame = {
     val stateCols = specs.map {
       case ("sum", c) => ssum(col(c)).as(s"sum_$c")
       case ("min", c) => smin(col(c)).as(s"min_$c")
@@ -95,9 +96,38 @@ object MvRewrite extends Rule[LogicalPlan] {
     } :+ count(lit(1)).as("cnt")
     base.groupBy(keys.map(col): _*)
       .agg(stateCols.head, stateCols.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
+  }
+
+  /** Merge two partial-state frames (associative: sums/cnts add,
+    * mins/maxes keep the extremum). Output schema is pinned to `fresh`'s
+    * (a merged decimal sum would otherwise widen precision every round
+    * and drift the stored MV schema version-over-version). */
+  def mergeStates(prev: DataFrame, fresh: DataFrame, keys: Seq[String],
+                  specs: Seq[(String, String)]): DataFrame = {
+    val types = fresh.schema.map(f => f.name -> f.dataType).toMap
+    val mergeCols = specs.map {
+      case ("sum", c) => ssum(col(s"sum_$c")).cast(types(s"sum_$c")).as(s"sum_$c")
+      case ("min", c) => smin(col(s"min_$c")).as(s"min_$c")
+      case ("max", c) => smax(col(s"max_$c")).as(s"max_$c")
+      case (f, c) => throw new IllegalArgumentException(s"unsupported state ($f, $c)")
+    } :+ ssum(col("cnt")).cast(types("cnt")).as("cnt")
+    prev.unionByName(fresh)
+      .groupBy(keys.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+  }
+
+  /** The states map [[partialStates]]' column naming implies — pass to
+    * [[register]]. */
+  def statesFor(specs: Seq[(String, String)]): Map[(String, String), String] =
     specs.map { case (f, c) => (f, c) -> s"${f}_$c" }.toMap +
       (("count", "*") -> "cnt")
+
+  /** Build + write the partial-state MV for a base frame; returns the
+    * states map to pass to [[register]]. */
+  def materialize(base: DataFrame, keys: Seq[String],
+                  specs: Seq[(String, String)], mvPath: String): Map[(String, String), String] = {
+    partialStates(base, keys, specs).write.mode("overwrite").parquet(mvPath)
+    statesFor(specs)
   }
 
   private def enabled: Boolean =

@@ -231,6 +231,30 @@ object StreamOps {
       }
     }
 
+  /** Streaming maintenance of a partial-state MV (the
+    * [[graft.plans.MvRewrite]] target): each micro-batch computes ITS OWN
+    * group-grain partial states and merges them onto the latest snapshot
+    * (sums/cnts add, mins/maxes keep the extremum). The merge is
+    * associative — bit-exactly for long/decimal/integer-valued-double
+    * states (MvRewriteSpec proves streamed == batch build on such data);
+    * general floating sums reassociate within normal FP rounding, the
+    * same caveat as any distributed sum. Versioned snapshots via the
+    * mergeSink scheme; a serving session registers the version it reads
+    * with MvRewrite.register — the same publish/hot-reload seam as
+    * ModelRegistry. Row counts assume checkpointed exactly-once delivery,
+    * same as any streaming counter. */
+  def mvSink(stream: DataFrame, keys: Seq[String], specs: Seq[(String, String)],
+             targetDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedSnapshotSink(stream, targetDir, checkpointDir) { (latest, batch) =>
+      val fresh = graft.plans.MvRewrite.partialStates(batch, keys, specs)
+      latest match {
+        case Some(prev) =>
+          graft.plans.MvRewrite.mergeStates(prev, fresh, keys, specs)
+        case None => fresh
+      }
+    }
+
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
     * time-range predicate bound the join state — the Structured Streaming

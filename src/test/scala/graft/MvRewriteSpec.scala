@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.plans.MvRewrite
@@ -93,6 +94,55 @@ class MvRewriteSpec extends SparkSpec {
       spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
       try assert(scanPaths(baseAgg()).exists(_.contains("lineitem.parquet")))
       finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    } finally MvRewrite.clear()
+  }
+
+  test("streaming mvSink maintains states batch-identically; serving registers the snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    MvRewrite.clear()
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val specs = Seq(("sum", "l_quantity"), ("min", "l_discount"), ("max", "l_discount"))
+    val li = Tables.lineitem(spark, TinySf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_discount"), col("l_orderkey"))
+    val rows = li.as[(String, String, Double, Double, Long)].collect().toSeq
+    val (evenBatch, oddBatch) = rows.partition(_._5 % 2 == 0)
+
+    val stream = MemoryStream[(String, String, Double, Double, Long)]
+    val target = s"$mvRoot/stream_mv"
+    val q = graft.streaming.StreamOps.mvSink(
+      stream.toDF.toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_discount", "l_orderkey"),
+      keys, specs, target, s"$mvRoot/stream_mv_ckpt")
+    try {
+      stream.addData(evenBatch); q.processAllAvailable()
+      stream.addData(oddBatch); q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed store equals a batch build over everything ingested
+    val latest = new java.io.File(target).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    val streamed = spark.read.parquet(s"$target/v=$latest")
+      .orderBy(keys.map(col): _*).collect().toSeq
+    val batchBuilt = MvRewrite.partialStates(
+        li.drop("l_orderkey"), keys, specs)
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(streamed == batchBuilt, "streamed MV diverged from batch build")
+
+    // a serving session registers the snapshot it reads (hot-reload seam)
+    // and base-table aggregates are answered from it
+    val q2 = () => Tables.lineitem(spark, TinySf)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val expected = q2().collect().toSeq
+    MvRewrite.register(spark, basePath, s"$target/v=$latest", keys, MvRewrite.statesFor(specs))
+    try {
+      val got = q2()
+      assert(got.collect().toSeq == expected)
+      assert(scanPaths(got).exists(_.contains("stream_mv")),
+        "query not served from the streamed MV")
     } finally MvRewrite.clear()
   }
 
