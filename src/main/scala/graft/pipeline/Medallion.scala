@@ -165,6 +165,27 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   def readSilverVersion(table: String, version: Long): DataFrame =
     DeletionVectors.read(spark, path("silver", table) + s"/v=$version")
 
+  /** Timestamp time travel (the `timestampAsOf` half of the reference's
+    * read_delta, delta_utils.py:80 — [[readSilverVersion]] is the
+    * `versionAsOf` half): reads the greatest committed version whose
+    * commit time is ≤ `tsMillis`. Commit time is the `_SUCCESS` marker's
+    * modification time — the visibility moment: the instant
+    * [[committedVersions]] starts listing the snapshot — so "as of T"
+    * returns exactly what a reader AT time T saw. Throws if no version
+    * was visible yet (same contract as Delta's timestampAsOf before the
+    * first commit). */
+  def readSilverAsOf(table: String, tsMillis: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(path("silver", table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = committedVersions(table).filter { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"v=$v/_SUCCESS"))
+        .getModificationTime <= tsMillis
+    }
+    require(visible.nonEmpty,
+      s"no committed version of silver $table at or before $tsMillis")
+    readSilverVersion(table, visible.max)
+  }
+
   /** Change-data-feed between two silver snapshots (Delta
     * `table_changes` equivalent): inserts/updates/deletes of `attrs` at
     * `keys` grain. Feeds incremental gold — the changed-partition set for

@@ -92,6 +92,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ("sum", c) => ssum(col(c)).as(s"sum_$c")
       case ("min", c) => smin(col(c)).as(s"min_$c")
       case ("max", c) => smax(col(c)).as(s"max_$c")
+      case ("count", c) => count(col(c)).as(s"count_$c") // non-null count
       case (f, c) => throw new IllegalArgumentException(s"unsupported state ($f, $c)")
     } :+ count(lit(1)).as("cnt")
     base.groupBy(keys.map(col): _*)
@@ -109,6 +110,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ("sum", c) => ssum(col(s"sum_$c")).cast(types(s"sum_$c")).as(s"sum_$c")
       case ("min", c) => smin(col(s"min_$c")).as(s"min_$c")
       case ("max", c) => smax(col(s"max_$c")).as(s"max_$c")
+      case ("count", c) => ssum(col(s"count_$c")).cast(types(s"count_$c")).as(s"count_$c")
       case (f, c) => throw new IllegalArgumentException(s"unsupported state ($f, $c)")
     } :+ ssum(col("cnt")).cast(types("cnt")).as("cnt")
     prev.unionByName(fresh)
@@ -200,8 +202,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     Some(Aggregate(groupAttrs.map(a => byName(a.name)), newAggExprs, newChild))
   }
 
-  /** sum(x)→sum(sum_x), count(*)→sum(cnt), count(x)→sum(cnt_x) if
-    * registered, min(x)→min(min_x), max(x)→max(max_x). */
+  /** sum(x)→sum(sum_x), count(*)→sum(cnt), count(x)→sum(count_x) if
+    * registered, min(x)→min(min_x), max(x)→max(max_x),
+    * avg(x)→sum(sum_x)/sum(count_x) (double inputs only — decimal avg
+    * has its own precision semantics and is not derived). */
   private def derive(ae: AggregateExpression, mv: MvDef,
                      byName: Map[String, Attribute]): Option[Expression] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
@@ -218,6 +222,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         state("min", a.name).map(s => Min(s).toAggregateExpression())
       case Max(a: AttributeReference) =>
         state("max", a.name).map(s => Max(s).toAggregateExpression())
+      case Average(a: AttributeReference, _)
+          if ae.dataType == org.apache.spark.sql.types.DoubleType =>
+        for {
+          s <- state("sum", a.name)
+          c <- state("count", a.name)
+        } yield Divide(
+          Cast(Sum(s).toAggregateExpression(), org.apache.spark.sql.types.DoubleType),
+          Cast(Sum(c).toAggregateExpression(), org.apache.spark.sql.types.DoubleType))
       case _ => None
     }
   }

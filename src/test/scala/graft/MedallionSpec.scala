@@ -158,6 +158,23 @@ class MedallionSpec extends SparkSpec {
     assert(ghost.mkdirs())
     new java.io.FileOutputStream(new java.io.File(ghost, "part-x.parquet")).close()
     assert(m.latestVersion("orders_enriched").contains(2L))
+
+    // timestampAsOf: pin distinct commit times on the _SUCCESS markers,
+    // then "as of T" must return exactly what a reader at T saw
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def succ(v: Long) = new org.apache.hadoop.fs.Path(
+      s"$wh/silver/orders_enriched/v=$v/_SUCCESS")
+    val (t1, t2) = (1000000L, 2000000L)
+    fs.setTimes(succ(1L), t1, -1)
+    fs.setTimes(succ(2L), t2, -1)
+    assert(m.readSilverAsOf("orders_enriched", t1).drop("_merge_action")
+      .orderBy("o_orderkey").collect().toSeq == v1.toSeq)   // v1 visible at t1
+    assert(m.readSilverAsOf("orders_enriched", t2 + 1)
+      .drop("_merge_action").orderBy("o_orderkey").collect().toSeq == v2.toSeq)
+    val before = intercept[IllegalArgumentException](
+      m.readSilverAsOf("orders_enriched", t1 - 1))
+    assert(before.getMessage.contains("no committed version"))
   }
 
   test("silver MERGE evolves the schema: adding a column widens, dropping keeps values") {

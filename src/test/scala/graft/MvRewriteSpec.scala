@@ -30,7 +30,8 @@ class MvRewriteSpec extends SparkSpec {
     val states = MvRewrite.materialize(
       Tables.lineitem(spark, TinySf),
       keys = Seq("l_returnflag", "l_linestatus"),
-      specs = Seq(("sum", "l_quantity"), ("min", "l_discount"), ("max", "l_discount")),
+      specs = Seq(("sum", "l_quantity"), ("count", "l_quantity"),
+        ("min", "l_discount"), ("max", "l_discount")),
       mvPath = mvPath)
     MvRewrite.register(spark, basePath, mvPath,
       Seq("l_returnflag", "l_linestatus"), states)
@@ -40,6 +41,7 @@ class MvRewriteSpec extends SparkSpec {
   private def baseAgg() = Tables.lineitem(spark, TinySf)
     .groupBy("l_returnflag")
     .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+      avg("l_quantity").as("avg_qty"), count(col("l_quantity")).as("n_qty"),
       min("l_discount").as("min_disc"), max("l_discount").as("max_disc"))
 
   test("covered aggregate is served from the MV with identical results") {
