@@ -728,6 +728,57 @@ class StreamingSpec extends SparkSpec {
     sm.foreach { case (day, (qsk, _)) =>
       assert(rm(day)._1 == qsk, s"day $day: replay changed the sample") }
   }
+
+  test("Prometheus HTTP endpoint serves live scrapes of the streaming listener") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) ""
+        else try scala.io.Source.fromInputStream(is).mkString finally is.close()
+      (code, body)
+    }
+
+    val listener = graft.streaming.Observability.attach(spark)
+    val endpoint = graft.streaming.PrometheusEndpoint.start(listener)
+    try {
+      // before any batch: valid empty scrape, and transport edges work
+      assert(get(endpoint.port, "/metrics") == (200, ""))
+      assert(get(endpoint.port, "/nope")._1 == 404)
+
+      val rows = Tables.events(spark, TinySf)
+        .select("ts", "event_type", "value", "user_id")
+        .as[(java.sql.Timestamp, String, Double, Long)].collect().toSeq
+      val stream = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+      val q = StreamOps.tumblingCounts(
+          stream.toDF.toDF("ts", "event_type", "value", "user_id"))
+        .writeStream.format("memory").queryName("prom_out")
+        .outputMode("complete").start()
+      stream.addData(rows)
+      q.processAllAvailable()
+      q.stop()
+
+      // listener bus is async — poll the ENDPOINT until the batch lands
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var body = ""
+      while (!body.contains("""graft_stream_input_rows_total{query="prom_out"}""")
+             && System.nanoTime() < deadline) {
+        Thread.sleep(100); body = get(endpoint.port, "/metrics")._2
+      }
+      assert(body.contains("# TYPE graft_stream_input_rows_total counter"))
+      assert(body.contains(
+        s"""graft_stream_input_rows_total{query="prom_out"} ${rows.length}"""))
+      assert(body.contains("# TYPE graft_stream_batch_duration_ms summary"))
+    } finally {
+      endpoint.stop()
+      graft.streaming.Observability.detach(spark, listener)
+    }
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
