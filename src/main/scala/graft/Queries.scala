@@ -3654,6 +3654,14 @@ object Queries {
         .orderBy("phrase"),
       Some(text.Keywords.phraseOracleSql)),
 
+    // TextRank: integer-exact PageRank over the content-word adjacency
+    // graph — an iterative graph query on text, hash-exact vs the
+    // recursive DuckDB oracle (the device-PageRank arithmetic).
+    QueryDef("q_textrank",
+      (s, d) => text.Keywords.textrank(Tables.documents(s, d))
+        .orderBy("token"),
+      Some(text.Keywords.textrankOracleSql())),
+
     // Session path mining (Markov.sessionPaths): top-20 complete
     // event-type journeys per 30-min gap session.
     QueryDef("q_session_paths",

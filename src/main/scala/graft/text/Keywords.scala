@@ -90,6 +90,77 @@ object Keywords {
       .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
   }
 
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004, the graph
+    * counterpart of RAKE): nodes are content words, edges join words
+    * ADJACENT in the stopword-filtered token sequence (the paper's
+    * unweighted window-2 graph), scores are
+    * [[graft.gold.Graph.pageRank]]'s integer-exact fixed-point PageRank —
+    * the same deterministic arithmetic the device-graph query proves, so
+    * an ITERATIVE graph computation over text stays hash-exact against
+    * the DuckDB recursive oracle.
+    *
+    * Scale shape: adjacency is one per-doc lead() window (bounded by
+    * document length), pair dedup is one vocab²-bounded exchange, and the
+    * rank loop inherits pageRank's edge-grain join + partial-agg rounds —
+    * nothing node×node, nothing driver-side. */
+  def textrank(documents: DataFrame, iterations: Int = graft.gold.Graph.Iterations): DataFrame = {
+    val wNext = Window.partitionBy("doc_id").orderBy("i")
+    val pairs = phraseTokens(documents)
+      .withColumn("nxt", lead(col("tok"), 1).over(wNext))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .select(least(col("tok"), col("nxt")).as("user_a"),
+        greatest(col("tok"), col("nxt")).as("user_b"))
+      .distinct()
+    graft.gold.Graph.pageRank(pairs, iterations)
+      .withColumnRenamed("user_id", "token")
+  }
+
+  /** DuckDB mirror of [[textrank]]: the adjacency CTEs feed the same
+    * recursive-iteration template as the device-PageRank oracle. */
+  def textrankOracleSql(iterations: Int = graft.gold.Graph.Iterations): String = {
+    val iters = (1 to iterations).map { i =>
+      s""", p$i AS (
+         |  SELECT n.node, n.degree, n.tele,
+         |    CAST(n.tele + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // p.degree) AS m
+         |    FROM p${i - 1} p JOIN edges e ON p.node = e.src GROUP BY 1
+         |  ) s USING (node))""".stripMargin
+    }.mkString("\n")
+    s"""WITH toksf AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM toksf
+      |), ct AS (
+      |  SELECT doc_id, i, toks[i] AS tok FROM idx
+      |  WHERE NOT (toks[i] IN ($stopList)
+      |    OR NOT regexp_matches(toks[i], '[a-z]'))
+      |), adj AS (
+      |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      |  FROM ct
+      |), pairs AS (
+      |  SELECT DISTINCT least(tok, nxt) AS a, greatest(tok, nxt) AS b
+      |  FROM adj WHERE nxt IS NOT NULL AND tok <> nxt
+      |), edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b, a FROM pairs
+      |), deg AS (
+      |  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      |  FROM edges GROUP BY 1
+      |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+      |, nodes AS (
+      |  SELECT node, degree,
+      |    (15 * (1000000000000 // n)) // 100 AS tele,
+      |    1000000000000 // n AS pr0
+      |  FROM deg CROSS JOIN nn)
+      |, p0 AS (SELECT node, degree, tele, pr0 AS pr FROM nodes)
+      |$iters
+      |SELECT node AS token, degree, CAST(pr AS BIGINT) AS pr_units,
+      |  CAST(pr AS DOUBLE) / 1000000000000.0 AS pr_score
+      |FROM p$iterations ORDER BY token""".stripMargin
+  }
+
   /** Shared oracle CTE prefix mirroring [[phraseTokens]] and the word
     * table (DuckDB). */
   private def oracleCtes: String =

@@ -567,6 +567,24 @@ class CurationSpec extends SparkSpec {
     assert(phrases("deep learning").getAs[Long]("n_words") == 2L)
   }
 
+  test("TextRank ranks the hub word above leaves on a star-shaped corpus") {
+    import spark.implicits._
+    // "core" is adjacent to every other content word; leaves see only core
+    val synth = Seq(
+      (1L, "core alpha"), (2L, "core beta"), (3L, "core gamma"),
+      (4L, "core delta"), (5L, "core epsilon")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Keywords.textrank(synth).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    assert(out("core").getAs[Long]("degree") == 5L)
+    assert(out("alpha").getAs[Long]("degree") == 1L)
+    val leafScores = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      .map(out(_).getAs[Double]("pr_score"))
+    assert(leafScores.forall(_ < out("core").getAs[Double]("pr_score")))
+    // leaves are symmetric: identical integer fixed-point scores
+    assert(leafScores.distinct.size == 1)
+  }
+
   test("packHistogram respects capacity, preserves counts, and meets the 2x bin bound") {
     val cap = 100
     val hist = Map(60 -> 5L, 40 -> 7L, 30 -> 4L, 25 -> 10L, 3 -> 50L)
