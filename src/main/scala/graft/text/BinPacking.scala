@@ -73,7 +73,11 @@ object BinPacking {
       var rem = capacity
       var more = true
       while (more) {
-        remaining.iterator.find { case (l, c) => l <= rem && used(l) < c } match {
+        // iteratorFrom under the reverse ordering starts at the LARGEST
+        // length <= rem — a log-time jump instead of a linear scan from
+        // the top (the difference between O(cap^2 log cap) and O(cap^3)
+        // at 8k-token context sizes)
+        remaining.iteratorFrom(rem).find { case (l, c) => used(l) < c } match {
           case Some((l, _)) => comp += l; used(l) += 1; rem -= l
           case None => more = false
         }
