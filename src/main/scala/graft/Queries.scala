@@ -2480,6 +2480,14 @@ object Queries {
         .orderBy("event_date"),
       None),
 
+    // KMV set-difference estimates (A-not-B audiences) off the same
+    // per-day sketch pair — rows-only (sketch internals, SURVEY §4);
+    // SketchesSpec bounds the error vs the exact twin.
+    QueryDef("q_kmv_difference",
+      (s, d) => gold.Sketches.audienceDifference(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
     // daily KMV sketches merged to the period total (kmv_merge_agg) —
     // the stored-sketch re-aggregation path, intersection included
     QueryDef("q_kmv_total",

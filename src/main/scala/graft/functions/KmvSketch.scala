@@ -206,4 +206,11 @@ object Kmv {
     * produce. */
   def intersectEstimate(a: Column, b: Column, k: Int): Column =
     jaccardEstimate(a, b, k) * unionEstimate(a, b, k)
+
+  /** Set-difference cardinality |A \ B| ≈ |A∪B| − |B| (inclusion–
+    * exclusion over the same union sample) — the "A but not B" audience
+    * estimate, floored at 0 since both terms carry independent sampling
+    * error. */
+  def differenceEstimate(a: Column, b: Column, k: Int): Column =
+    greatest(unionEstimate(a, b, k) - estimate(b, k), lit(0.0))
 }

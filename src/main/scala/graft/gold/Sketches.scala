@@ -96,6 +96,31 @@ object Sketches {
           .as("approx_both"))
   }
 
+  /** Daily "A but not B" audiences from the same per-day sketch pair —
+    * purchasers who hit no error and error-only users, the exclusion
+    * segments a remarketing/fraud split needs (KMV difference via
+    * inclusion–exclusion over one shared union sample; HLL cannot answer
+    * this either). Identical scan/sketch shape to [[audienceOverlap]]. */
+  def audienceDifference(events: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    import graft.functions.Kmv
+    events
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("ts").cast("date").as("event_date"), col("event_type"),
+        col("user_id"))
+      .groupBy(col("event_date"))
+      .agg(
+        expr(s"kmv_sketch(CASE WHEN event_type = 'purchase' THEN user_id END, $k)")
+          .as("purchasers"),
+        expr(s"kmv_sketch(CASE WHEN event_type = 'error' THEN user_id END, $k)")
+          .as("error_users"))
+      .select(col("event_date"),
+        Kmv.differenceEstimate(col("purchasers"), col("error_users"), k)
+          .as("approx_purchase_only"),
+        Kmv.differenceEstimate(col("error_users"), col("purchasers"), k)
+          .as("approx_error_only"))
+  }
+
   /** Total-period audience overlap from DAILY sketches via kmv_merge_agg —
     * the re-aggregation that makes persisting KMV sketches in gold
     * worthwhile (hll_union_agg's role for HLL, but closed under

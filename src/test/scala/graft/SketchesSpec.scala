@@ -202,6 +202,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("audienceDifference is exact on a below-k corpus (A-not-B twin)") {
+    val events = Tables.events(spark, TinySf)
+    val got = Sketches.audienceDifference(events)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    def users(t: String) = events.filter(col("event_type") === t)
+      .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+    val exact = users("purchase").withColumn("p", lit(1))
+      .join(users("error").withColumn("e", lit(1)), Seq("d", "user_id"), "full")
+      .groupBy("d").agg(
+        sum(when(col("p").isNotNull && col("e").isNull, 1).otherwise(0)).as("po"),
+        sum(when(col("e").isNotNull && col("p").isNull, 1).otherwise(0)).as("eo"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (day, (po, eo)) =>
+      val (epo, eeo) = exact(day)
+      assert(math.abs(po - epo) < 1e-6 && math.abs(eo - eeo) < 1e-6,
+        s"$day: got ($po,$eo) exact ($epo,$eeo)")
+    }
+  }
+
   test("cms_sketch never undercounts, holds the e·N/width ceiling on EVERY " +
     "token, and is merge-invariant") {
     graft.functions.GraftFunctions.register(spark)
