@@ -520,4 +520,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- bin packing ---------------------------------------------------------
+
+  /** Document lengths drawn from mixed regimes — many tiny, some near
+    * capacity, some overflow — the distributions where a packer's
+    * capacity/bijectivity/bound invariants actually get exercised. */
+  private def lengthsGen(n: Int, cap: Int): Gen[List[Int]] =
+    Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.choose(1, cap / 8),
+      3 -> Gen.choose(cap / 2, cap),
+      1 -> Gen.choose(cap + 1, 2 * cap)))
+
+  test("packHistogram invariants hold on random mixed-length histograms") {
+    val cap = 64
+    for (seed <- 1L to 8L) {
+      val lens = draw(lengthsGen(120, cap), seed).filter(_ <= cap)
+      val hist = lens.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+      if (hist.nonEmpty) {
+        val strategies = graft.text.BinPacking.packHistogram(hist, cap)
+        // capacity respected, all counts consumed exactly
+        strategies.foreach(s => assert(s.lengths.sum <= cap && s.count > 0,
+          s"seed $seed: bad strategy $s"))
+        val consumed = strategies.flatMap(s => s.lengths.map(_ -> s.count))
+          .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+        assert(consumed == hist, s"seed $seed: counts drifted")
+        // theorem bound: at most one bin <= half full → n_bins <= 2·LB+1
+        val lb = (lens.map(_.toLong).sum + cap - 1) / cap
+        val nBins = strategies.map(_.count).sum
+        assert(nBins <= 2 * lb + 1, s"seed $seed: $nBins bins vs LB $lb")
+        // and at most ONE strategy may sit at or below half capacity
+        val halfEmpty = strategies.filter(_.lengths.sum * 2 <= cap)
+        assert(halfEmpty.map(_.count).sum <= 1,
+          s"seed $seed: ${halfEmpty.size} half-empty strategies")
+      }
+    }
+  }
+
+  test("packBins assigns every random doc once, within capacity, overflow isolated") {
+    import spark.implicits._
+    val cap = 64
+    for (seed <- 1L to 3L) {
+      val lens = draw(lengthsGen(80, cap), seed)
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, ("w " * l).trim) }
+        .toDF("doc_id", "text")
+      val out = graft.text.BinPacking.packBins(docs, cap).collect()
+      assert(out.length == lens.size, s"seed $seed: docs dropped or duplicated")
+      assert(out.map(_.getAs[Long]("doc_id")).distinct.length == lens.size)
+      val byBin = out.groupBy(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("overflow")))
+      byBin.foreach { case ((bin, over), rows) =>
+        if (over == 0L)
+          assert(rows.map(_.getAs[Long]("n_tokens")).sum <= cap.toLong,
+            s"seed $seed: bin $bin over capacity")
+        else assert(rows.length == 1, s"seed $seed: overflow bin $bin shared")
+      }
+    }
+  }
 }
