@@ -188,10 +188,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => byName(a.name)
     }
 
-    // each output: a grouping key (re-aliased MV key) or a derivable agg
+    // each output: a grouping key (re-aliased MV key — possibly renamed
+    // by a collapsed Project, e.g. withColumnRenamed folded into the
+    // Aggregate) or a derivable agg
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if mv.keys.contains(a.name) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if mv.keys.contains(a.name) =>
+        Alias(byName(a.name), name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
         derive(ae, mv, byName).map(d =>
           Alias(Cast(d, al.dataType), name)(exprId = al.exprId))

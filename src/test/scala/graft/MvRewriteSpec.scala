@@ -148,6 +148,30 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("two rewrites in ONE plan get independent scans (no exprId collision)") {
+    MvRewrite.clear()
+    // a union of two covered aggregates: transformUp rewrites both; each
+    // must stamp fresh exprIds off the template or analysis would see
+    // duplicate attribute ids across the two MV scans and throw
+    val q = () => Tables.lineitem(spark, TinySf)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("qty"))
+      .unionByName(
+        Tables.lineitem(spark, TinySf)
+          .groupBy("l_linestatus").agg(sum("l_quantity").as("qty"))
+          .withColumnRenamed("l_linestatus", "l_returnflag"))
+      .orderBy("l_returnflag", "qty")
+    val expected = q().collect().toSeq
+    registered()
+    try {
+      val got = q()
+      assert(got.collect().toSeq == expected)
+      val paths = scanPaths(got)
+      assert(paths.count(_.contains("lineitem_mv")) == 2,
+        s"expected 2 MV scans, saw $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")))
+    } finally MvRewrite.clear()
+  }
+
   test("grouping by BOTH keys re-aggregates at MV grain with exact equality") {
     MvRewrite.clear()
     val q = () => Tables.lineitem(spark, TinySf)
