@@ -137,7 +137,7 @@ object Queries {
 
   // ---- registry ----
 
-  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7
+  val registry: Seq[QueryDef] = batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8
 
   private lazy val batch1: Seq[QueryDef] = Seq(
 
@@ -4278,6 +4278,93 @@ object Queries {
         |  count(*) AS line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  // ---- round-10 additions: MV-rewrite gate, line dedup, image phash ----
+
+  private lazy val batch8: Seq[QueryDef] = Seq(
+
+    // Transparent MV rewrite, driver-gated end-to-end: the query body
+    // materializes + registers an orders MV, runs a coarser-grain
+    // aggregate AGAINST THE BASE TABLE, and requires (hard `require`, so
+    // a silent fallback fails the row rather than trivially passing) that
+    // the optimizer served it from the MV scan. The oracle computes the
+    // same aggregate over the base parquet — hash equality proves the
+    // rewrite is invisible. Aggregates are exact-only (counts, a BIGINT
+    // sum, min/max): §4 forbids reassociating double sums across engines.
+    QueryDef("q_mv_rewrite",
+      (s, d) => {
+        import graft.plans.MvRewrite
+        val base = s"$d/orders.parquet"
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-mv-gate").toString
+        val states = MvRewrite.materialize(
+          s.read.parquet(base),
+          keys = Seq("o_orderstatus", "o_orderpriority"),
+          specs = Seq(("sum", "o_custkey"), ("count", "o_totalprice"),
+            ("min", "o_totalprice"), ("max", "o_totalprice")),
+          mvPath = s"$tmp/orders_mv")
+        MvRewrite.register(s, base, s"$tmp/orders_mv",
+          Seq("o_orderstatus", "o_orderpriority"), states)
+        try {
+          val agg = s.read.parquet(base)
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              count(col("o_totalprice")).as("n_priced"),
+              sum("o_custkey").as("custkey_checksum"),
+              min("o_totalprice").as("min_price"),
+              max("o_totalprice").as("max_price"))
+          // honesty gate: the optimized plan must scan the MV, not the base
+          val scans = agg.queryExecution.optimizedPlan.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+          }.flatten
+          require(scans.exists(_.contains("orders_mv")),
+            s"MV rewrite did not fire: scans=$scans")
+          require(!scans.exists(_.contains("orders.parquet")),
+            s"base table still scanned: $scans")
+          // execute while registered, then serve the materialized result
+          agg.write.mode("overwrite").parquet(s"$tmp/result")
+        } finally MvRewrite.unregister(base)
+        s.read.parquet(s"$tmp/result").orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(o_totalprice) AS n_priced,
+        |  CAST(sum(o_custkey) AS BIGINT) AS custkey_checksum,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus-wide duplicated-LINE removal (CCNet line dedup): the
+    // synthetic corpus is single-line, so the query reflows each doc into
+    // 3-token lines first (both engines reproduce the reflow exactly),
+    // then drops every copy of any line appearing >= 2 times corpus-wide
+    // and reassembles survivors in order. text/LineDedup.scala.
+    QueryDef("q_line_dedup",
+      (s, d) => graft.text.LineDedup.dedupReflowed(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.text.LineDedup.oracleSql())),
+
+    // Perceptual image hash (stub plan twin): documents as 1xN "images",
+    // 33-point nearest-neighbor intensity resample, 32-bit aHash + dHash.
+    // The REAL-pixel 64-bit aHash/dHash over decoded PPM/BMP payloads is
+    // the typed path (multimodal/ImageHash.scala), parity + planted
+    // near-dup bound in MultimodalSpec.
+    QueryDef("q_image_phash",
+      (s, d) => graft.multimodal.ImageHash.phashPlan(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.multimodal.ImageHash.phashOracleSql)),
+
+    // Image near-duplicate pairs: 4 byte-bands of the stub dHash
+    // (pigeonhole-complete at radius 3), occupancy governor 2..64, exact
+    // Hamming verify. The image twin of q_neardup_pairs.
+    QueryDef("q_image_neardup",
+      (s, d) => graft.multimodal.ImageHash.nearDupPlan(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(graft.multimodal.ImageHash.nearDupOracleSql()))
   )
 
   // Quality-score CTE chain ending in `t3` (per-doc tokens/ratios/score),

@@ -160,11 +160,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
+  /** The MV serving this scan — only when the relation reads exactly ONE
+    * root path. A multi-path scan (`spark.read.parquet(a, b)`) unions
+    * bases; rewriting to the MV of one path alone would silently drop the
+    * other paths' rows from the aggregate. */
+  private def registeredFor(lr: LogicalRelation): Option[MvDef] =
+    basePaths(lr) match {
+      case Seq(single) => Option(registry.get(single))
+      case _ => None
+    }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val Aggregate(groupExprs, aggExprs, child, _) = agg
     for {
       (lr, conds) <- peel(child)
-      mv <- basePaths(lr).iterator.flatMap(p => Option(registry.get(p))).nextOption()
+      mv <- registeredFor(lr)
       result <- rewriteWith(agg, groupExprs, aggExprs, conds, mv)
     } yield result
   }
@@ -180,6 +190,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     // filters may touch only MV key columns
     if (conds.exists(_.references.exists(a => !mv.keys.contains(a.name))))
       return None
+    // a non-deterministic predicate (e.g. rand() < p sampling) has NO
+    // attribute references, so the key-only check alone would admit it —
+    // but it must see ROW grain: commuted to the MV it would sample
+    // groups instead of data rows
+    if (conds.exists(!_.deterministic)) return None
 
     val scan = mv.template.newInstance()
     val byName = scan.output.map(a => a.name -> a).toMap
@@ -209,19 +224,29 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** sum(x)→sum(sum_x), count(*)→sum(cnt), count(x)→sum(count_x) if
     * registered, min(x)→min(min_x), max(x)→max(max_x),
     * avg(x)→sum(sum_x)/sum(count_x) (double inputs only — decimal avg
-    * has its own precision semantics and is not derived). */
+    * has its own precision semantics and is not derived).
+    *
+    * Count derivations are wrapped in coalesce(·, 0): a GLOBAL count over
+    * an empty (or fully-filtered) base is 0, but Sum over the then-empty
+    * MV returns NULL. For grouped aggregates the coalesce is a no-op
+    * (every MV group row carries a non-null state). count(NULL) is 0 in
+    * SQL, not the row count, so the literal match requires non-null. */
   private def derive(ae: AggregateExpression, mv: MvDef,
                      byName: Map[String, Attribute]): Option[Expression] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
     def state(fn: String, c: String): Option[Attribute] =
       mv.states.get((fn, c)).flatMap(byName.get)
+    def sumOrZero(s: Attribute): Expression =
+      Coalesce(Seq(Sum(s).toAggregateExpression(), Literal(0L)))
     ae.aggregateFunction match {
       case Sum(a: AttributeReference, _) =>
         state("sum", a.name).map(s => Sum(s).toAggregateExpression())
-      case Count(Seq(Literal(_, _))) | Count(Nil) =>
-        state("count", "*").map(s => Sum(s).toAggregateExpression())
+      case Count(Seq(Literal(v, _))) if v != null =>
+        state("count", "*").map(sumOrZero)
+      case Count(Nil) =>
+        state("count", "*").map(sumOrZero)
       case Count(Seq(a: AttributeReference)) =>
-        state("count", a.name).map(s => Sum(s).toAggregateExpression())
+        state("count", a.name).map(sumOrZero)
       case Min(a: AttributeReference) =>
         state("min", a.name).map(s => Min(s).toAggregateExpression())
       case Max(a: AttributeReference) =>

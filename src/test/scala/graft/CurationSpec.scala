@@ -656,4 +656,61 @@ class CurationSpec extends SparkSpec {
     assert(stats.filter(col("overflow") === 0L &&
       col("slack_tokens") =!= lit(cap.toLong) - col("fill_tokens")).count() == 0)
   }
+
+  test("line dedup strips a repeated footer corpus-wide, keeps prose in order") {
+    import spark.implicits._
+    val footer = "copyright 2026 example corp\nall rights reserved"
+    val synth = Seq(
+      (1L, s"alpha prose one\nbeta prose two\n$footer"),
+      (2L, s"$footer\ngamma unique line"),
+      (3L, s"delta standalone\n$footer\nepsilon closing"),
+      (4L, footer) // boilerplate-only doc must survive as an empty row
+    ).toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dedupLines(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "a document vanished")
+    assert(out(1L).getAs[String]("clean_text") == "alpha prose one\nbeta prose two")
+    assert(out(2L).getAs[String]("clean_text") == "gamma unique line")
+    // order preserved around the excised footer
+    assert(out(3L).getAs[String]("clean_text") == "delta standalone\nepsilon closing")
+    assert(out(4L).getAs[String]("clean_text") == "" &&
+      out(4L).getAs[Long]("n_kept") == 0L)
+    // the audit adds up: footer = 2 lines per occurrence
+    assert(out(1L).getAs[Long]("n_removed") == 2L &&
+      out(1L).getAs[Long]("n_lines") == 4L)
+    assert(out(4L).getAs[Long]("n_removed") == 2L)
+  }
+
+  test("line dedup removal threshold: minDupCount=3 spares a twice-seen line") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "twice seen\nunique a"),
+      (2L, "twice seen\nunique b"),
+      (3L, "thrice seen\nunique c"),
+      (4L, "thrice seen\nunique d"),
+      (5L, "thrice seen\nunique e")
+    ).toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dedupLines(synth, minDupCount = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out(1L) == "twice seen\nunique a", "line under threshold removed")
+    assert(out(3L) == "unique c", "line at threshold kept")
+  }
+
+  test("reflowed line dedup matches a hand computation on planted token docs") {
+    import spark.implicits._
+    // 3-token reflow: doc 1/2 share their first reflowed line exactly
+    val synth = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c p q r"),
+      (3L, "m n o")
+    ).toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dedupReflowed(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "x y z")
+    assert(out(2L).getAs[String]("clean_text") == "p q r")
+    assert(out(3L).getAs[String]("clean_text") == "m n o")
+    assert(out(1L).getAs[Long]("n_lines") == 2L &&
+      out(1L).getAs[Long]("n_removed") == 1L)
+  }
 }

@@ -99,6 +99,93 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("non-deterministic filter (rand sampling) blocks the rewrite") {
+    MvRewrite.clear()
+    registered()
+    try {
+      // rand() < p has NO attribute references, so the key-only reference
+      // check alone would admit it — but sampling must see row grain, not
+      // MV group grain
+      val sampled = Tables.lineitem(spark, TinySf)
+        .filter(rand(42) < 0.5)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(sampled).exists(_.contains("lineitem.parquet")),
+        "non-deterministic filter was commuted to MV group grain")
+    } finally MvRewrite.clear()
+  }
+
+  test("global count over an EMPTY registered base is 0 through the rewrite") {
+    MvRewrite.clear()
+    val emptyBase = s"$mvRoot/empty_base"
+    val emptyMv = s"$mvRoot/empty_mv"
+    Tables.lineitem(spark, TinySf).limit(0)
+      .write.mode("overwrite").parquet(emptyBase)
+    val states = MvRewrite.materialize(
+      spark.read.parquet(emptyBase),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      specs = Seq(("sum", "l_quantity"), ("count", "l_quantity")),
+      mvPath = emptyMv)
+    MvRewrite.register(spark, emptyBase, emptyMv,
+      Seq("l_returnflag", "l_linestatus"), states)
+    try {
+      val got = spark.read.parquet(emptyBase)
+        .agg(count(lit(1)).as("n"), count(col("l_quantity")).as("n_qty"),
+          sum("l_quantity").as("s"))
+      val row = got.collect().head
+      assert(row.getLong(0) == 0L, s"count(*) over empty base = ${row.get(0)}")
+      assert(row.getLong(1) == 0L, s"count(x) over empty base = ${row.get(1)}")
+      assert(row.isNullAt(2), "sum over empty base must stay NULL")
+      assert(scanPaths(got).exists(_.contains("empty_mv")),
+        "global agg over the empty base was not served from the MV")
+    } finally MvRewrite.clear()
+  }
+
+  test("multi-path scan is never rewritten to one path's MV") {
+    MvRewrite.clear()
+    val otherPath = s"$mvRoot/lineitem_extra"
+    Tables.lineitem(spark, TinySf).limit(10)
+      .write.mode("overwrite").parquet(otherPath)
+    val q = () => spark.read.parquet(basePath, otherPath)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val expected = q().collect().toSeq
+    registered()
+    try {
+      val got = q()
+      assert(got.collect().toSeq == expected,
+        "multi-path aggregate changed under a single-path MV registration")
+      assert(scanPaths(got).exists(_.contains("lineitem.parquet")),
+        "multi-path scan was rewritten — extra path's rows dropped")
+    } finally MvRewrite.clear()
+  }
+
+  test("registration by file:-scheme URI serves queries on the bare path (and vice versa)") {
+    MvRewrite.clear()
+    val mvPath = s"$mvRoot/lineitem_mv_uri"
+    val states = MvRewrite.materialize(
+      Tables.lineitem(spark, TinySf),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      specs = Seq(("sum", "l_quantity")), mvPath = mvPath)
+    // register under the qualified URI, query via the bare path
+    MvRewrite.register(spark, s"file:$basePath", mvPath,
+      Seq("l_returnflag", "l_linestatus"), states)
+    try {
+      val got = Tables.lineitem(spark, TinySf)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(got).exists(_.contains("lineitem_mv_uri")),
+        "scheme-qualified registration did not match the bare-path scan")
+    } finally MvRewrite.clear()
+    // and the reverse: bare-path registration, scheme-qualified read
+    MvRewrite.register(spark, basePath, mvPath,
+      Seq("l_returnflag", "l_linestatus"), states)
+    try {
+      val got = spark.read.parquet(s"file:$basePath")
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(got).exists(_.contains("lineitem_mv_uri")),
+        "bare-path registration did not match the scheme-qualified scan")
+    } finally MvRewrite.clear()
+  }
+
   test("streaming mvSink maintains states batch-identically; serving registers the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -146,6 +233,19 @@ class MvRewriteSpec extends SparkSpec {
       assert(scanPaths(got).exists(_.contains("stream_mv")),
         "query not served from the streamed MV")
     } finally MvRewrite.clear()
+  }
+
+  test("q_mv_rewrite (the driver-gated query) runs green and self-verifies the rewrite") {
+    MvRewrite.clear()
+    // the query body `require`s that the optimized plan scanned the MV and
+    // not the base — so a plain successful run IS the plan-shape assert
+    val out = Queries.all("q_mv_rewrite")(spark, TinySf).collect()
+    assert(out.nonEmpty)
+    // registration must not leak into the session after the query returns
+    val after = Tables.orders(spark, TinySf)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(scanPaths(after).exists(_.contains("orders.parquet")),
+      "q_mv_rewrite leaked its MV registration into the session")
   }
 
   test("two rewrites in ONE plan get independent scans (no exprId collision)") {
