@@ -168,18 +168,21 @@ class Medallion(spark: SparkSession, sfDir: String, warehouseDir: String) {
   /** Timestamp time travel (the `timestampAsOf` half of the reference's
     * read_delta, delta_utils.py:80 — [[readSilverVersion]] is the
     * `versionAsOf` half): reads the greatest committed version whose
-    * commit time is ≤ `tsMillis`. Commit time is the `_SUCCESS` marker's
-    * modification time — the visibility moment: the instant
-    * [[committedVersions]] starts listing the snapshot — so "as of T"
-    * returns exactly what a reader AT time T saw. Throws if no version
-    * was visible yet (same contract as Delta's timestampAsOf before the
-    * first commit). */
+    * commit time is ≤ `tsMillis`. Commit time is the visibility moment —
+    * the instant [[committedVersions]] started listing the snapshot: the
+    * `_SUCCESS` marker's mtime, or the `_commit_ts` marker a physical
+    * rewrite ([[DeletionVectors.materialize]], e.g. a GDPR purge) carried
+    * forward in its place — so "as of T" returns exactly what a reader AT
+    * time T saw, even after every file in the snapshot was rewritten.
+    * Throws if no version was visible yet (same contract as Delta's
+    * timestampAsOf before the first commit). */
   def readSilverAsOf(table: String, tsMillis: Long): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(path("silver", table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val visible = committedVersions(table).filter { v =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"v=$v/_SUCCESS"))
-        .getModificationTime <= tsMillis
+      DeletionVectors.commitTimeMillis(fs,
+          new org.apache.hadoop.fs.Path(dir, s"v=$v"))
+        .exists(_ <= tsMillis)
     }
     require(visible.nonEmpty,
       s"no committed version of silver $table at or before $tsMillis")

@@ -568,9 +568,36 @@ class MedallionSpec extends SparkSpec {
     m.runSilver()
     assert(m.readSilver("orders_enriched").filter(col("o_custkey") === key).count() == 0)
 
+    // pin distinct pre-purge commit instants so we can prove the physical
+    // purge preserves them (it rewrites every file incl. _SUCCESS)
+    val fsSilver = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val (t1, t2) = (1000000L, 2000000L)
+    fsSilver.setTimes(new org.apache.hadoop.fs.Path(
+      s"$wh/silver/orders_enriched/v=1/_SUCCESS"), t1, -1)
+    fsSilver.setTimes(new org.apache.hadoop.fs.Path(
+      s"$wh/silver/orders_enriched/v=2/_SUCCESS"), t2, -1)
+
     // physical completion: vectors cleared, raw scans agree, layout kept
     val purged = m.completeErasure().collect()
     assert(purged.nonEmpty)
+
+    // timestamp time travel still resolves PRE-purge instants: the rewrite
+    // carried each snapshot's original commit time forward as _commit_ts
+    // (before the fix, the fresh _SUCCESS mtimes were purge time and every
+    // pre-purge "as of T" threw 'no committed version')
+    val asOfT1 = m.readSilverAsOf("orders_enriched", t1)
+    assert(asOfT1.filter(col("o_custkey") === key).count() == 0)
+    assert(asOfT1.count() ==
+      m.readSilverVersion("orders_enriched", 1L).count())
+    assert(m.readSilverAsOf("orders_enriched", t2 + 1).count() ==
+      m.readSilverVersion("orders_enriched", 2L).count())
+    intercept[IllegalArgumentException](
+      m.readSilverAsOf("orders_enriched", t1 - 1))
+    // the swap left no staging residue behind
+    assert(!new java.io.File(s"$wh/silver/orders_enriched")
+      .listFiles().exists(_.getName.contains("__dv_")),
+      "materialize left a staging dir behind")
     assert(!DeletionVectors.hasVectors(spark, s"$wh/bronze/orders"))
     assert(spark.read.parquet(s"$wh/bronze/orders")
       .filter(col("o_custkey") === key).count() == 0)

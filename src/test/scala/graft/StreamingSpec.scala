@@ -779,6 +779,60 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.Observability.detach(spark, listener)
     }
   }
+
+  test("serving metadata routes: /health degrades then heals, /model/info tracks the registry") {
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) ""
+        else try scala.io.Source.fromInputStream(is).mkString finally is.close()
+      (code, body)
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-serving").toString
+    val features = graft.ml.TrainedModel.FeatureCols
+    val listener = graft.streaming.Observability.attach(spark)
+    val endpoint = graft.streaming.PrometheusEndpoint.start(listener,
+      modelInfo = graft.streaming.PrometheusEndpoint.registryModelInfo(
+        spark, root, "fraud_gbt", features))
+    try {
+      // no committed model yet: degraded health, 503 info (api.py:162)
+      val (hc0, hb0) = get(endpoint.port, "/health")
+      assert(hc0 == 200 && hb0.contains("\"status\": \"degraded\"")
+        && hb0.contains("\"model_loaded\": false"))
+      assert(get(endpoint.port, "/model/info")._1 == 503)
+
+      // publish v=1 through the registry (any artifact — the route reads
+      // version metadata, not the model bytes)
+      graft.ml.ModelRegistry.saveArtifact(spark, root, "fraud_gbt") { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      }
+      val (hc1, hb1) = get(endpoint.port, "/health")
+      assert(hc1 == 200 && hb1.contains("\"status\": \"healthy\"")
+        && hb1.contains("\"model_version\": 1"))
+      val (ic, ib) = get(endpoint.port, "/model/info")
+      assert(ic == 200)
+      assert(ib.contains("\"model_name\": \"fraud_gbt\"")
+        && ib.contains("\"model_version\": 1")
+        && ib.contains(s""""feature_count": ${features.size}""")
+        && ib.contains("\"fraud_threshold\": 0.5")
+        && features.forall(f => ib.contains(s""""$f"""")))
+
+      // hot reload: a second publish is visible without restarting
+      graft.ml.ModelRegistry.saveArtifact(spark, root, "fraud_gbt") { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      }
+      assert(get(endpoint.port, "/model/info")._2.contains("\"model_version\": 2"))
+      // /metrics still serves on the same server
+      assert(get(endpoint.port, "/metrics")._1 == 200)
+    } finally {
+      endpoint.stop()
+      graft.streaming.Observability.detach(spark, listener)
+    }
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
