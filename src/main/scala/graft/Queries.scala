@@ -4348,6 +4348,25 @@ object Queries {
         .orderBy("doc_id"),
       Some(graft.text.LineDedup.oracleSql())),
 
+    // Incremental line-count store (continuous-crawl ingestion): counts
+    // are additive, so the store built from the old corpus + the delta's
+    // appended counts merges to EXACTLY the from-scratch counts — cleaning
+    // the full corpus through the store is bit-identical to q_line_dedup,
+    // which is exactly what the shared oracle checks.
+    QueryDef("q_line_dedup_incremental",
+      (s, d) => {
+        import graft.text.LineDedup
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-line-store").toString + "/lines"
+        val docs = Tables.documents(s, d)
+        val reflowed = docs.select(col("doc_id"),
+          LineDedup.reflow(docs).as("text"))
+        LineDedup.buildLineStore(reflowed.filter(col("doc_id") % 10 =!= 7), store)
+        LineDedup.appendLineStore(reflowed.filter(col("doc_id") % 10 === 7), store)
+        LineDedup.dedupLinesWithStore(reflowed, store).orderBy("doc_id")
+      },
+      Some(graft.text.LineDedup.oracleSql())),
+
     // Perceptual image hash (stub plan twin): documents as 1xN "images",
     // 33-point nearest-neighbor intensity resample, 32-bit aHash + dHash.
     // The REAL-pixel 64-bit aHash/dHash over decoded PPM/BMP payloads is

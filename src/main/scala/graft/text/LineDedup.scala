@@ -34,19 +34,12 @@ object LineDedup {
     docs.select(col("doc_id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
 
-  /** doc_id, clean_text (kept lines re-joined), n_lines, n_kept,
-    * n_removed. Documents whose every line is boilerplate survive as
-    * empty-text rows (they must stay visible to downstream accounting —
-    * silently dropping them would skew corpus stats). */
-  def dedupLines(docs: DataFrame, textCol: String = "text",
-                 minDupCount: Int = 2): DataFrame = {
+  /** Anti-join `docs`' lines against the duplicate-line set `dup` and
+    * reassemble survivors in order — the shared back half of both the
+    * in-query and store-backed paths. */
+  private def cleanAgainst(docs: DataFrame, dup: DataFrame,
+                           textCol: String): DataFrame = {
     val lines = explodeLines(docs, textCol)
-    // the corpus-wide duplicate-line set: always far smaller than the
-    // line table (bounded by distinct duplicated lines, not occurrences)
-    val dup = lines.groupBy("line")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minDupCount)
-      .select("line")
     val kept = lines.join(dup, Seq("line"), "left_anti")
     val reassembled = kept.groupBy("doc_id").agg(
       array_join(
@@ -62,6 +55,62 @@ object LineDedup {
         col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** doc_id, clean_text (kept lines re-joined), n_lines, n_kept,
+    * n_removed. Documents whose every line is boilerplate survive as
+    * empty-text rows (they must stay visible to downstream accounting —
+    * silently dropping them would skew corpus stats). */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 minDupCount: Int = 2): DataFrame = {
+    // the corpus-wide duplicate-line set: always far smaller than the
+    // line table (bounded by distinct duplicated lines, not occurrences)
+    val dup = explodeLines(docs, textCol).groupBy("line")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDupCount)
+      .select("line")
+    cleanAgainst(docs, dup, textCol)
+  }
+
+  // ---- incremental line-count store (continuous-crawl ingestion) ----------
+
+  /** Build a line-count store from `docs`: one parquet batch of
+    * (line, c) per ingest under `storePath`. Counts are additive, so the
+    * store is APPEND-ONLY — the text-dedup analog of the MinHash band
+    * store and the MV partial-state store: a new crawl slice appends its
+    * own counts without touching existing batches, and readers merge by
+    * summation. At 100 TB each append costs one pass over the DELTA, and
+    * the merged duplicate set equals a from-scratch build exactly
+    * (integer addition is associative — no approximation seam). */
+  def buildLineStore(docs: DataFrame, storePath: String,
+                     textCol: String = "text"): Unit =
+    explodeLines(docs, textCol)
+      .groupBy("line").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Append a delta slice's line counts to the store. */
+  def appendLineStore(delta: DataFrame, storePath: String,
+                      textCol: String = "text"): Unit =
+    explodeLines(delta, textCol)
+      .groupBy("line").agg(count(lit(1)).as("c"))
+      .write.mode("append").parquet(storePath)
+
+  /** Corpus-wide merged counts of the store: sum over appended batches. */
+  def mergedLineCounts(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("line").agg(sum("c").as("c"))
+
+  /** [[dedupLines]] against the STORE's merged counts instead of an
+    * in-query count — cleaning any slice (or the full corpus) against
+    * everything ever ingested. Bit-identical to [[dedupLines]] when the
+    * store covers exactly `docs`. */
+  def dedupLinesWithStore(docs: DataFrame, storePath: String,
+                          textCol: String = "text",
+                          minDupCount: Int = 2): DataFrame = {
+    val dup = mergedLineCounts(docs.sparkSession, storePath)
+      .filter(col("c") >= minDupCount).select("line")
+    cleanAgainst(docs, dup, textCol)
   }
 
   /** Reflow a single-line space-tokenized document into lines of

@@ -697,6 +697,35 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == "unique c", "line at threshold kept")
   }
 
+  test("line-count store: build+append merges to the from-scratch counts exactly") {
+    import spark.implicits._
+    val footer = "shared footer line"
+    val synth = (1L to 12L).map(i =>
+      (i, s"unique opener $i\n$footer\nunique closer $i"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-lines").toString
+    // incremental: old slice then delta append
+    graft.text.LineDedup.buildLineStore(
+      synth.filter(col("doc_id") <= 8L), s"$root/inc")
+    graft.text.LineDedup.appendLineStore(
+      synth.filter(col("doc_id") > 8L), s"$root/inc")
+    // from-scratch twin
+    graft.text.LineDedup.buildLineStore(synth, s"$root/full")
+    val inc = graft.text.LineDedup.mergedLineCounts(spark, s"$root/inc")
+      .orderBy("line").collect().toSeq
+    val full = graft.text.LineDedup.mergedLineCounts(spark, s"$root/full")
+      .orderBy("line").collect().toSeq
+    assert(inc == full, "appended counts diverged from the from-scratch build")
+    // cleaning through the store == the in-query path, bit for bit
+    val viaStore = graft.text.LineDedup.dedupLinesWithStore(synth, s"$root/inc")
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.text.LineDedup.dedupLines(synth)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaStore == direct)
+    // and the footer is actually gone
+    assert(viaStore.forall(!_.getAs[String]("clean_text").contains(footer)))
+  }
+
   test("reflowed line dedup matches a hand computation on planted token docs") {
     import spark.implicits._
     // 3-token reflow: doc 1/2 share their first reflowed line exactly

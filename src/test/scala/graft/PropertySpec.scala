@@ -577,4 +577,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("line dedup matches a driver-side fold on random multi-line corpora") {
+    import spark.implicits._
+    // lines drawn from a small shared pool (collisions guaranteed) mixed
+    // with per-doc unique lines and the empty line; docs may be empty
+    val pool = Vector("shared footer", "nav | home | about", "", "copyright")
+    val docGen: Gen[List[String]] = Gen.listOf(for {
+      nLines <- Gen.choose(0, 7)
+      lines <- Gen.listOfN(nLines, Gen.frequency(
+        3 -> Gen.oneOf(pool),
+        2 -> Gen.choose(0, 999999).map(k => s"unique line $k")))
+    } yield lines.mkString("\n"))
+    for (seed <- 1L to 4L; minDup <- Seq(2, 3)) {
+      val texts = draw(docGen, seed).take(60)
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        // oracle: re-derive lines from the TEXT (the operator's own input
+        // contract — split keeps trailing empties), count corpus-wide
+        val lineLists = texts.map(_.split("\n", -1).toSeq)
+        val counts = lineLists.flatten.groupBy(identity).view.mapValues(_.size)
+        val got = graft.text.LineDedup.dedupLines(docs, minDupCount = minDup)
+          .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+        assert(got.size == texts.size, s"seed $seed: docs dropped")
+        lineLists.zipWithIndex.foreach { case (lines, i) =>
+          val kept = lines.filter(l => counts(l) < minDup)
+          val r = got(i.toLong)
+          assert(r.getAs[String]("clean_text") == kept.mkString("\n"),
+            s"seed $seed minDup $minDup doc $i: reassembly diverged")
+          assert(r.getAs[Long]("n_lines") == lines.size.toLong)
+          assert(r.getAs[Long]("n_kept") == kept.size.toLong)
+          assert(r.getAs[Long]("n_removed") == (lines.size - kept.size).toLong)
+        }
+      }
+    }
+  }
+
+  test("image stub hashes: typed path equals the SQL plan twin on random ASCII") {
+    import spark.implicits._
+    val asciiGen: Gen[String] = for {
+      n <- Gen.choose(0, 300)
+      cs <- Gen.listOfN(n, Gen.choose(32, 126).map(_.toChar))
+    } yield cs.mkString
+    val texts = "" +: (1L to 40L).map(s => draw(asciiGen, s))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val media = docs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("application/octet-stream").as("mime"), lit("t").as("source"))
+      .as[graft.multimodal.Multimodal.MediaRecord]
+    val typed = graft.multimodal.ImageHash.imageHashes(media).collect()
+      .map(h => h.doc_id -> (h.ahash, h.dhash)).toMap
+    val planned = graft.multimodal.ImageHash.phashPlan(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    texts.indices.foreach { i =>
+      assert(typed(i.toLong) == planned(i.toLong),
+        s"doc $i (${texts(i).take(40)}…): typed stub != plan twin")
+    }
+  }
 }
