@@ -4383,7 +4383,29 @@ object Queries {
     QueryDef("q_image_neardup",
       (s, d) => graft.multimodal.ImageHash.nearDupPlan(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      Some(graft.multimodal.ImageHash.nearDupOracleSql()))
+      Some(graft.multimodal.ImageHash.nearDupOracleSql())),
+
+    // Corpus cluster map / topic-mixture audit: seeded coarse KMeans
+    // (bounded-sample fit shared with q_knn_ivf via the cacheKey memo),
+    // one map-only assignment pass, cell-grain profile of <= nlist rows.
+    // Rows-only: learned centroids are engine-local (same class as the
+    // ANN pack); ClusteringSpec binds assignment-is-argmin and
+    // partition-of-the-corpus.
+    QueryDef("q_kmeans_clusters",
+      (s, d) => graft.sim.Clustering.profile(
+        Tables.embeddings(s, d), nlist = 16, cacheKey = Some(d)),
+      None),
+
+    // Cluster-balanced diversity sample: each cell contributes its
+    // min(quota, |cell|) smallest-seeded-hash rows — uniform within the
+    // cell, capped per cell, so tail topics survive a head-heavy corpus.
+    // Rows-only (learned cells); ClusteringSpec binds quota exactness and
+    // rerun/repartition determinism.
+    QueryDef("q_sample_balanced",
+      (s, d) => graft.sim.Clustering.balancedSample(
+          Tables.embeddings(s, d), nlist = 16, quota = 25, cacheKey = Some(d))
+        .orderBy("cell", "samp_rank"),
+      None)
   )
 
   // Quality-score CTE chain ending in `t3` (per-doc tokens/ratios/score),

@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus clustering for curation — the cluster-map substrate that
+  * cluster-balanced sampling, topic-mixture audits, and per-cluster dedup
+  * budgets all stand on. (The reference repo has no clustering surface;
+  * this extends the LLM-pipeline axis the same way the ANN pack does.)
+  *
+  * One seeded coarse KMeans (fit on the bounded hash-uniform sample via
+  * Similarity.trainCoarseKeyed — never the corpus) partitions the
+  * normalized embedding space into `nlist` cells, shared with the IVF
+  * index when the cacheKey matches (same memo, zero extra fits). On top:
+  *
+  *   - `profile` — per-cluster size, dispersion (mean/max squared L2 to
+  *     the centroid on the unit sphere) and label mass: the topic-mixture
+  *     audit a curation run reads before choosing sampling weights.
+  *   - `balancedSample` — per-cell quota filled by seeded-hash priority:
+  *     a deterministic uniform-within-cell, capped-per-cell diversity
+  *     sample. A corpus whose head cluster holds 90% of rows contributes
+  *     at most `quota` of them, so tail topics survive the cut — the
+  *     cluster-balanced selection step of SemDeDup-style curation.
+  *
+  * Scale shape: the fit sees ≤ Similarity.trainCap rows regardless of
+  * corpus size; assignment is ONE map-only corpus pass against broadcast
+  * nlist×dim centroid literals (KMeansModel.transform); `profile` is one
+  * partial-agged cell-grain exchange collapsing to ≤ nlist rows; the
+  * sample rides ScalableRank.topKPerGroup (two bounded window passes, no
+  * single-partition stage). Nothing driver-side scales with the corpus.
+  *
+  * Learned centroids are engine-local (Spark-ML KMeans) → rows-only for
+  * the DuckDB gate; ClusteringSpec binds the invariants instead:
+  * assignment-is-argmin, partition-of-the-corpus, per-cell quota
+  * exactness, and repartition/rerun determinism.
+  */
+object Clustering {
+
+  /** The fitted centroids as (cell, centroid) rows — nlist literal-sized
+    * rows; exposed so ClusteringSpec can verify assignment-is-argmin
+    * against ALL cells, not just the chosen one. */
+  def centroids(embeddings: DataFrame, nlist: Int,
+                cacheKey: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = Similarity.withNormalized(embeddings)
+    Similarity.trainCoarseKeyed(base, nlist, cacheKey)
+      .clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.toArray.toSeq)
+      }.toSeq.toDF("c_cell", "centroid")
+  }
+
+  /** Per-row cell assignment: (vec_id, label, cell, dist2) where dist2 is
+    * squared L2 from the L2-normalized vector to its cell centroid (the
+    * dispersion measure `profile` aggregates). One corpus pass. */
+  def assignments(embeddings: DataFrame, nlist: Int,
+                  cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = Similarity.withNormalized(embeddings)
+    val model = Similarity.trainCoarseKeyed(base, nlist, cacheKey)
+    // centroids: nlist rows of dim doubles — literal-sized, broadcast
+    val cells = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq)
+    }.toSeq.toDF("c_cell", "centroid")
+    model.transform(base.withColumn("fv", array_to_vector(col("nv"))))
+      .select(col("vec_id"), col("label"), col("nv"),
+        col("cell").cast("long").as("cell"))
+      .join(broadcast(cells), col("cell") === col("c_cell"))
+      .withColumn("dist2", Similarity.d2(col("nv"), col("centroid")))
+      .select(col("vec_id"), col("label"), col("cell"), col("dist2"))
+  }
+
+  /** Topic-mixture audit: per-cluster size, dispersion, and positive-label
+    * mass, one row per non-empty cell (≤ nlist rows total). */
+  def profile(embeddings: DataFrame, nlist: Int,
+              cacheKey: Option[String] = None): DataFrame =
+    assignments(embeddings, nlist, cacheKey)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("dist2")).as("mean_dist2"),
+        max(col("dist2")).as("max_dist2"),
+        sum(col("label").cast("long")).as("label_mass"))
+      .orderBy(col("cell"))
+
+  /** Cluster-balanced diversity sample: each cell contributes its
+    * min(quota, |cell|) rows of smallest seeded-hash priority — uniform
+    * within the cell, deterministic across runs and repartitions (priority
+    * is a pure function of vec_id; ties cannot occur since vec_id is the
+    * final tiebreak). Output: (cell, samp_rank, vec_id, label). */
+  def balancedSample(embeddings: DataFrame, nlist: Int, quota: Int,
+                     cacheKey: Option[String] = None): DataFrame =
+    graft.operators.ScalableRank.topKPerGroup(
+        assignments(embeddings, nlist, cacheKey)
+          .withColumn("pri", xxhash64(col("vec_id"))),
+        Seq(col("cell")), Seq(col("pri").asc, col("vec_id").asc),
+        quota, "samp_rank")
+      .select(col("cell"), col("samp_rank"), col("vec_id"), col("label"))
+}

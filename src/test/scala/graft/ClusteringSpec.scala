@@ -1,0 +1,95 @@
+package graft
+
+import graft.sim.Clustering
+import org.apache.spark.sql.functions._
+
+/** Invariant binds for the rows-only cluster-map queries
+  * (q_kmeans_clusters, q_sample_balanced): learned centroids are
+  * engine-local, so instead of a DuckDB oracle the spec proves the
+  * properties that make the cluster map trustworthy as a curation
+  * substrate — assignment is a true argmin, the cells partition the
+  * corpus, the balanced sample fills each cell's quota exactly, and the
+  * whole construction is deterministic across reruns and repartitions. */
+class ClusteringSpec extends SparkSpec {
+
+  private val Nlist = 16
+  private def emb = Tables.embeddings(spark, TinySf)
+
+  test("cells partition the corpus: profile sizes sum to the row count") {
+    val total = emb.count()
+    val prof = Clustering.profile(emb, Nlist).cache()
+    try {
+      val rows = prof.collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == total,
+        "per-cell sizes must sum to the corpus size (every row in exactly one cell)")
+      assert(rows.length <= Nlist)
+      val cells = rows.map(_.getAs[Long]("cell"))
+      assert(cells.distinct.length == cells.length, "duplicate cell rows")
+      assert(cells.forall(c => c >= 0 && c < Nlist))
+      // dispersion sanity: mean <= max, both non-negative
+      assert(rows.forall(r => r.getAs[Double]("mean_dist2") >= 0.0 &&
+        r.getAs[Double]("mean_dist2") <= r.getAs[Double]("max_dist2") + 1e-12))
+    } finally prof.unpersist(blocking = false)
+  }
+
+  test("assignment is argmin over ALL centroids, for every row") {
+    val assigned = Clustering.assignments(emb, Nlist)
+    // recompute each row's distance to EVERY centroid independently of the
+    // assignment path and take the min; the assigned dist2 must equal it
+    // (equality of the MINIMUM is the argmin property — KMeans tie-breaks
+    // are then irrelevant)
+    val nv = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+        "sqrt(aggregate(zip_with(embedding, embedding, (a,b) -> " +
+        "CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc,x) -> acc + x)))")
+        .as("nv"))
+    val best = nv.crossJoin(broadcast(Clustering.centroids(emb, Nlist)))
+      .withColumn("d", expr("aggregate(zip_with(nv, centroid, " +
+        "(x,y) -> (x - y) * (x - y)), 0D, (acc,x) -> acc + x)"))
+      .groupBy("vec_id").agg(min("d").as("d_min"))
+    val joined = assigned.join(best, "vec_id").cache()
+    try {
+      assert(joined.count() == emb.count())
+      val bad = joined.filter(abs(col("dist2") - col("d_min")) > 1e-9).count()
+      assert(bad == 0L,
+        "some row was assigned to a cell that is not its nearest centroid")
+    } finally joined.unpersist(blocking = false)
+  }
+
+  test("balanced sample fills min(quota, |cell|) exactly and is a subset") {
+    val quota = 25
+    val sizes = Clustering.profile(emb, Nlist)
+      .select("cell", "n").collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    val samp = Clustering.balancedSample(emb, Nlist, quota).cache()
+    try {
+      val got = samp.groupBy("cell").count().collect()
+        .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+      sizes.foreach { case (cell, n) =>
+        assert(got.getOrElse(cell, 0L) == math.min(quota.toLong, n),
+          s"cell $cell: expected min($quota, $n), got ${got.getOrElse(cell, 0L)}")
+      }
+      // subset of the corpus, no duplicated vec_id
+      val ids = samp.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length)
+      val known = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids.forall(known))
+      // ranks are 1..count within each cell
+      val ranks = samp.groupBy("cell")
+        .agg(min("samp_rank").as("lo"), max("samp_rank").as("hi"),
+          count(lit(1)).as("c")).collect()
+      assert(ranks.forall(r => r.getAs[Long]("lo") == 1L &&
+        r.getAs[Long]("hi") == r.getAs[Long]("c")))
+    } finally samp.unpersist(blocking = false)
+  }
+
+  test("sample is deterministic across reruns and repartitions") {
+    val quota = 25
+    val a = Clustering.balancedSample(emb, Nlist, quota)
+      .orderBy("cell", "samp_rank").collect().map(_.toString)
+    val b = Clustering.balancedSample(emb.repartition(7), Nlist, quota)
+      .orderBy("cell", "samp_rank").collect().map(_.toString)
+    assert(a.sameElements(b),
+      "cluster-balanced sample must not depend on input partitioning")
+  }
+}
