@@ -1773,6 +1773,32 @@ object Queries {
         |  FROM documents
         |) t WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin)),
 
+    // Same per-stratum uniform sample computed in ONE aggregation pass by
+    // the bottomk_sample TypedImperativeAggregate (size-k mergeable
+    // max-heap per group): the window path shuffles every row; this path's
+    // exchange carries <= k pairs per group per task. md5 priorities are
+    // engine-portable, so the custom aggregate is DuckDB-hash-gated —
+    // FunctionsSpec additionally proves bit-equality with the
+    // ScalableRank window path on the same quota.
+    QueryDef("q_sample_group_agg",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(expr("bottomk_sample(md5(cast(doc_id AS string)), doc_id, 20)")
+            .as("sample"))
+          .select(col("lang"), posexplode(col("sample")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+            col("col.payload").as("doc_id"))
+          .orderBy("lang", "sample_rank")
+      },
+      Some("""SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents
+        |) t WHERE rn <= 20 ORDER BY lang, sample_rank""".stripMargin)),
+
     QueryDef("q_dedup_clusters",
       (s, d) => Components.dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
       Some(DedupClustersOracle)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -143,6 +143,27 @@ object GraftFunctions {
   val cmsMergeBuilder: Seq[Expression] => Expression =
     cmsShapeBuilder("cms_merge_agg", CmsMergeAgg(_, _, _))
 
+  // k must be a literal int (the sample size is a plan-time property);
+  // priority/payload are cast so any string-able priority and integral
+  // payload work
+  val bottomkBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"bottomk_sample expects 3 arguments (priority, payload, k), got ${exprs.length}")
+    val kExpr = exprs(2)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"bottomk_sample k must be a literal int, got non-literal ${kExpr.sql}")
+    val k = kExpr.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"bottomk_sample k must be a literal int, got $other")
+    }
+    BottomKSample(
+      Cast(exprs.head, org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
+  }
+
   val bandedLevBuilder: Seq[Expression] => Expression = exprs => {
     if (exprs.length != 3)
       throw new IllegalArgumentException(
@@ -170,6 +191,8 @@ object GraftFunctions {
       "morton2", mortonBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_freq", topkFreqBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_sample", bottomkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -218,6 +241,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreq].getName, "topk_freq"),
       GraftFunctions.topkFreqBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
+      GraftFunctions.bottomkBuilder))
     ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),

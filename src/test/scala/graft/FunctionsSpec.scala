@@ -371,4 +371,47 @@ class FunctionsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project \\[levenshtein_leq".r.findFirstIn(plan).isDefined,
       plan.take(800))
   }
+
+  test("bottomk_sample equals the window-rank sample bit-for-bit") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, TinySf).select(col("doc_id"), col("lang"))
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("lang"))
+      .agg(expr("bottomk_sample(md5(cast(doc_id AS string)), doc_id, 7)").as("s"))
+      .select(col("lang"), posexplode(col("s")))
+      .select(col("lang"), (col("pos") + 1).as("rank"), col("col.payload").as("doc_id"))
+    val viaWindow = graft.operators.ScalableRank.topKPerGroup(
+        docs.withColumn("pri", md5(col("doc_id").cast("string"))),
+        Seq(col("lang")), Seq(col("pri").asc, col("doc_id").asc), 7, "rank")
+      .select(col("lang"), col("rank"), col("doc_id"))
+    val a = viaAgg(docs).orderBy("lang", "rank").collect().map(_.toString)
+    val w = viaWindow.orderBy("lang", "rank").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(w),
+      "single-pass aggregate sample must equal the two-window-pass sample")
+    // merge-tree invariance: any input partitioning yields the same state
+    val b = viaAgg(docs.repartition(13)).orderBy("lang", "rank")
+      .collect().map(_.toString)
+    assert(a.sameElements(b), "bottomk_sample must be partitioning-invariant")
+  }
+
+  test("bottomk_sample returns whole groups smaller than k, in priority order") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("b", 5L))
+      .toDF("g", "id")
+    val out = tiny.groupBy(col("g"))
+      .agg(expr("bottomk_sample(md5(cast(id AS string)), id, 10)").as("s"))
+      .select(col("g"), expr("transform(s, x -> x.payload)").as("ids"),
+        expr("transform(s, x -> x.pri)").as("pris"))
+      .collect()
+    val byG = out.map(r => r.getString(0) -> r).toMap
+    assert(byG("a").getSeq[Long](1).sorted == Seq(1L, 2L))
+    assert(byG("b").getSeq[Long](1).sorted == Seq(3L, 4L, 5L))
+    // emitted ascending by priority
+    out.foreach { r =>
+      val pris = r.getSeq[String](2)
+      assert(pris == pris.sorted, s"not ascending: $pris")
+    }
+  }
 }
