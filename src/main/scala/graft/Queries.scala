@@ -4339,7 +4339,10 @@ object Queries {
               count(col("o_totalprice")).as("n_priced"),
               sum("o_custkey").as("custkey_checksum"),
               min("o_totalprice").as("min_price"),
-              max("o_totalprice").as("max_price"))
+              max("o_totalprice").as("max_price"),
+              // DISTINCT over an MV KEY: the MV has exactly one row per
+              // present key combo, so the distinct set is identical
+              countDistinct(col("o_orderpriority")).as("n_priorities"))
           // honesty gate: the optimized plan must scan the MV, not the base
           val scans = agg.queryExecution.optimizedPlan.collect {
             case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -4361,7 +4364,8 @@ object Queries {
       Some("""SELECT o_orderstatus, count(*) AS n_orders,
         |  count(o_totalprice) AS n_priced,
         |  CAST(sum(o_custkey) AS BIGINT) AS custkey_checksum,
-        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Corpus-wide duplicated-LINE removal (CCNet line dedup): the

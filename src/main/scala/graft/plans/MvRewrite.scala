@@ -233,7 +233,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     * SQL, not the row count, so the literal match requires non-null. */
   private def derive(ae: AggregateExpression, mv: MvDef,
                      byName: Map[String, Attribute]): Option[Expression] = {
-    if (ae.isDistinct || ae.filter.nonEmpty) return None
+    if (ae.filter.nonEmpty) return None
+    if (ae.isDistinct) return deriveDistinct(ae, mv, byName)
     def state(fn: String, c: String): Option[Attribute] =
       mv.states.get((fn, c)).flatMap(byName.get)
     def sumOrZero(s: Attribute): Expression =
@@ -259,6 +260,36 @@ object MvRewrite extends Rule[LogicalPlan] {
         } yield Divide(
           Cast(Sum(s).toAggregateExpression(), org.apache.spark.sql.types.DoubleType),
           Cast(Sum(c).toAggregateExpression(), org.apache.spark.sql.types.DoubleType))
+      case _ => None
+    }
+  }
+
+  /** DISTINCT aggregates over MV KEY columns only: the MV holds exactly
+    * one row per present key combination (it IS a groupBy over the keys),
+    * so the distinct set of any key subset per coarser group is identical
+    * on the MV and the base — count(distinct k)/sum(distinct k) rewrite
+    * to the same DISTINCT aggregate over the MV's key columns. NULL keys
+    * agree too: a NULL-keyed base row yields a NULL-keyed MV group row,
+    * and DISTINCT aggregates ignore NULLs on both sides. State columns
+    * (sum_x etc.) are NOT derivable this way — a distinct over a non-key
+    * column needs row grain and falls through to None (no rewrite). */
+  private def deriveDistinct(ae: AggregateExpression, mv: MvDef,
+                             byName: Map[String, Attribute]): Option[Expression] = {
+    def keyAttrs(children: Seq[Expression]): Option[Seq[Attribute]] = {
+      val mapped = children.map {
+        case a: AttributeReference if mv.keys.contains(a.name) => byName.get(a.name)
+        case _ => None
+      }
+      if (mapped.nonEmpty && mapped.forall(_.isDefined)) Some(mapped.flatten)
+      else None
+    }
+    ae.aggregateFunction match {
+      case Count(children) if children.nonEmpty =>
+        keyAttrs(children).map(as =>
+          Count(as).toAggregateExpression(isDistinct = true))
+      case Sum(a: AttributeReference, _) =>
+        keyAttrs(Seq(a)).map(as =>
+          Sum(as.head).toAggregateExpression(isDistinct = true))
       case _ => None
     }
   }

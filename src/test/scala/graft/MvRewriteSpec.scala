@@ -99,6 +99,51 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("DISTINCT over MV KEY columns rewrites (one MV row per key combo)") {
+    MvRewrite.clear()
+    val q = () => Tables.lineitem(spark, TinySf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("n_status"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_pairs"),
+        sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+    val expected = q().collect().toSeq
+    registered()
+    try {
+      val got = q()
+      assert(got.collect().toSeq == expected,
+        "distinct-over-keys rewrite diverged from the base answer")
+      val paths = scanPaths(got)
+      assert(paths.exists(_.contains("lineitem_mv")), s"no MV scan in $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")),
+        s"base table still scanned: $paths")
+    } finally MvRewrite.clear()
+
+    // sum(DISTINCT numeric-key) on a numeric-key MV, incl. a NULL key row
+    // (NULL-keyed base rows become a NULL-keyed MV group row; DISTINCT
+    // sums ignore NULL on both sides)
+    val numBase = s"$mvRoot/num_base"
+    val numMv = s"$mvRoot/num_mv"
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1, java.lang.Long.valueOf(10L), 1.0), (1, java.lang.Long.valueOf(10L), 2.0),
+        (1, java.lang.Long.valueOf(20L), 3.0), (2, java.lang.Long.valueOf(10L), 4.0),
+        (2, null.asInstanceOf[java.lang.Long], 5.0))
+      .toDF("g", "k", "x").write.mode("overwrite").parquet(numBase)
+    val states = MvRewrite.materialize(spark.read.parquet(numBase),
+      keys = Seq("g", "k"), specs = Seq(("sum", "x")), mvPath = numMv)
+    MvRewrite.register(spark, numBase, numMv, Seq("g", "k"), states)
+    try {
+      val q2 = () => spark.read.parquet(numBase).groupBy("g")
+        .agg(sum_distinct(col("k")).as("sk"), sum("x").as("sx")).orderBy("g")
+      val got2 = q2()
+      val rows = got2.collect()
+      assert(scanPaths(got2).exists(_.contains("num_mv")))
+      assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((1, 30L, 6.0), (2, 10L, 9.0)))
+    } finally MvRewrite.clear()
+  }
+
   test("non-deterministic filter (rand sampling) blocks the rewrite") {
     MvRewrite.clear()
     registered()
