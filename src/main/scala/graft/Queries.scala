@@ -2062,6 +2062,16 @@ object Queries {
         |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Retrieval-quality eval of the exact-cosine ranking: per-query
+    // hits/P@k/R@k/MRR/nDCG with binary same-label relevance. DCG rides
+    // the micro-unit quantization contract (each 1/ln(rank+1) discount
+    // rounded once to BIGINT micro-units, exact integer sums, ONE final
+    // IEEE division) so the whole eval is hash-exact vs DuckDB.
+    QueryDef("q_retrieval_eval",
+      (s, d) => graft.ml.RetrievalEval.evalBruteKnn(Tables.embeddings(s, d))
+        .orderBy("query_id"),
+      Some(graft.ml.RetrievalEval.oracleSql(cosSql))),
+
     QueryDef("q_knn_bucketed",
       (s, d) => Similarity.knnBucketed(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),
@@ -3152,6 +3162,16 @@ object Queries {
       (s, d) => text.BigramLm.docLogProb(Tables.documents(s, d))
         .orderBy("doc_id"),
       Some(text.BigramLm.oracleSql)),
+
+    // CCNet perplexity buckets: every document ranked by bigram-LM
+    // fluency and cut into head/middle/tail terciles — the quality
+    // stratification deciding which crawl slice trains at full weight.
+    // Rank key = ONE IEEE division of exact micro-nat integers; tercile
+    // cut = integer arithmetic; global rank via ScalableRank.
+    QueryDef("q_ppl_buckets",
+      (s, d) => text.BigramLm.pplBuckets(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.BigramLm.pplBucketsOracleSql)),
 
     QueryDef("q_unigram_lm",
       (s, d) => text.UnigramLm.docLogProb(Tables.documents(s, d))
@@ -4414,6 +4434,15 @@ object Queries {
       (s, d) => graft.multimodal.ImageHash.nearDupPlan(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
       Some(graft.multimodal.ImageHash.nearDupOracleSql())),
+
+    // Image near-dup CLUSTERS: star-contraction connected components over
+    // the Hamming pair graph — the image twin of q_dedup_clusters,
+    // closing the hash -> pairs -> clusters image pipeline. Hash-exact vs
+    // the recursive-CTE reachability oracle.
+    QueryDef("q_image_clusters",
+      (s, d) => graft.multimodal.ImageHash.imageClusters(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.multimodal.ImageHash.imageClustersOracleSql())),
 
     // Corpus cluster map / topic-mixture audit: seeded coarse KMeans
     // (bounded-sample fit shared with q_knn_ivf via the cacheKey memo),

@@ -235,8 +235,10 @@ object ImageHash {
   }
 
   /** DuckDB mirror of [[nearDupPlan]]. */
-  def nearDupOracleSql(maxHamming: Int = 3, maxBucket: Int = 64): String =
-    s"""WITH g AS (
+  /** The CTE chain ending in `dup_pairs` (doc_a < doc_b, hamming ≤ max) —
+    * shared by the pair oracle and the recursive cluster oracle. */
+  def nearDupSqlCtes(maxHamming: Int = 3, maxBucket: Int = 64): String =
+    s"""g AS (
        |  SELECT doc_id, length(text) AS n, text FROM documents
        |), s AS (
        |  SELECT doc_id, n,
@@ -260,8 +262,55 @@ object ImageHash {
        |    CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
        |  FROM adm x JOIN adm y USING (band, band_val)
        |  WHERE x.doc_id < y.doc_id
+       |), dup_pairs AS (
+       |  SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming
+       |)""".stripMargin
+
+  def nearDupOracleSql(maxHamming: Int = 3, maxBucket: Int = 64): String =
+    "WITH " + nearDupSqlCtes(maxHamming, maxBucket) +
+      "\nSELECT doc_a, doc_b, hamming FROM dup_pairs ORDER BY doc_a, doc_b"
+
+  /** Image near-dup CLUSTERS: connected components over the Hamming pair
+    * graph, every document labeled with its cluster id (component
+    * minimum), cluster size, and canonical flag — the image twin of
+    * q_dedup_clusters, closing the hash → pairs → clusters pipeline.
+    * Rides the star-contraction CC (O(log n) shuffle rounds regardless of
+    * cluster diameter — a chain of successive near-edits is exactly the
+    * high-diameter case), so the clustering scales with the governed pair
+    * volume, never all-pairs. */
+  def imageClusters(documents: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 64): DataFrame = {
+    val pairs = nearDupPlan(documents, maxHamming, maxBucket)
+    val nodes = documents.select(col("doc_id").as("id"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = graft.text.Components.connectedComponentsStar(nodes, edges)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** DuckDB mirror of [[imageClusters]]: the same pair CTEs + a recursive
+    * reachability walk labeled by component minimum (the
+    * q_dedup_clusters oracle pattern). */
+  def imageClustersOracleSql(maxHamming: Int = 3, maxBucket: Int = 64): String =
+    "WITH RECURSIVE " + nearDupSqlCtes(maxHamming, maxBucket) +
+      s""",
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+       |), walk(node, reach) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+       |), lab AS (
+       |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+       |), sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY 1
        |)
-       |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= $maxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+       |  l.doc_id = l.cluster_id AS is_canonical
+       |FROM lab l JOIN sz USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
 }

@@ -255,6 +255,28 @@ object StreamOps {
       }
     }
 
+  /** Streaming maintenance of the corpus-wide line-count store
+    * ([[graft.text.LineDedup]]): each micro-batch's line counts are
+    * APPENDED as a partial-count parquet batch — counts are additive, so
+    * the store needs no read-modify-write and no snapshot versioning
+    * (unlike mvSink's min/max states): `mergedLineCounts` sums partials
+    * at read time, and CurationSpec's build+append ≡ from-scratch
+    * identity extends batch-by-batch to any micro-batch split. Cost per
+    * batch ∝ |batch| (one partial agg + one append); exactly-once comes
+    * from the checkpointed foreachBatch contract. A continuously-crawled
+    * corpus keeps its boilerplate-line inventory current this way. */
+  def lineCountSink(stream: DataFrame, storePath: String,
+                    checkpointDir: String, textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.LineDedup.appendLineStore(batch, storePath, textCol)
+      }
+      .start()
+
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
     * time-range predicate bound the join state — the Structured Streaming

@@ -68,9 +68,64 @@ object BigramLm {
       .select("doc_id", "n_tokens", "sum_lp_micro", "avg_logprob", "bits_per_token")
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): every document
+    * ranked by LM fluency (per-token log-prob desc — the low-perplexity
+    * "head" first) and cut into head/middle/tail terciles. This is the
+    * quality stratification CCNet uses to decide which crawl slice trains
+    * at full weight and which is downsampled/dropped.
+    *
+    * Exactness: the rank key is one IEEE division of the exact
+    * micro-nat BIGINT sum by the exact token count (identical in both
+    * engines), tiebroken by doc_id; the tercile cut is pure integer
+    * arithmetic on (rank, corpus size). The global rank rides
+    * ScalableRank.withGlobalRowNumber (two bounded passes, no
+    * single-partition window); the 1-row corpus count broadcasts. */
+  def pplBuckets(documents: DataFrame): DataFrame = {
+    val scored = docLogProb(documents)
+    val total = scored.agg(count(lit(1)).as("n_docs"))
+    graft.operators.ScalableRank.withGlobalRowNumber(
+        scored, Seq(col("avg_logprob").desc, col("doc_id").asc), "ppl_rank")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_lp_micro"),
+        col("ppl_rank"),
+        when(col("ppl_rank") * 3 <= col("n_docs"), lit("head"))
+          .when(col("ppl_rank") * 3 <= col("n_docs") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** DuckDB mirror of `docLogProb` for the correctness oracle. */
   def oracleSql: String =
-    s"""WITH toksf AS (
+    "WITH " + oracleCtes + s"""
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
+      |  CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens AS avg_logprob,
+      |  -(CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens) / ${UnigramLm.Ln2Literal} AS bits_per_token
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[pplBuckets]]: the same LM CTE chain + a global
+    * row_number over the identical IEEE rank key + integer tercile cut. */
+  def pplBucketsOracleSql: String =
+    "WITH " + oracleCtes + s"""
+      |, nn AS (
+      |  SELECT count(*) AS n_docs FROM agg
+      |), rk AS (
+      |  SELECT doc_id, n_tokens, sum_lp_micro,
+      |    CAST(row_number() OVER (ORDER BY
+      |      CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens DESC,
+      |      doc_id ASC) AS BIGINT) AS ppl_rank
+      |  FROM agg
+      |)
+      |SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(r.sum_lp_micro AS BIGINT) AS sum_lp_micro, r.ppl_rank,
+      |  CASE WHEN r.ppl_rank * 3 <= nn.n_docs THEN 'head'
+      |       WHEN r.ppl_rank * 3 <= nn.n_docs * 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk r CROSS JOIN nn ORDER BY r.doc_id""".stripMargin
+
+  /** The CTE chain ending in `agg` (doc_id, n_tokens, sum_lp_micro) —
+    * shared by the log-prob oracle and the perplexity-bucket oracle. */
+  private def oracleCtes: String =
+    s"""toksf AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |  FROM documents
       |), idx AS (
@@ -97,10 +152,5 @@ object BigramLm {
       |), agg AS (
       |  SELECT doc_id, count(*) AS n_tokens, sum(lp_micro) AS sum_lp_micro
       |  FROM big JOIN lm USING (prev, cur) GROUP BY 1
-      |)
-      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-      |  CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
-      |  CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens AS avg_logprob,
-      |  -(CAST(sum_lp_micro AS DOUBLE) / 1000000.0 / n_tokens) / ${UnigramLm.Ln2Literal} AS bits_per_token
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |)""".stripMargin
 }

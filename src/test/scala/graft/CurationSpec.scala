@@ -370,6 +370,41 @@ class CurationSpec extends SparkSpec {
     assert(n == 8 * 4)
   }
 
+  test("perplexity buckets: fluent docs lead, scrambles land tail, terciles exact") {
+    import spark.implicits._
+    // 9 docs: 6 fluent (dominant word order) + 3 scrambles of the SAME
+    // word multiset — scrambled order is what the bigram LM penalizes
+    // (an all-rare-token doc would self-predict under a same-corpus LM:
+    // c_bi == c_left → conditional prob 1 — the reason CCNet trains its
+    // LM on a reference corpus; the bucket mechanics are what this test
+    // binds). Tercile cut: 3 head / 3 middle / 3 tail, scrambles last.
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val docs = (
+      (1L to 6L).map(i => (i, phrase)) ++ Seq(
+        (7L, "fox the brown quick dog lazy the over jumps"),
+        (8L, "over dog the jumps quick lazy fox the brown"),
+        (9L, "dog fox quick the brown the jumps lazy over"))
+    ).toDF("doc_id", "text")
+    val out = graft.text.BigramLm.pplBuckets(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ppl_rank"), r.getAs[String]("bucket"))).toMap
+    assert(out.size == 9)
+    // rank is a 1..9 permutation
+    assert(out.values.map(_._1).toSeq.sorted == (1L to 9L).toSeq)
+    // exact tercile sizes
+    val sizes = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("head" -> 3, "middle" -> 3, "tail" -> 3), sizes.toString)
+    // dominant-order docs fill head+middle; all three scrambles are tail
+    assert(out(1L)._2 == "head")
+    Seq(7L, 8L, 9L).foreach { d =>
+      assert(out(d)._2 == "tail", s"scrambled doc $d bucketed ${out(d)}")
+    }
+    // bucket is monotone in rank: every head rank < every middle rank < tail
+    def ranksOf(b: String) = out.values.collect { case (r, `b`) => r }
+    assert(ranksOf("head").max < ranksOf("middle").min)
+    assert(ranksOf("middle").max < ranksOf("tail").min)
+  }
+
   test("unigram LM: rare-token docs score lower than common-token docs") {
     import spark.implicits._
     val synth = (Seq((1L, "the the the the the the the the"),

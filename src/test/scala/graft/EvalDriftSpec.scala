@@ -233,4 +233,64 @@ class EvalDriftSpec extends SparkSpec {
     val att = Attribution.multiTouch(events).collect()
     assert(att.length === 1 && att.head.getAs[Long]("touch_id") === 1L)
   }
+
+  // ---- retrieval eval (MRR / nDCG / P@k / R@k) ----
+
+  test("retrieval eval metrics on a corpus with known geometry") {
+    // 1-D-ish embeddings on two well-separated directions: label 0 points
+    // near (1, 0), label 1 points near (0, 1). Query 0 (label 0) has its
+    // two same-label neighbors at ranks 1-2 of 4 → perfect front-loading.
+    def v(x: Float, y: Float) = Array(x, y)
+    val emb = Seq(
+      (0L, v(1f, 0f), 0),       // query
+      (1L, v(0.99f, 0.1f), 0),  // same-label, closest
+      (2L, v(0.98f, 0.2f), 0),  // same-label, second
+      (3L, v(0.1f, 0.99f), 1),
+      (4L, v(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ml.RetrievalEval.evalBruteKnn(emb, numQueries = 1, k = 4)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rel") == 2L)
+    assert(r.getAs[Long]("hits") == 2L)
+    assert(math.abs(r.getAs[Double]("p_at_k") - 0.5) < 1e-12)      // 2/4
+    assert(math.abs(r.getAs[Double]("r_at_k") - 1.0) < 1e-12)      // 2/2
+    assert(math.abs(r.getAs[Double]("mrr") - 1.0) < 1e-12)         // rank 1
+    // both relevant at ranks 1,2 and IDCG truncates at n_rel=2 → nDCG=1
+    assert(math.abs(r.getAs[Double]("ndcg") - 1.0) < 1e-12)
+  }
+
+  test("retrieval eval: late hit discounts nDCG and MRR exactly") {
+    // query (label 0): same-label neighbor ranked LAST of 3
+    def v(x: Float, y: Float) = Array(x, y)
+    val emb = Seq(
+      (0L, v(1f, 0f), 0),
+      (1L, v(0.0f, 1.0f), 1),
+      (2L, v(0.1f, 0.99f), 1),
+      (3L, v(0.5f, 0.86f), 0)  // same-label; cos≈0.50 → ranks FIRST here
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ml.RetrievalEval.evalBruteKnn(emb, numQueries = 1, k = 3)
+      .collect().head
+    // ranking by cosine to (1,0): id3 (0.503), id2 (0.100), id1 (0.0)
+    // → the single relevant doc is at rank 1
+    assert(out.getAs[Long]("hits") == 1L)
+    assert(math.abs(out.getAs[Double]("mrr") - 1.0) < 1e-12)
+    assert(math.abs(out.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    // invert: make the relevant doc the farthest
+    val emb2 = Seq(
+      (0L, v(1f, 0f), 0),
+      (1L, v(0.9f, 0.43f), 1),
+      (2L, v(0.8f, 0.6f), 1),
+      (3L, v(0.0f, 1.0f), 0)   // relevant, orthogonal → rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val out2 = graft.ml.RetrievalEval.evalBruteKnn(emb2, numQueries = 1, k = 3)
+      .collect().head
+    assert(out2.getAs[Long]("hits") == 1L)
+    assert(math.abs(out2.getAs[Double]("mrr") - 1.0 / 3.0) < 1e-12)
+    // nDCG = disc(3)/disc(1) in micro-units: round(1e6/ln 4)/round(1e6/ln 2)
+    val expected = math.round(1e6 / math.log(4)).toDouble /
+      math.round(1e6 / math.log(2)).toDouble
+    assert(math.abs(out2.getAs[Double]("ndcg") - expected) < 1e-12)
+  }
 }

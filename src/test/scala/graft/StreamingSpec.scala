@@ -833,6 +833,45 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.Observability.detach(spark, listener)
     }
   }
+
+  test("streaming line-count store equals the batch build; cleaning matches") {
+    import graft.text.LineDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-lines").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select(col("doc_id"), LineDedup.reflow(Tables.documents(spark, TinySf)).as("text"))
+      .limit(200).cache()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.lineCountSink(
+        stream.toDF.toDF("doc_id", "text"),
+        s"$root/lines", s"$root/ckpt")
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      // merged store counts == a from-scratch batch build over everything
+      val streamed = LineDedup.mergedLineCounts(spark, s"$root/lines")
+        .orderBy("line").collect().toSeq
+      LineDedup.buildLineStore(docs, s"$root/lines_batch")
+      val batch = LineDedup.mergedLineCounts(spark, s"$root/lines_batch")
+        .orderBy("line").collect().toSeq
+      assert(streamed == batch,
+        "micro-batch-appended counts diverged from the batch build")
+
+      // cleaning through the streamed store == direct corpus dedup
+      val viaStore = LineDedup.dedupLinesWithStore(docs, s"$root/lines")
+        .orderBy("doc_id").collect().toSeq
+      val direct = LineDedup.dedupLines(docs).orderBy("doc_id").collect().toSeq
+      assert(viaStore == direct)
+    } finally docs.unpersist(blocking = false)
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
