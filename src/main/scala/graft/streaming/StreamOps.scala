@@ -277,6 +277,29 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the MinHash band store
+    * ([[graft.text.MinHash]]): band rows are a PURE per-document function
+    * (no corpus dependence), so each micro-batch's rows append without
+    * touching existing ones — what a from-scratch build would have
+    * written for those docs, batch-split invariant by construction. The
+    * streamed store then serves [[graft.text.MinHash.incrementalNearDups]]
+    * exactly like a batch-built one (the bucket governor runs over the
+    * whole store at probe time, so incremental and from-scratch probes
+    * drop the same hot buckets). Closes the loop for near-dup the way
+    * mvSink does for MVs: continuous ingestion maintains the index, the
+    * delta probe serves it. */
+  def bandStoreSink(stream: DataFrame, storePath: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.MinHash.appendBandStore(batch, storePath)
+      }
+      .start()
+
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
     * time-range predicate bound the join state — the Structured Streaming

@@ -872,6 +872,45 @@ class StreamingSpec extends SparkSpec {
       assert(viaStore == direct)
     } finally docs.unpersist(blocking = false)
   }
+
+  test("streaming band store serves delta near-dup probes like a batch build") {
+    import graft.text.MinHash
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-bands").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (a, b) = rows.partition(_._1 % 3 != 0)
+
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.bandStoreSink(
+        stream.toDF.toDF("doc_id", "text"), s"$root/bands", s"$root/ckpt")
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      // streamed store rows == from-scratch build (set equality at the
+      // band-row grain: same docs -> same pure per-doc band rows)
+      MinHash.buildBandStore(docs, s"$root/bands_batch")
+      val streamed = spark.read.parquet(s"$root/bands")
+        .orderBy("doc_id", "band_idx").collect().toSeq
+      val batch = spark.read.parquet(s"$root/bands_batch")
+        .orderBy("doc_id", "band_idx").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "streamed band rows diverged from the batch build")
+
+      // a delta probe against the streamed store == against the batch store
+      val probeS = MinHash.incrementalNearDups(spark, s"$root/bands", col("doc_id") % 3 === 0)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val probeB = MinHash.incrementalNearDups(spark, s"$root/bands_batch", col("doc_id") % 3 === 0)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(probeS == probeB)
+    } finally docs.unpersist(blocking = false)
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }
