@@ -2072,6 +2072,15 @@ object Queries {
         .orderBy("query_id"),
       Some(graft.ml.RetrievalEval.oracleSql(cosSql))),
 
+    // kNN label-noise screen (confident-learning triage): an example
+    // whose nearest neighbors overwhelmingly carry a different label is
+    // a suspected mislabel. Exact counts over the gated brute ranking;
+    // one IEEE division + literal-threshold compare.
+    QueryDef("q_label_noise",
+      (s, d) => graft.ml.LabelNoise.screen(Tables.embeddings(s, d))
+        .orderBy("vec_id"),
+      Some(graft.ml.LabelNoise.oracleSql(cosSql))),
+
     QueryDef("q_knn_bucketed",
       (s, d) => Similarity.knnBucketed(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),
@@ -3984,6 +3993,15 @@ object Queries {
     // DEDUP CLUSTER id, not the document id — every near-duplicate group
     // lands in one split, so eval can never contain a near-copy of a
     // training doc (the split-side complement of decontamination).
+    // Quantifies the train->eval leakage a NAIVE per-doc hash split
+    // incurs: every LSH near-dup candidate pair labeled with endpoint
+    // splits + a crossing flag. The cluster-keyed split below is the fix
+    // (its pairs can never cross: candidate pairs are intra-cluster).
+    QueryDef("q_split_leakage_audit",
+      (s, d) => MinHash.splitLeakageAudit(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(MinHash.splitLeakageOracleSql())),
+
     QueryDef("q_split_leakage_free",
       (s, d) => operators.Sampling.hashSplit(
           Components.dedupClusters(Tables.documents(s, d))

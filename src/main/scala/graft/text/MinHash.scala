@@ -340,4 +340,52 @@ object MinHash {
         col("inter_size").cast("double") / col("union_size"))
       .select("doc_a", "doc_b", "est_jaccard", "inter_size", "union_size", "exact_jaccard")
   }
+
+  /** Split-leakage audit: every LSH near-dup candidate pair labeled with
+    * its endpoints' naive per-document train/val/test assignment and
+    * whether the pair CROSSES a split boundary. A crossing pair is
+    * train→eval leakage — the eval doc has a near-duplicate in train, so
+    * eval metrics are inflated. This query QUANTIFIES the leakage a naive
+    * hash split incurs; `q_split_leakage_free` (cluster-keyed split) is
+    * the fix, and by construction assigns both endpoints of every such
+    * pair to the same split (candidate pairs are intra-cluster edges).
+    *
+    * Scale: the pair set is the governed LSH candidate set (never
+    * all-pairs); splits are a pure row-local hash; the two
+    * endpoint-split joins are shuffle equi-joins at pair grain. */
+  def splitLeakageAudit(documents: DataFrame, trainBp: Int = 8000,
+                        valBp: Int = 1000): DataFrame = {
+    val pairs = nearDupPairs(documents).select(col("doc_a"), col("doc_b"))
+    val splits = graft.operators.Sampling.hashSplit(
+        documents.select(col("doc_id")), col("doc_id"), trainBp, valBp)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("crosses_split"))
+  }
+
+  /** DuckDB mirror of [[splitLeakageAudit]]: the candidate-pair CTEs + the
+    * md5 basis-point split of `q_data_split`. */
+  def splitLeakageOracleSql(trainBp: Int = 8000, valBp: Int = 1000): String = {
+    val bp = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+    candidatePairsSqlCtes +
+      s"""
+         |, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $bp < $trainBp THEN 'train'
+         |         WHEN $bp < ${trainBp + valBp} THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+         |  sa.split <> sb.split AS crosses_split
+         |FROM pairs p
+         |JOIN sp sa ON p.doc_a = sa.doc_id
+         |JOIN sp sb ON p.doc_b = sb.doc_id
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
 }

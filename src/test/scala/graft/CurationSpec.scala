@@ -405,6 +405,42 @@ class CurationSpec extends SparkSpec {
     assert(ranksOf("middle").max < ranksOf("tail").min)
   }
 
+  test("split-leakage audit flags a planted cross-split near-dup; cluster split never crosses") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // choose two doc_ids the NAIVE per-doc split sends to different
+    // splits (computed, not assumed)
+    val probe = Sampling.hashSplit(
+        (0L until 100L).toDF("doc_id"), col("doc_id"), 8000, 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainId = probe.collectFirst { case (id, "train") => id }.get
+    val testId = probe.collectFirst { case (id, "test") => id }.get
+    val dupText = (0 until 30).map(i => s"shared$i").mkString(" ")
+    def filler(d: Long) = (0 until 30).map(i => s"only${d}x$i").mkString(" ")
+    val others = (200L to 205L).map(i => (i, filler(i)))
+    val docs = (Seq((trainId, dupText), (testId, dupText)) ++ others)
+      .toDF("doc_id", "text")
+
+    val audit = graft.text.MinHash.splitLeakageAudit(docs).collect()
+    val crossing = audit.filter(_.getAs[Boolean]("crosses_split"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(crossing.contains((math.min(trainId, testId), math.max(trainId, testId))),
+      s"planted train/test near-dup not flagged: ${audit.mkString(", ")}")
+
+    // the cluster-keyed split (q_split_leakage_free) cannot leak: both
+    // endpoints of every audited pair share a cluster, hence a split
+    val clusterSplit = Sampling.hashSplit(
+        graft.text.Components.dedupClusters(docs.withColumn("lang", lit("en")))
+          .select(col("doc_id"), col("cluster_id")),
+        col("cluster_id"), 8000, 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    audit.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(clusterSplit(a) == clusterSplit(b),
+        s"cluster-keyed split separated near-dup pair ($a,$b)")
+    }
+  }
+
   test("unigram LM: rare-token docs score lower than common-token docs") {
     import spark.implicits._
     val synth = (Seq((1L, "the the the the the the the the"),

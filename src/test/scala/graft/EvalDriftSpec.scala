@@ -234,6 +234,28 @@ class EvalDriftSpec extends SparkSpec {
     assert(att.length === 1 && att.head.getAs[Long]("touch_id") === 1L)
   }
 
+  // ---- label-noise screen ----
+
+  test("label-noise screen flags a planted mislabel and clears correct labels") {
+    def v(x: Float, y: Float) = Array(x, y)
+    // two tight clusters; vec 0 sits in the label-0 cluster but carries
+    // label 1 (the planted mislabel); vec 1 is correctly labeled
+    val emb = (
+      Seq((0L, v(1f, 0.01f), 1), (1L, v(1f, -0.01f), 0)) ++
+      (2L to 6L).map(i => (i, v(1f, 0.02f * i), 0)) ++
+      (7L to 11L).map(i => (i, v(0.01f * i, 1f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ml.LabelNoise.screen(emb, numQueries = 2, k = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 2)
+    // the mislabeled vector: all 5 nearest neighbors are label 0
+    assert(out(0L).getAs[Long]("n_disagree") == 5L)
+    assert(out(0L).getAs[Boolean]("suspected_mislabel"))
+    // the correctly labeled twin: same neighborhood, agreeing labels
+    assert(out(1L).getAs[Long]("n_disagree") <= 1L)
+    assert(!out(1L).getAs[Boolean]("suspected_mislabel"))
+  }
+
   // ---- retrieval eval (MRR / nDCG / P@k / R@k) ----
 
   test("retrieval eval metrics on a corpus with known geometry") {
