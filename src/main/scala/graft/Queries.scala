@@ -4473,6 +4473,17 @@ object Queries {
         Tables.embeddings(s, d), nlist = 16, cacheKey = Some(d)),
       None),
 
+    // Embedding-distribution drift: PSI/chi2/binned-KS over kmeans-cell
+    // occupancy, reference slice = even vec_ids (the demo split; real use
+    // compares crawl generations). Rows-only (learned cells);
+    // ClusteringSpec proves a uniform split shows no drift while a
+    // label-conditioned split trips the PSI rule of thumb.
+    QueryDef("q_embed_drift",
+      (s, d) => graft.sim.Clustering.embedDrift(
+        Tables.embeddings(s, d), nlist = 16,
+        inA = col("vec_id") % 2 === 0, cacheKey = Some(d)),
+      None),
+
     // Cluster-balanced diversity sample: each cell contributes its
     // min(quota, |cell|) smallest-seeded-hash rows — uniform within the
     // cell, capped per cell, so tail topics survive a head-heavy corpus.

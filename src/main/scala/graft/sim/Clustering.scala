@@ -84,6 +84,22 @@ object Clustering {
         sum(col("label").cast("long")).as("label_mass"))
       .orderBy(col("cell"))
 
+  /** Embedding-distribution drift: the tabular drift panel
+    * ([[graft.gold.Drift.binnedDrift]] — PSI / chi² / binned-KS) applied
+    * to CLUSTER OCCUPANCY. Embeddings have no natural bins, so the
+    * kmeans cell map provides them: if the current crawl's vectors land
+    * in different cells than the reference slice's, the embedding
+    * distribution has moved — the retrain/reindex tripwire for semantic
+    * drift that per-column tabular drift cannot see. `inA` is the
+    * reference-slice predicate over the assignment columns
+    * (vec_id/label/cell); period B = ¬A. Cost: the assignment pass plus
+    * a ≤ nlist-row drift rollup. */
+  def embedDrift(embeddings: DataFrame, nlist: Int, inA: Column,
+                 cacheKey: Option[String] = None): DataFrame =
+    graft.gold.Drift.binnedDrift(
+      assignments(embeddings, nlist, cacheKey),
+      col("cell"), col("cell"), inA, nlist)
+
   /** Cluster-balanced diversity sample: each cell contributes its
     * min(quota, |cell|) rows of smallest seeded-hash priority — uniform
     * within the cell, deterministic across runs and repartitions (priority

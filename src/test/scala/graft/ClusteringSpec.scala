@@ -83,6 +83,21 @@ class ClusteringSpec extends SparkSpec {
     } finally samp.unpersist(blocking = false)
   }
 
+  test("embedding drift: uniform split shows none, label split trips PSI") {
+    // even/odd vec_id split: both slices draw uniformly from every cell →
+    // PSI far below the 0.2 major-shift rule of thumb
+    val uniform = Clustering.embedDrift(emb, Nlist, col("vec_id") % 2 === 0)
+      .agg(sum("psi_term").as("psi")).collect().head.getDouble(0)
+    assert(uniform < 0.1, s"uniform split PSI=$uniform should be ~0")
+    // label-conditioned split: embeddings cluster by label, so cell
+    // occupancy shifts hard between the slices
+    val shifted = Clustering.embedDrift(emb, Nlist, col("label") === 0)
+      .agg(sum("psi_term").as("psi")).collect().head.getDouble(0)
+    assert(shifted > 0.2, s"label split PSI=$shifted should trip the 0.2 rule")
+    assert(shifted > uniform * 2,
+      s"label-split PSI $shifted not clearly above uniform-split $uniform")
+  }
+
   test("sample is deterministic across reruns and repartitions") {
     val quota = 25
     val a = Clustering.balancedSample(emb, Nlist, quota)

@@ -636,4 +636,42 @@ class PropertySpec extends SparkSpec {
         s"doc $i (${texts(i).take(40)}…): typed stub != plan twin")
     }
   }
+
+  test("property: bottomk_sample matches an in-memory md5 brute force on " +
+    "random skewed groups, any partitioning") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (1 to 6).foreach { seed =>
+      val n = draw(Gen.choose(0, 120), seed * 41L)
+      val rows = draw(Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c", "hot")   // skew: few groups
+        id <- Gen.choose(0L, 60L)              // dup ids across groups ok
+      } yield (g, id)), seed * 43L).distinct   // (g,id) multiset w/o dup pairs
+      val k = draw(Gen.choose(1, 8), seed * 47L)
+      val parts = draw(Gen.oneOf(1, 3, 13), seed * 53L)
+
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).distinct
+          .map(id => (md5hex(id.toString), id)).sorted.take(k)
+          .map(_._2)
+      }
+
+      val got = rows.toDF("g", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(expr(s"bottomk_sample(md5(cast(id AS string)), id, $k)").as("s"))
+        .select(col("g"), expr("transform(s, x -> x.payload)").as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+      // distinct ids per (g): rows were deduped on (g,id), but the same id
+      // can recur in a group only once, so expectation is exact
+      expected.foreach { case (g, exp) =>
+        assert(got(g) == exp,
+          s"seed=$seed k=$k parts=$parts group=$g: ${got(g)} != $exp")
+      }
+      assert(got.keySet == expected.keySet)
+    }
+  }
 }
