@@ -1881,6 +1881,16 @@ object Queries {
         .orderBy("doc_id"),
       None),
 
+    // Heaps'-law vocabulary growth: cumulative tokens vs cumulative NOVEL
+    // token types in doc_id order — sizes a tokenizer vocabulary and
+    // flags template-heavy corpora (curve flattens). Novelty = min
+    // first-occurrence doc per token (one token-grain groupBy, never a
+    // running distinct); cumsums ride the grouped prefix-sum primitive.
+    QueryDef("q_vocab_growth",
+      (s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(TextAnalysis.vocabGrowthOracleSql)),
+
     QueryDef("q_token_count",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars,

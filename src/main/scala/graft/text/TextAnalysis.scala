@@ -103,4 +103,54 @@ object TextAnalysis {
           .otherwise(lit("zh")))
       .withColumn("correct", col("predicted_lang") === col("actual_lang"))
   }
+
+  /** Heaps'-law vocabulary-growth curve: walking the corpus in doc_id
+    * order, the cumulative token count vs the cumulative count of NOVEL
+    * token types — the statistic that sizes a tokenizer vocabulary and
+    * detects template-heavy corpora (a flattening curve = new documents
+    * stop contributing new words long before they stop contributing
+    * tokens).
+    *
+    * Exact and distributed: "novel at doc d" = min(first-occurrence
+    * doc_id) per token — one token-grain groupBy, never a running
+    * distinct; both cumulative sums ride the grouped prefix-sum primitive
+    * (no single-partition window). All integers → hash-exact. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy("token").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new_types"))
+    val joined = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+    val g = lit(1)
+    val c = graft.operators.ScalableRank.withGroupedPrefixSum(
+      graft.operators.ScalableRank.withGroupedPrefixSum(
+        joined, g, Seq(col("doc_id").asc), col("n_tokens"), "_xt"),
+      g, Seq(col("doc_id").asc), col("n_new_types"), "_xy")
+    c.select(col("doc_id"), col("n_tokens"), col("n_new_types"),
+      (col("_xt") + col("n_tokens")).as("cum_tokens"),
+      (col("_xy") + col("n_new_types")).as("cum_types"))
+  }
+
+  /** DuckDB mirror of [[vocabGrowth]]. */
+  def vocabGrowthOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents
+      |), pd AS (
+      |  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1
+      |), fs AS (
+      |  SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY 1
+      |), nt AS (
+      |  SELECT doc_id, count(*) AS n_new_types FROM fs GROUP BY 1
+      |), j AS (
+      |  SELECT pd.doc_id, pd.n_tokens, COALESCE(nt.n_new_types, 0) AS n_new_types
+      |  FROM pd LEFT JOIN nt USING (doc_id)
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_new_types AS BIGINT) AS n_new_types,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(n_new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+      |FROM j ORDER BY doc_id""".stripMargin
 }

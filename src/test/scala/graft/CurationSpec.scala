@@ -441,6 +441,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth: novelty accounting is exact and the curve is monotone") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "a b c"),        // 3 tokens, 3 new types
+      (2L, "a b d d"),      // 4 tokens, 1 new type (d)
+      (3L, "a a a"),        // 3 tokens, 0 new types
+      (4L, "e")             // 1 token, 1 new type
+    ).toDF("doc_id", "text")
+    val rows = graft.text.TextAnalysis.vocabGrowth(synth)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 3L, 3L, 3L),
+      (2L, 4L, 1L, 7L, 4L),
+      (3L, 3L, 0L, 10L, 4L),
+      (4L, 1L, 1L, 11L, 5L)))
+    // real corpus: final cum_types == corpus distinct-token count, curve monotone
+    val out = graft.text.TextAnalysis.vocabGrowth(docs).orderBy("doc_id").collect()
+    val vocab = docs.select(explode(expr(
+        "filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .distinct().count()
+    assert(out.last.getAs[Long]("cum_types") == vocab)
+    out.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getAs[Long]("cum_tokens") > p.getAs[Long]("cum_tokens"))
+      assert(c.getAs[Long]("cum_types") >= p.getAs[Long]("cum_types"))
+    }
+  }
+
   test("unigram LM: rare-token docs score lower than common-token docs") {
     import spark.implicits._
     val synth = (Seq((1L, "the the the the the the the the"),
