@@ -213,4 +213,45 @@ class OrchestratorSpec extends SparkSpec {
     assert(r3.servingVersion.contains(2L) && scorer.loadedVersion.contains(2L))
     feats.unpersist()
   }
+
+  test("curation DAG: clean corpus releases a version; junk corpus is rejected and the prior release keeps serving") {
+    import spark.implicits._
+    import graft.pipeline.CurationDag
+    val root = java.nio.file.Files.createTempDirectory("graft-dag-rel").toString
+    // quality-passing corpus: distinct long stopword-bearing docs + an
+    // eval doc (src0) nothing leaks from
+    val good = (1L to 12L).map { i =>
+      (i, (s"the data and that value have with be to of row$i " +
+        (0 until 50).map(j => s"tok${i}x$j").mkString(" ")), "src1", "en")
+    }
+    val evalDoc = (0L, (0 until 60).map(i => s"eval$i").mkString(" "), "src0", "en")
+    val docs = (good :+ evalDoc).toDF("doc_id", "text", "source", "lang")
+
+    val r1 = CurationDag.run(spark, docs, s"$root/run1", s"$root/registry",
+      CurationDag.ReleaseGates(minKeptFrac = 0.5, minDocs = 5L))
+    assert(r1.released, s"clean corpus rejected: $r1")
+    assert(r1.publishedVersion.contains(1L) && r1.servingVersion.contains(1L))
+    assert(r1.crossSplitPairs == 0L, "cluster-keyed split must not leak")
+    val st1 = r1.report.map(r => r.stage -> r.status).toMap
+    assert(st1("publish_release") == "success")
+    assert(st1("reject_release") == "skipped_done")
+    // the published artifact is readable and carries split labels
+    val rel = spark.read.parquet(
+      graft.ml.ModelRegistry.versionPath(spark, s"$root/registry",
+        CurationDag.ArtifactName) + "/documents")
+    assert(rel.count() == r1.keptDocs)
+    assert(rel.columns.contains("split"))
+
+    // junk corpus: every doc fails the quality gate → kept_frac 0
+    val junk = ((1L to 8L).map(i => (i, "the and of", "src1", "en")) :+ evalDoc)
+      .toDF("doc_id", "text", "source", "lang")
+    val r2 = CurationDag.run(spark, junk, s"$root/run2", s"$root/registry",
+      CurationDag.ReleaseGates(minKeptFrac = 0.5, minDocs = 5L))
+    assert(!r2.released && r2.publishedVersion.isEmpty)
+    assert(r2.servingVersion.contains(1L), "prior release must keep serving")
+    val st2 = r2.report.map(r => r.stage -> r.status).toMap
+    assert(st2("publish_release") == "skipped_done")
+    assert(st2("reject_release") == "success")
+    assert(st2("gate") == "success", "rejection is an outcome, not a failure")
+  }
 }
