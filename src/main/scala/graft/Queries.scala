@@ -2091,6 +2091,16 @@ object Queries {
         .orderBy("vec_id"),
       Some(graft.ml.LabelNoise.oracleSql(cosSql))),
 
+    // The full-sweep scale path of the screen: same rollup over the IVF
+    // ANN ranking (nprobe/nlist of the corpus per query). Rows-only
+    // (learned cells, ANN class); EvalDriftSpec recovers planted
+    // mislabels on a known geometry through this exact path.
+    QueryDef("q_label_noise_ann",
+      (s, d) => graft.ml.LabelNoise.screenAnn(
+          Tables.embeddings(s, d), cacheKey = Some(d))
+        .orderBy("vec_id"),
+      None),
+
     QueryDef("q_knn_bucketed",
       (s, d) => Similarity.knnBucketed(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),

@@ -36,6 +36,31 @@ object LabelNoise {
           >= lit(suspectFrac)).as("suspected_mislabel"))
   }
 
+  /** The documented scale path: the SAME disagreement rollup over the IVF
+    * ANN ranking instead of the brute scan — neighbor candidates come
+    * from nprobe/nlist of the corpus per query, so a full-corpus sweep
+    * costs a fraction of brute's queries×corpus. Learned cells ⇒
+    * rows-only (the ANN class); EvalDriftSpec binds planted-mislabel
+    * recovery on a known geometry. */
+  def screenAnn(embeddings: DataFrame, numQueries: Int = 100, k: Int = 10,
+                suspectFrac: Double = 0.8, nlist: Int = 16, nprobe: Int = 4,
+                cacheKey: Option[String] = None): DataFrame = {
+    val ranked = graft.sim.Similarity.knnIvf(
+      embeddings, numQueries, k, nlist, nprobe, cacheKey)
+    val qlab = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    ranked.join(broadcast(qlab), Seq("query_id"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum((col("label") =!= col("q_label")).cast("long")).as("n_disagree"))
+      .select(col("query_id").as("vec_id"), col("q_label").as("label"),
+        col("n_neighbors"), col("n_disagree"),
+        (col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
+          .as("disagree_frac"),
+        ((col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
+          >= lit(suspectFrac)).as("suspected_mislabel"))
+  }
+
   /** DuckDB mirror: the q_knn_brute ranking CTE + the same rollup. */
   def oracleSql(cosSql: (String, String) => String, numQueries: Int = 100,
                 k: Int = 10, suspectFrac: Double = 0.8): String =

@@ -256,6 +256,30 @@ class EvalDriftSpec extends SparkSpec {
     assert(!out(1L).getAs[Boolean]("suspected_mislabel"))
   }
 
+  test("ANN-backed label-noise sweep recovers planted mislabels on a known geometry") {
+    def v(x: Float, y: Float) = Array(x, y)
+    // two tight 40-vector clusters; vecs 0 and 1 sit INSIDE the label-0
+    // cluster but carry label 1 (planted mislabels); vecs 2,3 are correct
+    val emb = (
+      Seq((0L, v(1f, 0.011f), 1), (1L, v(1f, -0.011f), 1),
+          (2L, v(1f, 0.013f), 0), (3L, v(1f, -0.013f), 0)) ++
+      (4L to 41L).map(i => (i, v(1f, 0.001f * i), 0)) ++
+      (42L to 79L).map(i => (i, v(0.001f * i, 1f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ml.LabelNoise.screenAnn(emb, numQueries = 4, k = 8,
+        nlist = 4, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 4)
+    Seq(0L, 1L).foreach { d =>
+      assert(out(d).getAs[Boolean]("suspected_mislabel"),
+        s"planted mislabel $d not flagged: ${out(d)}")
+    }
+    Seq(2L, 3L).foreach { d =>
+      assert(!out(d).getAs[Boolean]("suspected_mislabel"),
+        s"correct label $d falsely flagged: ${out(d)}")
+    }
+  }
+
   // ---- retrieval eval (MRR / nDCG / P@k / R@k) ----
 
   test("retrieval eval metrics on a corpus with known geometry") {
