@@ -637,6 +637,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: retrieval eval matches a bit-exact in-memory oracle on " +
+    "random labeled corpora") {
+    import spark.implicits._
+    // replicate the engine's arithmetic exactly: sequential double
+    // accumulation of float→double products (FloatVecDot), micro-unit
+    // DCG terms, one IEEE division per metric
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def disc(rank: Int): Long = math.round(1e6 / math.log(rank + 1.0))
+
+    (1 to 5).foreach { seed =>
+      val n = draw(Gen.choose(5, 25), seed * 61L)
+      val rows = (0 until n).map { i =>
+        val vec = (0 until 3).map(d =>
+          draw(Gen.choose(-1000, 1000), seed * 67L + i * 7L + d).toFloat / 1000f)
+          .toArray
+        (i.toLong, vec, draw(Gen.choose(0, 1), seed * 71L + i))
+      }
+      val k = draw(Gen.choose(1, 6), seed * 73L)
+      val nq = draw(Gen.choose(1, 4), seed * 79L)
+
+      val gotRows = graft.ml.RetrievalEval.evalBruteKnn(
+          rows.toDF("vec_id", "embedding", "label"), nq, k)
+        .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+
+      val labelCount = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      rows.filter(_._1 < nq).foreach { case (qid, qv, qlab) =>
+        val ranked = rows.filter(_._1 != qid)
+          .map { case (id, v, lab) => (id, lab, cos(qv, v)) }
+          .sortBy { case (id, _, c) => (-c, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, lab, c), i) => (i + 1, id, lab) }
+        assert(ranked.nonEmpty)
+        val nRel = labelCount(qlab).toLong - 1L
+        val hits = ranked.count(_._3 == qlab).toLong
+        val dcg = ranked.collect { case (r, _, lab) if lab == qlab => disc(r) }.sum
+        val firstRel = ranked.collectFirst { case (r, _, lab) if lab == qlab => r }
+        val m = math.min(nRel, k.toLong).toInt
+        val idcg = (1 to m).map(disc).sum
+        val r = gotRows(qid)
+        assert(r.getAs[Long]("n_rel") == nRel, s"seed=$seed q=$qid n_rel")
+        assert(r.getAs[Long]("hits") == hits, s"seed=$seed q=$qid hits")
+        assert(r.getAs[Double]("p_at_k") == hits.toDouble / k, s"seed=$seed q=$qid p")
+        assert(r.getAs[Double]("r_at_k") ==
+          (if (nRel > 0) hits.toDouble / nRel.toDouble else 0.0), s"seed=$seed q=$qid r")
+        assert(r.getAs[Double]("mrr") ==
+          firstRel.map(1.0 / _.toDouble).getOrElse(0.0), s"seed=$seed q=$qid mrr")
+        assert(r.getAs[Double]("ndcg") ==
+          (if (m > 0 && idcg > 0) dcg.toDouble / idcg.toDouble else 0.0),
+          s"seed=$seed q=$qid ndcg")
+      }
+      assert(gotRows.keySet == rows.filter(_._1 < nq).map(_._1).toSet)
+    }
+  }
+
   test("property: bottomk_sample matches an in-memory md5 brute force on " +
     "random skewed groups, any partitioning") {
     import spark.implicits._
