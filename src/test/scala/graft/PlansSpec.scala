@@ -322,4 +322,22 @@ class PlansSpec extends SparkSpec {
     assert(df.orderBy("vec_id").collect().toSeq ==
       direct.orderBy("vec_id").collect().toSeq)
   }
+
+  test("bottomk_sample plans as a partial+final aggregate pair (map-side combine)") {
+    GraftFunctions.register(spark)
+    val df = Tables.documents(spark, TinySf)
+      .groupBy(col("lang"))
+      .agg(expr("bottomk_sample(md5(cast(doc_id AS string)), doc_id, 5)").as("s"))
+    df.collect()
+    // the whole point vs the window path: the exchange must carry <= k
+    // pairs per group per task — which requires a PARTIAL aggregation
+    // below the shuffle and a FINAL merge above it
+    val aggs = allNodes(finalPlan(df)).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregate pair:\n${finalPlan(df)}")
+    val modes = aggs.flatMap(_.aggregateExpressions.map(_.mode.toString)).distinct
+    assert(modes.contains("Partial") && modes.contains("Final"),
+      s"missing map-side combine (modes=$modes):\n${finalPlan(df)}")
+  }
 }
