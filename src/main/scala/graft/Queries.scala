@@ -2029,6 +2029,16 @@ object Queries {
       (s, d) => MinHash.nearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.nearDupOracleSql)),
 
+    // Asymmetric containment classification on the same candidate set:
+    // Jaccard misses subset relations (a wholesale quote has low Jaccard
+    // when sizes differ), so each pair carries per-side containment and a
+    // relation class (duplicate / a_in_b / b_in_a / overlap). IEEE
+    // divisions of exact set sizes -> hash-exact.
+    QueryDef("q_containment_pairs",
+      (s, d) => MinHash.containmentPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(MinHash.containmentOracleSql())),
+
     // Incremental LSH maintenance: band store built from the old corpus
     // (doc_id % 10 != 7), the delta appended, pairs touching the delta
     // probed from the store alone. Band rows are a pure per-doc function,

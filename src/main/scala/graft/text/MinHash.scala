@@ -200,6 +200,69 @@ object MinHash {
          |FROM jac ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Asymmetric containment classification on the LSH candidate pairs:
+    * Jaccard misses subset relations (a doc quoting another wholesale has
+    * low Jaccard when sizes differ), so each pair additionally carries
+    * per-side containment |A∩B|/|A| and |A∩B|/|B| and a relation class —
+    * `duplicate` (high Jaccard), `a_in_b`/`b_in_a` (one side ≥
+    * containFrac inside the other), `overlap` otherwise. The
+    * quote/expansion detector of RETSim/Dolma-style dedup, on the same
+    * governed candidate set (never all-pairs). All values are IEEE
+    * divisions of exact integer set sizes → hash-exact. */
+  def containmentPairs(documents: DataFrame, dupJaccard: Double = 0.9,
+                       containFrac: Double = 0.9): DataFrame = {
+    val base = nearDupPairs(documents)
+    val sizes = documents.select(col("doc_id"),
+      size(array_distinct(wordsCol)).cast("long").as("n_types"))
+    val ca = col("inter_size").cast("double") / col("na").cast("double")
+    val cb = col("inter_size").cast("double") / col("nb").cast("double")
+    base
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_types").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_types").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        col("na"), col("nb"), col("exact_jaccard"),
+        ca.as("contain_a"), cb.as("contain_b"),
+        when(col("exact_jaccard") >= dupJaccard, lit("duplicate"))
+          .when(ca >= containFrac && ca >= cb, lit("a_in_b"))
+          .when(cb >= containFrac, lit("b_in_a"))
+          .otherwise(lit("overlap")).as("relation"))
+  }
+
+  /** DuckDB mirror of [[containmentPairs]]. */
+  def containmentOracleSql(dupJaccard: Double = 0.9,
+                           containFrac: Double = 0.9): String = {
+    val agreement = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    candidatePairsSqlCtes +
+      s"""
+         |, est AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST($agreement AS DOUBLE) / CAST(${NumHashes}.0 AS DOUBLE) AS est_jaccard
+         |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |), voc AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS vocab FROM documents
+         |), jac AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    CAST(len(list_filter(va.vocab, t -> list_contains(vb.vocab, t))) AS BIGINT) AS inter_size,
+         |    CAST(len(va.vocab) AS BIGINT) AS na, CAST(len(vb.vocab) AS BIGINT) AS nb
+         |  FROM est e JOIN voc va ON e.doc_a = va.doc_id JOIN voc vb ON e.doc_b = vb.doc_id
+         |), c AS (
+         |  SELECT doc_a, doc_b, inter_size, na, nb,
+         |    CAST(inter_size AS DOUBLE) / (na + nb - inter_size) AS exact_jaccard,
+         |    CAST(inter_size AS DOUBLE) / CAST(na AS DOUBLE) AS contain_a,
+         |    CAST(inter_size AS DOUBLE) / CAST(nb AS DOUBLE) AS contain_b
+         |  FROM jac
+         |)
+         |SELECT doc_a, doc_b, inter_size, na, nb, exact_jaccard,
+         |  contain_a, contain_b,
+         |  CASE WHEN exact_jaccard >= $dupJaccard THEN 'duplicate'
+         |       WHEN contain_a >= $containFrac AND contain_a >= contain_b THEN 'a_in_b'
+         |       WHEN contain_b >= $containFrac THEN 'b_in_a'
+         |       ELSE 'overlap' END AS relation
+         |FROM c ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Oracle for `exactJaccardPairs`. */
   def exactJaccardOracleSql(maxDocId: Long = 40): String =
     ShinglesSqlCte.replace("FROM documents", s"FROM documents WHERE doc_id < $maxDocId") +

@@ -441,6 +441,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: subset docs classify asymmetrically, dups stay duplicate") {
+    import spark.implicits._
+    val core = (0 until 40).map(i => s"core$i").mkString(" ")
+    val extra = (0 until 12).map(i => s"extra$i").mkString(" ")
+    val synth = Seq(
+      (1L, core + " " + extra), // superset: B's tokens + 12 new types
+      (2L, core),               // subset — contained in doc 1
+      (3L, core + " " + extra), // exact duplicate of doc 1
+      (4L, (0 until 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.text.MinHash.containmentPairs(synth).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // exact duplicate pair (1,3): jaccard 1 → duplicate
+    assert(out.contains((1L, 3L)), s"dup pair not a candidate: ${out.keySet}")
+    assert(out((1L, 3L)).getAs[String]("relation") == "duplicate")
+    // subset pair: doc 2's vocab fully inside doc 1, jaccard 40/52 < 0.9
+    assert(out.contains((1L, 2L)), s"subset pair not a candidate: ${out.keySet}")
+    val sub = out((1L, 2L))
+    assert(sub.getAs[Double]("contain_b") == 1.0)
+    assert(sub.getAs[Double]("exact_jaccard") < 0.9)
+    assert(sub.getAs[String]("relation") == "b_in_a", sub.toString)
+    // every row's relation re-derives from its own numbers
+    out.values.foreach { r =>
+      val (j, ca, cb) = (r.getAs[Double]("exact_jaccard"),
+        r.getAs[Double]("contain_a"), r.getAs[Double]("contain_b"))
+      val expect =
+        if (j >= 0.9) "duplicate"
+        else if (ca >= 0.9 && ca >= cb) "a_in_b"
+        else if (cb >= 0.9) "b_in_a"
+        else "overlap"
+      assert(r.getAs[String]("relation") == expect, r.toString)
+    }
+  }
+
   test("vocab growth: novelty accounting is exact and the curve is monotone") {
     import spark.implicits._
     val synth = Seq(
