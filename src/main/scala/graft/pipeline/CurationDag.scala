@@ -55,6 +55,30 @@ object CurationDag {
 
   val ArtifactName = "corpus_release"
 
+  /** Diff two committed corpus releases (default: latest vs previous) —
+    * the dataset-versioning "what changed between v_n and v_{n+1}" view:
+    * per doc_id insert/update/delete classification with old/new split
+    * assignments, riding [[graft.operators.ChangeFeed.changes]] (the
+    * same machinery the table-grain change feed gates). A training run
+    * reads this to know whether a release bump requires re-tokenizing
+    * everything or only the delta. */
+  def releaseDiff(spark: SparkSession, registryRoot: String,
+                  from: Option[Long] = None,
+                  to: Option[Long] = None): DataFrame = {
+    val latest = ModelRegistry.latestVersion(spark, registryRoot, ArtifactName)
+      .getOrElse(throw new IllegalStateException("no committed releases"))
+    val vTo = to.getOrElse(latest)
+    val vFrom = from.getOrElse(
+      if (vTo > 1L) vTo - 1L
+      else throw new IllegalStateException("need two releases to diff"))
+    def docsOf(v: Long) = spark.read.parquet(
+      ModelRegistry.versionPath(spark, registryRoot, ArtifactName,
+        Some(v)) + "/documents")
+    graft.operators.ChangeFeed.changes(
+      docsOf(vFrom), docsOf(vTo),
+      keys = Seq("doc_id"), attrs = Seq("text", "split"))
+  }
+
   def run(spark: SparkSession, documents: DataFrame, workDir: String,
           registryRoot: String,
           gates: ReleaseGates = ReleaseGates()): ReleaseRun = {

@@ -253,5 +253,24 @@ class OrchestratorSpec extends SparkSpec {
     assert(st2("publish_release") == "skipped_done")
     assert(st2("reject_release") == "success")
     assert(st2("gate") == "success", "rejection is an outcome, not a failure")
+
+    // a second clean release (doc 2 rewritten, doc 3 dropped, doc 13 new)
+    // then the release diff classifies exactly those doc_ids
+    val goodText = good.map(g => g._1 -> g._2).toMap
+    val v2docs = (good.filterNot(g => g._1 == 2L || g._1 == 3L) ++ Seq(
+      (2L, goodText(2L) + " rewritten tail words appended here", "src1", "en"),
+      (13L, (s"the data and that value have with be to of row13 " +
+        (0 until 50).map(j => s"tok13x$j").mkString(" ")), "src1", "en"),
+      evalDoc)).toDF("doc_id", "text", "source", "lang")
+    val r3 = CurationDag.run(spark, v2docs, s"$root/run3", s"$root/registry",
+      CurationDag.ReleaseGates(minKeptFrac = 0.5, minDocs = 5L))
+    assert(r3.released && r3.publishedVersion.contains(2L))
+    val diff = CurationDag.releaseDiff(spark, s"$root/registry").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("_change_type")).toMap
+    assert(diff.get(3L).contains("delete"), s"diff=$diff")
+    assert(diff.get(13L).contains("insert"), s"diff=$diff")
+    assert(diff.get(2L).contains("update"), s"diff=$diff")
+    // unchanged docs produce no diff rows
+    assert(!diff.contains(1L) && !diff.contains(4L), s"diff=$diff")
   }
 }
