@@ -2068,17 +2068,8 @@ object Queries {
     QueryDef("q_knn_brute",
       (s, d) => Similarity.knnBrute(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),
-      Some(s"""WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-        |), scored AS (
-        |  SELECT q.query_id, e.vec_id, e.label,
-        |    ${cosSql("q.qv", "e.embedding")} AS cos_sim
-        |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
-        |), ranked AS (
-        |  SELECT query_id, vec_id, label, cos_sim,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
-        |  FROM scored
-        |)
+      Some(graft.ml.RetrievalEval.knnRankedSqlCtes(cosSql, numQueries = 5) +
+        """
         |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * group-grain aggregation over queries×k rows either way. */
 object LabelNoise {
 
-  def screen(embeddings: DataFrame, numQueries: Int = 100, k: Int = 10,
-             suspectFrac: Double = 0.8): DataFrame = {
-    val ranked = graft.sim.Similarity.knnBrute(embeddings, numQueries, k)
+  /** The shared disagreement rollup: `ranked` must carry (query_id,
+    * label) neighbor rows — whichever ranking produced them. */
+  private def rollup(ranked: DataFrame, embeddings: DataFrame,
+                     numQueries: Int, suspectFrac: Double): DataFrame = {
     val qlab = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"))
     ranked.join(broadcast(qlab), Seq("query_id"))
@@ -35,6 +36,11 @@ object LabelNoise {
         ((col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
           >= lit(suspectFrac)).as("suspected_mislabel"))
   }
+
+  def screen(embeddings: DataFrame, numQueries: Int = 100, k: Int = 10,
+             suspectFrac: Double = 0.8): DataFrame =
+    rollup(graft.sim.Similarity.knnBrute(embeddings, numQueries, k),
+      embeddings, numQueries, suspectFrac)
 
   /** The documented scale path: the SAME disagreement rollup over the IVF
     * ANN ranking instead of the brute scan — neighbor candidates come
@@ -44,39 +50,17 @@ object LabelNoise {
     * recovery on a known geometry. */
   def screenAnn(embeddings: DataFrame, numQueries: Int = 100, k: Int = 10,
                 suspectFrac: Double = 0.8, nlist: Int = 16, nprobe: Int = 4,
-                cacheKey: Option[String] = None): DataFrame = {
-    val ranked = graft.sim.Similarity.knnIvf(
-      embeddings, numQueries, k, nlist, nprobe, cacheKey)
-    val qlab = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
-    ranked.join(broadcast(qlab), Seq("query_id"))
-      .groupBy(col("query_id"), col("q_label"))
-      .agg(count(lit(1)).as("n_neighbors"),
-        sum((col("label") =!= col("q_label")).cast("long")).as("n_disagree"))
-      .select(col("query_id").as("vec_id"), col("q_label").as("label"),
-        col("n_neighbors"), col("n_disagree"),
-        (col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
-          .as("disagree_frac"),
-        ((col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
-          >= lit(suspectFrac)).as("suspected_mislabel"))
-  }
+                cacheKey: Option[String] = None): DataFrame =
+    rollup(graft.sim.Similarity.knnIvf(
+        embeddings, numQueries, k, nlist, nprobe, cacheKey),
+      embeddings, numQueries, suspectFrac)
 
-  /** DuckDB mirror: the q_knn_brute ranking CTE + the same rollup. */
+  /** DuckDB mirror: the shared brute-ranking CTE
+    * ([[RetrievalEval.knnRankedSqlCtes]]) + the same rollup. */
   def oracleSql(cosSql: (String, String) => String, numQueries: Int = 100,
                 k: Int = 10, suspectFrac: Double = 0.8): String =
-    s"""WITH q AS (
-       |  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
-       |  FROM embeddings WHERE vec_id < $numQueries
-       |), scored AS (
-       |  SELECT q.query_id, q.q_label, e.vec_id, e.label,
-       |    ${cosSql("q.qv", "e.embedding")} AS cos_sim
-       |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
-       |), ranked AS (
-       |  SELECT query_id, q_label, label,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-       |  FROM scored
-       |), agg AS (
+    RetrievalEval.knnRankedSqlCtes(cosSql, numQueries) +
+    s""", agg AS (
        |  SELECT query_id, q_label,
        |    CAST(count(*) AS BIGINT) AS n_neighbors,
        |    CAST(sum(CASE WHEN label <> q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree

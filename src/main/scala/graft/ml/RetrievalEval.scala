@@ -82,12 +82,13 @@ object RetrievalEval {
           .otherwise(lit(0.0)).as("ndcg"))
   }
 
-  /** DuckDB mirror of [[evalBruteKnn]]: same ranking CTE as the
-    * q_knn_brute oracle, same micro-unit discounts, same divisions.
-    * `cosSql` renders the exact-cosine expression for (queryVec, rowVec)
-    * column names. */
-  def oracleSql(cosSql: (String, String) => String, numQueries: Int = 50,
-                k: Int = 10): String =
+  /** The brute-cosine ranking CTE chain ending in `ranked(query_id,
+    * q_label, vec_id, label, cos_sim, rank)` — THE ranking contract,
+    * shared by the q_knn_brute, retrieval-eval, and label-noise oracles
+    * so the query predicate / scoring / tiebreak can never drift between
+    * them. `cosSql` renders the exact-cosine expression. */
+  def knnRankedSqlCtes(cosSql: (String, String) => String,
+                       numQueries: Int): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
        |  FROM embeddings WHERE vec_id < $numQueries
@@ -96,11 +97,18 @@ object RetrievalEval {
        |    ${cosSql("q.qv", "e.embedding")} AS cos_sim
        |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
        |), ranked AS (
-       |  SELECT query_id, q_label, label,
+       |  SELECT query_id, q_label, vec_id, label, cos_sim,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
        |  FROM scored
-       |), topk AS (
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[evalBruteKnn]]: the shared ranking CTE + the
+    * micro-unit discount rollup. */
+  def oracleSql(cosSql: (String, String) => String, numQueries: Int = 50,
+                k: Int = 10): String =
+    knnRankedSqlCtes(cosSql, numQueries) +
+    s""", topk AS (
        |  SELECT * FROM ranked WHERE rank <= $k
        |), lc AS (
        |  SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1

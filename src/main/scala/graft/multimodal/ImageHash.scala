@@ -279,16 +279,11 @@ object ImageHash {
     * high-diameter case), so the clustering scales with the governed pair
     * volume, never all-pairs. */
   def imageClusters(documents: DataFrame, maxHamming: Int = 3,
-                    maxBucket: Int = 64): DataFrame = {
-    val pairs = nearDupPlan(documents, maxHamming, maxBucket)
-    val nodes = documents.select(col("doc_id").as("id"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val cc = graft.text.Components.connectedComponentsStar(nodes, edges)
-    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "cluster_id")
-      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("id") === col("cluster_id")).as("is_canonical"))
-  }
+                    maxBucket: Int = 64): DataFrame =
+    graft.text.Components.clustersFromEdges(
+      documents.select(col("doc_id").as("id")),
+      nearDupPlan(documents, maxHamming, maxBucket)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** DuckDB mirror of [[imageClusters]]: the same pair CTEs + a recursive
     * reachability walk labeled by component minimum (the

@@ -89,6 +89,7 @@ object CurationDag {
     // driver-visible gate inputs — each a 1-row read of a tiny artifact
     @volatile var decided = false
     @volatile var pass = false
+    @volatile var gateStats: (Double, Long, Long) = (0.0, 0L, 0L)
 
     def stats(): (Double, Long, Long) = {
       val a = spark.read.parquet(audit)
@@ -132,7 +133,9 @@ object CurationDag {
           .write.mode("overwrite").parquet(leak)
       }),
       Orchestrator.Stage("gate", Seq("leakage_audit"), () => {
-        val (frac, k, cross) = stats()
+        val s = stats()
+        gateStats = s // stashed so run() need not re-read the artifacts
+        val (frac, k, cross) = s
         pass = frac >= gates.minKeptFrac && k >= gates.minDocs &&
           cross <= gates.maxCrossSplitPairs
         decided = true
@@ -159,7 +162,7 @@ object CurationDag {
     val before = ModelRegistry.latestVersion(spark, registryRoot, ArtifactName)
     val report = Orchestrator.run(stages, parallelism = 2)
     val ok = report.forall(r => r.status == "success" || r.status == "skipped_done")
-    val (frac, k, cross) = if (decided) stats() else (0.0, 0L, 0L)
+    val (frac, k, cross) = gateStats
     val after = ModelRegistry.latestVersion(spark, registryRoot, ArtifactName)
     val released = ok && decided && pass
     ReleaseRun(

@@ -271,9 +271,13 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: the batchId-KEYED overwrite makes
+        // a replayed micro-batch rewrite its own slice instead of
+        // double-counting lines (which would push once-seen lines over
+        // minDupCount and strip them from every document)
         if (!batch.isEmpty)
-          graft.text.LineDedup.appendLineStore(batch, storePath, textCol)
+          graft.text.LineDedup.writeLineBatch(batch, storePath, batchId, textCol)
       }
       .start()
 
@@ -294,9 +298,13 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // at-least-once replay safety: a re-delivered batch overwrites its
+        // own keyed slice — a plain re-append would duplicate band rows,
+        // inflate bucket occupancy past the governor, and silently drop
+        // healthy buckets from the pair join
         if (!batch.isEmpty)
-          graft.text.MinHash.appendBandStore(batch, storePath)
+          graft.text.MinHash.writeBandBatch(batch, storePath, batchId)
       }
       .start()
 

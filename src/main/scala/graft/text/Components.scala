@@ -179,19 +179,27 @@ object Components {
                               maxIter: Int = 32): DataFrame =
     connectedComponentsStarWithRounds(nodes, edges, maxIter)._1
 
-  /** `dedupClusters` computed by star contraction — identical output
-    * contract (same canonical = component-min labeling), so it shares
-    * q_dedup_clusters' recursive-CTE oracle. */
-  def dedupClustersStar(documents: DataFrame): DataFrame = {
-    val nodes = documents.select(col("doc_id").as("id"))
-    val edges = MinHash.candidatePairs(documents)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  /** Star-contraction components over an arbitrary undirected doc-grain
+    * edge list, packaged as the standard cluster surface (component-min
+    * cluster_id, size, canonical flag) — shared by the text (LSH) and
+    * image (Hamming) near-dup clusterings. `nodes` carries `id`, `edges`
+    * carries `src`/`dst`. */
+  def clustersFromEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val cc = connectedComponentsStar(nodes, edges)
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).as("is_canonical"))
   }
+
+  /** `dedupClusters` computed by star contraction — identical output
+    * contract (same canonical = component-min labeling), so it shares
+    * q_dedup_clusters' recursive-CTE oracle. */
+  def dedupClustersStar(documents: DataFrame): DataFrame =
+    clustersFromEdges(
+      documents.select(col("doc_id").as("id")),
+      MinHash.candidatePairs(documents)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** The end-to-end dedup policy of a real corpus pipeline: LSH candidate
     * pairs → connected components → keep the HIGHEST-QUALITY document of

@@ -95,10 +95,25 @@ object LineDedup {
       .groupBy("line").agg(count(lit(1)).as("c"))
       .write.mode("append").parquet(storePath)
 
-  /** Corpus-wide merged counts of the store: sum over appended batches. */
+  /** IDEMPOTENT keyed append for at-least-once writers (streaming
+    * foreachBatch): the batch's counts land in an OVERWRITTEN
+    * `batch_<id>` subdirectory, so a replayed micro-batch (crash after
+    * the parquet write, before the checkpoint commit) rewrites the same
+    * slice instead of double-counting it — double-counting would push
+    * once-seen lines over minDupCount and silently strip them from every
+    * document. */
+  def writeLineBatch(delta: DataFrame, storePath: String, batchId: Long,
+                     textCol: String = "text"): Unit =
+    explodeLines(delta, textCol)
+      .groupBy("line").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+
+  /** Corpus-wide merged counts of the store: sum over appended batches
+    * (recursive lookup so flat appends and keyed batch subdirectories
+    * merge identically). */
   def mergedLineCounts(spark: org.apache.spark.sql.SparkSession,
                        storePath: String): DataFrame =
-    spark.read.parquet(storePath)
+    spark.read.option("recursiveFileLookup", "true").parquet(storePath)
       .groupBy("line").agg(sum("c").as("c"))
 
   /** [[dedupLines]] against the STORE's merged counts instead of an

@@ -211,14 +211,11 @@ object MinHash {
     * divisions of exact integer set sizes → hash-exact. */
   def containmentPairs(documents: DataFrame, dupJaccard: Double = 0.9,
                        containFrac: Double = 0.9): DataFrame = {
-    val base = nearDupPairs(documents)
-    val sizes = documents.select(col("doc_id"),
-      size(array_distinct(wordsCol)).cast("long").as("n_types"))
+    // na/nb ride the pair rows from nearDupPairsWithSizes — no second
+    // corpus tokenize pass and no extra pair-grain joins
     val ca = col("inter_size").cast("double") / col("na").cast("double")
     val cb = col("inter_size").cast("double") / col("nb").cast("double")
-    base
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_types").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_types").as("nb")), "doc_b")
+    nearDupPairsWithSizes(documents)
       .select(col("doc_a"), col("doc_b"), col("inter_size"),
         col("na"), col("nb"), col("exact_jaccard"),
         ca.as("contain_a"), cb.as("contain_b"),
@@ -314,6 +311,16 @@ object MinHash {
     bands(signaturesArr(newDocs))
       .write.mode("append").parquet(path)
 
+  /** IDEMPOTENT keyed append for at-least-once writers (streaming
+    * foreachBatch): band rows land in an OVERWRITTEN `batch_<id>`
+    * subdirectory, so a replayed micro-batch rewrites its own slice —
+    * a plain re-append would duplicate band rows, inflate bucket sizes
+    * past the governor, and silently drop healthy buckets from the
+    * pair join. */
+  def writeBandBatch(newDocs: DataFrame, path: String, batchId: Long): Unit =
+    bands(signaturesArr(newDocs))
+      .write.mode("overwrite").parquet(s"$path/batch_$batchId")
+
   /** Candidate near-dup pairs INVOLVING documents matching `newPred`,
     * computed from the band store alone: bucket-size governor over the
     * full store (exactly the full-run hot-bucket rule, so incremental and
@@ -325,7 +332,9 @@ object MinHash {
                           path: String,
                           newPred: Column,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val store = spark.read.parquet(path)
+    // recursive lookup: flat appends and keyed batch subdirectories read
+    // as one store
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(path)
     val hot = store.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBucket)
@@ -350,7 +359,14 @@ object MinHash {
     * any dropped hot buckets to stderr, before the caller executes the
     * returned frame. Calls also follow the execute-before-next-call cache
     * contract described on [[releaseCache]]. */
-  def nearDupPairs(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  def nearDupPairs(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    nearDupPairsWithSizes(documents, maxBucket).drop("na", "nb")
+
+  /** [[nearDupPairs]] plus each side's distinct-vocab size (na, nb) —
+    * the containment surface reads these without re-tokenizing the
+    * corpus or re-joining pair-grain frames. */
+  def nearDupPairsWithSizes(documents: DataFrame,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Banded signatures are cached: the self-join references the subtree
     // twice and the shingle+md5 computation is the dominant cost — the
     // cached table is only (doc_id, sigs[16], band cols) per band row.
@@ -397,11 +413,13 @@ object MinHash {
       .join(docsW.select(col("doc_id").as("doc_a"), col("vocab").as("va")), "doc_a")
       .join(docsW.select(col("doc_id").as("doc_b"), col("vocab").as("vb")), "doc_b")
       .withColumn("inter_size", expr("sorted_intersect_count(va, vb)"))
-      .withColumn("union_size",
-        size(col("va")).cast("long") + size(col("vb")).cast("long") - col("inter_size"))
+      .withColumn("na", size(col("va")).cast("long"))
+      .withColumn("nb", size(col("vb")).cast("long"))
+      .withColumn("union_size", col("na") + col("nb") - col("inter_size"))
       .withColumn("exact_jaccard",
         col("inter_size").cast("double") / col("union_size"))
-      .select("doc_a", "doc_b", "est_jaccard", "inter_size", "union_size", "exact_jaccard")
+      .select("doc_a", "doc_b", "est_jaccard", "inter_size", "union_size",
+        "exact_jaccard", "na", "nb")
   }
 
   /** Split-leakage audit: every LSH near-dup candidate pair labeled with

@@ -865,6 +865,16 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch,
         "micro-batch-appended counts diverged from the batch build")
 
+      // at-least-once replay safety: re-delivering a batch (same id) must
+      // leave the merged counts unchanged — double-counting would push
+      // once-seen lines over minDupCount and strip them from documents
+      val replay = a.toDF("doc_id", "text")
+      LineDedup.writeLineBatch(replay, s"$root/lines", batchId = 0L)
+      val afterReplay = LineDedup.mergedLineCounts(spark, s"$root/lines")
+        .orderBy("line").collect().toSeq
+      assert(afterReplay == streamed,
+        "replayed micro-batch changed the merged line counts")
+
       // cleaning through the streamed store == direct corpus dedup
       val viaStore = LineDedup.dedupLinesWithStore(docs, s"$root/lines")
         .orderBy("doc_id").collect().toSeq
@@ -896,7 +906,8 @@ class StreamingSpec extends SparkSpec {
       // streamed store rows == from-scratch build (set equality at the
       // band-row grain: same docs -> same pure per-doc band rows)
       MinHash.buildBandStore(docs, s"$root/bands_batch")
-      val streamed = spark.read.parquet(s"$root/bands")
+      val streamed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/bands")
         .orderBy("doc_id", "band_idx").collect().toSeq
       val batch = spark.read.parquet(s"$root/bands_batch")
         .orderBy("doc_id", "band_idx").collect().toSeq
@@ -909,6 +920,16 @@ class StreamingSpec extends SparkSpec {
       val probeB = MinHash.incrementalNearDups(spark, s"$root/bands_batch", col("doc_id") % 3 === 0)
         .orderBy("doc_a", "doc_b").collect().toSeq
       assert(probeS == probeB)
+
+      // at-least-once replay safety: re-delivering batch 0 must not
+      // duplicate band rows (duplicates would inflate bucket occupancy
+      // past the governor and silently drop healthy buckets)
+      MinHash.writeBandBatch(a.toDF("doc_id", "text"), s"$root/bands", 0L)
+      val afterReplay = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/bands")
+        .orderBy("doc_id", "band_idx").collect().toSeq
+      assert(afterReplay == streamed,
+        "replayed micro-batch changed the band store")
     } finally docs.unpersist(blocking = false)
   }
 }
