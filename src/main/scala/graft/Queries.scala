@@ -4062,6 +4062,46 @@ object Queries {
     // docs/tokens/chars, corpus-wide exact-dup share (hash-grain join,
     // never a text broadcast), and quality-bucket counts. All exact-int
     // aggregates; shares are int/int ratios formed once.
+    // Duplicate-token inflation per source: tokens counted once per
+    // distinct content hash vs total tokens — "how much of this crawl is
+    // redundant bytes", the number that prices a dedup pass before
+    // running it (within-source grain: a text shared across sources
+    // counts once per source). Token def = ws_tokens (q_token_count).
+    QueryDef("q_dedup_inflation",
+      (s, d) => {
+        val perHash = Tables.documents(s, d)
+          .select(col("source"), md5(col("text")).as("h"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("copies"),
+            sum(col("n_tokens")).as("tok_all"),
+            min(col("n_tokens")).as("tok_once"))
+        perHash.groupBy(col("source"))
+          .agg(count(lit(1)).as("distinct_docs"),
+            sum(col("copies")).as("total_docs"),
+            sum(col("tok_all")).as("tokens_total"),
+            sum(col("tok_once")).as("tokens_unique"))
+          .withColumn("inflation",
+            col("tokens_total").cast("double") / col("tokens_unique").cast("double"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), ph AS (
+        |  SELECT source, h, CAST(count(*) AS BIGINT) AS copies,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok_all,
+        |    CAST(min(n_tokens) AS BIGINT) AS tok_once
+        |  FROM d GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS distinct_docs,
+        |  CAST(sum(copies) AS BIGINT) AS total_docs,
+        |  CAST(sum(tok_all) AS BIGINT) AS tokens_total,
+        |  CAST(sum(tok_once) AS BIGINT) AS tokens_unique,
+        |  CAST(sum(tok_all) AS DOUBLE) / CAST(sum(tok_once) AS DOUBLE) AS inflation
+        |FROM ph GROUP BY 1 ORDER BY source""".stripMargin)),
+
     QueryDef("q_corpus_accounting",
       (s, d) => {
         val docs = Tables.documents(s, d)
