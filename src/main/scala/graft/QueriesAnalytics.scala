@@ -1,0 +1,630 @@
+package graft
+
+import graft.gold.{Attribution, DataQuality, Drift, Forensics, FraudSummary, Graph, Markov, Pipelines, Revenue, Rings, Seasonal, StarSchema}
+import graft.ml.{Evaluation, FraudScore, GbtModel, TrainedModel}
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Resample, Sessionize}
+import graft.sim.Similarity
+import graft.text.{Components, Dedup, MinHash, SimHash, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueriesShared._
+
+/** Registry slice: model-evaluation statistics, drift, forensics, graph/ring analytics, attribution.
+  * Split from the monolithic Queries.scala (r11) — a pure move with zero
+  * behavior change; shared oracle CTE fragments live in [[QueriesShared]].
+  */
+private[graft] object QueriesAnalytics {
+  // r8 batch: model-evaluation statistics, drift monitoring, forensic
+  // screens, fraud-ring pairs, and revenue attribution.
+  private[graft] lazy val defs: Seq[QueryDef] = Seq(
+
+    // Exact distributed ROC-AUC of the literal scorer as a Mann–Whitney
+    // rank statistic — ScalableRank global ranking + one aggregate, all
+    // integer until the final division (ml/Evaluation.scala).
+    QueryDef("q_roc_auc",
+      (s, d) => Evaluation.rocAuc(literalScored(s, d), "fraud_score", "label",
+          "o_orderkey")
+        .orderBy("pos_n"),
+      Some(ScoredCte +
+        """
+        |, r AS (
+        |  SELECT label,
+        |    2 * rank() OVER (ORDER BY fraud_score)
+        |      + count(*) OVER (PARTITION BY fraud_score) - 1 AS r2
+        |  FROM scored
+        |), agg AS (
+        |  SELECT CAST(sum(label) AS BIGINT) AS pos_n,
+        |         CAST(count(*) - sum(label) AS BIGINT) AS neg_n,
+        |         CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS rank_sum2
+        |  FROM r
+        |), a2 AS (
+        |  SELECT pos_n, neg_n, rank_sum2,
+        |    CAST(rank_sum2 - pos_n * (pos_n + 1) AS DOUBLE) / (2.0 * pos_n * neg_n) AS auc
+        |  FROM agg
+        |)
+        |SELECT pos_n, neg_n, rank_sum2, auc, 2.0 * auc - 1.0 AS gini
+        |FROM a2 ORDER BY pos_n""".stripMargin)),
+
+    // Reliability-diagram decile bins; micro-unit quantization keeps the
+    // double sums hash-exact (SURVEY §4 / UnigramLm contract).
+    QueryDef("q_calibration",
+      (s, d) => Evaluation.calibrationBins(literalScored(s, d), "fraud_score",
+        "label", bins = 10),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT least(CAST(floor(CAST(fraud_score AS DOUBLE) * 10) AS BIGINT), 9) AS bin,
+        |    label,
+        |    CAST(floor(CAST(fraud_score AS DOUBLE) * 1000000.0) AS BIGINT) AS s_micro,
+        |    CAST(floor((CAST(fraud_score AS DOUBLE) - label) * (CAST(fraud_score AS DOUBLE) - label)
+        |      * 1000000000.0) AS BIGINT) AS sq_nano
+        |  FROM scored
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS positives,
+        |    CAST(sum(s_micro) AS BIGINT) AS sum_score_micro,
+        |    CAST(sum(sq_nano) AS BIGINT) AS brier_sum_nano
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bin, n, positives, sum_score_micro, brier_sum_nano,
+        |  CAST(bin AS DOUBLE) / 10 AS bin_lo,
+        |  CAST(positives AS DOUBLE) / n AS pos_rate,
+        |  CAST(sum_score_micro AS DOUBLE) / 1000000.0 / n AS mean_pred,
+        |  CAST(sum_score_micro AS DOUBLE) / 1000000.0 / n
+        |    - CAST(positives AS DOUBLE) / n AS calib_gap
+        |FROM g ORDER BY bin""".stripMargin)),
+
+    // Operating-point sweep: precision/recall/F1 at every occupied grid
+    // threshold — suffix sums over the ≤20-row bin frame, no per-threshold
+    // rescan (ml/Evaluation.scala).
+    QueryDef("q_threshold_sweep",
+      (s, d) => Evaluation.thresholdSweep(literalScored(s, d), "fraud_score",
+        "label", steps = 20),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT least(CAST(floor(CAST(fraud_score AS DOUBLE) * 20) AS BIGINT), 19) AS bin, label
+        |  FROM scored
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS total_pos,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total,
+        |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS predicted_pos
+        |  FROM g
+        |), f AS (
+        |  SELECT bin AS threshold_step, CAST(bin AS DOUBLE) / 20 AS threshold,
+        |    tp, predicted_pos - tp AS fp, total_pos - tp AS fn,
+        |    total - predicted_pos - total_pos + tp AS tn,
+        |    CAST(tp AS DOUBLE) / predicted_pos AS "precision",
+        |    CAST(tp AS DOUBLE) / total_pos AS recall
+        |  FROM c
+        |)
+        |SELECT threshold_step, threshold, tp, fp, fn, tn, "precision", recall,
+        |  CASE WHEN "precision" + recall > 0.0
+        |       THEN 2.0 * "precision" * recall / ("precision" + recall)
+        |       ELSE 0.0 END AS f1
+        |FROM f ORDER BY threshold_step""".stripMargin)),
+
+    // Brute cosine top-k over the int8-dequantized corpus — the 4×-fewer-
+    // bytes search path, hash-exact because reconstruction is IEEE float
+    // rounding, not a trained codebook (sim/Quantize.scala).
+    QueryDef("q_knn_int8",
+      (s, d) => graft.sim.Quantize.knnInt8(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(graft.sim.Quantize.dequantCteSql +
+        s"""
+        |, q AS (
+        |  SELECT vec_id AS query_id, dq AS qv FROM dqt WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    ${cosSql("q.qv", "e.dq")} AS cos_sim
+        |  FROM dqt e JOIN q ON e.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // PSI + chi-square + binned-KS drift between the first and second
+    // halves of the order history, binned by amount tier (gold/Drift.scala).
+    QueryDef("q_psi_drift",
+      (s, d) => Drift.binnedDrift(
+        Cleaning.cleanOrders(Tables.orders(s, d)),
+        col("amount_tier"), Drift.tierOrd(col("amount_tier")),
+        col("order_date") < lit("1998-01-01").cast("date"), bins = 5),
+      Some(CleanOrdersCte +
+        """
+        |, cnt AS (
+        |  SELECT amount_tier AS bin,
+        |    CAST(CASE amount_tier WHEN 'micro' THEN 0 WHEN 'low' THEN 1
+        |         WHEN 'medium' THEN 2 WHEN 'high' THEN 3 ELSE 4 END AS BIGINT) AS bin_ord,
+        |    CAST(sum(CASE WHEN order_date < DATE '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN order_date < DATE '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM clean_orders GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT *,
+        |    CAST(sum(cnt_a) OVER () AS BIGINT) AS tot_a,
+        |    CAST(sum(cnt_b) OVER () AS BIGINT) AS tot_b,
+        |    CAST(sum(cnt_a) OVER (ORDER BY bin_ord) AS BIGINT) AS cum_a,
+        |    CAST(sum(cnt_b) OVER (ORDER BY bin_ord) AS BIGINT) AS cum_b
+        |  FROM cnt
+        |), m AS (
+        |  SELECT *,
+        |    CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 5 AS DOUBLE) AS p_a,
+        |    CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 5 AS DOUBLE) AS p_b,
+        |    CAST(cnt_a + cnt_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+        |      / CAST(tot_a + tot_b AS DOUBLE) AS exp_a,
+        |    CAST(cnt_a + cnt_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
+        |      / CAST(tot_a + tot_b AS DOUBLE) AS exp_b
+        |  FROM tot
+        |)
+        |SELECT bin, bin_ord, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / tot_a AS share_a,
+        |  CAST(cnt_b AS DOUBLE) / tot_b AS share_b,
+        |  (p_a - p_b) * ln(p_a / p_b) AS psi_term,
+        |  (CAST(cnt_a AS DOUBLE) - exp_a) * (CAST(cnt_a AS DOUBLE) - exp_a) / exp_a
+        |    + (CAST(cnt_b AS DOUBLE) - exp_b) * (CAST(cnt_b AS DOUBLE) - exp_b) / exp_b AS chi2_term,
+        |  abs(CAST(cum_a AS DOUBLE) / tot_a - CAST(cum_b AS DOUBLE) / tot_b) AS ecdf_gap
+        |FROM m ORDER BY bin_ord""".stripMargin)),
+
+    // Benford leading-digit screen per return-flag segment; exact digit
+    // via the decimal(18,2) cents cast (gold/Forensics.scala).
+    QueryDef("q_benford",
+      (s, d) => Forensics.benford(
+        Cleaning.cleanLineitem(Tables.lineitem(s, d)),
+        col("l_returnflag"), col("l_extendedprice")),
+      Some(CleanLineitemCte +
+        """
+        |, dg AS (
+        |  SELECT l_returnflag AS segment,
+        |    CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM clean_lineitem
+        |), g AS (
+        |  SELECT segment, digit, CAST(count(*) AS BIGINT) AS observed FROM dg GROUP BY 1, 2
+        |), t AS (
+        |  SELECT *, CAST(sum(observed) OVER (PARTITION BY segment) AS BIGINT) AS segment_total,
+        |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected_p
+        |  FROM g
+        |), e AS (
+        |  SELECT *, CAST(segment_total AS DOUBLE) * expected_p AS expected_n FROM t
+        |)
+        |SELECT segment, digit, observed, segment_total,
+        |  CAST(observed AS DOUBLE) / segment_total AS observed_p,
+        |  expected_p,
+        |  (CAST(observed AS DOUBLE) - expected_n) * (CAST(observed AS DOUBLE) - expected_n)
+        |    / expected_n AS chi2_term
+        |FROM e ORDER BY segment, digit""".stripMargin)),
+
+    // Shared-device fraud-ring pairs with the deterministic occupancy
+    // governor (gold/Rings.scala).
+    QueryDef("q_shared_device_pairs",
+      (s, d) => Rings.sharedDevicePairs(Tables.events(s, d)),
+      Some("""WITH b AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS device, user_id
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL
+        |), ok AS (
+        |  SELECT day, device FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50
+        |), adm AS (
+        |  SELECT b.* FROM b JOIN ok USING (day, device)
+        |)
+        |SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS shared_device_days,
+        |  CAST(count(DISTINCT x.device) AS BIGINT) AS shared_devices,
+        |  min(x.day) AS first_day, max(x.day) AS last_day
+        |FROM adm x JOIN adm y USING (day, device)
+        |WHERE x.user_id < y.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Multi-touch attribution: 24h-lookback purchase×touch pairing via
+    // the RangeJoin day-bin trick, linear/first/last credit
+    // (gold/Attribution.scala).
+    QueryDef("q_attribution",
+      (s, d) => Attribution.multiTouch(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, p AS (
+        |  SELECT event_id AS purchase_id, user_id, value AS purchase_value, ts_us AS p_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts_us AS t_ts_us
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pair AS (
+        |  SELECT p.*, t.touch_id, t.touch_type, t.t_ts_us
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.t_ts_us >= p.p_ts_us - 86400000000 AND t.t_ts_us < p.p_ts_us
+        |), cred AS (
+        |  SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+        |    first_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_t,
+        |    last_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_t
+        |  FROM pair
+        |)
+        |SELECT purchase_id, user_id, purchase_value, p_ts_us, touch_id, touch_type, t_ts_us,
+        |  n_touches, purchase_value / CAST(n_touches AS DOUBLE) AS credit_linear,
+        |  touch_id = first_t AS is_first_touch, touch_id = last_t AS is_last_touch
+        |FROM cred ORDER BY purchase_id, touch_id""".stripMargin)),
+
+    // ---- r8 graph / resolution / robust-stats pack ----
+
+    // Integer-exact PageRank over the shared-device ring graph
+    // (gold/Graph.scala): BIGINT fixed-point mass, integer div per
+    // contribution, unrolled to the same 5 iterations in the oracle.
+    QueryDef("q_device_pagerank",
+      (s, d) => Graph.pageRank(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some(pageRankOracle)),
+
+    // Degree-ordered triangle counting + local clustering coefficient on
+    // the same graph; per-node counts are orientation-invariant, which is
+    // exactly what the id-ordered oracle enumeration checks.
+    QueryDef("q_triangles",
+      (s, d) => Graph.triangles(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some(DevicePairsCtes +
+        """
+        |, tri AS (
+        |  SELECT x.user_a AS a, x.user_b AS b, y.user_b AS c
+        |  FROM pairs x
+        |  JOIN pairs y ON y.user_a = x.user_a AND y.user_b > x.user_b
+        |  JOIN pairs z ON z.user_a = x.user_b AND z.user_b = y.user_b
+        |), roles AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |), tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM roles GROUP BY 1
+        |)
+        |SELECT d.node AS user_id, d.degree,
+        |  COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+        |  END AS clustering
+        |FROM deg d LEFT JOIN tc t USING (node)
+        |ORDER BY user_id""".stripMargin)),
+
+    // Incrementally-maintained device-pair graph (Rings.pairDeviceStore):
+    // base days + delta days build separate mergeable (pair, device)
+    // stores; merged + rolled up they are BIT-IDENTICAL to the full
+    // recompute (day buckets are self-contained), so the oracle is the
+    // same SQL as q_shared_device_pairs.
+    QueryDef("q_ring_pairs_incremental",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = ev.agg(date_sub(max(to_date(col("ts"))), 7).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        Rings.releaseCache()
+        val base = Rings.pairDeviceStore(
+          tagged.filter(to_date(col("ts")) <= col("cut")), releaseFirst = false)
+        val delta = Rings.pairDeviceStore(
+          tagged.filter(to_date(col("ts")) > col("cut")), releaseFirst = false)
+        Rings.pairsFromStore(Rings.mergePairStores(base, delta))
+      },
+      Some("""WITH b AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS device, user_id
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL
+        |), ok AS (
+        |  SELECT day, device FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50
+        |), adm AS (
+        |  SELECT b.* FROM b JOIN ok USING (day, device)
+        |)
+        |SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS shared_device_days,
+        |  CAST(count(DISTINCT x.device) AS BIGINT) AS shared_devices,
+        |  min(x.day) AS first_day, max(x.day) AS last_day
+        |FROM adm x JOIN adm y USING (day, device)
+        |WHERE x.user_id < y.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Ring membership via star-contraction connected components over the
+    // device-pair graph (Graph.ringClusters); oracle = recursive CTE.
+    QueryDef("q_ring_clusters",
+      (s, d) => Graph.ringClusters(Rings.sharedDevicePairs(Tables.events(s, d))),
+      Some("WITH RECURSIVE " + DevicePairsCtes.stripPrefix("WITH ") +
+        """
+        |, edges2 AS (
+        |  SELECT user_a AS a, user_b AS b FROM pairs
+        |  UNION ALL SELECT user_b, user_a FROM pairs
+        |), walk(node, reach) AS (
+        |  SELECT a, a FROM edges2
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges2 e ON w.reach = e.a
+        |), lab AS (
+        |  SELECT node AS user_id, min(reach) AS ring_id FROM walk GROUP BY 1
+        |), sz AS (
+        |  SELECT ring_id, CAST(count(*) AS BIGINT) AS ring_size FROM lab GROUP BY 1
+        |)
+        |SELECT l.user_id, l.ring_id, sz.ring_size,
+        |  l.user_id = l.ring_id AS is_canonical
+        |FROM lab l JOIN sz USING (ring_id)
+        |ORDER BY l.user_id""".stripMargin)),
+
+    // Blocked fuzzy entity resolution (operators/EntityResolution.scala):
+    // (nation × segment) blocks behind an occupancy governor, Levenshtein
+    // + balance-band verify.
+    QueryDef("q_entity_match",
+      (s, d) => operators.EntityResolution.matchCustomers(Tables.customer(s, d)),
+      Some("""WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal FROM customer
+        |), ok AS (
+        |  SELECT c_nationkey, c_mktsegment FROM c
+        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 500
+        |), adm AS (
+        |  SELECT c.* FROM c JOIN ok USING (c_nationkey, c_mktsegment)
+        |)
+        |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  a.c_nationkey, a.c_mktsegment,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+        |  abs(a.c_acctbal - b.c_acctbal) AS bal_diff
+        |FROM adm a JOIN adm b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |  AND abs(a.c_acctbal - b.c_acctbal) <= 100.0
+        |ORDER BY cust_a, cust_b""".stripMargin)),
+
+    // DSIR hashed-ngram importance weights (text/Dsir.scala): target =
+    // the corpus' en slice, raw = full corpus, 1024 md5 buckets,
+    // micro-nat-quantized log-ratio summed as exact BIGINTs.
+    QueryDef("q_dsir_weights",
+      (s, d) => text.Dsir.importanceWeights(
+        Tables.documents(s, d), col("lang") === "en"),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS is_target,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, lang, is_target, token,
+        |    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM tok WHERE token <> ''
+        |), raw AS (
+        |  SELECT bucket, count(*) AS cr FROM tok2 GROUP BY 1
+        |), tgt AS (
+        |  SELECT bucket, count(*) AS ct FROM tok2 WHERE is_target GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt
+        |), w AS (
+        |  SELECT r.bucket,
+        |    CAST(floor(CAST(CAST(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(CAST(CAST(ln(CAST(r.cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w_micro
+        |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+        |), agg AS (
+        |  SELECT doc_id, lang, count(*) AS n_tokens, sum(w_micro) AS sum_w_micro
+        |  FROM tok2 JOIN w USING (bucket) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_w_micro AS BIGINT) AS sum_w_micro,
+        |  CAST(sum_w_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens AS dsir_weight
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Median/MAD robust outliers (operators/Robust.scala) on event values
+    // per type — the heavy-tail-safe twin of q_amount_outliers' z-score.
+    QueryDef("q_mad_outliers",
+      (s, d) => operators.Robust.madOutliers(
+          Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad", "abs_dev")
+        .orderBy("event_id"),
+      Some("""WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS abs_dev
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value, d.med, m.mad, d.abs_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.abs_dev > 3.0 * 1.4826 * m.mad
+        |ORDER BY d.event_id""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // (gold/Markov.scala): counts exact, probability one IEEE division,
+    // surprisal micro-nat-quantized.
+    QueryDef("q_event_transitions",
+      (s, d) => Markov.transitions(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, seqd AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM ev
+        |), cells AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+        |  FROM cells
+        |)
+        |SELECT prev_type, event_type, cnt, row_total,
+        |  CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob,
+        |  CAST(floor(CAST(CAST(-ln(CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS surprisal_micro
+        |FROM rt ORDER BY prev_type, event_type""".stripMargin)),
+
+    // Seasonal (dow × hour) baseline anomaly screen (gold/Seasonal.scala):
+    // hourly decimal totals vs the calendar-grain baseline.
+    QueryDef("q_seasonal_anomaly",
+      (s, d) => Seasonal.hourlyAnomalies(Tables.events(s, d)),
+      Some("""WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS dec_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), base AS (
+        |  SELECT dayofweek(day) + 1 AS dow, hr, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dec_total) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS baseline
+        |  FROM hourly GROUP BY 1, 2
+        |)
+        |SELECT h.day, h.hr, CAST(b.dow AS BIGINT) AS dow, b.n_days,
+        |  CAST(h.dec_total AS DOUBLE) AS actual, b.baseline,
+        |  CAST(h.dec_total AS DOUBLE) / b.baseline AS ratio,
+        |  (CAST(h.dec_total AS DOUBLE) / b.baseline < 0.5
+        |    OR CAST(h.dec_total AS DOUBLE) / b.baseline > 2.0) AS is_anomalous
+        |FROM hourly h JOIN base b ON dayofweek(h.day) + 1 = b.dow AND h.hr = b.hr
+        |ORDER BY h.day, h.hr""".stripMargin)),
+
+    // Efraimidis–Spirakis deterministic weighted sampling
+    // (Sampling.sampleWeighted): top-20 per language, inclusion odds
+    // proportional to n_chars, md5-derived uniforms.
+    QueryDef("q_sample_weighted",
+      (s, d) => operators.Sampling.sampleWeighted(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), col("doc_id"), col("n_chars"), 20)
+        .orderBy("lang", "sample_rank"),
+      Some("""WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(floor(CAST(CAST(ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lnum
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(lnum AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(lnum AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS BIGINT) AS sample_rank
+        |  FROM keyed
+        |)
+        |SELECT doc_id, lang, n_chars, es_key, sample_rank
+        |FROM ranked WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // PMI collocations (text/Colloc.scala): top-50 adjacent-pair
+    // collocations by integer-assembled micro-nat PMI.
+    QueryDef("q_pmi_collocations",
+      (s, d) => text.Colloc.pmiCollocations(Tables.documents(s, d)),
+      Some(text.Colloc.oracleSql())),
+
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // word score = degree/freq (one IEEE division of exact BIGINTs),
+    // phrase score = exact integer micro-score sum.
+    QueryDef("q_rake_words",
+      (s, d) => text.Keywords.rakeWordScores(Tables.documents(s, d))
+        .orderBy("word"),
+      Some(text.Keywords.wordOracleSql)),
+
+    QueryDef("q_rake_phrases",
+      (s, d) => text.Keywords.rakePhrases(Tables.documents(s, d))
+        .orderBy("phrase"),
+      Some(text.Keywords.phraseOracleSql)),
+
+    // TextRank: integer-exact PageRank over the content-word adjacency
+    // graph — an iterative graph query on text, hash-exact vs the
+    // recursive DuckDB oracle (the device-PageRank arithmetic).
+    QueryDef("q_textrank",
+      (s, d) => text.Keywords.textrank(Tables.documents(s, d))
+        .orderBy("token"),
+      Some(text.Keywords.textrankOracleSql())),
+
+    // Session path mining (Markov.sessionPaths): top-20 complete
+    // event-type journeys per 30-min gap session.
+    QueryDef("q_session_paths",
+      (s, d) => Markov.sessionPaths(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_boundary
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b
+        |), sp AS (
+        |  SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS path_len,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM sx GROUP BY 1, 2
+        |)
+        |SELECT path, path_len, CAST(count(*) AS BIGINT) AS sessions
+        |FROM sp GROUP BY 1, 2
+        |ORDER BY sessions DESC, path LIMIT 20""".stripMargin)),
+
+    // Bot-timing screen (Forensics.botTiming): inter-event-gap cv² per
+    // user from exact integer second-grain moments.
+    QueryDef("q_bot_timing",
+      (s, d) => Forensics.botTiming(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, g AS (
+        |  SELECT user_id,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM ev
+        |), g2 AS (
+        |  SELECT user_id, gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap_s AS DECIMAL(38,0))) AS sum_g,
+        |    sum(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS sum_g2
+        |  FROM g2 GROUP BY 1
+        |), st AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |    CAST(CAST(sum_g2 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |      * (CAST(CAST(sum_g AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS var_gap
+        |  FROM agg
+        |), cv AS (
+        |  SELECT user_id, n_gaps, mean_gap_s,
+        |    CASE WHEN mean_gap_s > 0 THEN var_gap / (mean_gap_s * mean_gap_s) END AS cv2
+        |  FROM st
+        |)
+        |SELECT user_id, n_gaps, mean_gap_s, cv2,
+        |  (n_gaps >= 20 AND cv2 IS NOT NULL AND cv2 < 0.1) AS is_bot_timing
+        |FROM cv ORDER BY user_id""".stripMargin)),
+
+    // RFM segmentation (gold/Rfm.scala): quintile-threshold scores from
+    // one fused percentile aggregate, label when-chain.
+    QueryDef("q_rfm_segments",
+      (s, d) => gold.Rfm.segments(Tables.orders(s, d)),
+      Some(gold.Rfm.oracleSql)),
+
+    // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
+    // integer-cents moment sums, one-day-ahead forecast.
+    QueryDef("q_revenue_trend",
+      (s, d) => Seasonal.dailyTrend(Tables.events(s, d)),
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents
+        |  FROM events GROUP BY 1, 2
+        |), dx AS (
+        |  SELECT event_type, y_cents,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+        |  FROM daily
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    max(x) AS max_x, CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |    sum(CAST(y_cents AS DECIMAL(38,0))) AS sum_y_dec,
+        |    sum(CAST(x * y_cents AS DECIMAL(38,0))) AS sum_xy_dec
+        |  FROM dx GROUP BY 1
+        |), st AS (
+        |  SELECT event_type, n_days, max_x, sum_x, sum_x2,
+        |    CAST(CAST(sum_y_dec AS VARCHAR) AS DOUBLE) AS sum_y,
+        |    CAST(CAST(sum_xy_dec AS VARCHAR) AS DOUBLE) AS sum_xy
+        |  FROM agg
+        |), sl AS (
+        |  SELECT *,
+        |    (n_days * sum_xy - sum_x * sum_y)
+        |      / CAST(n_days * sum_x2 - sum_x * sum_x AS DOUBLE) AS slope_cents
+        |  FROM st
+        |)
+        |SELECT event_type, n_days, slope_cents,
+        |  (sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE) AS intercept_cents,
+        |  ((sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE)
+        |    + slope_cents * CAST(max_x + 1 AS DOUBLE)) / 100.0 AS forecast_next
+        |FROM sl ORDER BY event_type""".stripMargin))
+  )
+
+  // r8 late batch: supervised categorical encoders (WOE/IV, K-fold OOF
+  // target encoding) and hybrid lexical+semantic retrieval fusion.
+}

@@ -1,0 +1,1106 @@
+package graft
+
+import graft.gold.{Attribution, DataQuality, Drift, Forensics, FraudSummary, Graph, Markov, Pipelines, Revenue, Rings, Seasonal, StarSchema}
+import graft.ml.{Evaluation, FraudScore, GbtModel, TrainedModel}
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Bronze, Cleaning, Enrichment, Features, MergeUpsert, RangeJoin, Resample, Sessionize}
+import graft.sim.Similarity
+import graft.text.{Components, Dedup, MinHash, SimHash, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueriesShared._
+
+/** Registry slice: dedup families, ANN/kNN pack, sketches, OLAP shaping, streaming, multimodal.
+  * Split from the monolithic Queries.scala (r11) — a pure move with zero
+  * behavior change; shared oracle CTE fragments live in [[QueriesShared]].
+  */
+private[graft] object QueriesTextSim {
+  private[graft] lazy val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_ship_priority",
+      (s, d) => Pipelines.shipPriority(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)).orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef("q_local_volume",
+      (s, d) => Pipelines.localVolume(Tables.region(s, d), Tables.nation(s, d),
+          Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)).orderBy("n_name"),
+      Some("""SELECT n_name, r_name AS region_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name""".stripMargin)),
+
+    QueryDef("q_order_denorm",
+      (s, d) => Pipelines.orderDenorm(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Cleaning.cleanLineitem(Tables.lineitem(s, d)))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |SELECT l_orderkey, l_linenumber, o_custkey, status_normalized, amount_tier, order_date,
+        |  l_quantity, net_price, charge, is_refund
+        |FROM clean_lineitem JOIN clean_orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_merge_upsert",
+      (s, d) => {
+        val clean = Cleaning.cleanOrders(Tables.orders(s, d))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "status_normalized")
+        val target = clean.filter(col("o_orderkey") % 2 === 0)
+        val source = clean.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+          .withColumn("status_normalized", lit("P"))
+        MergeUpsert.merge(target, source, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 2 = 0
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |    'P' AS status_normalized
+        |  FROM clean_orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT t.*, 'kept' AS _merge_action FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, 'updated' FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, 'inserted' FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exactDups(Tables.documents(s, d)).orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS doc_count, count(*) - 1 AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    QueryDef("q_dedup_norm",
+      (s, d) => Dedup.normalizedDups(Tables.documents(s, d)).orderBy("norm_hash"),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        |  min(doc_id) AS canonical_doc_id,
+        |  count(*) AS doc_count, count(*) - 1 AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
+
+    QueryDef("q_multimodal_frames",
+      (s, d) => Multimodal.frameSamplePlan(Tables.documents(s, d))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS w,
+        |    64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS h,
+        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 16 AS frame_count
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, w, h, frame_count,
+        |    unnest(range(0, frame_count, 4)) AS frame_idx
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_count AS BIGINT) AS frame_count,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(w * 224 // greatest(w, h) AS BIGINT) AS out_w,
+        |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Audio windowing (whisper-style fixed windows + hop overlap): the
+    // 1-D analog of frame sampling; typed stub-decoder twin parity-tested
+    // in OperatorsSpec.
+    QueryDef("q_multimodal_audio",
+      (s, d) => Multimodal.audioSegmentPlan(Tables.documents(s, d))
+        .orderBy("doc_id", "seg_idx"),
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    1000 + CAST(octet_length(encode(text)) AS BIGINT) % 60000 AS dur_ms
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, dur_ms,
+        |    CASE WHEN dur_ms <= 5000 THEN 1
+        |         ELSE (dur_ms - 5000) // 2500 + 1 END AS n_seg
+        |  FROM m
+        |), x AS (
+        |  SELECT doc_id, dur_ms, unnest(range(0, n_seg)) AS seg_idx FROM n
+        |)
+        |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        |  CAST(seg_idx * 2500 AS BIGINT) AS start_ms,
+        |  CAST(least(seg_idx * 2500 + 5000, dur_ms) AS BIGINT) AS end_ms,
+        |  dur_ms
+        |FROM x ORDER BY doc_id, seg_idx""".stripMargin)),
+
+    QueryDef("q_chunk_documents",
+      (s, d) => graft.text.Chunking.chunkDocuments(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, toks, n_tokens,
+        |    greatest(1, (n_tokens - 16 + 47) // 48) AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, lang, toks, n_tokens,
+        |    unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS chunk_tokens,
+        |  n_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Sequence-grain rollup of the packed stream (q_pack_sequences is the
+    // slice grain): docs per training sequence, docs starting in it, token
+    // fill, and carryover (cross-contaminated) tokens — the contamination
+    // metric whole-doc bin packing (q_pack_bins) drives to zero.
+    QueryDef("q_pack_seq_stats",
+      (s, d) => text.Packing.packSequences(Tables.documents(s, d), 128,
+          docsPerBucket = 100L)
+        .groupBy(col("lang"), col("seq_idx"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_offset") === 0L, 1L).otherwise(0L)).as("n_starts"),
+          sum(col("tokens_in_seq")).as("fill_tokens"),
+          sum(when(col("doc_offset") > 0L, col("tokens_in_seq")).otherwise(0L))
+            .as("carryover_tokens"))
+        .orderBy("lang", "seq_idx"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM t
+        |), s AS (
+        |  SELECT *, tok_end - n_tokens AS tok_start,
+        |    (tok_end - n_tokens) // 128 AS first_seq, (tok_end - 1) // 128 AS last_seq
+        |  FROM c
+        |), e AS (
+        |  SELECT lang, tok_start, tok_end,
+        |    unnest(range(first_seq, last_seq + 1)) AS seq_idx
+        |  FROM s
+        |)
+        |SELECT lang, CAST(seq_idx AS BIGINT) AS seq_idx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_start >= seq_idx * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(sum(least(tok_end, seq_idx * 128 + 128)
+        |    - greatest(tok_start, seq_idx * 128)) AS BIGINT) AS fill_tokens,
+        |  CAST(sum(CASE WHEN tok_start < seq_idx * 128
+        |    THEN least(tok_end, seq_idx * 128 + 128) - seq_idx * 128
+        |    ELSE 0 END) AS BIGINT) AS carryover_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY lang, seq_idx""".stripMargin)),
+
+    // Whole-document bin packing (SFT packing without cross-contamination):
+    // bounded length histogram → driver-side greedy templates → distributed
+    // rank-to-slot assignment. Rows-only: the packer is a custom algorithm
+    // with no SQL counterpart; CurationSpec binds capacity, bijectivity,
+    // determinism and a bin-count optimality bound (SURVEY §4).
+    QueryDef("q_pack_bins",
+      (s, d) => text.BinPacking.packBins(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("q_pack_bin_stats",
+      (s, d) => text.BinPacking.packBinStats(Tables.documents(s, d))
+        .orderBy("bin_id"),
+      None),
+
+    // Deterministic 80/10/10 train/val/test assignment: pure function of
+    // doc_id (append-stable — growing the corpus never reassigns a row).
+    QueryDef("q_data_split",
+      (s, d) => operators.Sampling.hashSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"), trainBp = 8000, valBp = 1000)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS split_bp,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_sample_stratified",
+      (s, d) => operators.Sampling.sampleStratified(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"),
+          Map("en" -> 3000, "zh" -> 5000), defaultBp = 1000)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |  < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000 ELSE 1000 END)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_sample_fixed",
+      (s, d) => operators.Sampling.sampleFixedPerStratum(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), 20)
+        .orderBy("lang", "sample_rank"),
+      Some("""SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 ASC,
+        |      doc_id ASC) AS BIGINT) AS sample_rank
+        |  FROM documents
+        |) t WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin)),
+
+    // Same per-stratum uniform sample computed in ONE aggregation pass by
+    // the bottomk_sample TypedImperativeAggregate (size-k mergeable
+    // max-heap per group): the window path shuffles every row; this path's
+    // exchange carries <= k pairs per group per task. md5 priorities are
+    // engine-portable, so the custom aggregate is DuckDB-hash-gated —
+    // FunctionsSpec additionally proves bit-equality with the
+    // ScalableRank window path on the same quota.
+    QueryDef("q_sample_group_agg",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(expr("bottomk_sample(md5(cast(doc_id AS string)), doc_id, 20)")
+            .as("sample"))
+          .select(col("lang"), posexplode(col("sample")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+            col("col.payload").as("doc_id"))
+          .orderBy("lang", "sample_rank")
+      },
+      Some("""SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents
+        |) t WHERE rn <= 20 ORDER BY lang, sample_rank""".stripMargin)),
+
+    QueryDef("q_dedup_clusters",
+      (s, d) => Components.dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(DedupClustersOracle)),
+
+    // Same clustering contract computed by O(log n)-round star contraction
+    // instead of diameter-bound label propagation — identical output, so it
+    // shares the recursive-CTE oracle verbatim (hash-exact on both paths).
+    QueryDef("q_dedup_clusters_star",
+      (s, d) => Components.dedupClustersStar(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(DedupClustersOracle)),
+
+    QueryDef("q_dedup_keep_best",
+      (s, d) => Components.dedupKeepBest(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+        "WITH RECURSIVE " + MinHash.candidatePairsSqlCtes.stripPrefix("WITH ") +
+          s"""
+          |, edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs
+          |), walk(node, reach) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+          |), lab AS (
+          |  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+          |), sz AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+          |), t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+          |  FROM documents
+          |), t3 AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+          |          WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+          |          ELSE CAST(200.0 AS DOUBLE) / n_tokens END) * CAST(0.4 AS DOUBLE)
+          |    + (CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens)) * CAST(0.4 AS DOUBLE)
+          |    + (CAST(stopword_hits AS DOUBLE) / n_tokens) * CAST(0.2 AS DOUBLE) AS quality_score
+          |  FROM t
+          |)
+          |SELECT doc_id, lang, cluster_id, cluster_size, quality_score FROM (
+          |  SELECT t3.doc_id, t3.lang, lab.cluster_id, sz.cluster_size, t3.quality_score,
+          |    row_number() OVER (PARTITION BY lab.cluster_id
+          |      ORDER BY t3.quality_score DESC, t3.doc_id ASC) AS rn
+          |  FROM t3
+          |  JOIN lab ON t3.doc_id = lab.doc_id
+          |  JOIN sz USING (cluster_id)
+          |) x WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q_fingerprint",
+      (s, d) => Dedup.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fingerprint,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS total_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Domain-level curation: per-source reputation (corpus-wide exact-dup
+    // share, mean length, stub share) with the wholesale keep/drop verdict.
+    QueryDef("q_source_reputation",
+      (s, d) => text.SourceReputation.sourceReputation(Tables.documents(s, d))
+        .select("source", "n_docs", "dup_docs", "total_chars", "short_docs",
+          "dup_share", "avg_chars", "short_share", "keep")
+        .orderBy("source"),
+      Some(text.SourceReputation.oracleSql(
+        dupShareMax = 0.5, minAvgChars = 150.0, minChars = 100))),
+
+    // Subword token accounting under a corpus-trained BPE merge table.
+    // Rows-only: the merge table is a learned artifact (deterministic
+    // in-engine via exact counts + lexicographic tie-break, but the
+    // iterative training loop is not expressible as reasonable DuckDB SQL);
+    // CurationSpec binds instead — known-corpus merge sequence, exact
+    // round-trip, determinism (SURVEY §4 rows-only class 1).
+    QueryDef("q_bpe_tokens",
+      (s, d) => text.Bpe.tokenStats(Tables.documents(s, d), numMerges = 64)
+        .orderBy("doc_id"),
+      None),
+
+    // Heaps'-law vocabulary growth: cumulative tokens vs cumulative NOVEL
+    // token types in doc_id order — sizes a tokenizer vocabulary and
+    // flags template-heavy corpora (curve flattens). Novelty = min
+    // first-occurrence doc per token (one token-grain groupBy, never a
+    // running distinct); cumsums ride the grouped prefix-sum primitive.
+    QueryDef("q_vocab_growth",
+      (s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(TextAnalysis.vocabGrowthOracleSql)),
+
+    QueryDef("q_token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS regex_tokens,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS non_space_chars,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact corpus-wide token top-k: the aggregate reduces at token grain
+    // (vocab-bounded, far below corpus size) before the top-k cut, so the
+    // shuffle carries (token, partial count) pairs only.
+    QueryDef("q_token_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(25),
+      Some("""SELECT token, cnt FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token
+        |) t ORDER BY cnt DESC, token LIMIT 25""".stripMargin)),
+
+    // Sketch variant: Misra–Gries mergeable heavy hitters (native
+    // TypedImperativeAggregate, functions/TopKFreq.scala) — O(capacity)
+    // state per task instead of a vocab-sized shuffle; engine-specific
+    // output → rows-only gate, SketchesSpec proves the error bound and
+    // exactness-below-capacity against the exact aggregate.
+    QueryDef("q_heavy_hitters",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .agg(expr("topk_freq(token, 4096, 25)").as("topk"))
+          .select(explode(col("topk")).as("hh"))
+          .select(col("hh.item").as("token"), col("hh.count_est").as("count_est"),
+            col("hh.err_bound").as("err_bound"))
+      },
+      None),
+
+    QueryDef("q_top_docs_per_lang",
+      (s, d) => TextAnalysis.topDocsPerLang(Tables.documents(s, d))
+        .orderBy("lang", "rank_in_lang"),
+      Some {
+        val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stopword_hits
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT *,
+           |    CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+           |    CAST(stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           |    CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN CAST(1.0 AS DOUBLE)
+           |         WHEN n_tokens < 20 THEN CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE)
+           |         ELSE CAST(200.0 AS DOUBLE) / n_tokens END AS len_score
+           |  FROM t
+           |), t3 AS (
+           |  SELECT *,
+           |    len_score * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - dup_ratio) * CAST(0.4 AS DOUBLE)
+           |      + stopword_ratio * CAST(0.2 AS DOUBLE) AS quality_score
+           |  FROM t2
+           |), ranked AS (
+           |  SELECT lang,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank_in_lang,
+           |    doc_id, quality_score,
+           |    CASE WHEN quality_score >= 0.7 THEN 'high'
+           |         WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+           |  FROM t3
+           |)
+           |SELECT lang, rank_in_lang, doc_id, quality_score, quality_bucket
+           |FROM ranked WHERE rank_in_lang <= 5 ORDER BY lang, rank_in_lang""".stripMargin
+      }),
+
+    // Gopher hard quality rules (Rae et al. 2021 App. A1.1): per-rule
+    // pass/fail with exact integer evidence counts — hash-exact (counts
+    // are codegen'd HOFs over the row's own tokens/lines; ratios are
+    // single IEEE divisions). Symbol/bullet/ellipsis paths are degenerate
+    // on this punctuation-free corpus (like q_pii_scrub's no-match path);
+    // QualityRulesSpec proves them on synthetic docs.
+    QueryDef("q_gopher_quality",
+      (s, d) => graft.text.QualityRules.gopherQuality(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.text.QualityRules.gopherOracleSql())),
+
+    QueryDef("q_text_quality",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(QualityCtes +
+        """
+        |SELECT doc_id, lang, n_tokens, n_distinct, dup_ratio, stopword_hits, stopword_ratio,
+        |  len_score, quality_score,
+        |  CASE WHEN quality_score >= 0.7 THEN 'high'
+        |       WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+        |FROM t3 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_lang_id",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
+      Some {
+        def mk(lang: String): String = {
+          val list = TextAnalysis.LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT) AS s_$lang"
+        }
+        s"""WITH t AS (
+           |  SELECT doc_id, lang AS actual_lang,
+           |    ${Seq("de", "en", "es", "fr", "zh").map(mk).mkString(",\n    ")}
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT *,
+           |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |         WHEN s_fr >= s_zh THEN 'fr'
+           |         ELSE 'zh' END AS predicted_lang
+           |  FROM t
+           |)
+           |SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh, predicted_lang,
+           |  (predicted_lang = actual_lang) AS correct
+           |FROM t2 ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q_simhash",
+      (s, d) => SimHash.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(SimHash.oracleSql)),
+
+    QueryDef("q_minhash_sig",
+      (s, d) => MinHash.signatures(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(MinHash.signaturesOracleSql)),
+
+    QueryDef("q_neardup_pairs",
+      (s, d) => MinHash.nearDupPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+      Some(MinHash.nearDupOracleSql)),
+
+    // Asymmetric containment classification on the same candidate set:
+    // Jaccard misses subset relations (a wholesale quote has low Jaccard
+    // when sizes differ), so each pair carries per-side containment and a
+    // relation class (duplicate / a_in_b / b_in_a / overlap). IEEE
+    // divisions of exact set sizes -> hash-exact.
+    QueryDef("q_containment_pairs",
+      (s, d) => MinHash.containmentPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(MinHash.containmentOracleSql())),
+
+    // Incremental LSH maintenance: band store built from the old corpus
+    // (doc_id % 10 != 7), the delta appended, pairs touching the delta
+    // probed from the store alone. Band rows are a pure per-doc function,
+    // so the store ≡ a from-scratch build and the result ≡ the full-run
+    // capped pair set filtered to delta-touching pairs — which is exactly
+    // what the oracle computes.
+    QueryDef("q_neardup_incremental",
+      (s, d) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-band-store").toString + "/bands"
+        val docs = Tables.documents(s, d)
+        MinHash.buildBandStore(docs.filter(col("doc_id") % 10 =!= 7), store)
+        MinHash.appendBandStore(docs.filter(col("doc_id") % 10 === 7), store)
+        MinHash.incrementalNearDups(s, store, col("doc_id") % 10 === 7)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(MinHash.candidatePairsSqlCtes +
+        """
+        |SELECT doc_a, doc_b FROM pairs
+        |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("q_ngram_jaccard",
+      (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
+      Some(MinHash.exactJaccardOracleSql())),
+
+    QueryDef("q_knn_brute",
+      (s, d) => Similarity.knnBrute(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(graft.ml.RetrievalEval.knnRankedSqlCtes(cosSql, numQueries = 5) +
+        """
+        |SELECT query_id, rank, vec_id, label, cos_sim FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Retrieval-quality eval of the exact-cosine ranking: per-query
+    // hits/P@k/R@k/MRR/nDCG with binary same-label relevance. DCG rides
+    // the micro-unit quantization contract (each 1/ln(rank+1) discount
+    // rounded once to BIGINT micro-units, exact integer sums, ONE final
+    // IEEE division) so the whole eval is hash-exact vs DuckDB.
+    QueryDef("q_retrieval_eval",
+      (s, d) => graft.ml.RetrievalEval.evalBruteKnn(Tables.embeddings(s, d))
+        .orderBy("query_id"),
+      Some(graft.ml.RetrievalEval.oracleSql(cosSql))),
+
+    // kNN label-noise screen (confident-learning triage): an example
+    // whose nearest neighbors overwhelmingly carry a different label is
+    // a suspected mislabel. Exact counts over the gated brute ranking;
+    // one IEEE division + literal-threshold compare.
+    QueryDef("q_label_noise",
+      (s, d) => graft.ml.LabelNoise.screen(Tables.embeddings(s, d))
+        .orderBy("vec_id"),
+      Some(graft.ml.LabelNoise.oracleSql(cosSql))),
+
+    // The full-sweep scale path of the screen: same rollup over the IVF
+    // ANN ranking (nprobe/nlist of the corpus per query). Rows-only
+    // (learned cells, ANN class); EvalDriftSpec recovers planted
+    // mislabels on a known geometry through this exact path.
+    QueryDef("q_label_noise_ann",
+      (s, d) => graft.ml.LabelNoise.screenAnn(
+          Tables.embeddings(s, d), cacheKey = Some(d))
+        .orderBy("vec_id"),
+      None),
+
+    QueryDef("q_knn_bucketed",
+      (s, d) => Similarity.knnBucketed(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label, c.bucket,
+        |    ${cosSql("q.qv", "c.embedding")} AS cos_sim
+        |  FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim, bucket,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef("q_knn_multiprobe",
+      (s, d) => Similarity.knnMultiProbe(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label, c.bucket,
+        |    ${cosSql("q.qv", "c.embedding")} AS cos_sim
+        |  FROM c JOIN q ON bit_count(xor(c.bucket, q.q_bucket)) <= 1 AND c.vec_id != q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, label, cos_sim, bucket,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, label, cos_sim, bucket FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF ANN with a trained KMeans coarse quantizer: learned centroids
+    // aren't cross-engine reproducible → rows-only; FunctionsSpec asserts
+    // recall@k dominates the data-oblivious sign-LSH bucket path.
+    QueryDef("q_knn_ivf",
+      (s, d) => Similarity.knnIvf(Tables.embeddings(s, d), cacheKey = Some(d))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // Product-quantized ADC scan + exact re-rank (rows-only: seeded
+    // KMeans codebooks are engine-local; FunctionsSpec bounds recall).
+    QueryDef("q_knn_pq",
+      (s, d) => Similarity.knnPq(Tables.embeddings(s, d), cacheKey = Some(d))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // IVF-PQ composition (coarse cells gate candidates, PQ codes rank
+    // them, floats only for the re-rank shortlist) — rows-only.
+    QueryDef("q_knn_ivfpq",
+      (s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d), cacheKey = Some(d))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // Multi-table random-hyperplane LSH (OR-amplification): the untrained
+    // recall dial — collides-in-ANY-of-L-tables candidates. Seeded
+    // Gaussian planes are engine-local → rows-only; FunctionsSpec floors
+    // recall above the single-table path.
+    QueryDef("q_knn_lsh",
+      (s, d) => Similarity.knnLshTables(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // PCA preprocessing (FAISS PCAR): per-vector reduced representation
+    // with captured-energy audit columns. Rows-only: the principal
+    // subspace is a learned artifact (sample covariance eigenvectors);
+    // FunctionsSpec binds orthonormality, explained-variance ordering,
+    // energy-capture floor, and refit determinism.
+    QueryDef("q_embed_pca",
+      (s, d) => sim.Pca.embedPca(Tables.embeddings(s, d), k = 8,
+          cacheKey = Some(s"$d#pca"))
+        // Harness surface: the raw array<float> projection crashes the
+        // driver's pandas sort (unhashable ndarray) — emit a deterministic
+        // string digest of pv instead; FunctionsSpec binds the raw arrays.
+        .withColumn("pv_sig",
+          md5(concat_ws(",",
+            transform(col("pv"), x => round(x.cast("double"), 5).cast("string")))))
+        .drop("pv")
+        .orderBy("vec_id"),
+      None),
+
+    // ANN via PCA-space prefilter + exact full-dim re-rank ("PCAR,Flat").
+    // Rows-only: learned subspace; FunctionsSpec binds recall vs brute.
+    QueryDef("q_knn_pca",
+      (s, d) => sim.Pca.knnPca(Tables.embeddings(s, d),
+          cacheKey = Some(s"$d#pca"))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // IVF-PQ index persistence: train -> versioned registry save -> reload
+    // "latest" -> search with the RELOADED codebooks (the ANN analog of
+    // q_model_reload_eval's train/serve decoupling). reload_mismatches
+    // must be 0 — float32 round-trips parquet bit-exactly and assignment
+    // is SQL argmin over literal centroids, so parity is structural.
+    // Rows-only: seeded KMeans quantizers are engine-local.
+    QueryDef("q_knn_reload",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-ann-registry").toString
+        graft.sim.AnnIndex.reloadParity(Tables.embeddings(s, d), root,
+            cacheKey = Some(d))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Incremental index maintenance: quantizers train once on the BASE
+    // corpus, the base encodes into a cell-partitioned store (posting
+    // lists), and the delta (25% of vectors) is encoded with the FROZEN
+    // codebooks and appended at cell grain — zero retraining, zero base
+    // re-encode (the ANN analog of the CDC->gold incremental loop).
+    // Search runs over the combined store; from_delta marks neighbors
+    // served from the appended half. AnnIndexSpec proves bit-parity with
+    // a from-scratch encode of the union. Rows-only: seeded KMeans is
+    // engine-local.
+    QueryDef("q_knn_incremental",
+      (s, d) => {
+        val store = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 4 =!= 3)
+        val delta = emb.filter(col("vec_id") % 4 === 3)
+        val idx = graft.sim.AnnIndex.train(base, cacheKey = Some(s"$d#incr-base"))
+        graft.sim.AnnIndex.buildEncoded(base, idx, s"$store/corpus")
+        graft.sim.AnnIndex.appendEncoded(delta, idx, s"$store/corpus")
+        graft.sim.AnnIndex.searchEncoded(s, s"$store/corpus", idx)
+          .withColumn("from_delta", col("vec_id") % 4 === 3)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Mean recall of EVERY ANN method incl. the learned ones (rows-only:
+    // contains IVF/PQ; the brute row is the 1.0 sanity anchor).
+    QueryDef("q_knn_recall_all",
+      (s, d) => Similarity.knnRecallSummary(Tables.embeddings(s, d),
+          cacheKey = Some(d))
+        .orderBy("method"),
+      None),
+
+    // Free-text PII scrubbing (emails/phones/IPv4 → typed placeholders +
+    // audit counts). The corpus is PII-free, so the oracle pins the
+    // no-match path (text unchanged, zero counts) and regex-dialect
+    // parity; CurationSpec proves the scrubbing on synthetic PII.
+    QueryDef("q_pii_scrub",
+      (s, d) => graft.text.PiiScrub.scrub(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails_found,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}')) AS INT) AS phones_found,
+        |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS ips_found
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_knn_recall",
+      (s, d) => Similarity.knnRecall(Tables.embeddings(s, d))
+        .orderBy("method", "query_id"),
+      Some(s"""WITH c AS (
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket FROM c WHERE vec_id < 5
+        |), brute AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |), m_bucketed AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |), m_multi AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+        |    FROM c JOIN q ON bit_count(xor(c.bucket, q.q_bucket)) <= 1 AND c.vec_id != q.query_id
+        |  ) t WHERE rank <= 10
+        |)
+        |SELECT method, query_id, golden_k, hits,
+        |  CAST(hits AS DOUBLE) / golden_k AS recall_at_k
+        |FROM (
+        |  SELECT 'bucketed' AS method, g.query_id, count(*) AS golden_k,
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM brute g LEFT JOIN m_bucketed r
+        |    ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+        |  GROUP BY g.query_id
+        |  UNION ALL
+        |  SELECT 'multiprobe', g.query_id, count(*),
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM brute g LEFT JOIN m_multi r
+        |    ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+        |  GROUP BY g.query_id
+        |) t ORDER BY method, query_id""".stripMargin)),
+
+    QueryDef("q_embed_neardup",
+      (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.35)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+        |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, bucket, cos_sim FROM p
+        |WHERE cos_sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // SemDeDup-style semantic dedup: learned KMeans cells (bounded-sample
+    // fit) gate the candidate pairs, min-id representative wins — catches
+    // paraphrase-grade duplicates sign-LSH blocking misses (rows-only:
+    // learned cells are engine-local; FunctionsSpec proves precision exact
+    // and floors recall against the all-pairs rule)
+    QueryDef("q_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.35,
+          cacheKey = Some(d))
+        .orderBy("vec_id"),
+      None),
+
+    QueryDef("q_stream_tumbling",
+      (s, d) => graft.streaming.StreamOps.tumblingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q_stream_sliding",
+      (s, d) => graft.streaming.StreamOps.slidingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH w0 AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800 AS s, event_type, value FROM events
+        |), slots AS (
+        |  SELECT s AS window_start, event_type, value FROM w0
+        |  UNION ALL
+        |  SELECT s - 1800, event_type, value FROM w0
+        |)
+        |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+        |  count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM slots GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q_session_window",
+      (s, d) => graft.streaming.StreamOps.sessionWindowStats(Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH ev AS (
+        |  SELECT user_id, ts, event_type, value, epoch_us(ts) AS ts_us FROM events
+        |), d AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |), sx AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |  FROM d
+        |)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        |  CAST(epoch(date_trunc('second', max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+        |  count(*) AS event_count,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM sx GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef("q_pii_masking",
+      (s, d) => operators.Masking.maskCustomers(Tables.customer(s, d))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, c_mktsegment,
+        |  substr(c_name, 1, 9) || '***' AS name_masked,
+        |  sha256(c_name || '${operators.Masking.Pepper}') AS name_token,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS acctbal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_refund_summary",
+      (s, d) => {
+        val li = Cleaning.cleanLineitem(Tables.lineitem(s, d))
+        val ord = Cleaning.cleanOrders(Tables.orders(s, d))
+        li.join(ord.select("o_orderkey", "order_date"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("order_date"))
+          .agg(
+            count(lit(1)).as("total_lines"),
+            sum(when(col("is_refund"), 1L).otherwise(0L)).as("refund_lines"),
+            graft.util.Cols.sumExact6(
+              when(col("is_refund"), col("net_price")).otherwise(lit(0.0)))
+              .as("refund_amount"))
+          .withColumn("refund_rate",
+            col("refund_lines").cast("double") / col("total_lines"))
+          .orderBy("order_date")
+      },
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |SELECT order_date, count(*) AS total_lines,
+        |  CAST(sum(CASE WHEN is_refund THEN 1 ELSE 0 END) AS BIGINT) AS refund_lines,
+        |  CAST(sum(CAST(CASE WHEN is_refund THEN net_price ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS refund_amount,
+        |  CAST(sum(CASE WHEN is_refund THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS refund_rate
+        |FROM clean_lineitem JOIN clean_orders ON l_orderkey = o_orderkey
+        |GROUP BY order_date ORDER BY order_date""".stripMargin)),
+
+    QueryDef("q_salted_agg",
+      (s, d) => operators.SaltedAgg.userEventStats(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q_returned_customers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val perCust = li
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(graft.util.Cols.sumMoneyTimes(col("l_extendedprice"),
+            lit(1) - col("l_discount")).as("returned_revenue"),
+            count(lit(1)).as("returned_lines"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("returned_revenue").desc, col("o_custkey").asc)
+        perCust
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+            col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("rank", "o_custkey", "c_name", "n_name", "returned_lines", "returned_revenue")
+          .orderBy("rank")
+      },
+      Some("""WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS returned_revenue,
+        |    count(*) AS returned_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY returned_revenue DESC, o_custkey ASC) AS BIGINT) AS rank,
+        |    o_custkey, c_name, n_name, returned_lines, returned_revenue
+        |  FROM per_cust
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |) t WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    QueryDef("q_pivot",
+      (s, d) => gold.Olap.eventTypePivot(Tables.events(s, d)).orderBy("user_id"),
+      Some {
+        val cols = gold.Olap.EventTypes.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+          .mkString(",\n  ")
+        s"""SELECT user_id,
+           |  $cols
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }),
+
+    QueryDef("q_rollup",
+      (s, d) => gold.Olap.revenueRollup(Enrichment.enrichOrders(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
+        .orderBy("region_name", "nation_name", "gid"),
+      Some(CleanOrdersCte +
+        s"""
+        |, enr AS (
+        |  SELECT n.n_name AS nation_name, r.r_name AS region_name, co.o_totalprice
+        |  FROM clean_orders co
+        |  JOIN customer c ON co.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |)
+        |SELECT COALESCE(region_name, 'ALL') AS region_name,
+        |  COALESCE(nation_name, 'ALL') AS nation_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count,
+        |  CAST(GROUPING(region_name, nation_name) AS BIGINT) AS gid
+        |FROM enr GROUP BY ROLLUP(region_name, nation_name)
+        |ORDER BY region_name, nation_name, gid""".stripMargin)),
+
+    QueryDef("q_cube",
+      (s, d) => gold.Olap.statusTierCube(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized", "amount_tier", "gid"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT COALESCE(status_normalized, 'ALL') AS status_normalized,
+        |  COALESCE(amount_tier, 'ALL') AS amount_tier,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(status_normalized, amount_tier) AS BIGINT) AS gid
+        |FROM clean_orders GROUP BY CUBE(status_normalized, amount_tier)
+        |ORDER BY status_normalized, amount_tier, gid""".stripMargin)),
+
+    QueryDef("q_grouping_sets",
+      (s, d) => gold.Olap.statusTierGroupingSets(
+          Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized", "amount_tier", "gid"),
+      Some(CleanOrdersCte +
+        """
+        |SELECT COALESCE(status_normalized, 'ALL') AS status_normalized,
+        |  COALESCE(amount_tier, 'ALL') AS amount_tier,
+        |  count(*) AS order_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(status_normalized, amount_tier) AS BIGINT) AS gid
+        |FROM clean_orders
+        |GROUP BY GROUPING SETS ((status_normalized), (amount_tier))
+        |ORDER BY status_normalized, amount_tier, gid""".stripMargin)),
+
+    // Sketch queries are engine-specific (DataSketches HLL / KLL-style
+    // percentile_approx) → rows-only gate; SketchesSpec bounds the error.
+    QueryDef("q_hll_daily",
+      (s, d) => gold.Sketches.dailyUserSketches(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
+    QueryDef("q_hll_total",
+      (s, d) => gold.Sketches.mergedDistinctUsers(Tables.events(s, d)),
+      None),
+
+    QueryDef("q_hll_rollup",
+      (s, d) => gold.Sketches.sketchRollup(Tables.events(s, d))
+        .orderBy("event_type"),
+      None),
+
+    // KMV audience overlap — the intersection estimate HLL cannot produce
+    // (rows-only: sketch values are hash-engine-specific; SketchesSpec
+    // bounds the error against exact set intersections)
+    QueryDef("q_kmv_overlap",
+      (s, d) => gold.Sketches.audienceOverlap(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
+    // KMV set-difference estimates (A-not-B audiences) off the same
+    // per-day sketch pair — rows-only (sketch internals, SURVEY §4);
+    // SketchesSpec bounds the error vs the exact twin.
+    QueryDef("q_kmv_difference",
+      (s, d) => gold.Sketches.audienceDifference(Tables.events(s, d))
+        .orderBy("event_date"),
+      None),
+
+    // daily KMV sketches merged to the period total (kmv_merge_agg) —
+    // the stored-sketch re-aggregation path, intersection included
+    QueryDef("q_kmv_total",
+      (s, d) => gold.Sketches.totalAudienceOverlap(Tables.events(s, d)),
+      None),
+
+    // Count-min point-frequency probes (functions/CmsSketch.scala) — the
+    // "how often does THIS token occur" estimate for ANY token from
+    // O(depth·width) state, complementing topk_freq's retained head
+    // (rows-only: sketch hashing is engine-specific; SketchesSpec proves
+    // never-undercount + the e·N/width ceiling against exact counts)
+    QueryDef("q_cms_freq",
+      (s, d) => gold.Sketches.tokenFrequencyProbes(Tables.documents(s, d),
+          Seq("the", "of", "and", "data", "fraud", "model",
+            "quasar", "zzyzx", "unseen"))
+        .orderBy("token"),
+      None),
+
+    QueryDef("q_approx_quantiles",
+      (s, d) => gold.Sketches.approxOrderQuantiles(
+          Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("status_normalized"),
+      None),
+
+    QueryDef("q_stream_join",
+      (s, d) => graft.streaming.StreamOps.purchaseErrorJoin(Tables.events(s, d))
+        .select(col("p_event_id"), col("e_event_id"), col("p_user").as("user_id"),
+          unix_timestamp(date_trunc("second", col("p_ts"))).as("p_ts_s"),
+          unix_timestamp(date_trunc("second", col("e_ts"))).as("e_ts_s"),
+          col("p_value"))
+        .orderBy("p_event_id", "e_event_id"),
+      Some("""WITH p AS (
+        |  SELECT ts AS p_ts, user_id, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT ts AS e_ts, user_id, event_id AS e_event_id
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT p.p_event_id, e.e_event_id, p.user_id,
+        |  CAST(epoch(date_trunc('second', p.p_ts)) AS BIGINT) AS p_ts_s,
+        |  CAST(epoch(date_trunc('second', e.e_ts)) AS BIGINT) AS e_ts_s,
+        |  p.p_value
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e.e_ts >= p.p_ts - INTERVAL 1 HOUR AND e.e_ts <= p.p_ts
+        |ORDER BY p.p_event_id, e.e_event_id""".stripMargin)),
+
+    QueryDef("q_multimodal_meta",
+      (s, d) => Multimodal.mediaMetadata(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, source, lang,
+        |  'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_count,
+        |  sha256(text) AS checksum,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS stub_width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS stub_height
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  // ---- round-3 additions: behavior analytics, SCD2, TF-IDF, anomaly ----
+}
