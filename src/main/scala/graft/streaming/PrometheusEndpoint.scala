@@ -6,16 +6,27 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
 /** HTTP serving endpoint: `/metrics` scrapes over [[PrometheusExposition]],
-  * plus the reference api.py's metadata routes `/health` and `/model/info`
-  * (ref ml/serving/api.py:177-196 — status + loaded-model version, and
-  * model metadata + feature inventory + decision threshold). The JDK's
-  * built-in HttpServer keeps the engine dependency-free. Each GET renders
-  * one fresh snapshot: a `/metrics` scrape reads the listener's bounded
-  * in-memory ring; `/health` and `/model/info` call the model-info
-  * provider, which for the registry-backed provider is one driver-side
-  * directory listing (the hot-reload freshness contract: the route always
-  * reports the version a scorer reloading "latest" would serve). No Spark
-  * job on any route.
+  * the reference api.py's metadata routes `/health` and `/model/info`
+  * (ref ml/serving/api.py:177-196), and — when a [[ServingApi
+  * .HotRequestScorer]] is wired in — its full scoring surface: `POST
+  * /predict` and `POST /predict/batch` (api.py:198-259), `GET /features`
+  * (api.py:261) and `POST /model/reload` (api.py:279). The JDK's built-in
+  * HttpServer keeps the engine dependency-free.
+  *
+  * Cost per route: a `/metrics` scrape reads the listener's bounded
+  * in-memory ring plus the serving counters; `/health` / `/model/info` /
+  * every POST route do one driver-side registry directory listing (the
+  * hot-reload freshness contract: a route always answers with the version
+  * a scorer reloading "latest" would serve); request scoring itself is a
+  * driver-local tree-ensemble walk ([[ServingApi]]). No route launches a
+  * Spark job.
+  *
+  * Error contract (mirrors FastAPI's, spec-bound in StreamingSpec):
+  * 503 + detail when no model is committed (api.py:162), 400 on a
+  * malformed JSON body, 415 on a POST without an application/json
+  * content type, 422 on a well-formed body that fails validation
+  * (missing required field, out-of-range value, oversize batch), 405 on
+  * a method/route mismatch, 404 on unknown paths.
   *
   * Lifecycle: [[start]] binds and serves until [[Handle.stop]]; bind on
   * port 0 to let the OS pick (the bound port is on the handle) — the spec
@@ -63,32 +74,117 @@ object PrometheusEndpoint {
       s""""features": [${info.features.map(jsonStr).mkString(", ")}], """ +
       s""""fraud_threshold": ${info.fraudThreshold}}"""
 
-  /** Bind `/metrics` (and `/`), `/health`, and `/model/info` on `port`. */
+  private val NoModel503 =
+    (503, """{"detail": "Model not loaded. Run training first."}""",
+      "application/json")
+
+  /** Bind the serving routes on `port`. `scorer = None` serves only the
+    * metadata/metrics routes (POST routes then 503 like an unloaded
+    * model); `serving` is the metric sink the scoring routes increment,
+    * rendered into every `/metrics` scrape after the streaming families. */
   def start(listener: Observability.MetricsListener, port: Int = 0,
-            modelInfo: () => Option[ModelInfo] = () => None): Handle = {
+            modelInfo: () => Option[ModelInfo] = () => None,
+            scorer: Option[ServingApi.HotRequestScorer] = None,
+            serving: ServingMetrics = new ServingMetrics): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val handler = new HttpHandler {
-      override def handle(x: HttpExchange): Unit = {
-        val (code, body, contentType) =
-          if (x.getRequestMethod != "GET")
-            (405, "method not allowed\n", "text/plain; charset=utf-8")
-          else x.getRequestURI.getPath match {
-            case "/metrics" | "/" =>
-              (200, PrometheusExposition.render(listener),
-                "text/plain; version=0.0.4; charset=utf-8")
-            case "/health" =>
-              (200, healthJson(modelInfo()), "application/json")
-            case "/model/info" => modelInfo() match {
-              case Some(info) => (200, modelInfoJson(info), "application/json")
-              case None =>
-                // the reference 503s when no model is loaded (api.py:162)
-                (503, """{"detail": "Model not loaded. Run training first."}""",
-                  "application/json")
-            }
-            case _ =>
-              (404, "not found; try /metrics, /health, /model/info\n",
-                "text/plain; charset=utf-8")
+
+      /** POST-body guard chain: content type must be JSON (415), body must
+        * parse (400), validation runs inside `f` (422 via ValidationError). */
+      private def withJsonBody(x: HttpExchange)(
+          f: org.json4s.JValue => (Int, String, String)): (Int, String, String) = {
+        val ct = Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        if (!ct.toLowerCase(java.util.Locale.ROOT).contains("application/json"))
+          (415, ServingApi.errorJson(
+            s"unsupported content type '$ct'; use application/json"),
+            "application/json")
+        else {
+          val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          ServingApi.parseJson(body) match {
+            case Left(err) => (400, ServingApi.errorJson(err), "application/json")
+            case Right(j) =>
+              try f(j)
+              catch { case ServingApi.ValidationError(d) =>
+                (422, ServingApi.errorJson(d), "application/json") }
           }
+        }
+      }
+
+      private def nowMs(start: Long): Double = (System.nanoTime() - start) / 1e6
+
+      override def handle(x: HttpExchange): Unit = {
+        val method = x.getRequestMethod
+        val path = x.getRequestURI.getPath
+        val (code, body, contentType) = (method, path) match {
+          case ("GET", "/metrics") | ("GET", "/") =>
+            (200, PrometheusExposition.render(listener) + serving.render,
+              "text/plain; version=0.0.4; charset=utf-8")
+          case ("GET", "/health") =>
+            (200, healthJson(modelInfo()), "application/json")
+          case ("GET", "/model/info") => modelInfo() match {
+            case Some(info) => (200, modelInfoJson(info), "application/json")
+            case None => NoModel503 // the reference 503s (api.py:162)
+          }
+
+          case ("POST", "/predict") => scorer match {
+            case None => NoModel503
+            case Some(sc) => withJsonBody(x) { j =>
+              val t0 = System.nanoTime()
+              sc.score(ServingApi.parseTxn(j)) match {
+                case None => NoModel503
+                case Some(scored) =>
+                  val ms = nowMs(t0)
+                  // the reference's per-request metric protocol (api.py:220-224):
+                  // outcome counter + latency observation + fraud counter
+                  serving.incPredictions(if (scored.isFraud) "fraud" else "legit")
+                  serving.observeLatencyMs(ms)
+                  if (scored.isFraud) serving.incFraudDetected()
+                  (200, ServingApi.predictionJson(scored, ms), "application/json")
+              }
+            }
+          }
+          case ("POST", "/predict/batch") => scorer match {
+            case None => NoModel503
+            case Some(sc) => withJsonBody(x) { j =>
+              val t0 = System.nanoTime()
+              sc.scoreBatch(ServingApi.parseBatch(j)) match {
+                case None => NoModel503
+                case Some(scored) =>
+                  val ms = nowMs(t0)
+                  // batch increments ONLY the outcome="batch" counter, one
+                  // per row — api.py:251 increments nothing else
+                  serving.incPredictions("batch", scored.size.toLong)
+                  (200, ServingApi.batchJson(scored, ms), "application/json")
+              }
+            }
+          }
+          case ("POST", "/model/reload") => scorer match {
+            case None => NoModel503
+            case Some(sc) => sc.reload() match {
+              // api.py:286 answers 500 when the reload finds no model
+              case None => (500, ServingApi.errorJson(
+                "no committed model version to reload"), "application/json")
+              case Some(v) => (200, ServingApi.reloadJson(v), "application/json")
+            }
+          }
+          case ("GET", "/features") => scorer match {
+            case None => NoModel503
+            case Some(sc) => sc.importances() match {
+              case None => NoModel503
+              case Some((imps, _)) =>
+                (200, ServingApi.featuresJson(imps), "application/json")
+            }
+          }
+
+          case (_, "/metrics" | "/" | "/health" | "/model/info" | "/features"
+                 | "/predict" | "/predict/batch" | "/model/reload") =>
+            (405, ServingApi.errorJson(s"$method not allowed on $path"),
+              "application/json")
+          case _ =>
+            (404, "not found; try /metrics, /health, /model/info, /features, " +
+              "/predict, /predict/batch, /model/reload\n",
+              "text/plain; charset=utf-8")
+        }
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", contentType)
         // HttpServer length contract: 0 means "chunked/unknown", -1 means

@@ -747,8 +747,13 @@ class StreamingSpec extends SparkSpec {
     val listener = graft.streaming.Observability.attach(spark)
     val endpoint = graft.streaming.PrometheusEndpoint.start(listener)
     try {
-      // before any batch: valid empty scrape, and transport edges work
-      assert(get(endpoint.port, "/metrics") == (200, ""))
+      // before any batch: no streaming families yet, but the unlabeled
+      // serving families exist from process start at zero (the Python
+      // client's behavior for the api.py metric set)
+      val (mc0, mb0) = get(endpoint.port, "/metrics")
+      assert(mc0 == 200 && !mb0.contains("graft_stream_"))
+      assert(mb0.contains("ml_fraud_detected_total 0")
+        && mb0.contains("ml_prediction_latency_ms_count 0"))
       assert(get(endpoint.port, "/nope")._1 == 404)
 
       val rows = Tables.events(spark, TinySf)
@@ -831,6 +836,173 @@ class StreamingSpec extends SparkSpec {
     } finally {
       endpoint.stop()
       graft.streaming.Observability.detach(spark, listener)
+    }
+  }
+
+  test("prediction serving routes: /predict bit-matches batch scoring, " +
+       "metrics land in the scrape, reload flips versions, transport edges") {
+    import graft.ml.{ModelRegistry, TrainedModel}
+    import graft.operators.Cleaning
+    import graft.streaming.{PrometheusEndpoint, ServingApi, StreamScoring}
+    import org.apache.spark.ml.classification.GBTClassifier
+
+    def http(port: Int, method: String, path: String, body: Option[String],
+             contentType: String = "application/json"): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(15000)
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", contentType)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes("UTF-8")) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val resp = if (is == null) ""
+        else try scala.io.Source.fromInputStream(is).mkString finally is.close()
+      (code, resp)
+    }
+    def get(port: Int, path: String) = http(port, "GET", path, None)
+    def post(port: Int, path: String, body: String) =
+      http(port, "POST", path, Some(body))
+
+    // feature rows from the batch pipeline (same recipe as the
+    // hot-reload scorer test)
+    val clean = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+    val feats = graft.ml.FraudScore.fullFeatureVector(
+        graft.operators.Enrichment.enrichOrders(clean,
+          Tables.customer(spark, TinySf), Tables.nation(spark, TinySf),
+          Tables.region(spark, TinySf)),
+        clean, Cleaning.cleanLineitem(Tables.lineitem(spark, TinySf)))
+      .select(col("o_orderkey") +: col("label").cast("double").as("label") +:
+        TrainedModel.FeatureCols.map(c => col(c).cast("double").as(c)): _*)
+      .persist()
+    val assembled = StreamScoring.assembleFeatures(feats)
+    def train(maxIter: Int) = new GBTClassifier()
+      .setFeaturesCol("fv").setLabelCol("label")
+      .setMaxIter(maxIter).setMaxDepth(3).setSeed(42L)
+      .fit(assembled)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_predict_api").toString
+    val listener = graft.streaming.Observability.attach(spark)
+    val scorer = new ServingApi.HotRequestScorer(spark, root, "fraud_api")
+    val endpoint = PrometheusEndpoint.start(listener,
+      modelInfo = PrometheusEndpoint.registryModelInfo(
+        spark, root, "fraud_api", TrainedModel.FeatureCols),
+      scorer = Some(scorer))
+    try {
+      // two known rows: the 25 exact feature doubles each, sent verbatim
+      val rows = feats.orderBy("o_orderkey").limit(2).collect()
+      def txnJson(r: org.apache.spark.sql.Row): String = {
+        val fields = TrainedModel.FeatureCols.map(c =>
+          s""""$c": ${r.getDouble(r.fieldIndex(c))}""").mkString(", ")
+        s"""{"transaction_id": "txn-${r.getLong(0)}", $fields}"""
+      }
+
+      // --- before any committed model: scoring surface must 503/500 ---
+      assert(post(endpoint.port, "/predict", txnJson(rows(0)))._1 == 503)
+      assert(get(endpoint.port, "/features")._1 == 503)
+      assert(post(endpoint.port, "/model/reload", "{}")._1 == 500)
+
+      val m1 = train(2)
+      assert(ModelRegistry.save(spark, m1, root, "fraud_api") == 1L)
+
+      // --- /predict: probability must BIT-match batch transform by v1 ---
+      val direct = m1.transform(assembled.orderBy("o_orderkey").limit(2))
+        .select(col("o_orderkey"),
+          org.apache.spark.ml.functions.vector_to_array(col("probability"))
+            .getItem(1).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (pc, pb) = post(endpoint.port, "/predict", txnJson(rows(0)))
+      assert(pc == 200, pb)
+      val probRe = """"fraud_probability": ([-0-9.eE]+)""".r
+      val served = probRe.findFirstMatchIn(pb).get.group(1).toDouble
+      assert(java.lang.Double.doubleToLongBits(served) ==
+        java.lang.Double.doubleToLongBits(direct(rows(0).getLong(0))),
+        s"served $served != batch ${direct(rows(0).getLong(0))}")
+      assert(pb.contains(""""model_version": 1"""))
+      val expRisk = ServingApi.scoreToRisk(served)
+      assert(pb.contains(s""""risk_level": "$expRisk""""))
+      val servedFraud = pb.contains(""""is_fraud": true""")
+
+      // defaults path: only the required fields → 200 with a valid shape
+      val (dc, db) = post(endpoint.port, "/predict",
+        """{"transaction_id": "txn-min", "total_amount": 120.5}""")
+      assert(dc == 200 && db.contains(""""risk_level": """), db)
+
+      // --- /predict/batch: one version resolve, per-row responses ---
+      val batchBody =
+        s"""{"transactions": [${txnJson(rows(0))}, ${txnJson(rows(1))}]}"""
+      val (bc, bb) = post(endpoint.port, "/predict/batch", batchBody)
+      assert(bc == 200 && bb.contains(""""total": 2"""), bb)
+      val batchProbs = probRe.findAllMatchIn(bb).map(_.group(1).toDouble).toSeq
+      assert(batchProbs.size == 2)
+      assert(batchProbs.zip(rows.map(r => direct(r.getLong(0)))).forall {
+        case (a, b) => java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b) })
+
+      // --- serving counters visible in the same scrape (api.py:37-40) ---
+      val scrape = get(endpoint.port, "/metrics")._2
+      val single = if (servedFraud) "fraud" else "legit"
+      assert(scrape.contains("# TYPE ml_predictions_total counter"))
+      // 2 singles so far: the known row + the defaults row (outcomes may
+      // differ, so check totals add up instead of pinning one label)
+      val outcomeRe = """ml_predictions_total\{outcome="(\w+)"\} (\d+)""".r
+      val outcomes = outcomeRe.findAllMatchIn(scrape)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+      assert(outcomes.getOrElse("batch", 0L) == 2L, scrape)
+      assert(outcomes.getOrElse("fraud", 0L) + outcomes.getOrElse("legit", 0L) == 2L)
+      assert(outcomes.get(single).exists(_ >= 1L))
+      assert(scrape.contains("# TYPE ml_prediction_latency_ms histogram"))
+      assert(scrape.contains("ml_prediction_latency_ms_count 2"))
+      assert(scrape.contains("""ml_prediction_latency_ms_bucket{le="+Inf"} 2"""))
+      val fraudTotal = """ml_fraud_detected_total (\d+)""".r
+        .findFirstMatchIn(scrape).get.group(1).toLong
+      assert(fraudTotal == Seq(servedFraud, db.contains(""""is_fraud": true"""))
+        .count(identity).toLong)
+
+      // --- /model/reload flips the version without a scoring request ---
+      val m2 = train(3)
+      assert(ModelRegistry.save(spark, m2, root, "fraud_api") == 2L)
+      assert(scorer.loadedVersion.contains(1L)) // not yet reloaded
+      val (rc, rb) = post(endpoint.port, "/model/reload", "{}")
+      assert(rc == 200 && rb.contains(""""version": 2"""), rb)
+      assert(scorer.loadedVersion.contains(2L))
+      assert(post(endpoint.port, "/predict", txnJson(rows(0)))._2
+        .contains(""""model_version": 2"""))
+
+      // --- GET /features: 25 importances, sorted descending ---
+      val (fc, fb) = get(endpoint.port, "/features")
+      assert(fc == 200)
+      assert(TrainedModel.FeatureCols.forall(f => fb.contains(s""""$f"""")))
+      val impRe = """"importance": ([-0-9.eE]+)""".r
+      val imps = impRe.findAllMatchIn(fb).map(_.group(1).toDouble).toSeq
+      assert(imps.size == TrainedModel.FeatureCols.size)
+      assert(imps == imps.sortBy(-_), "importances must be sorted desc")
+
+      // --- transport edges (the FastAPI-analog error contract) ---
+      assert(http(endpoint.port, "POST", "/predict",
+        Some(txnJson(rows(0))), "text/plain")._1 == 415)
+      assert(post(endpoint.port, "/predict", """{"transaction_id": """)._1 == 400)
+      assert(post(endpoint.port, "/predict",
+        """{"transaction_id": "t", "total_amount": -5}""")._1 == 422)
+      assert(post(endpoint.port, "/predict",
+        """{"total_amount": 10}""")._1 == 422) // missing id
+      assert(post(endpoint.port, "/predict",
+        """{"transaction_id": "t", "total_amount": 10, "velocity_7d": -1}""")._1 == 422)
+      val oversize = (1 to 1001).map(i =>
+        s"""{"transaction_id": "t$i", "total_amount": 1}""").mkString(
+        """{"transactions": [""", ", ", "]}")
+      assert(post(endpoint.port, "/predict/batch", oversize)._1 == 422)
+      assert(http(endpoint.port, "GET", "/predict", None)._1 == 405)
+      assert(http(endpoint.port, "POST", "/health", Some("{}"))._1 == 405)
+    } finally {
+      endpoint.stop()
+      graft.streaming.Observability.detach(spark, listener)
+      feats.unpersist(blocking = false)
+      graft.ml.TrainedModel.releaseCache()
     }
   }
 
