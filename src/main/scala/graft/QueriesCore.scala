@@ -208,14 +208,25 @@ private[graft] object QueriesCore {
 
     QueryDef("q_dim_dates",
       (s, d) => StarSchema.dimDates(Tables.orders(s, d)).orderBy("date_day"),
-      Some("""SELECT md5(CAST(date_day AS VARCHAR)) AS date_sk, date_day,
+      Some("""WITH spine AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders),
+        |anch AS (SELECT max(date_day) AS today FROM spine)
+        |SELECT md5(CAST(date_day AS VARCHAR)) AS date_sk, date_day,
         |  CAST(year(date_day) AS BIGINT) AS year,
         |  CAST(quarter(date_day) AS BIGINT) AS quarter,
         |  CAST(month(date_day) AS BIGINT) AS month,
+        |  monthname(date_day) AS month_name,
+        |  CAST(weekofyear(date_day) AS BIGINT) AS week_of_year,
         |  CAST(dayofmonth(date_day) AS BIGINT) AS day_of_month,
         |  CAST(dayofweek(date_day) + 1 AS BIGINT) AS day_of_week,
-        |  (dayofweek(date_day) IN (0, 6)) AS is_weekend
-        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders) t
+        |  strftime(date_day, '%Y-%m') AS year_month,
+        |  (dayofweek(date_day) IN (0, 6)) AS is_weekend,
+        |  (month(date_day) IN (11, 12, 1)) AS is_holiday_season,
+        |  (date_day = today) AS is_today,
+        |  (date_day = today - 1) AS is_yesterday,
+        |  (date_day >= today - 6) AS is_last_7d,
+        |  (date_day >= today - 29) AS is_last_30d,
+        |  (date_day >= today - 89) AS is_last_90d
+        |FROM spine CROSS JOIN anch
         |ORDER BY date_day""".stripMargin)),
 
     QueryDef("q_fact_orders",

@@ -33,20 +33,39 @@ object StarSchema {
         col("c_mktsegment").as("market_segment"),
         (col("c_acctbal") < 0).as("negative_balance"))
 
-  /** dim_dates: calendar spine derived from the orders fact. */
-  def dimDates(orders: DataFrame): DataFrame =
-    orders
+  /** dim_dates: calendar spine derived from the orders fact, carrying the
+    * reference's calendar attributes and relative flags (ref
+    * dbt/models/marts/dim_dates.sql:20-44 — month name, ISO week,
+    * year-month, holiday season, is_today/yesterday/last_7d/30d/90d).
+    * "Today" is the spine's newest date — the same deterministic
+    * CURRENT_DATE analog the dashboard KPIs use — joined in as a
+    * broadcast 1-row frame, so the trailing flags cost one scan plus a
+    * row-local comparison at any scale. */
+  def dimDates(orders: DataFrame): DataFrame = {
+    val spine = orders
       .select(col("o_orderdate").cast("date").as("date_day"))
       .distinct()
+    val anchor = broadcast(spine.agg(max(col("date_day")).as("today")))
+    spine.crossJoin(anchor)
       .select(
         surrogateKey(col("date_day")).as("date_sk"),
         col("date_day"),
         year(col("date_day")).cast("long").as("year"),
         quarter(col("date_day")).cast("long").as("quarter"),
         month(col("date_day")).cast("long").as("month"),
+        date_format(col("date_day"), "MMMM").as("month_name"),
+        weekofyear(col("date_day")).cast("long").as("week_of_year"),
         dayofmonth(col("date_day")).cast("long").as("day_of_month"),
         dayofweek(col("date_day")).cast("long").as("day_of_week"),
-        (dayofweek(col("date_day")).isin(1, 7)).as("is_weekend"))
+        date_format(col("date_day"), "yyyy-MM").as("year_month"),
+        (dayofweek(col("date_day")).isin(1, 7)).as("is_weekend"),
+        month(col("date_day")).isin(11, 12, 1).as("is_holiday_season"),
+        (col("date_day") === col("today")).as("is_today"),
+        (col("date_day") === date_sub(col("today"), 1)).as("is_yesterday"),
+        (col("date_day") >= date_sub(col("today"), 6)).as("is_last_7d"),
+        (col("date_day") >= date_sub(col("today"), 29)).as("is_last_30d"),
+        (col("date_day") >= date_sub(col("today"), 89)).as("is_last_90d"))
+  }
 
   /** fact_orders: order grain + lineitem rollup + FK surrogate keys. */
   def factOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
