@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -80,9 +80,15 @@ case class BottomKSample(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BottomKState] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[BottomKState] with BinaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k > 0, s"bottomk_sample needs k > 0, got $k")
+
+  // analysis-time typing: the SQL builder inserts implicit casts, but a
+  // directly-constructed expression with non-string/non-long children must
+  // fail analysis, not throw ClassCastException inside update()
+  override def inputTypes = Seq(StringType, LongType)
 
   override def left: Expression = priority
   override def right: Expression = payload

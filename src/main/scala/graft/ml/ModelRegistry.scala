@@ -67,18 +67,23 @@ object ModelRegistry {
     v
   }
 
-  def latestVersion(spark: SparkSession, root: String,
-                    name: String): Option[Long] = {
+  /** All COMMITTED versions, ascending — an in-flight save's dir
+    * (post-rename, pre-marker) or a crashed half-publish never lists, so
+    * version sequences seen by readers may be non-contiguous. */
+  def committedVersions(spark: SparkSession, root: String,
+                        name: String): Seq[Long] = {
     val p = new Path(dir(root, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).map(_.getPath)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath).toSeq
       .filter(_.getName.startsWith("v="))
-      // only COMMITTED versions are visible — an in-flight save's dir
-      // (post-rename, pre-marker) or a crashed half-publish never serves
       .filter(d => fs.exists(new Path(d, Committed)))
-      .map(_.getName.stripPrefix("v=").toLong).sorted.lastOption
+      .map(_.getName.stripPrefix("v=").toLong).sorted
   }
+
+  def latestVersion(spark: SparkSession, root: String,
+                    name: String): Option[Long] =
+    committedVersions(spark, root, name).lastOption
 
   /** Committed artifact directory for `version` (default: latest). */
   def versionPath(spark: SparkSession, root: String, name: String,

@@ -65,12 +65,17 @@ object CurationDag {
   def releaseDiff(spark: SparkSession, registryRoot: String,
                   from: Option[Long] = None,
                   to: Option[Long] = None): DataFrame = {
-    val latest = ModelRegistry.latestVersion(spark, registryRoot, ArtifactName)
+    val committed = ModelRegistry.committedVersions(spark, registryRoot, ArtifactName)
+    val latest = committed.lastOption
       .getOrElse(throw new IllegalStateException("no committed releases"))
     val vTo = to.getOrElse(latest)
+    // default vFrom = the greatest COMMITTED version below vTo, not vTo-1:
+    // a crash between temp-write and commit marker can leave version
+    // sequences non-contiguous, and vTo-1 would then read a missing or
+    // uncommitted path and fail with an opaque parquet error
     val vFrom = from.getOrElse(
-      if (vTo > 1L) vTo - 1L
-      else throw new IllegalStateException("need two releases to diff"))
+      committed.filter(_ < vTo).lastOption.getOrElse(
+        throw new IllegalStateException("need two releases to diff")))
     def docsOf(v: Long) = spark.read.parquet(
       ModelRegistry.versionPath(spark, registryRoot, ArtifactName,
         Some(v)) + "/documents")

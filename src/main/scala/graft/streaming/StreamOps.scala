@@ -255,6 +255,43 @@ object StreamOps {
       }
     }
 
+  /** One-checkpoint-per-store guard for the batchId-keyed sinks: the
+    * `batch_<id>` overwrite is replay-idempotent only WITHIN one
+    * checkpoint lineage — batchIds restart from 0 under a fresh
+    * checkpoint dir, so a second lineage writing the same store would
+    * silently overwrite earlier slices (undercounting lines / dropping
+    * band rows). The store root carries a `_sink_checkpoint` marker
+    * naming its owning checkpoint; a writer under any other checkpoint
+    * fails its micro-batch loudly instead. Exclusive create resolves a
+    * two-writer race: the loser re-reads and compares. Driver-side file
+    * metadata only. */
+  private def claimStoreLineage(spark: org.apache.spark.sql.SparkSession,
+                                storePath: String, checkpointDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_sink_checkpoint")
+    def owner(): String = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
+      try {
+        val out = fs.create(marker, false)
+        try out.write(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () /* lost the race; verify below */ }
+    }
+    val have = owner()
+    require(have == checkpointDir,
+      s"store $storePath is owned by checkpoint '$have'; refusing writes from " +
+        s"'$checkpointDir' — batch_<id> slices are replay-idempotent only within " +
+        "one checkpoint lineage (restarting with a fresh checkpoint against an " +
+        "existing store would overwrite earlier slices)")
+  }
+
   /** Streaming maintenance of the corpus-wide line-count store
     * ([[graft.text.LineDedup]]): each micro-batch's line counts are
     * APPENDED as a partial-count parquet batch — counts are additive, so
@@ -276,8 +313,10 @@ object StreamOps {
         // a replayed micro-batch rewrite its own slice instead of
         // double-counting lines (which would push once-seen lines over
         // minDupCount and strip them from every document)
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          claimStoreLineage(batch.sparkSession, storePath, checkpointDir)
           graft.text.LineDedup.writeLineBatch(batch, storePath, batchId, textCol)
+        }
       }
       .start()
 
@@ -303,8 +342,10 @@ object StreamOps {
         // own keyed slice — a plain re-append would duplicate band rows,
         // inflate bucket occupancy past the governor, and silently drop
         // healthy buckets from the pair join
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          claimStoreLineage(batch.sparkSession, storePath, checkpointDir)
           graft.text.MinHash.writeBandBatch(batch, storePath, batchId)
+        }
       }
       .start()
 

@@ -394,6 +394,28 @@ class FunctionsSpec extends SparkSpec {
     assert(a.sameElements(b), "bottomk_sample must be partitioning-invariant")
   }
 
+  test("bottomk_sample rejects uncastable input types at analysis time") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val tiny = Seq(("a", 1L)).toDF("g", "id")
+    // DIRECT construction (bypassing the SQL builder and its explicit
+    // casts) with a boolean priority and boolean payload: ExpectsInputTypes
+    // must fail ANALYSIS with a type error instead of a raw
+    // ClassCastException inside update() at execution time
+    val boolLit = org.apache.spark.sql.catalyst.expressions.Literal(true)
+    val bad = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.BottomKSample(boolLit, boolLit, 3).toAggregateExpression())
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      tiny.groupBy(col("g")).agg(bad.as("s")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"), ex.getMessage)
+    // numeric priorities remain legal via the analyzer's implicit cast
+    val ok = tiny.groupBy(col("g"))
+      .agg(expr("bottomk_sample(id, id, 3)").as("s")).collect()
+    assert(ok.length == 1)
+  }
+
   test("bottomk_sample returns whole groups smaller than k, in priority order") {
     GraftFunctions.register(spark)
     val spark2 = spark

@@ -272,5 +272,24 @@ class OrchestratorSpec extends SparkSpec {
     assert(diff.get(2L).contains("update"), s"diff=$diff")
     // unchanged docs produce no diff rows
     assert(!diff.contains(1L) && !diff.contains(4L), s"diff=$diff")
+
+    // crashed half-publish: an uncommitted v=3 dir (no _COMMITTED marker)
+    // makes the version sequence non-contiguous; the next release lands at
+    // v=4 and the DEFAULT diff must skip the hole (v2 → v4), not read the
+    // missing v=3 path
+    val hole = new java.io.File(
+      s"$root/registry/models/${CurationDag.ArtifactName}/v=3")
+    assert(hole.mkdirs(), "could not simulate the crashed publish")
+    val v3docs = (good.filterNot(g => g._1 == 4L) :+ evalDoc)
+      .toDF("doc_id", "text", "source", "lang")
+    val r4 = CurationDag.run(spark, v3docs, s"$root/run4", s"$root/registry",
+      CurationDag.ReleaseGates(minKeptFrac = 0.5, minDocs = 5L))
+    assert(r4.released && r4.publishedVersion.contains(4L), s"$r4")
+    val diff2 = CurationDag.releaseDiff(spark, s"$root/registry").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("_change_type")).toMap
+    // classified against v2 (the greatest committed version below 4):
+    // doc 4 was in v2 but not v3's corpus; doc 3 returns after v2 dropped it
+    assert(diff2.get(4L).contains("delete"), s"diff2=$diff2")
+    assert(diff2.get(3L).contains("insert"), s"diff2=$diff2")
   }
 }

@@ -1052,6 +1052,24 @@ class StreamingSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
       val direct = LineDedup.dedupLines(docs).orderBy("doc_id").collect().toSeq
       assert(viaStore == direct)
+
+      // one-checkpoint-per-store guard: a SECOND lineage (fresh checkpoint
+      // dir, batchIds restarting at 0) against the same store must fail its
+      // micro-batch loudly instead of silently overwriting batch_0
+      val stream2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.StreamOps.lineCountSink(
+        stream2.toDF.toDF("doc_id", "text"),
+        s"$root/lines", s"$root/ckpt_other")
+      try {
+        stream2.addData(b)
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(ex.getMessage.contains("owned by checkpoint"), ex.getMessage)
+      } finally q2.stop()
+      val afterGuard = LineDedup.mergedLineCounts(spark, s"$root/lines")
+        .orderBy("line").collect().toSeq
+      assert(afterGuard == streamed, "rejected lineage must not touch the store")
     } finally docs.unpersist(blocking = false)
   }
 
