@@ -29,8 +29,7 @@ private[graft] object QueriesClustering {
       (s, d) => {
         import graft.plans.MvRewrite
         val base = s"$d/orders.parquet"
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-mv-gate").toString
+        val tmp = graft.util.Scratch.dir("graft-mv-gate")
         val states = MvRewrite.materialize(
           s.read.parquet(base),
           keys = Seq("o_orderstatus", "o_orderpriority"),
@@ -93,8 +92,7 @@ private[graft] object QueriesClustering {
     QueryDef("q_line_dedup_incremental",
       (s, d) => {
         import graft.text.LineDedup
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-line-store").toString + "/lines"
+        val store = graft.util.Scratch.dir("graft-line-store") + "/lines"
         val docs = Tables.documents(s, d)
         val reflowed = docs.select(col("doc_id"),
           LineDedup.reflow(docs).as("text"))

@@ -355,7 +355,7 @@ private[graft] object QueriesEncodings {
     QueryDef("q_bpe_reload",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val root = java.nio.file.Files.createTempDirectory("graft-bpe-registry").toString
+        val root = graft.util.Scratch.dir("graft-bpe-registry")
         val merges = text.Bpe.trainMerges(docs, numMerges = 64)
         val version = text.Bpe.saveMerges(s, merges, root)
         val live = text.Bpe.encode(docs, merges)

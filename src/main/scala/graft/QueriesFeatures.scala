@@ -973,7 +973,7 @@ private[graft] object QueriesFeatures {
     QueryDef("q_model_reload_eval",
       (s, d) => {
         val clean = Cleaning.cleanOrders(Tables.orders(s, d))
-        val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
+        val root = graft.util.Scratch.dir("graft-registry")
         val feats = FraudScore.fullFeatureVector(
           Enrichment.enrichOrders(clean,
             Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),

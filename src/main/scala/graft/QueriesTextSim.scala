@@ -538,8 +538,7 @@ private[graft] object QueriesTextSim {
     // what the oracle computes.
     QueryDef("q_neardup_incremental",
       (s, d) => {
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-band-store").toString + "/bands"
+        val store = graft.util.Scratch.dir("graft-band-store") + "/bands"
         val docs = Tables.documents(s, d)
         MinHash.buildBandStore(docs.filter(col("doc_id") % 10 =!= 7), store)
         MinHash.appendBandStore(docs.filter(col("doc_id") % 10 === 7), store)
@@ -696,7 +695,7 @@ private[graft] object QueriesTextSim {
     // Rows-only: seeded KMeans quantizers are engine-local.
     QueryDef("q_knn_reload",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-ann-registry").toString
+        val root = graft.util.Scratch.dir("graft-ann-registry")
         graft.sim.AnnIndex.reloadParity(Tables.embeddings(s, d), root,
             cacheKey = Some(d))
           .orderBy("query_id", "rank")
@@ -714,7 +713,7 @@ private[graft] object QueriesTextSim {
     // engine-local.
     QueryDef("q_knn_incremental",
       (s, d) => {
-        val store = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+        val store = graft.util.Scratch.dir("graft-ann-store")
         val emb = Tables.embeddings(s, d)
         val base = emb.filter(col("vec_id") % 4 =!= 3)
         val delta = emb.filter(col("vec_id") % 4 === 3)
