@@ -29,6 +29,18 @@ object Bench {
       .orderBy("k").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
+    // fixed calibration workload: a constant shuffle+sort of 10^7 derived
+    // strings, independent of SF and code under test. Its wall time is the
+    // HOST-SPEED stamp that makes per-query numbers comparable across
+    // container boots (the same code measured 1.5-5x apart on different
+    // boots; dividing by the calibration time normalizes that out)
+    val calT0 = System.nanoTime()
+    spark.range(10000000L)
+      .selectExpr("cast(id * 2654435761 % 9999991 as string) AS s")
+      .orderBy("s")
+      .write.format("noop").mode("overwrite").save()
+    val calibration = (System.nanoTime() - calT0) / 1e9
+
     // optional trailing args restrict the run to named queries (iteration aid)
     val only = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -63,9 +75,15 @@ object Bench {
     // itself instead of needing an after-the-fact judge re-run
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // tainted: the record was taken on a loaded host (another build or
+    // verify overlapping) — per-query times are then inflated 30-60% and
+    // MUST NOT be compared against a clean record (r10 burned a judge
+    // cycle adjudicating exactly this artifact class)
+    val tainted = loadStart > 1.5
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
+      s""""calibration_sec":${r3(calibration)},"tainted":$tainted,""" +
       s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed}"""
     println(line)
     // full artifact on disk: the stdout capture upstream is bounded and can
