@@ -15,6 +15,13 @@ import graft.QueriesShared._
   * behavior change; shared oracle CTE fragments live in [[QueriesShared]].
   */
 private[graft] object QueriesTextSim {
+
+  // Shared verbatim by q_dedup_exact and q_dedup_bloom: the bloom gate is
+  // pruning-only, so both queries answer the same contract.
+  private val DedupExactOracle =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+      |  count(*) AS doc_count, count(*) - 1 AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
   private[graft] lazy val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q_ship_priority",
@@ -91,9 +98,26 @@ private[graft] object QueriesTextSim {
 
     QueryDef("q_dedup_exact",
       (s, d) => Dedup.exactDups(Tables.documents(s, d)).orderBy("content_hash"),
-      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
-        |  count(*) AS doc_count, count(*) - 1 AS dup_count
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+      Some(DedupExactOracle)),
+
+    // Bloom-gated incremental exact dedup (Dolma-style pre-dedup at
+    // ingest): base corpus → mergeable hash-bloom store + stored summary;
+    // the delta slice probes the store map-side, bloom-negative groups
+    // skip the confirm join, and the merged summary answers q_dedup_exact's
+    // oracle VERBATIM — the gate is pruning-only, exactness comes from the
+    // left-join confirm (false positives fall through as new groups).
+    QueryDef("q_dedup_bloom",
+      (s, d) => {
+        import graft.text.BloomDedup
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") % 10 =!= 7)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val store = graft.util.Scratch.dir("graft-bloom-store") + "/bloom"
+        BloomDedup.buildHashBloom(base, store)
+        BloomDedup.exactDupsIncremental(Dedup.exactDups(base), delta, store)
+          .orderBy("content_hash")
+      },
+      Some(DedupExactOracle)),
 
     QueryDef("q_dedup_norm",
       (s, d) => Dedup.normalizedDups(Tables.documents(s, d)).orderBy("norm_hash"),

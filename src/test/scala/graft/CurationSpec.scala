@@ -790,6 +790,62 @@ class CurationSpec extends SparkSpec {
       col("slack_tokens") =!= lit(cap.toLong) - col("fill_tokens")).count() == 0)
   }
 
+  test("bloom-gated incremental dedup is bit-identical to exact dedup, " +
+       "even at a forced false-positive rate; the gate actually prunes") {
+    import graft.text.{BloomDedup, Dedup}
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val expected = Dedup.exactDups(docs)
+      .orderBy("content_hash").collect().toSeq
+
+    // healthy geometry: gated merge == from-scratch exact dedup, and the
+    // gate sends most unique-in-delta groups around the confirm join
+    val store = java.nio.file.Files.createTempDirectory("bloomded").toString + "/b"
+    BloomDedup.buildHashBloom(base, store)
+    val got = BloomDedup.exactDupsIncremental(Dedup.exactDups(base), delta, store)
+      .orderBy("content_hash").collect().toSeq
+    assert(got == expected, "gated merge diverged from exact dedup")
+    val probed = BloomDedup.probedDeltaGroups(delta, store)
+    val negatives = probed.filter(!col("might")).count()
+    assert(negatives > 0, "gate pruned nothing — bloom miswired or saturated")
+    // every true base-duplicate hash MUST probe positive (no false negatives)
+    val trueDup = BloomDedup.contentHashes(delta)
+      .join(BloomDedup.contentHashes(base), Seq("content_hash"), "left_semi")
+      .select("content_hash").distinct()
+    val missed = trueDup.join(probed.filter(!col("might")),
+      Seq("content_hash"), "inner").count()
+    assert(missed == 0L, "bloom false negative — impossible unless miswired")
+
+    // pathological geometry (64 bits for the whole corpus → FPs everywhere):
+    // the result must STILL be exact; only the pruning degrades
+    val tiny = java.nio.file.Files.createTempDirectory("bloomded-tiny").toString + "/b"
+    BloomDedup.buildHashBloom(base, tiny, mBits = 64, nHashes = 2)
+    val gotTiny = BloomDedup.exactDupsIncremental(Dedup.exactDups(base), delta, tiny)
+      .orderBy("content_hash").collect().toSeq
+    assert(gotTiny == expected, "false positives corrupted the merge")
+  }
+
+  test("bloom store: build+append OR-merges to the from-scratch bitset; " +
+       "mixed geometry is rejected") {
+    import graft.text.BloomDedup
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val incr = java.nio.file.Files.createTempDirectory("bloom-incr").toString + "/b"
+    val full = java.nio.file.Files.createTempDirectory("bloom-full").toString + "/b"
+    BloomDedup.buildHashBloom(a, incr, mBits = 4096)
+    BloomDedup.appendHashBloom(b, incr, mBits = 4096)
+    BloomDedup.buildHashBloom(docs, full, mBits = 4096)
+    val mi = BloomDedup.mergedBitset(spark, incr).collect()(0).getSeq[Long](0)
+    val mf = BloomDedup.mergedBitset(spark, full).collect()(0).getSeq[Long](0)
+    assert(mi == mf, "append+merge must equal the from-scratch bitset")
+    // a slice appended with different geometry must fail loudly at read
+    BloomDedup.appendHashBloom(b, incr, mBits = 8192)
+    val ex = intercept[IllegalArgumentException] {
+      BloomDedup.geometry(spark, incr)
+    }
+    assert(ex.getMessage.contains("geometries"), ex.getMessage)
+  }
+
   test("line dedup strips a repeated footer corpus-wide, keeps prose in order") {
     import spark.implicits._
     val footer = "copyright 2026 example corp\nall rights reserved"
