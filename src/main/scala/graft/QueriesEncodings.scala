@@ -373,6 +373,43 @@ private[graft] object QueriesEncodings {
       },
       None),
 
+    // Unigram-LM (SentencePiece-family) tokenizer: per-doc subword
+    // accounting under a Viterbi-EM-trained piece table — the second
+    // mainstream subword trainer next to BPE. Rows-only (learned
+    // vocabulary; SURVEY §4 class 1): CurationSpec binds a hand-computed
+    // EM step, word-grain round-trip, repartition/cross-path determinism,
+    // and compression ≥ char-level.
+    QueryDef("q_spm_tokens",
+      (s, d) => text.SpmUnigram.tokenStats(Tables.documents(s, d),
+          vocabSize = 512, emIters = 3)
+        .orderBy("doc_id"),
+      None),
+
+    // Unigram-tokenizer persistence: train, publish through the versioned
+    // registry, reload, and prove the reloaded piece table tokenizes every
+    // document identically (counts are stored as integers, so reloaded
+    // log-probs rebuild bit-exactly — same contract as q_bpe_reload).
+    QueryDef("q_spm_reload",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = graft.util.Scratch.dir("graft-spm-registry")
+        val pieces = text.SpmUnigram.train(docs, vocabSize = 512, emIters = 3)
+        val version = text.SpmUnigram.savePieces(s, pieces, root)
+        val live = text.SpmUnigram.encode(docs, pieces)
+          .select(col("doc_id"), col("tokens").as("tokens_live"))
+        val re = text.SpmUnigram.encode(docs, text.SpmUnigram.loadPieces(s, root))
+          .select(col("doc_id"), col("tokens").as("tokens_reloaded"))
+        live.join(re, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            lit(pieces.length.toLong).as("n_pieces"),
+            lit(version).as("pieces_version"),
+            size(col("tokens_live")).cast("long").as("n_tokens_live"),
+            size(col("tokens_reloaded")).cast("long").as("n_tokens_reloaded"),
+            (col("tokens_live") <=> col("tokens_reloaded")).as("tokens_equal"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Robust-scaler preprocessing statistics: per-feature exact quartiles
     // (rank-interpolated, non-buffering) + decimal-exact mean/std + IQR —
     // the broadcast lookup for median/IQR feature scaling.

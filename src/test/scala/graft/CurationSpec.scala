@@ -681,6 +681,82 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("unigram tokenizer reproduces a hand-computed Viterbi-EM step") {
+    import graft.text.SpmUnigram
+    import spark.implicits._
+    // corpus: "ab ab abc" → words ab(×2), abc(×1); maxPieceLen 3.
+    // Seed substring counts: a=3, b=3, ab=3, c=1, bc=1, abc=1 (total 12).
+    // Viterbi under the seed: "ab" → [ab] (ln(3/12) beats 2·ln(3/12)),
+    // "abc" → [abc] (ln(1/12) beats ln(3/12)+ln(1/12)).
+    // Hard-EM counts: ab=2, abc=1; unused chars floored at 1 →
+    // {ab:2, abc:1, a:1, b:1, c:1}.
+    val docs = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val pieces = SpmUnigram.train(docs, vocabSize = 100, emIters = 1,
+      maxPieceLen = 3)
+    val expected = Seq("ab" -> 2L, "abc" -> 1L, "a" -> 1L, "b" -> 1L, "c" -> 1L)
+    assert(pieces.toSet == expected.toSet, s"got $pieces")
+    // canonical order: count desc, then UTF-8 piece asc
+    assert(pieces == Seq("ab" -> 2L, "a" -> 1L, "abc" -> 1L, "b" -> 1L, "c" -> 1L),
+      s"order: $pieces")
+    // a second EM round under {ab:2,abc:1,...} re-derives the same table
+    // (the segmentations are unchanged) — the EM fixpoint
+    val pieces2 = SpmUnigram.train(docs, vocabSize = 100, emIters = 2,
+      maxPieceLen = 3)
+    assert(pieces2 == pieces, s"EM not at fixpoint: $pieces2")
+  }
+
+  test("unigram tokenizer: round-trip, determinism across partitionings " +
+       "and training paths, compression beats char-level") {
+    import graft.text.SpmUnigram
+    val sample = docs.limit(300).cache()
+    try {
+      val pieces = SpmUnigram.train(sample, vocabSize = 256, emIters = 3)
+      // cross-path parity: forcing the distributed EM loop (budget 0) must
+      // produce the bit-identical table (integer Viterbi counts are
+      // associative), as must a repartitioned corpus
+      val distributed = SpmUnigram.train(sample, vocabSize = 256, emIters = 3,
+        driverRowBudget = 0L)
+      assert(distributed == pieces, "driver vs distributed EM diverged")
+      val repart = SpmUnigram.train(sample.repartition(13), vocabSize = 256,
+        emIters = 3)
+      assert(repart == pieces, "piece table depends on partitioning")
+
+      // word-grain round trip: a word's pieces concatenate back exactly
+      val enc = SpmUnigram.encode(sample, pieces)
+        .join(sample.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"),
+          regexp_replace(col("text"), " ", "").as("squashed"))
+      assert(enc.filter(col("glued") =!= col("squashed")).count() == 0L,
+        "tokens do not round-trip to the source text")
+
+      // compression: multi-char pieces must beat one-token-per-char
+      val stats = SpmUnigram.encode(sample, pieces)
+        .select(size(col("tokens")).cast("long").as("n_tokens"))
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+      val chars = sample
+        .select(length(regexp_replace(col("text"), " ", "")).cast("long").as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(stats < chars,
+        s"no compression: $stats tokens vs $chars chars")
+    } finally sample.unpersist(blocking = false)
+  }
+
+  test("unigram piece table round-trips the registry and tokenizes identically") {
+    import graft.text.SpmUnigram
+    val sample = docs.limit(150)
+    val pieces = SpmUnigram.train(sample, vocabSize = 128, emIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("spm-reg").toString
+    val v = SpmUnigram.savePieces(spark, pieces, root)
+    assert(v == 1L)
+    val reloaded = SpmUnigram.loadPieces(spark, root)
+    assert(reloaded == pieces, "piece table mutated through the registry")
+    val live = SpmUnigram.encode(sample, pieces).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val re = SpmUnigram.encode(sample, reloaded).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(live.sameElements(re), "reloaded table tokenizes differently")
+  }
+
   test("RAKE scores match the hand-computed degree/freq example") {
     import spark.implicits._
     // phrases: [deep learning], [deep networks] — "of"/"the" break
