@@ -373,6 +373,18 @@ private[graft] object QueriesCuration {
         .orderBy("doc_id"),
       Some(decontaminateOracle)),
 
+    // FUZZY decontamination: training docs ranked by WHOLE-DOCUMENT
+    // similarity to the eval source via the governed LSH candidate join —
+    // the severity signal that separates wholesale near-copies (drop)
+    // from incidental phrase overlap (keep-and-audit), which any-overlap
+    // exact decontamination cannot. Hash-exact: integer signature
+    // agreement / 16 + one literal threshold; oracle rides the shared
+    // candidate-pair CTE builder.
+    QueryDef("q_decontaminate_fuzzy",
+      (s, d) => text.Curation.decontaminateFuzzy(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.Curation.decontaminateFuzzyOracleSql())),
+
     // End-to-end curation audit (quality gate -> canonical election among
     // survivors -> decontamination) as ONE composed plan; every exclusion
     // names its reason, kept = all three stages pass. Hash-exact oracle
@@ -594,6 +606,17 @@ private[graft] object QueriesCuration {
       (s, d) => text.BigramLm.docLogProb(Tables.documents(s, d))
         .orderBy("doc_id"),
       Some(text.BigramLm.oracleSql)),
+
+    // Trigram Stupid Backoff (Brants 2007): the LM trains on the 80%
+    // hash split and scores the HELD-OUT docs, so the backoff ladder
+    // (trigram hit → bigram → unigram → OOV floor) is actually exercised;
+    // per-doc tier counts ride along as the coverage diagnostic. Exact
+    // integer counts, fixed expression order, micro-nat quantization —
+    // hash-exact like the bigram LM.
+    QueryDef("q_backoff_lm",
+      (s, d) => text.StupidBackoff.docLogProb(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.StupidBackoff.oracleSql)),
 
     // CCNet perplexity buckets: every document ranked by bigram-LM
     // fluency and cut into head/middle/tail terciles — the quality

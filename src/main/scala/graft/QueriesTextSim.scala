@@ -579,6 +579,25 @@ private[graft] object QueriesTextSim {
       (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.exactJaccardOracleSql())),
 
+    // Detector-quality eval: precision/recall/F1 of the banded-LSH
+    // near-dup detector vs exact shingle-Jaccard truth on the bounded
+    // labeled slice, per threshold — grades the detector in-engine.
+    // Exact integer TP/FP/FN + one IEEE division each → hash-exact,
+    // riding the SAME candidate-pair CTE builder as the detector oracles.
+    QueryDef("q_neardup_eval",
+      (s, d) => MinHash.detectorEval(Tables.documents(s, d)).orderBy("threshold"),
+      Some(MinHash.detectorEvalOracleSql())),
+
+    // Compression-ratio quality signal (deflate once per doc, map-only):
+    // templated text compresses far below prose, binary junk barely at
+    // all. Rows-only: DuckDB cannot deflate; CurationSpec binds the
+    // repetitive<prose<random ordering, determinism under repartition,
+    // and the flag thresholds.
+    QueryDef("q_compress_ratio",
+      (s, d) => graft.text.CompressRatio.compressionStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      None),
+
     QueryDef("q_knn_brute",
       (s, d) => Similarity.knnBrute(Tables.embeddings(s, d))
         .orderBy("query_id", "rank"),

@@ -178,6 +178,13 @@ object GraftFunctions {
     JaroWinkler(exprs(0), exprs(1))
   }
 
+  val deflateLenBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"deflate_len expects 1 argument (str), got ${exprs.length}")
+    DeflateLen(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -201,6 +208,8 @@ object GraftFunctions {
       "cms_sketch", cmsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_merge_agg", cmsMergeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_len", deflateLenBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -233,6 +242,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       GraftFunctions.jaroWinklerBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      GraftFunctions.deflateLenBuilder))
     ext.injectFunction((
       FunctionIdentifier("morton2"),
       new ExpressionInfo(classOf[Morton2].getName, "morton2"),

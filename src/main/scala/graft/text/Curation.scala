@@ -126,6 +126,89 @@ object Curation {
     * grams the sketch could not rule out instead of the whole corpus.
     * Same oracle as decontaminate (CurationSpec proves frame equality).
     */
+  /** Threshold on the MinHash signature-agreement estimate above which a
+    * train↔eval candidate pair counts as fuzzy contamination — an exact
+    * literal mirrored by the oracle. */
+  val FuzzyMinEst = "0.5"
+
+  /** FUZZY decontamination: training docs ranked by WHOLE-DOCUMENT
+    * similarity to the eval source — the severity signal any-overlap
+    * exact decontamination lacks. Under [[decontaminate]], a doc sharing
+    * one idiomatic 4-gram with an eval doc and a doc that is a wholesale
+    * near-copy both read "contaminated"; the fuzzy estimate separates
+    * them (incidental phrase overlap scores near 0, near-copies near 1),
+    * which is what decides DROP vs keep-and-audit for each flagged doc.
+    * Detection rides the SAME governed banded-LSH candidate join the
+    * near-dup pipeline runs: cross-role (train↔eval) candidate pairs
+    * with signature-agreement estimate ≥ [[FuzzyMinEst]] flag the
+    * training side; every training doc reports its match count and best
+    * estimate (left join — clean docs stay visible for accounting, the
+    * decontaminate contract).
+    *
+    * Scale shape: the pair join is the governed LSH join (bucket-capped);
+    * role lookup is two doc-grain joins; the rollup is train-doc grain.
+    * Hash-exact: the estimate is integer signature agreement / 16, the
+    * flag one literal-threshold compare. */
+  def decontaminateFuzzy(documents: DataFrame,
+                         evalSource: String = "src0"): DataFrame = {
+    val roles = documents.select(col("doc_id"),
+      (col("source") === evalSource).as("is_eval"))
+    val crossPairs = MinHash.nearDupPairsWithSizes(documents)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .join(roles.select(col("doc_id").as("doc_a"), col("is_eval").as("eval_a")), "doc_a")
+      .join(roles.select(col("doc_id").as("doc_b"), col("is_eval").as("eval_b")), "doc_b")
+      .filter(col("eval_a") =!= col("eval_b"))
+      .filter(col("est_jaccard") >= expr(s"CAST($FuzzyMinEst AS DOUBLE)"))
+      .select(when(col("eval_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        col("est_jaccard"))
+    val flagged = crossPairs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_neardups"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+    documents.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_eval_neardups"), lit(0L)).as("n_eval_neardups"),
+        col("max_est_jaccard"),
+        (coalesce(col("n_eval_neardups"), lit(0L)) > 0L).as("is_contaminated_fuzzy"))
+  }
+
+  /** DuckDB mirror of [[decontaminateFuzzy]] — rides the shared
+    * candidate-pair CTE builder (governor included). */
+  def decontaminateFuzzyOracleSql(evalSource: String = "src0"): String = {
+    val agreement = (0 until MinHash.NumHashes)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    MinHash.candidatePairsSqlCtes +
+      s"""
+         |, est AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST($agreement AS DOUBLE) / CAST(${MinHash.NumHashes}.0 AS DOUBLE) AS est_jaccard
+         |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |), roles AS (
+         |  SELECT doc_id, (source = '$evalSource') AS is_eval FROM documents
+         |), cross_pairs AS (
+         |  SELECT CASE WHEN ra.is_eval THEN e.doc_b ELSE e.doc_a END AS doc_id,
+         |    e.est_jaccard
+         |  FROM est e
+         |  JOIN roles ra ON e.doc_a = ra.doc_id
+         |  JOIN roles rb ON e.doc_b = rb.doc_id
+         |  WHERE ra.is_eval <> rb.is_eval
+         |    AND e.est_jaccard >= CAST($FuzzyMinEst AS DOUBLE)
+         |), flagged AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_neardups,
+         |    max(est_jaccard) AS max_est_jaccard
+         |  FROM cross_pairs GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.source,
+         |  COALESCE(f.n_eval_neardups, 0) AS n_eval_neardups,
+         |  f.max_est_jaccard,
+         |  COALESCE(f.n_eval_neardups, 0) > 0 AS is_contaminated_fuzzy
+         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         |WHERE d.source <> '$evalSource'
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   def decontaminateSketch(documents: DataFrame, evalSource: String = "src0",
                           n: Int = 4, depth: Int = 4,
                           width: Int = 1 << 18): DataFrame = {

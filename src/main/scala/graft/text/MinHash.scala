@@ -275,6 +275,152 @@ object MinHash {
          |  CAST(inter_size AS DOUBLE) / (na + nb - inter_size) AS jaccard
          |FROM j ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Detector-eval thresholds, spelled as exact literals in both engines. */
+  val EvalThresholds: Seq[String] = Seq("0.3", "0.5", "0.7", "0.8", "0.9")
+
+  /** Posting-list cap for the eval's truth index: shingles appearing in
+    * more documents than this are dropped from truth-pair generation (the
+    * boilerplate-governor reasoning of [[DefaultMaxBucket]] — a ubiquitous
+    * shingle generates quadratic pairs and carries no similarity signal). */
+  val EvalMaxPostings = 1000
+
+  /** Quality evaluation of the banded-LSH near-dup detector against exact
+    * shingle-Jaccard ground truth — the harness that answers "is the
+    * detector good enough to gate dedup at this corpus" IN-ENGINE instead
+    * of by offline spot checks. Truth pairs come from a shared-shingle
+    * INVERTED-INDEX join (complete for every threshold > 0: a pair with
+    * positive Jaccard shares a shingle by definition), capped at
+    * [[EvalMaxPostings]] docs per shingle; each truth candidate gets its
+    * exact Jaccard via the O(n+m) sorted intersection. Detected = the
+    * governed LSH candidate set with signature-agreement estimate ≥ t.
+    * A detected pair outside the truth set has exact Jaccard 0 by
+    * construction and coalesces to 0 through the full-outer join, so
+    * false positives are counted, not dropped. TP/FP/FN are exact integer
+    * counts; precision/recall/F1 are one IEEE division each (NULL when
+    * undefined), so the whole frame is hash-exact vs DuckDB.
+    *
+    * Scale shape: the detector side is the governed candidate join the
+    * near-dup pipeline already runs; the truth side is a shingle-grain
+    * inverted-index self-join behind the posting cap (the same quadratic
+    * governor as every other pair generator here); the threshold sweep
+    * broadcasts |thresholds| literal rows over the pair-grain frame. */
+  def detectorEval(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sh = documents.select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(shingles(col("text")))).as("sh"))
+    val inv = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("n"))
+      .filter(col("n") > EvalMaxPostings).select("shingle")
+    val cool = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val truthPairs = cool.select(col("shingle"), col("lang"), col("doc_id").as("doc_a"))
+      .join(cool.select(col("shingle"), col("lang").as("lang_b"),
+        col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val exact = truthPairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter_size", expr("sorted_intersect_count(sha, shb)"))
+      .withColumn("jaccard", col("inter_size").cast("double") /
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long")
+          - col("inter_size")))
+      .select("doc_a", "doc_b", "jaccard")
+
+    val detected = nearDupPairsWithSizes(documents)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val thresholds = documents.sparkSession.range(1)
+      .select(explode(expr(
+        s"array(${EvalThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")})"))
+        .as("threshold"))
+    exact
+      .join(detected, Seq("doc_a", "doc_b"), "full_outer")
+      .crossJoin(broadcast(thresholds))
+      .withColumn("truth", coalesce(col("jaccard"), lit(0.0)) >= col("threshold"))
+      .withColumn("det",
+        col("est_jaccard").isNotNull && col("est_jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("truth"), 1L).otherwise(0L)).as("truth_pairs"),
+        sum(when(col("det"), 1L).otherwise(0L)).as("detected_pairs"),
+        sum(when(col("truth") && col("det"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("truth") && col("det"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("truth") && !col("det"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
+  /** DuckDB mirror of [[detectorEval]] — rides [[candidatePairsSqlCtes]]
+    * (governor included) and the same truth-index chain, so the oracle
+    * can never drift from the detector it grades. */
+  def detectorEvalOracleSql(): String = {
+    val agreement = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val thresholdList = EvalThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+    candidatePairsSqlCtes +
+      s"""
+         |, est AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST($agreement AS DOUBLE) / CAST(${NumHashes}.0 AS DOUBLE) AS est_jaccard
+         |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |), d AS (
+         |  SELECT doc_id, lang, list_distinct(sh) AS shd FROM sh
+         |), inv AS (
+         |  SELECT doc_id, lang, unnest(shd) AS shingle FROM d
+         |), hot_sh AS (
+         |  SELECT shingle FROM inv GROUP BY shingle
+         |  HAVING count(*) > $EvalMaxPostings
+         |), cool AS (
+         |  SELECT i.* FROM inv i
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot_sh h WHERE h.shingle = i.shingle)
+         |), tp_pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cool a JOIN cool b ON a.shingle = b.shingle
+         |    AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |), exact AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_filter(da.shd, t -> list_contains(db.shd, t))) AS DOUBLE)
+         |      / (len(da.shd) + len(db.shd)
+         |         - len(list_filter(da.shd, t -> list_contains(db.shd, t)))) AS jaccard
+         |  FROM tp_pairs p
+         |  JOIN d da ON p.doc_a = da.doc_id
+         |  JOIN d db ON p.doc_b = db.doc_id
+         |), ev AS (
+         |  SELECT COALESCE(x.jaccard, CAST(0.0 AS DOUBLE)) AS jaccard, e.est_jaccard
+         |  FROM exact x FULL OUTER JOIN est e
+         |    ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+         |), th AS (SELECT unnest([$thresholdList]) AS threshold
+         |), flagged AS (
+         |  SELECT threshold, (jaccard >= threshold) AS truth,
+         |    (est_jaccard IS NOT NULL AND est_jaccard >= threshold) AS det
+         |  FROM ev CROSS JOIN th
+         |), cnt AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs,
+         |    CAST(sum(CASE WHEN det THEN 1 ELSE 0 END) AS BIGINT) AS detected_pairs,
+         |    CAST(sum(CASE WHEN truth AND det THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT truth AND det THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN truth AND NOT det THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM flagged GROUP BY threshold
+         |)
+         |SELECT threshold, truth_pairs, detected_pairs, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+         |FROM cnt ORDER BY threshold""".stripMargin
+  }
+
   /** Band buckets larger than this are dropped from the pair join: a
     * degenerate bucket (boilerplate text hashing identically for millions
     * of docs) is quadratic in its size regardless of banding. Dropped

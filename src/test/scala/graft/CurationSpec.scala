@@ -681,6 +681,105 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination separates a wholesale near-copy from " +
+       "incidental phrase overlap") {
+    import graft.text.Curation
+    import spark.implicits._
+    val evalText = (1 to 40).map(i => s"evaltok$i").mkString(" ")
+    // near-copy: the eval doc with ONE word changed (shingle jaccard ≈ 0.9);
+    // incidental: an unrelated doc sharing one 4-gram run with the eval doc
+    val nearCopy = evalText.replace("evaltok20", "changed")
+    val incidental = "evaltok1 evaltok2 evaltok3 evaltok4 " +
+      (1 to 40).map(i => s"other$i").mkString(" ")
+    val clean = (1 to 40).map(i => s"clean$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalText, "src0", "en"),
+      (1L, nearCopy, "src1", "en"),
+      (2L, incidental, "src1", "en"),
+      (3L, clean, "src1", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+
+    // exact any-overlap decontamination flags BOTH the near-copy and the
+    // incidental doc — no severity separation
+    val exact = Curation.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_contaminated")).toMap
+    assert(exact(1L) && exact(2L) && !exact(3L), s"exact: $exact")
+
+    // fuzzy: the near-copy flags with a high estimate, the incidental doc
+    // and the clean doc stay clean
+    val fuzzy = Curation.decontaminateFuzzy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fuzzy.keySet == Set(1L, 2L, 3L), "training side only")
+    assert(fuzzy(1L).getAs[Boolean]("is_contaminated_fuzzy"))
+    assert(fuzzy(1L).getAs[Double]("max_est_jaccard") >= 0.5)
+    assert(!fuzzy(2L).getAs[Boolean]("is_contaminated_fuzzy"),
+      "one shared phrase must not read as wholesale contamination")
+    assert(!fuzzy(3L).getAs[Boolean]("is_contaminated_fuzzy"))
+  }
+
+  test("stupid backoff walks the full ladder with hand-checked tiers and scores") {
+    import graft.text.StupidBackoff
+    import spark.implicits._
+    // train = doc_id % 5 != 0 (three copies of "a b c"); eval = the rest.
+    // Train trigram stream (2 start pads): (<s>,<s>,a), (<s>,a,b), (a,b,c)
+    // ×3 → every observed trigram/history count is 3, N = 9.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (5L, "a b c"), // every trigram seen: 3 tri hits, S = 3/3 = 1 → lp 0
+      (10L, "b c"),  // (<s>,<s>,b) backs off past (<s>,b) to unigram 'b';
+                     // (<s>,b,c) backs off to bigram (b,c)
+      (15L, "z")     // out-of-vocabulary floor
+    ).toDF("doc_id", "text")
+    val out = StupidBackoff.docLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L, 15L), s"eval split wrong: ${out.keySet}")
+
+    assert(out(5L).getAs[Long]("n_tri") == 3L && out(5L).getAs[Long]("n_oov") == 0L)
+    assert(out(5L).getAs[Long]("sum_lp_micro") == 0L,
+      "perfectly predicted doc must score ln(1) = 0")
+
+    assert(out(10L).getAs[Long]("n_uni") == 1L && out(10L).getAs[Long]("n_bi") == 1L
+      && out(10L).getAs[Long]("n_tri") == 0L)
+    def micro(x: Double): Long = math.floor(math.log(x).toFloat.toDouble * 1e6).toLong
+    val expected10 = micro(0.16 * (3.0 / 9.0)) + micro(0.4 * (3.0 / 3.0))
+    assert(out(10L).getAs[Long]("sum_lp_micro") == expected10,
+      s"got ${out(10L).getAs[Long]("sum_lp_micro")}, want $expected10")
+
+    assert(out(15L).getAs[Long]("n_oov") == 1L)
+    assert(out(15L).getAs[Long]("sum_lp_micro") == micro(0.16 * (0.5 / 9.0)))
+  }
+
+  test("compression ratio orders repetitive < prose < random; flags and " +
+       "determinism hold") {
+    import graft.text.CompressRatio
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val random = Array.fill(3000)((33 + rnd.nextInt(94)).toChar).mkString
+    val prose = ("the quick brown fox jumps over a lazy dog while seventy " +
+      "wizards brew giant hexes of quartz jugs and vexing sphinxes judge " +
+      "my vow about fjords packing boxes with five dozen liquor glasses " +
+      "under bright amber skylines near quiet harbors every autumn evening")
+    val synth = Seq(
+      (1L, ("spam ham " * 300).trim),
+      (2L, prose),
+      (3L, random)
+    ).toDF("doc_id", "text")
+    val out = CompressRatio.compressionStats(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val (rep, pr, rn) = (out(1L).getAs[Double]("compress_ratio"),
+      out(2L).getAs[Double]("compress_ratio"),
+      out(3L).getAs[Double]("compress_ratio"))
+    assert(rep < pr && pr < rn, s"ordering broken: $rep, $pr, $rn")
+    assert(out(1L).getAs[Boolean]("is_repetitive")
+      && !out(2L).getAs[Boolean]("is_repetitive"))
+    assert(out(3L).getAs[Boolean]("is_incompressible")
+      && !out(2L).getAs[Boolean]("is_incompressible"), s"random ratio $rn")
+    // byte accounting is exact and deterministic under repartitioning
+    val again = CompressRatio.compressionStats(synth.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_compressed")).toMap
+    assert(out.forall { case (k, r) => again(k) == r.getAs[Long]("n_compressed") })
+  }
+
   test("unigram tokenizer reproduces a hand-computed Viterbi-EM step") {
     import graft.text.SpmUnigram
     import spark.implicits._

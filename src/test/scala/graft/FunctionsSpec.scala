@@ -394,6 +394,30 @@ class FunctionsSpec extends SparkSpec {
     assert(a.sameElements(b), "bottomk_sample must be partitioning-invariant")
   }
 
+  test("deflate_len: codegen and interpreted paths agree; compression orders") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "spam ham " * 100),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "s")
+    val codegen = df.selectExpr("id", "deflate_len(s) AS n").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // interpreted twin (the eval path the generated loop must match)
+    val interp = rows.map { case (id, s) =>
+      id -> (if (s == null) -1L
+             else graft.functions.DeflateLen.compressedLength(
+               org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    }.toMap
+    assert(codegen == interp, s"codegen $codegen vs interpreted $interp")
+    assert(codegen(4L) == -1L, "null must stay null")
+    assert(codegen(1L) < codegen(2L), "repetition must compress harder")
+    assert(codegen(3L) > 0L, "empty string still costs the deflate header")
+  }
+
   test("bottomk_sample rejects uncastable input types at analysis time") {
     GraftFunctions.register(spark)
     val spark2 = spark
