@@ -385,6 +385,17 @@ private[graft] object QueriesEncodings {
         .orderBy("doc_id"),
       None),
 
+    // Tokenizer coverage audit on the held-out split: unknown-piece
+    // fallbacks, OOV rate, pieces-per-word off the training
+    // distribution — the deploy-time health check for a shipped
+    // tokenizer. Rows-only (learned vocabulary); CurationSpec plants a
+    // never-seen character and binds the fallback accounting.
+    QueryDef("q_spm_coverage",
+      (s, d) => text.SpmUnigram.coverageStats(Tables.documents(s, d),
+          vocabSize = 512, emIters = 3)
+        .orderBy("doc_id"),
+      None),
+
     // Unigram-tokenizer persistence: train, publish through the versioned
     // registry, reload, and prove the reloaded piece table tokenizes every
     // document identically (counts are stored as integers, so reloaded

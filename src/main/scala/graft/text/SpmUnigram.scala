@@ -245,6 +245,47 @@ object SpmUnigram {
         col("n_chars").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Coverage audit of a trained piece table on a HELD-OUT split — the
+    * deploy-time question for a shipped tokenizer: how much unseen text
+    * falls back to unknown-character pieces, and how the compression
+    * degrades off the training distribution. Trains on `trainPred` docs,
+    * encodes the complement, and reports per-doc words / pieces /
+    * unknown-piece count (tokens absent from the table — the Viterbi
+    * char fallback) / OOV rate / pieces-per-word. Map-only encode with
+    * the broadcast table, same shape as [[encode]]. */
+  def coverageStats(documents: DataFrame, vocabSize: Int = 512,
+                    emIters: Int = 3,
+                    trainPred: org.apache.spark.sql.Column =
+                      col("doc_id") % 5 =!= 0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pieces = train(documents.filter(trainPred), vocabSize, emIters)
+    val lp = logpMap(pieces.toArray)
+    val bc = spark.sparkContext.broadcast(lp)
+    documents.filter(!trainPred)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        val table = bc.value
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nPieces = 0L
+          var nUnk = 0L
+          words.foreach { w =>
+            val toks = memo.getOrElseUpdate(w, viterbi(w, table, DefaultMaxPieceLen))
+            nPieces += toks.length
+            nUnk += toks.count(!table.contains(_))
+          }
+          (id, words.length.toLong, nPieces, nUnk)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "n_unk")
+      .withColumn("oov_rate",
+        col("n_unk").cast("double") / col("n_pieces").cast("double"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words").cast("double"))
+  }
+
   // ---- persistence ----------------------------------------------------------
 
   /** Versioned publish through the model registry (temp-write → rename →

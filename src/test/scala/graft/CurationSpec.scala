@@ -840,6 +840,25 @@ class CurationSpec extends SparkSpec {
     } finally sample.unpersist(blocking = false)
   }
 
+  test("tokenizer coverage audit counts unknown-char fallbacks on held-out text") {
+    import graft.text.SpmUnigram
+    import spark.implicits._
+    // train split (ids % 5 != 0) sees only letters a/b/c; held-out doc 10
+    // repeats train text (full coverage), doc 5 carries the never-seen 'z'
+    val docs = Seq(
+      (1L, "ab ab abc"), (2L, "ab abc"), (3L, "abc ab"),
+      (5L, "ab zz"), (10L, "ab abc")
+    ).toDF("doc_id", "text")
+    val out = SpmUnigram.coverageStats(docs, vocabSize = 100, emIters = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L), "held-out split only")
+    assert(out(10L).getAs[Long]("n_unk") == 0L, "train-distribution text must cover")
+    assert(out(5L).getAs[Long]("n_unk") == 2L,
+      s"'zz' must fall back to two unknown chars: ${out(5L)}")
+    assert(out(5L).getAs[Double]("oov_rate") > 0.0)
+    assert(out(10L).getAs[Double]("pieces_per_word") >= 1.0)
+  }
+
   test("unigram piece table round-trips the registry and tokenizes identically") {
     import graft.text.SpmUnigram
     val sample = docs.limit(150)
