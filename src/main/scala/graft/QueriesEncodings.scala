@@ -421,6 +421,47 @@ private[graft] object QueriesEncodings {
       },
       None),
 
+    // WordPiece (BERT-family) tokenizer: likelihood-gain merges +
+    // greedy longest-match encode — the third mainstream subword family
+    // next to BPE (frequency merges) and unigram-LM (likelihood prune).
+    // Per-doc fertility/UNK accounting. Rows-only (learned vocabulary,
+    // SURVEY §4 class 1); CurationSpec binds a hand-computed scored
+    // merge, max-munch encode, whole-word-UNK, driver≡distributed
+    // training parity, and round-trip reconstruction.
+    QueryDef("q_wordpiece_tokens",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = text.WordPiece.trainMerges(docs, numMerges = 64)
+        text.WordPiece.tokenStats(docs, text.WordPiece.vocabulary(docs, merges))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // WordPiece persistence: train, publish through the versioned
+    // registry, reload, and prove the reloaded vocabulary tokenizes every
+    // document identically — same contract as q_bpe_reload/q_spm_reload.
+    QueryDef("q_wordpiece_reload",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = graft.util.Scratch.dir("graft-wp-registry")
+        val merges = text.WordPiece.trainMerges(docs, numMerges = 64)
+        val vocab = text.WordPiece.vocabulary(docs, merges)
+        val version = text.WordPiece.saveVocab(s, merges, vocab, root)
+        val live = text.WordPiece.encode(docs, vocab)
+          .select(col("doc_id"), col("tokens").as("tokens_live"))
+        val re = text.WordPiece.encode(docs, text.WordPiece.loadVocab(s, root))
+          .select(col("doc_id"), col("tokens").as("tokens_reloaded"))
+        live.join(re, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            lit(vocab.size.toLong).as("n_vocab"),
+            lit(version).as("vocab_version"),
+            size(col("tokens_live")).cast("long").as("n_tokens_live"),
+            size(col("tokens_reloaded")).cast("long").as("n_tokens_reloaded"),
+            (col("tokens_live") <=> col("tokens_reloaded")).as("tokens_equal"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Robust-scaler preprocessing statistics: per-feature exact quartiles
     // (rank-interpolated, non-buffering) + decimal-exact mean/std + IQR —
     // the broadcast lookup for median/IQR feature scaling.

@@ -406,6 +406,30 @@ private[graft] object QueriesTextSim {
         .orderBy("doc_id"),
       Some(TextAnalysis.vocabGrowthOracleSql)),
 
+    // Zipf rank-frequency OLS fit per language (Heaps'-law sibling):
+    // vocab-grain moments, grouped-prefix-sum ranks, float-collapsed
+    // micro-nat logs + exact decimal sums → hash-exact slope/intercept.
+    QueryDef("q_zipf_fit",
+      (s, d) => graft.text.CorpusStats.zipfFit(Tables.documents(s, d))
+        .orderBy("lang"),
+      Some(graft.text.CorpusStats.zipfFitOracleSql)),
+
+    // Per-source unigram KL vs the corpus mixture — the data-mixture
+    // design diagnostic (which sources sit far from the blend). Exact
+    // integer contributions in micro-nats, one double chain at the end.
+    QueryDef("q_source_kl",
+      (s, d) => graft.text.CorpusStats.sourceKl(Tables.documents(s, d))
+        .orderBy("source"),
+      Some(graft.text.CorpusStats.sourceKlOracleSql)),
+
+    // Cross-source near-duplicate accounting over the exact PPJoin pair
+    // set: which dumps duplicate each other, at what rate — drives
+    // source-level dedup ordering in multi-crawl corpora.
+    QueryDef("q_source_overlap",
+      (s, d) => graft.text.CorpusStats.sourceOverlap(Tables.documents(s, d))
+        .orderBy("src_a", "src_b"),
+      Some(graft.text.CorpusStats.sourceOverlapOracleSql)),
+
     QueryDef("q_token_count",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars,
@@ -578,6 +602,25 @@ private[graft] object QueriesTextSim {
     QueryDef("q_ngram_jaccard",
       (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.exactJaccardOracleSql())),
+
+    // LSH banding design table: closed-form P(candidate|s) per
+    // (bands×rows) factorization of the signature budget, with miss
+    // rates vs the design threshold — the table that justifies the
+    // MinHash 4×4 geometry. Explicit multiplication chains (never pow)
+    // keep the doubles bit-identical to the oracle.
+    QueryDef("q_lsh_tuning",
+      (s, _) => graft.text.LshTuning.sCurve(s).orderBy("bands", "s"),
+      Some(graft.text.LshTuning.sCurveOracleSql())),
+
+    // Exact all-pairs similarity self-join (All-Pairs/PPJoin family):
+    // rarest-first prefix filtering + positional bound + sorted-intersect
+    // verify — provably ALL Jaccard ≥ 0.5 shingle pairs without the n²
+    // product. The oracle IS the brute-force all-pairs join, so the hash
+    // match certifies the filters lose no qualifying pair.
+    QueryDef("q_ppjoin",
+      (s, d) => graft.text.SetSimJoin.ppJoin(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(graft.text.SetSimJoin.ppJoinOracleSql)),
 
     // Detector-quality eval: precision/recall/F1 of the banded-LSH
     // near-dup detector vs exact shingle-Jaccard truth on the bounded
@@ -1103,6 +1146,15 @@ private[graft] object QueriesTextSim {
           Seq("the", "of", "and", "data", "fraud", "model",
             "quasar", "zzyzx", "unseen"))
         .orderBy("token"),
+      None),
+
+    // CMS inner-product join-cardinality estimate for the skew-sensitive
+    // customer self-join — the planner's broadcast-vs-shuffle question
+    // from O(depth·width) map-side state; never undercounts. Rows-only:
+    // sketch aggregate not SQL-expressible (same class as q_cms_freq);
+    // SketchesSpec binds est ≥ exact and the collision ceiling.
+    QueryDef("q_cms_join_size",
+      (s, d) => gold.Sketches.joinSizeEstimate(Tables.orders(s, d), "o_custkey"),
       None),
 
     QueryDef("q_approx_quantiles",

@@ -159,6 +159,44 @@ object Sketches {
     * vocab-sized shuffle. Deterministic (seedless xxhash64) → stable
     * rows-only results; SketchesSpec proves never-undercount and the
     * e·N/width ceiling against the exact counts. */
+  /** CMS join-cardinality estimate (Cormode–Muthukrishnan's inner-product
+    * estimator — the AQE-planner question "how big is this join going to
+    * be" answered from O(depth·width) state instead of a key-grain
+    * exchange): for the skew-sensitive self-equi-join on `keyCol`,
+    * |R ⋈ R| = Σ_k c(k)², estimated per sketch row d as Σ_j counter²
+    * and min'd over rows. Colliding keys only ADD positive cross terms,
+    * so the estimate NEVER undercounts — the safe direction for a
+    * planner deciding broadcast vs shuffle (it may over-provision,
+    * never under). The exact count rides along purely to grade the
+    * estimate (the q_knn_recall pattern); a planner would use the
+    * sketch alone, map-side, with no exchange at all.
+    *
+    * Rows-only by design: the sketch aggregate is not SQL-expressible
+    * in the oracle engine (same class as q_cms_freq); SketchesSpec binds
+    * est ≥ exact and the collision ceiling. */
+  def joinSizeEstimate(rel: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(rel.sparkSession)
+    val sketch = rel.select(col(keyCol).as("k"))
+      .agg(expr(s"cms_sketch(k, $depth, $width)").as("sk"))
+    // per-row self-inner-product Σ_j counter²; min over depth rows
+    val perRow = (0 until depth).map { d =>
+      expr(s"aggregate(slice(sk, ${2 + d * width}, $width), 0L, (acc, x) -> acc + x * x)")
+    }
+    val est = sketch.select(
+      array_min(array(perRow: _*)).as("est_join_size"),
+      element_at(col("sk"), 1).as("n_rows"))
+    val exact = rel.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+      .select(
+        lit(keyCol).as("join_key"), col("n_rows"),
+        col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size").cast("double") / col("exact_join_size"))
+          .as("overcount_ratio"),
+        lit(depth).as("depth"), lit(width).as("width"))
+  }
+
   def tokenFrequencyProbes(documents: DataFrame, probes: Seq[String],
                            depth: Int = 4, width: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)

@@ -349,6 +349,34 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the Bloom pre-dedup store
+    * ([[graft.text.BloomDedup]]): each micro-batch's content hashes fold
+    * into the packed-bitset store as appended word rows. Uniquely in this
+    * sink family, replay safety needs NO batchId slice keying and no
+    * checkpoint-lineage claim: the store's merge operator is bitwise OR —
+    * idempotent (x|x = x), commutative, associative — so a re-delivered
+    * batch, a second checkpoint lineage, even a concurrent second writer
+    * all converge to the same merged bitset a from-scratch build would
+    * produce. At-least-once is as good as exactly-once here by algebra,
+    * not by bookkeeping. Geometry mismatches are still rejected at read
+    * ([[graft.text.BloomDedup.geometry]]). A continuous crawl keeps its
+    * ingest gate current this way; the gated incremental dedup stays
+    * bit-identical to exact dedup over everything ever streamed. */
+  def bloomStoreSink(stream: DataFrame, storePath: String,
+                     checkpointDir: String, textCol: String = "text",
+                     mBits: Int = graft.text.BloomDedup.DefaultBits,
+                     nHashes: Int = graft.text.BloomDedup.DefaultHashes)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.BloomDedup.appendHashBloom(batch, storePath, textCol,
+            mBits, nHashes)
+      }
+      .start()
+
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
     * time-range predicate bound the join state — the Structured Streaming

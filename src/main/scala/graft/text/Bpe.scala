@@ -148,24 +148,10 @@ object Bpe {
   /** (left, right) comparison in UTF-8 byte order — exactly Spark's
     * UTF8String binary ordering, which the distributed argmax's
     * `orderBy(left, right)` uses. Java String.compareTo is UTF-16-unit
-    * order and diverges above the BMP, so byte comparison it is. */
-  private def pairUtf8Compare(x: (String, String), y: (String, String)): Int = {
-    val c = utf8Compare(x._1, y._1)
-    if (c != 0) c else utf8Compare(x._2, y._2)
-  }
-
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+    * order and diverges above the BMP, so byte comparison it is
+    * ([[Utf8Order]], shared with the WordPiece trainer). */
+  private def pairUtf8Compare(x: (String, String), y: (String, String)): Int =
+    Utf8Order.pairCompare(x, y)
 
   /** One merge applied everywhere it occurs in a symbol sequence
     * (left-to-right, non-overlapping — the standard BPE apply). */

@@ -1,0 +1,223 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScalableRank
+
+/** Corpus-level distributional diagnostics for training-data curation:
+  * the Zipf rank-frequency fit (sibling of the Heaps'-law vocab-growth
+  * curve in [[TextAnalysis.vocabGrowth]]), per-source unigram KL
+  * divergence against the corpus mixture (the data-mixture design
+  * diagnostic: which sources are distributionally far from the blend),
+  * and cross-source near-duplicate accounting (which dumps duplicate
+  * each other — rides the exact [[SetSimJoin]] pair set).
+  *
+  * Hash-exactness contract (SURVEY §4): every ln() is float32-collapsed
+  * and quantized once to fixed-point micro-nats (the [[BigramLm]]
+  * pattern); all sums run over exact integers carried as decimal(38,0)
+  * (Spark) / HUGEINT (DuckDB); the published statistics are a fixed,
+  * mirrored chain of double ops at the very end — so Spark and the
+  * oracle agree bit-for-bit.
+  */
+object CorpusStats {
+
+  private def lnMicro(d: Column): Column =
+    floor(d * lit(1000000.0)).cast("long")
+
+  /** Zipf's-law OLS fit per language: regress ln(freq) on ln(rank) over
+    * the (word, freq) vocabulary, rank = position under (freq desc, word
+    * asc). Natural corpora run slope ≈ −1; a corpus whose slope drifts
+    * flat is boilerplate/template-heavy, one that steepens lost its tail.
+    *
+    * Scale shape: the corpus collapses ONCE to the zipf-bounded
+    * (lang, word, freq) vocabulary table (token-grain partial-agg
+    * exchange); ranking uses the grouped-prefix-sum primitive — never a
+    * per-lang single-partition window; the OLS moments are one bounded
+    * groupBy over vocab rows. x·y products stay < 2^63 (micro-nat logs
+    * are ≤ ~3.7e7), sums are exact decimals. */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val counts = tok.groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    val ranked = ScalableRank.withGroupedPrefixSum(
+        counts, col("lang"), Seq(col("freq").desc, col("word").asc),
+        lit(1L), "rank0")
+      .withColumn("rnk", col("rank0") + 1L)
+    val xy = ranked
+      .withColumn("x", lnMicro(expr("CAST(CAST(ln(CAST(rnk AS DOUBLE)) AS FLOAT) AS DOUBLE)")))
+      .withColumn("y", lnMicro(expr("CAST(CAST(ln(CAST(freq AS DOUBLE)) AS FLOAT) AS DOUBLE)")))
+    val moments = xy.groupBy("lang").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_tokens"),
+      sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+    moments
+      .withColumn("nd", col("n_types").cast("double"))
+      .withColumn("zipf_slope",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+        (col("nd") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("zipf_intercept",
+        (col("sy") - col("zipf_slope") * col("sx")) / col("nd") / lit(1000000.0))
+      .select("lang", "n_types", "n_tokens", "zipf_slope", "zipf_intercept")
+  }
+
+  /** DuckDB mirror of [[zipfFit]]. The oracle may rank with a plain
+    * window — vocabulary scale is the oracle's problem, not the plan's. */
+  def zipfFitOracleSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), counts AS (
+      |  SELECT lang, word, count(*) AS freq FROM tok GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, freq,
+      |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word ASC) AS rnk
+      |  FROM counts
+      |), xy AS (
+      |  SELECT lang, freq,
+      |    CAST(floor(CAST(CAST(ln(CAST(rnk AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+      |    CAST(floor(CAST(CAST(ln(CAST(freq AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+      |  FROM ranked
+      |), m AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      |  FROM xy GROUP BY lang
+      |), s AS (
+      |  SELECT lang, n_types, n_tokens,
+      |    (CAST(n_types AS DOUBLE) * sxy - sx * sy) /
+      |    (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+      |    sx, sy
+      |  FROM m
+      |)
+      |SELECT lang, n_types, n_tokens, zipf_slope,
+      |  (sy - zipf_slope * sx) / CAST(n_types AS DOUBLE) / 1000000.0 AS zipf_intercept
+      |FROM s ORDER BY lang""".stripMargin
+
+  /** Per-source unigram KL divergence from the corpus mixture:
+    * KL(P_s ‖ P) = Σ_w (c_sw/N_s) · ln((c_sw·N)/(N_s·c_w)) — the standard
+    * "how far is this source from the blend" score used when designing
+    * mixture weights. High-KL sources are outliers (code in a prose
+    * corpus, a non-target language, machine spam).
+    *
+    * Scale shape: one token-grain partial-agg exchange to (source, word)
+    * counts; word-marginal counts derive from that table (vocab-grain,
+    * never re-scanning the corpus); per-source totals broadcast (sources
+    * are a bounded registry, not data-scale); N is a 1-row broadcast.
+    * Contributions are exact integer products (c_sw · lp_micro) summed as
+    * decimals; one fixed double chain at the end. */
+  def sourceKl(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val csw = tok.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val ns = csw.groupBy("source").agg(
+      sum(col("c_sw")).as("n_s"), count(lit(1)).as("n_types"))
+    val cw = csw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val total = cw.agg(sum(col("c_w")).as("n_total"))
+    csw
+      .join(cw, "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("lp_micro", lnMicro(expr(
+        """CAST(CAST(ln((CAST(c_sw AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+          |  (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))) AS FLOAT) AS DOUBLE)""".stripMargin)))
+      .groupBy("source", "n_s", "n_types")
+      .agg(sum((col("c_sw").cast("decimal(18,0)") * col("lp_micro").cast("decimal(18,0)")))
+        .cast("double").as("sum_micro"))
+      .withColumn("kl_nats",
+        col("sum_micro") / col("n_s").cast("double") / lit(1000000.0))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"), col("kl_nats"))
+  }
+
+  /** DuckDB mirror of [[sourceKl]]. */
+  def sourceKlOracleSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+      |), csw AS (
+      |  SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1, 2
+      |), ns AS (
+      |  SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s,
+      |    CAST(count(*) AS BIGINT) AS n_types FROM csw GROUP BY 1
+      |), cw AS (
+      |  SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1
+      |), tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM cw
+      |), contrib AS (
+      |  SELECT csw.source, ns.n_s, ns.n_types,
+      |    CAST(c_sw AS HUGEINT) *
+      |    CAST(floor(CAST(CAST(ln((CAST(c_sw AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+      |      (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS c
+      |  FROM csw JOIN cw USING (word) JOIN ns USING (source) CROSS JOIN tot
+      |)
+      |SELECT source, n_s AS n_tokens, n_types,
+      |  CAST(sum(c) AS DOUBLE) / CAST(n_s AS DOUBLE) / 1000000.0 AS kl_nats
+      |FROM contrib GROUP BY source, n_s, n_types ORDER BY source""".stripMargin
+
+  /** Cross-source near-duplicate accounting: for every source pair, how
+    * many exact Jaccard-≥-t near-dup pairs cross them (same-source pairs
+    * count under (s, s)). The "dump A is a re-crawl of dump B" signal
+    * that drives source-level dedup ordering. Rides the exact
+    * [[SetSimJoin.ppJoin]] pair set — no new candidate machinery — then
+    * two doc-grain joins to attach sources and a pair-grain rollup.
+    * `dup_rate` = n_pairs / (docs_a · docs_b) (cross) or / C(docs,2)
+    * (diagonal), an exact-integer ratio → hash-exact. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val pairs = SetSimJoin.ppJoin(documents).select("doc_a", "doc_b")
+    val src = documents.select(col("doc_id"), col("source"))
+    val perSource = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("s_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("s_b")), "doc_b")
+      .select(least(col("s_a"), col("s_b")).as("src_a"),
+        greatest(col("s_a"), col("s_b")).as("src_b"))
+    tagged.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(perSource.select(col("source").as("src_a"), col("n_docs").as("docs_a"))), "src_a")
+      .join(broadcast(perSource.select(col("source").as("src_b"), col("n_docs").as("docs_b"))), "src_b")
+      .withColumn("dup_rate",
+        when(col("src_a") === col("src_b"),
+          col("n_pairs").cast("double") /
+            expr("CAST(docs_a * (docs_a - 1) DIV 2 AS DOUBLE)"))
+          .otherwise(col("n_pairs").cast("double") /
+            (col("docs_a") * col("docs_b")).cast("double")))
+      .select("src_a", "src_b", "n_pairs", "docs_a", "docs_b", "dup_rate")
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]] — extends the brute-force
+    * all-pairs oracle of [[SetSimJoin.ppJoinOracleSql]]. */
+  def sourceOverlapOracleSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |      j -> array_to_string(string_split(text, ' ')[j:j+2], ' '))) AS s
+       |  FROM documents
+       |), pp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(a.s) AS BIGINT) AS size_a, CAST(len(b.s) AS BIGINT) AS size_b,
+       |    CAST(len(list_filter(a.s, t -> list_contains(b.s, t))) AS BIGINT) AS inter_size
+       |  FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM pp
+       |  WHERE inter_size * ${SetSimJoin.ThrDen} >= (size_a + size_b - inter_size) * ${SetSimJoin.ThrNum}
+       |), per_source AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+       |), tagged AS (
+       |  SELECT least(da.source, db.source) AS src_a,
+       |         greatest(da.source, db.source) AS src_b
+       |  FROM pairs JOIN documents da ON doc_a = da.doc_id
+       |             JOIN documents db ON doc_b = db.doc_id
+       |), rolled AS (
+       |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM tagged GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_pairs, pa.n_docs AS docs_a, pb.n_docs AS docs_b,
+       |  CASE WHEN src_a = src_b
+       |    THEN CAST(n_pairs AS DOUBLE) / CAST(pa.n_docs * (pa.n_docs - 1) // 2 AS DOUBLE)
+       |    ELSE CAST(n_pairs AS DOUBLE) / CAST(pa.n_docs * pb.n_docs AS DOUBLE) END AS dup_rate
+       |FROM rolled JOIN per_source pa ON src_a = pa.source
+       |            JOIN per_source pb ON src_b = pb.source
+       |ORDER BY src_a, src_b""".stripMargin
+}

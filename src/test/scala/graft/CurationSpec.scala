@@ -1125,4 +1125,82 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_lines") == 2L &&
       out(1L).getAs[Long]("n_removed") == 1L)
   }
+
+  test("WordPiece picks the likelihood-gain merge a hand computation gives, " +
+    "with UTF-8 tie order") {
+    import spark.implicits._
+    import graft.text.WordPiece
+    // words: ab(2), ac(1) -> symCnt a:3 ##b:2 ##c:1; pair (a,##b) cnt 2
+    // score 2/(3·2)=1/3; (a,##c) cnt 1 is filtered (must recur) -> stop
+    val corpus = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    assert(WordPiece.trainMerges(corpus, 5) === Seq(("a", "##b")))
+    // exact score tie: (x,##y) vs (x,##z) both 2/(4·2) — ##y wins by bytes
+    val tie = Seq((1L, "xy xy xz xz")).toDF("doc_id", "text")
+    assert(WordPiece.trainMerges(tie, 1) === Seq(("x", "##y")))
+    // BPE would pick by raw count: give a frequent-but-expected pair and a
+    // rare-symbols pair with equal count — WordPiece prefers the rare one
+    // (higher likelihood gain), the family's defining difference
+    val lik = Seq((1L, ("ee " * 8).trim + " " + ("qz " * 4).trim)).toDF("doc_id", "text")
+    val first = WordPiece.trainMerges(lik, 1).head
+    // (e,##e) cnt 8, e:8·##e:8 -> 8/64 = 0.125; (q,##z) cnt 4,
+    // q:4·##z:4 -> 4/16 = 0.25 -> rare pair wins despite half the count
+    assert(first == ("q", "##z"))
+  }
+
+  test("WordPiece driver-side and distributed training are bit-for-bit equal") {
+    import spark.implicits._
+    val sample = docs.limit(60).cache()
+    val local = graft.text.WordPiece.trainMerges(sample, 32)
+    val dist = graft.text.WordPiece.trainMerges(sample, 32, driverRowBudget = 0L)
+    assert(local === dist)
+    sample.unpersist()
+  }
+
+  test("WordPiece max-munch encode round-trips, handles UNK whole-word, " +
+    "and fertility accounting is exact") {
+    import spark.implicits._
+    import graft.text.WordPiece
+    val sample = docs.limit(40).cache()
+    val merges = WordPiece.trainMerges(sample, 40)
+    val vocab = WordPiece.vocabulary(sample, merges)
+    // greedy longest-match: every non-UNK word reconstructs by stripping ##
+    val enc = WordPiece.encode(sample, vocab).collect()
+    val texts = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { r =>
+      val toks = r.getSeq[String](1)
+      val rebuilt = new StringBuilder
+      toks.foreach { t =>
+        // [UNK] is whole-word, so it starts a word like any plain token
+        if (t.startsWith(WordPiece.ContPrefix))
+          rebuilt.append(t.drop(WordPiece.ContPrefix.length))
+        else { if (rebuilt.nonEmpty) rebuilt.append(" "); rebuilt.append(t) }
+      }
+      assert(rebuilt.toString == texts(r.getLong(0)),
+        s"round-trip failed for doc ${r.getLong(0)}")
+    }
+    // a word containing a character outside the alphabet -> whole-word UNK
+    val unkDoc = Seq((99L, "hello ¤strange")).toDF("doc_id", "text")
+    val unkEnc = WordPiece.encode(unkDoc, vocab).collect().head.getSeq[String](1)
+    assert(unkEnc.count(_ == WordPiece.Unk) == 1,
+      s"expected exactly one whole-word UNK, got $unkEnc")
+    val stats = WordPiece.tokenStats(unkDoc, vocab).collect().head
+    assert(stats.getAs[Long]("n_unk_words") >= 1L)
+    assert(stats.getAs[Long]("n_words") == 2L)
+    sample.unpersist()
+  }
+
+  test("WordPiece vocabulary persists and reloads to identical encodes") {
+    import graft.text.WordPiece
+    val sample = docs.limit(30)
+    val root = java.nio.file.Files.createTempDirectory("graft-wp-spec").toString
+    val merges = WordPiece.trainMerges(sample, 24)
+    val vocab = WordPiece.vocabulary(sample, merges)
+    val v1 = WordPiece.saveVocab(spark, merges, vocab, root)
+    assert(WordPiece.loadVocab(spark, root) == vocab)
+    val v2 = WordPiece.saveVocab(spark, merges.take(4),
+      WordPiece.vocabulary(sample, merges.take(4)), root)
+    assert(v2 > v1)
+    assert(WordPiece.loadVocab(spark, root, version = Some(v1)) == vocab)
+  }
 }

@@ -261,6 +261,28 @@ class SketchesSpec extends SparkSpec {
       s"$overCeiling of ${rows.length} probes exceeded the CMS error ceiling")
   }
 
+  test("CMS join-size estimate never undercounts, stays under the " +
+    "collision ceiling, and is partition-invariant") {
+    val orders = Tables.orders(spark, TinySf)
+    val (depth, width) = (4, 1024)
+    val row = gold.Sketches.joinSizeEstimate(orders, "o_custkey", depth, width)
+      .collect()(0)
+    val est = row.getAs[Long]("est_join_size")
+    val exact = row.getAs[Long]("exact_join_size")
+    val n = row.getAs[Long]("n_rows")
+    // inner-product collisions only add positive cross terms
+    assert(est >= exact, s"join-size estimate undercounted: $est < $exact")
+    // expected overcount per sketch row is N²/width; min over depth rows
+    // exceeding e·N²/width has probability ~e^-depth — deterministic here
+    assert(est <= exact + math.E * n.toDouble * n.toDouble / width,
+      s"est=$est exact=$exact n=$n exceeded the collision ceiling")
+    // counters add elementwise — partitioning cannot change the estimate
+    val rep = gold.Sketches.joinSizeEstimate(orders.repartition(13),
+      "o_custkey", depth, width).collect()(0)
+    assert(rep.getAs[Long]("est_join_size") == est)
+    assert(rep.getAs[Long]("exact_join_size") == exact)
+  }
+
   test("cms_merge_agg of per-lang sketches is bit-identical to sketching " +
     "the whole corpus, and an absent token estimates below the ceiling") {
     graft.functions.GraftFunctions.register(spark)

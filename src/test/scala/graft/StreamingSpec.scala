@@ -1073,6 +1073,65 @@ class StreamingSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  test("streaming bloom store gates dedup like a batch build and replay is " +
+    "idempotent by OR-algebra") {
+    import graft.text.{BloomDedup, Dedup}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-bloom").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select(col("doc_id"), col("text")).cache()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (base, delta) = rows.partition(_._1 % 4 != 0)
+
+      // stream the BASE corpus into the bloom store in two micro-batches
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.bloomStoreSink(
+        stream.toDF.toDF("doc_id", "text"), s"$root/bloom", s"$root/ckpt")
+      try {
+        val (b1, b2) = base.partition(_._1 % 2 == 0)
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+
+      // streamed store's merged bitset == a from-scratch batch build
+      val baseDf = base.toDF("doc_id", "text")
+      BloomDedup.buildHashBloom(baseDf, s"$root/bloom_batch")
+      val streamedBits = BloomDedup.mergedBitset(spark, s"$root/bloom")
+        .collect().head.getSeq[Long](0)
+      val batchBits = BloomDedup.mergedBitset(spark, s"$root/bloom_batch")
+        .collect().head.getSeq[Long](0)
+      assert(streamedBits == batchBits,
+        "micro-batch-appended bloom diverged from the batch build")
+
+      // replay + SECOND lineage: both are no-ops by OR-idempotence — no
+      // slice keying, no lineage guard, the algebra absorbs them
+      BloomDedup.appendHashBloom(
+        base.take(50).toDF("doc_id", "text"), s"$root/bloom")
+      val stream2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.StreamOps.bloomStoreSink(
+        stream2.toDF.toDF("doc_id", "text"), s"$root/bloom", s"$root/ckpt2")
+      try { stream2.addData(base.take(20)); q2.processAllAvailable() }
+      finally q2.stop()
+      val afterReplay = BloomDedup.mergedBitset(spark, s"$root/bloom")
+        .collect().head.getSeq[Long](0)
+      assert(afterReplay == streamedBits,
+        "replaying already-folded hashes changed the merged bitset")
+
+      // the streamed store gates incremental dedup bit-identically to
+      // exact dedup over base ∪ delta
+      val baseSummary = Dedup.exactDups(baseDf)
+      val got = BloomDedup.exactDupsIncremental(
+          baseSummary, delta.toDF("doc_id", "text"), s"$root/bloom")
+        .orderBy("content_hash").collect().toSeq
+      val want = Dedup.exactDups(docs).orderBy("content_hash").collect().toSeq
+      assert(got == want,
+        "gated incremental dedup through the streamed bloom diverged")
+    } finally docs.unpersist(blocking = false)
+  }
+
   test("streaming band store serves delta near-dup probes like a batch build") {
     import graft.text.MinHash
     import spark.implicits._
