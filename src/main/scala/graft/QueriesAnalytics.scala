@@ -590,6 +590,21 @@ private[graft] object QueriesAnalytics {
 
     // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
     // integer-cents moment sums, one-day-ahead forecast.
+    // Rolling 7-day GMV-vs-error correlation: the "are failures tracking
+    // revenue or breaking away" ops KPI. Day-grain collapse, then a
+    // calendar-bounded trailing RANGE window of exact decimal moments.
+    QueryDef("q_rolling_corr",
+      (s, d) => Seasonal.rollingCorr(Tables.events(s, d)),
+      Some(Seasonal.rollingCorrOracleSql())),
+
+    // Theil–Sen robust trend (median of pairwise slopes): outlier-immune
+    // twin of the OLS trend. Pair join at DAY grain — bounded by the
+    // calendar, not the corpus; medians rank-selected explicitly and
+    // averaged as order-safe two-term sums.
+    QueryDef("q_theilsen_trend",
+      (s, d) => Seasonal.dailyTrendRobust(Tables.events(s, d)),
+      Some(Seasonal.robustTrendOracleSql)),
+
     QueryDef("q_revenue_trend",
       (s, d) => Seasonal.dailyTrend(Tables.events(s, d)),
       Some("""WITH daily AS (

@@ -533,6 +533,14 @@ private[graft] object QueriesFeatures {
         |  FROM clean_orders
         |) t ORDER BY o_orderkey""".stripMargin)),
 
+    // Equi-width histogram profile: O(bins) output from one exchange,
+    // exact min/max bounds broadcast back (never a driver literal), the
+    // distribution shape the exact-percentile path doesn't give.
+    QueryDef("q_histogram",
+      (s, d) => operators.Profiling.histogram(Tables.orders(s, d), "o_totalprice")
+        .orderBy("bucket"),
+      Some(operators.Profiling.histogramOracleSql("orders", "o_totalprice"))),
+
     QueryDef("q_profile_lineitem",
       (s, d) => operators.Profiling.profileNumeric(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))

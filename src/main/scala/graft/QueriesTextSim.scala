@@ -603,6 +603,17 @@ private[graft] object QueriesTextSim {
       (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.exactJaccardOracleSql())),
 
+    // Canonical text normalization (NFC + control strip + space collapse
+    // + trim) on the NEW nfc_normalize codegen expression — the transform
+    // every hash-grain operator needs upstream so visually-identical
+    // strings byte-agree. Map-only, hash-exact against DuckDB's own
+    // nfc_normalize; the non-ASCII paths are spec-bound on planted
+    // denormalized strings.
+    QueryDef("q_text_normalize",
+      (s, d) => graft.text.Normalize.normalizeDocs(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(graft.text.Normalize.normalizeOracleSql)),
+
     // LSH banding design table: closed-form P(candidate|s) per
     // (bands×rows) factorization of the signature budget, with miss
     // rates vs the design threshold — the table that justifies the

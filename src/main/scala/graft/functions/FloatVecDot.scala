@@ -185,9 +185,18 @@ object GraftFunctions {
     DeflateLen(exprs.head)
   }
 
+  val nfcBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"nfc_normalize expects 1 argument (str), got ${exprs.length}")
+    NfcNormalize(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", nfcBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "levenshtein_leq", bandedLevBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

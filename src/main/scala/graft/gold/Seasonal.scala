@@ -1,6 +1,7 @@
 package graft.gold
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Seasonal-baseline anomaly detection: compare each (date, hour)'s
@@ -107,4 +108,196 @@ object Seasonal {
         "forecast_next")
       .orderBy("event_type")
   }
+
+  /** Theil–Sen robust daily trend — the median-of-pairwise-slopes
+    * estimator (Theil 1950/Sen 1968): immune to the outlier days OLS
+    * chases (a flash-sale spike or an outage zero bends the OLS line,
+    * moves the Theil–Sen median not at all — up to ~29% contamination).
+    *
+    * Scale shape: the pair join runs at DAY grain, which is bounded by
+    * the CALENDAR, not the corpus — a year is ≤ 366 rows per type,
+    * ≤ ~67k pairs, regardless of how many trillion events collapsed
+    * into the daily table (that one exchange is the same the OLS path
+    * pays). The per-type rank windows are over those calendar-bounded
+    * pair sets. Medians are rank-selected explicitly — the two middle
+    * rows by (value, tiebreak) — and averaged as sum/count over the
+    * matched rows (1 row when odd, 2 when even; two-term IEEE addition
+    * is commutative, so the sum is order-safe), mirrored verbatim in the
+    * oracle. Slopes and residuals are IEEE divisions of exact integer
+    * cents. */
+  def dailyTrendRobust(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("y_cents"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+
+    val a = daily.select(col("event_type"), col("x").as("xi"), col("y_cents").as("yi"))
+    val b = daily.select(col("event_type").as("et_b"), col("x").as("xj"),
+      col("y_cents").as("yj"))
+    val slopes = a.join(b, col("event_type") === col("et_b") && col("xi") < col("xj"))
+      .withColumn("slope",
+        (col("yj") - col("yi")).cast("double") / (col("xj") - col("xi")).cast("double"))
+      .select("event_type", "xi", "xj", "slope")
+
+    val wS = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("xi"), col("xj"))
+    val nPairs = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val medSlope = slopes.withColumn("rk", row_number().over(wS))
+      .join(nPairs, "event_type")
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2") ||
+        col("rk") === expr("n_pairs DIV 2 + 1"))
+      .groupBy("event_type", "n_pairs")
+      .agg((sum(col("slope")) / count(lit(1)).cast("double")).as("ts_slope_cents"))
+
+    // intercept = median over days of the residual y − slope·x
+    val resid = daily.join(medSlope, "event_type")
+      .withColumn("r",
+        col("y_cents").cast("double") - col("ts_slope_cents") * col("x").cast("double"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("r"), col("x"))
+    val dayAgg = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max(col("x")).as("max_x"))
+    resid.withColumn("rk", row_number().over(wR))
+      .join(dayAgg, "event_type")
+      .filter(col("rk") === expr("(n_days + 1) DIV 2") ||
+        col("rk") === expr("n_days DIV 2 + 1"))
+      .groupBy("event_type", "n_pairs", "n_days", "max_x", "ts_slope_cents")
+      .agg((sum(col("r")) / count(lit(1)).cast("double")).as("ts_intercept_cents"))
+      .withColumn("forecast_next",
+        (col("ts_intercept_cents") +
+          col("ts_slope_cents") * (col("max_x") + lit(1L)).cast("double")) / lit(100.0))
+      .select("event_type", "n_days", "n_pairs", "ts_slope_cents",
+        "ts_intercept_cents", "forecast_next")
+      .orderBy("event_type")
+  }
+
+  /** Rolling 7-day correlation between daily GMV and daily error count —
+    * the fraud-ops KPI behind "are failures tracking revenue or breaking
+    * away from it" (a rising-revenue/rising-error regime is load; errors
+    * decoupling from revenue is an attack or an outage).
+    *
+    * Scale shape: events collapse once to the DAY-grain two-series table
+    * (one exchange); the trailing RANGE window then runs over
+    * calendar-bounded rows (a year is 366 rows — the same justification
+    * as the Theil–Sen pair join; the unpartitioned window is over days,
+    * never data grain). Window sums are exact decimals of integer cents
+    * and counts; the correlation is a fixed double chain mirrored in the
+    * oracle, NULL where the window variance is zero or n < 2. */
+  def rollingCorr(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))) * lit(100)).cast("long"),
+          lit(0L)).as("gmv_cents"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err_count"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("x")).rangeBetween(-(windowDays - 1), 0)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)")).over(w)
+    // cross-products as decimal(18)×decimal(18) → (37,0): exact at any
+    // realistic cents scale, never a silent long overflow
+    def prod(a: String, b: String) =
+      col(a).cast("decimal(18,0)") * col(b).cast("decimal(18,0)")
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s_g", dsum(col("gmv_cents")).cast("string").cast("double"))
+      .withColumn("s_e", dsum(col("err_count")).cast("string").cast("double"))
+      .withColumn("s_gg", dsum(prod("gmv_cents", "gmv_cents")).cast("string").cast("double"))
+      .withColumn("s_ee", dsum(prod("err_count", "err_count")).cast("string").cast("double"))
+      .withColumn("s_ge", dsum(prod("gmv_cents", "err_count")).cast("string").cast("double"))
+      .withColumn("nd", col("n_w").cast("double"))
+      .withColumn("var_g", col("nd") * col("s_gg") - col("s_g") * col("s_g"))
+      .withColumn("var_e", col("nd") * col("s_ee") - col("s_e") * col("s_e"))
+      .withColumn("rolling_corr",
+        when(col("n_w") >= 2 && col("var_g") > 0 && col("var_e") > 0,
+          (col("nd") * col("s_ge") - col("s_g") * col("s_e")) /
+            (sqrt(col("var_g")) * sqrt(col("var_e")))))
+      .select(col("day"), col("n_w").as("n_days_in_window"),
+        col("gmv_cents"), col("err_count"), col("rolling_corr"))
+      .orderBy("day")
+  }
+
+  /** DuckDB mirror of [[rollingCorr]]. */
+  def rollingCorrOracleSql(windowDays: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    COALESCE(CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value AS DECIMAL(18,2)) END) * 100 AS BIGINT), 0) AS gmv_cents,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS err_count,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 4
+       |), ws AS (
+       |  SELECT day, gmv_cents, err_count,
+       |    CAST(count(*) OVER w AS BIGINT) AS n_w,
+       |    CAST(CAST(sum(CAST(gmv_cents AS HUGEINT)) OVER w AS VARCHAR) AS DOUBLE) AS s_g,
+       |    CAST(CAST(sum(CAST(err_count AS HUGEINT)) OVER w AS VARCHAR) AS DOUBLE) AS s_e,
+       |    CAST(CAST(sum(CAST(gmv_cents AS HUGEINT) * gmv_cents) OVER w AS VARCHAR) AS DOUBLE) AS s_gg,
+       |    CAST(CAST(sum(CAST(err_count AS HUGEINT) * err_count) OVER w AS VARCHAR) AS DOUBLE) AS s_ee,
+       |    CAST(CAST(sum(CAST(gmv_cents AS HUGEINT) * err_count) OVER w AS VARCHAR) AS DOUBLE) AS s_ge
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY x RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)
+       |), st AS (
+       |  SELECT day, n_w, gmv_cents, err_count,
+       |    CAST(n_w AS DOUBLE) AS nd, s_g, s_e, s_gg, s_ee, s_ge,
+       |    CAST(n_w AS DOUBLE) * s_gg - s_g * s_g AS var_g,
+       |    CAST(n_w AS DOUBLE) * s_ee - s_e * s_e AS var_e
+       |  FROM ws
+       |)
+       |SELECT day, n_w AS n_days_in_window, gmv_cents, err_count,
+       |  CASE WHEN n_w >= 2 AND var_g > 0 AND var_e > 0
+       |    THEN (nd * s_ge - s_g * s_e) / (sqrt(var_g) * sqrt(var_e)) END
+       |    AS rolling_corr
+       |FROM st ORDER BY day""".stripMargin
+
+  /** DuckDB mirror of [[dailyTrendRobust]]. */
+  def robustTrendOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents
+      |  FROM events GROUP BY 1, 2
+      |), dx AS (
+      |  SELECT event_type, y_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      |  FROM daily
+      |), slopes AS (
+      |  SELECT a.event_type, a.x AS xi, b.x AS xj,
+      |    CAST(b.y_cents - a.y_cents AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM dx a JOIN dx b ON a.event_type = b.event_type AND a.x < b.x
+      |), rs AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope, xi, xj) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM slopes
+      |), ms AS (
+      |  SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |    sum(slope) / CAST(count(*) AS DOUBLE) AS ts_slope_cents
+      |  FROM rs
+      |  WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+      |  GROUP BY event_type, n_pairs
+      |), resid AS (
+      |  SELECT dx.event_type,
+      |    CAST(y_cents AS DOUBLE) - ts_slope_cents * CAST(x AS DOUBLE) AS r, x
+      |  FROM dx JOIN ms ON dx.event_type = ms.event_type
+      |), rr AS (
+      |  SELECT event_type, r,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY r, x) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM resid
+      |), da AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, max(x) AS max_x
+      |  FROM dx GROUP BY 1
+      |), mi AS (
+      |  SELECT event_type, sum(r) / CAST(count(*) AS DOUBLE) AS ts_intercept_cents
+      |  FROM rr
+      |  WHERE rk = (n_days + 1) // 2 OR rk = n_days // 2 + 1
+      |  GROUP BY event_type
+      |)
+      |SELECT ms.event_type, da.n_days, ms.n_pairs, ms.ts_slope_cents,
+      |  mi.ts_intercept_cents,
+      |  (mi.ts_intercept_cents + ms.ts_slope_cents * CAST(max_x + 1 AS DOUBLE)) / 100.0
+      |    AS forecast_next
+      |FROM ms JOIN mi ON ms.event_type = mi.event_type
+      |        JOIN da ON ms.event_type = da.event_type
+      |ORDER BY ms.event_type""".stripMargin
 }

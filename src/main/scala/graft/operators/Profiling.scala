@@ -94,6 +94,59 @@ object Profiling {
       .select(lit(x).as("x_column"), lit(y).as("y_column"), col("n"),
         col("covariance"), col("corr"))
 
+  /** Equi-width histogram of a numeric column: exact min/max from one
+    * 1-row aggregate (broadcast back — never a driver round-trip into
+    * literals, so the plan is one job), then a map-side bucket projection
+    * + bucket-grain count. Bucket arithmetic is a fixed IEEE chain
+    * (width = (max−min)/bins; idx = min(floor((x−min)/width), bins−1))
+    * mirrored verbatim in the oracle, so edges land identically. The
+    * profiling companion to the exact-percentile path: O(bins) output
+    * regardless of corpus size, one exchange. */
+  def histogram(df: DataFrame, column: String, bins: Int = 20): DataFrame = {
+    val bounds = df.agg(
+      min(col(column).cast("double")).as("lo"),
+      max(col(column).cast("double")).as("hi"),
+      count(col(column)).as("n_rows"))
+    df.select(col(column).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("width", (col("hi") - col("lo")) / lit(bins.toDouble))
+      .withColumn("bucket",
+        least(floor((col("x") - col("lo")) / col("width")), lit((bins - 1).toDouble))
+          .cast("long"))
+      .groupBy("bucket", "lo", "hi", "width", "n_rows")
+      .agg(count(lit(1)).as("bucket_count"))
+      .select(lit(column).as("column_name"), col("bucket"),
+        (col("lo") + col("bucket").cast("double") * col("width")).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1).cast("double") * col("width")).as("bucket_hi"),
+        col("bucket_count"), col("n_rows"),
+        (col("bucket_count").cast("double") / col("n_rows").cast("double"))
+          .as("share"))
+  }
+
+  /** DuckDB mirror of [[histogram]] — same IEEE chain, no width_bucket
+    * (engines disagree on its edge conventions). */
+  def histogramOracleSql(table: String, column: String, bins: Int = 20): String =
+    s"""WITH b AS (
+       |  SELECT min(CAST($column AS DOUBLE)) AS lo, max(CAST($column AS DOUBLE)) AS hi,
+       |    count($column) AS n_rows
+       |  FROM $table
+       |), buck AS (
+       |  SELECT least(floor((CAST($column AS DOUBLE) - lo) / ((hi - lo) / $bins.0)),
+       |      CAST(${bins - 1} AS DOUBLE)) AS bucket,
+       |    lo, hi, (hi - lo) / $bins.0 AS width, n_rows
+       |  FROM $table CROSS JOIN b
+       |  WHERE $column IS NOT NULL
+       |)
+       |SELECT '$column' AS column_name, CAST(bucket AS BIGINT) AS bucket,
+       |  lo + bucket * width AS bucket_lo,
+       |  lo + (bucket + 1) * width AS bucket_hi,
+       |  CAST(count(*) AS BIGINT) AS bucket_count,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+       |FROM buck GROUP BY bucket, lo, hi, width, n_rows
+       |ORDER BY bucket""".stripMargin
+
   /** Robust-scaler statistics table: per feature the exact
     * min/max/mean/std and exact interpolated quartiles (p25/median/p75 +
     * IQR) — the lookup a preprocessing stage broadcast-joins to

@@ -418,6 +418,57 @@ class FunctionsSpec extends SparkSpec {
     assert(codegen(3L) > 0L, "empty string still costs the deflate header")
   }
 
+  test("nfc_normalize: codegen/interpreted parity, ASCII identity, real " +
+    "NFC rewrites, idempotence") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val combining = "e\u0301clair"            // e + COMBINING ACUTE
+    val precomposed = "\u00e9clair"           // é single codepoint
+    val angstrom = "A\u030Acme"               // A + COMBINING RING -> Å
+    val rows = Seq(
+      (1L, combining), (2L, precomposed), (3L, angstrom),
+      (4L, "pure ascii stays put"), (5L, ""), (6L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "s")
+    val out = df.selectExpr("id", "nfc_normalize(s) AS n").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // interpreted twin
+    rows.foreach { case (id, s) =>
+      val want = if (s == null) null
+        else graft.functions.NfcNormalize.normalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      assert(out(id) == want, s"codegen/interpreted diverged on id=$id")
+    }
+    assert(out(1L) == precomposed, "combining sequence must compose to NFC")
+    assert(out(2L) == precomposed, "already-NFC text must pass through")
+    assert(out(3L) == "\u00C5cme")
+    assert(out(4L) == "pure ascii stays put")
+    assert(out(6L) == null)
+    // idempotence: normalizing twice is the same as once
+    val twice = df.selectExpr("id", "nfc_normalize(nfc_normalize(s)) AS n")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(twice == out)
+  }
+
+  test("Normalize.normalizeDocs strips controls, collapses spaces, trims, " +
+    "and NFC-unifies hash-equivalent docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val synth = Seq(
+      (1L, "e\u0301clair \u0007 au  cafe\u0301 ", "fr", "s0"), // dirty
+      (2L, "\u00e9clair \u0007 au caf\u00e9", "fr", "s0"),            // clean twin
+      (3L, "plain text", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.text.Normalize.normalizeDocs(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // after normalization the two éclair docs are byte-identical — the
+    // whole point: hash-grain dedup must see them as one
+    assert(out(1L).getAs[String]("clean_text") == out(2L).getAs[String]("clean_text"))
+    assert(out(1L).getAs[Boolean]("changed"))
+    assert(!out(3L).getAs[Boolean]("changed"))
+    assert(out(1L).getAs[Long]("n_chars_clean") < out(1L).getAs[Long]("n_chars_raw"))
+  }
+
   test("bottomk_sample rejects uncastable input types at analysis time") {
     GraftFunctions.register(spark)
     val spark2 = spark

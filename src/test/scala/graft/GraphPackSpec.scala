@@ -327,6 +327,69 @@ class GraphPackSpec extends SparkSpec {
     assert(r.getAs[Long]("n_days") === 5L)
   }
 
+  test("Theil-Sen trend ignores an outlier day that bends the OLS line") {
+    // exact 10/day growth except day 3 is a 100x spike: the pairwise-slope
+    // MEDIAN still recovers exactly 10/day (1000 cents); OLS does not
+    val ev = (0 until 9).map { i =>
+      val v = if (i == 3) 99999.0 else 100.0 + 10 * i
+      (i.toLong, 1L, "purchase", v,
+        java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 12:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val ts = graft.gold.Seasonal.dailyTrendRobust(ev).collect().head
+    assert(ts.getAs[Double]("ts_slope_cents") == 1000.0,
+      s"robust slope ${ts.getAs[Double]("ts_slope_cents")}")
+    assert(ts.getAs[Long]("n_pairs") == 36L) // C(9,2)
+    val ols = graft.gold.Seasonal.dailyTrend(ev).collect().head
+    assert(math.abs(ols.getAs[Double]("slope_cents") - 1000.0) > 100.0,
+      "outlier should have bent OLS — otherwise this test proves nothing")
+    // clean series: Theil-Sen == OLS == exact slope
+    val clean = (0 until 5).map { i =>
+      (i.toLong, 1L, "purchase", 100.0 + 10 * i,
+        java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 12:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val tc = graft.gold.Seasonal.dailyTrendRobust(clean).collect().head
+    assert(tc.getAs[Double]("ts_slope_cents") == 1000.0)
+    assert(math.abs(tc.getAs[Double]("forecast_next") - 150.0) < 1e-9)
+  }
+
+  test("rolling correlation hits +1 on coupled series and -1 on opposed ones") {
+    // errors = gmv/100 exactly -> every 7-day window is perfectly linear
+    val ev = (0 until 10).flatMap { i =>
+      val gmv = 100.0 + 10 * i
+      val errs = (1 to (i + 1)).map(e =>
+        (1000L + i * 100 + e, 1L, "error", 1.0,
+          java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 13:00:00")))
+      Seq((i.toLong, 1L, "purchase", gmv,
+        java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))) ++ errs
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.gold.Seasonal.rollingCorr(ev).collect()
+    assert(out.length == 10)
+    // first day: window of 1 -> NULL; later days: gmv and err_count are
+    // both exact linear functions of the day -> corr is +1 up to fp
+    assert(out.head.isNullAt(out.head.fieldIndex("rolling_corr")))
+    out.drop(1).foreach { r =>
+      val c = r.getAs[Double]("rolling_corr")
+      assert(c > 0.999999999, s"day ${r.getAs[java.sql.Date]("day")}: corr $c")
+    }
+    // window never exceeds 7 days
+    assert(out.map(_.getAs[Long]("n_days_in_window")).max == 7L)
+  }
+
+  test("histogram buckets partition the value range and counts sum to n") {
+    import graft.operators.Profiling
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val h = Profiling.histogram(df, "v", bins = 10).collect()
+    assert(h.map(_.getAs[Long]("bucket_count")).sum == 100L)
+    assert(h.length == 10)
+    // equal-width on 1..100 with 10 bins: first bucket [1, 10.9) -> 1..10
+    val byBucket = h.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("bucket_count")).toMap
+    assert(byBucket(0L) == 10L, s"bucket0 ${byBucket(0L)}")
+    // the max value lands in the LAST bucket (closed upper edge)
+    assert(byBucket(9L) >= 10L)
+    val shares = h.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
+
   test("weighted sampling favors heavy rows (statistical sanity)") {
     // two strata-free populations: weight 1000 vs weight 1 — with k = 50
     // of 200 rows, the heavy half must dominate the sample.
