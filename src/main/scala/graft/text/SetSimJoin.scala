@@ -93,7 +93,11 @@ object SetSimJoin {
       .filter(col("min_ub") * (ThrNum + ThrDen) >= (col("sa") + col("sb")) * ThrNum)
 
     // Exact verify on lex-sorted sets (O(n+m) merge intersect, codegen).
-    val lex = base.select(col("doc_id"), array_sort(col("sh")).as("lexsh"))
+    // Derived from the SAME `ordered` subtree as the prefixes — all four
+    // consumers (a/b prefix sides, a/b verify sides) share one
+    // tokenize+df+rebuild lineage, so AQE stage reuse dedupes the heavy
+    // exchanges instead of re-scanning the corpus for the verify arrays.
+    val lex = ordered.select(col("doc_id"), array_sort(col("toks")).as("lexsh"))
     cand
       .join(lex.select(col("doc_id").as("doc_a"), col("lexsh").as("lex_a")), "doc_a")
       .join(lex.select(col("doc_id").as("doc_b"), col("lexsh").as("lex_b")), "doc_b")
