@@ -167,6 +167,46 @@ private[graft] object QueriesShared {
   private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Oracle for q_knn_truncdim: full-dim golden top-k, then per rung a
+    * leading-d-dims ranking and the hit count against golden. */
+  private[graft] def truncDimOracle(dims: Seq[Int], numQueries: Int = 5,
+                                    k: Int = 10): String = {
+    val dimCtes = dims.map { d =>
+      s""", sc_$d AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${cosSql(s"q.qv[1:$d]", s"e.embedding[1:$d]")} AS c
+         |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+         |), rk_$d AS (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c DESC, vec_id ASC) AS rk
+         |  FROM sc_$d
+         |), hit_$d AS (
+         |  SELECT count(*) AS hits
+         |  FROM rk_$d t JOIN golden g USING (query_id, vec_id) WHERE t.rk <= $k
+         |)""".stripMargin
+    }.mkString
+    val selects = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, CAST($numQueries AS BIGINT) AS n_queries,
+         |  CAST($k AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits,
+         |  CAST(hits AS DOUBLE) / ${numQueries * k}.0 AS recall FROM hit_$d""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $numQueries
+       |), fullsc AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS c
+       |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+       |), fullrk AS (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, vec_id ASC) AS rk
+       |  FROM fullsc
+       |), golden AS (
+       |  SELECT query_id, vec_id FROM fullrk WHERE rk <= $k
+       |)$dimCtes
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY dim""".stripMargin
+  }
+
   private[graft] def bucketSql(v: String): String =
     "CAST(" + (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ") + " AS BIGINT)"

@@ -422,6 +422,14 @@ private[graft] object QueriesTextSim {
         .orderBy("source"),
       Some(graft.text.CorpusStats.sourceKlOracleSql)),
 
+    // Temperature-scaled (α=1/2) source mixture weights — the
+    // multilingual up-sampling rule; sqrt is IEEE-exact and the
+    // cross-source sum runs on quantized integers, so weights hash-match.
+    QueryDef("q_mixture_weights",
+      (s, d) => graft.text.CorpusStats.mixtureWeights(Tables.documents(s, d))
+        .orderBy("source"),
+      Some(graft.text.CorpusStats.mixtureWeightsOracleSql)),
+
     // Cross-source near-duplicate accounting over the exact PPJoin pair
     // set: which dumps duplicate each other, at what rate — drives
     // source-level dedup ordering in multi-crawl corpora.
@@ -651,6 +659,15 @@ private[graft] object QueriesTextSim {
       (s, d) => graft.text.CompressRatio.compressionStats(Tables.documents(s, d))
         .orderBy("doc_id"),
       None),
+
+    // Matryoshka truncated-dimension recall ladder (MRL-style): recall@k
+    // of leading-d-dims search vs the full-dim golden set per rung; the
+    // full-width rung self-checks at recall 1.0. Exact integer hits, one
+    // IEEE division per rung.
+    QueryDef("q_knn_truncdim",
+      (s, d) => Similarity.truncDimRecall(Tables.embeddings(s, d))
+        .orderBy("dim"),
+      Some(truncDimOracle(Seq(8, 16, 32, 64)))),
 
     QueryDef("q_knn_brute",
       (s, d) => Similarity.knnBrute(Tables.embeddings(s, d))

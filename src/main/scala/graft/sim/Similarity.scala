@@ -81,6 +81,34 @@ object Similarity {
       .withColumn("cos_sim", fastDot("qv", "embedding") / (col("q_nrm") * col("nrm")))
   }
 
+  /** Matryoshka truncated-dimension recall: recall@k of brute-force
+    * search over only the LEADING d dimensions vs the full-dimension
+    * golden top-k, for a ladder of d — the eval behind MRL-style
+    * embedding truncation (Kusupati et al. 2022): how many dims can
+    * serving drop before recall pays? The full-width rung (d = native
+    * dim) is a built-in self-check: its recall is exactly 1.
+    *
+    * Scale shape: one truncated knnBrute per rung — same broadcast-query
+    * one-corpus-pass shape, on arrays sliced BEFORE the norms, so each
+    * rung costs d/D of the full-dim pass; hits are an inner join of two
+    * ≤ n·k row frames. Exact integer hits, one IEEE division per rung. */
+  def truncDimRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64),
+                     numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val golden = knnBrute(embeddings, numQueries, k).select("query_id", "vec_id")
+    dims.map { d =>
+      val trunc = embeddings.select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      knnBrute(trunc, numQueries, k).select("query_id", "vec_id")
+        .join(golden, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("dim"),
+          lit(numQueries.toLong).as("n_queries"), lit(k.toLong).as("k"),
+          col("hits"),
+          (col("hits").cast("double") / lit((numQueries * k).toDouble))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sign-LSH bucket key: one bit per leading dimension. */
   def bucketKey(v: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>

@@ -157,6 +157,51 @@ object CorpusStats {
       |  CAST(sum(c) AS DOUBLE) / CAST(n_s AS DOUBLE) / 1000000.0 AS kl_nats
       |FROM contrib GROUP BY source, n_s, n_types ORDER BY source""".stripMargin
 
+  /** Temperature-scaled source mixture weights (the α-sampling rule of
+    * multilingual/multi-source training, mBERT/mT5 family, at α = 1/2):
+    * w_s ∝ n_s^α flattens the natural token distribution so small
+    * sources aren't drowned and giant crawls don't dominate an epoch.
+    * α = 1/2 keeps every operation portable: sqrt is an IEEE
+    * correctly-rounded primitive (unlike pow), and the sqrt values are
+    * quantized to integer micro-units BEFORE the cross-source sum — a
+    * float sum over sources would be order-dependent; the integer sum is
+    * exact — so weights are hash-exact. `boost` > 1 marks up-sampled
+    * sources. One token-grain exchange + a 1-row broadcast. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val ns = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = ns.agg(sum(col("s_micro")).as("sum_s"), sum(col("n_tokens")).as("n_total"))
+    ns.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_total").cast("double"))
+          .as("natural_share"),
+        (col("s_micro").cast("double") / col("sum_s").cast("double"))
+          .as("temp_weight"))
+      .withColumn("boost", col("temp_weight") / col("natural_share"))
+  }
+
+  /** DuckDB mirror of [[mixtureWeights]]. */
+  def mixtureWeightsOracleSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+      |), ns AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_micro
+      |  FROM tok GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(s_micro) AS BIGINT) AS sum_s,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_total FROM ns
+      |)
+      |SELECT source, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS natural_share,
+      |  CAST(s_micro AS DOUBLE) / CAST(sum_s AS DOUBLE) AS temp_weight,
+      |  (CAST(s_micro AS DOUBLE) / CAST(sum_s AS DOUBLE)) /
+      |    (CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+      |FROM ns CROSS JOIN tot ORDER BY source""".stripMargin
+
   /** Cross-source near-duplicate accounting: for every source pair, how
     * many exact Jaccard-≥-t near-dup pairs cross them (same-source pairs
     * count under (s, s)). The "dump A is a re-crawl of dump B" signal

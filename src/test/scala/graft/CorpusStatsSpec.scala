@@ -126,6 +126,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("sB", "sB"))._2 == 1.0)              // 1 pair / C(2,2)=1
   }
 
+  test("mixtureWeights flatten the distribution: small sources up, big down") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, ("w " * 400).trim, "big"),
+      (2L, ("w " * 100).trim, "small")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.mixtureWeights(synth).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // sqrt(400)=20, sqrt(100)=10 -> weights 2/3 vs 1/3 exactly (micro-int
+    // quantization of integer-rooted counts is exact)
+    assert(out("big").getAs[Double]("temp_weight") == 2.0 / 3.0)
+    assert(out("small").getAs[Double]("temp_weight") == 1.0 / 3.0)
+    assert(out("big").getAs[Double]("natural_share") == 0.8)
+    assert(out("small").getAs[Double]("boost") > 1.0, "small source must up-sample")
+    assert(out("big").getAs[Double]("boost") < 1.0, "big source must down-sample")
+    // weights always sum to 1 exactly at the integer-micro grain
+    val sum = CorpusStats.mixtureWeights(docs).agg(
+      org.apache.spark.sql.functions.sum("temp_weight")).head().getDouble(0)
+    assert(math.abs(sum - 1.0) < 1e-9)
+  }
+
+  test("truncated-dim recall ladder self-checks at full width") {
+    val e = Tables.embeddings(spark, TinySf)
+    val out = graft.sim.Similarity.truncDimRecall(e).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("recall")).toMap
+    assert(out.keySet == Set(8L, 16L, 32L, 64L))
+    assert(out(64L) == 1.0, "full-width rung must recall the golden set exactly")
+    assert(out(8L) <= out(64L))
+    assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("zipfFit and sourceKl are invariant under input repartitioning") {
     val z1 = CorpusStats.zipfFit(docs).orderBy("lang").collect().toSeq
     val z2 = CorpusStats.zipfFit(docs.repartition(5)).orderBy("lang").collect().toSeq
