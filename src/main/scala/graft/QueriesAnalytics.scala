@@ -590,6 +590,14 @@ private[graft] object QueriesAnalytics {
 
     // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
     // integer-cents moment sums, one-day-ahead forecast.
+    // CUSUM change-point screen (Page 1954) per event type: sustained
+    // mean shifts that per-day z thresholds miss. Day-grain collapse;
+    // the recursive folds are row-local HOFs over calendar-bounded
+    // arrays — no iterative jobs, identical left folds in both engines.
+    QueryDef("q_cusum",
+      (s, d) => Seasonal.cusum(Tables.events(s, d)),
+      Some(Seasonal.cusumOracleSql())),
+
     // Rolling 7-day GMV-vs-error correlation: the "are failures tracking
     // revenue or breaking away" ops KPI. Day-grain collapse, then a
     // calendar-bounded trailing RANGE window of exact decimal moments.

@@ -611,6 +611,35 @@ private[graft] object QueriesTextSim {
       (s, d) => MinHash.exactJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"),
       Some(MinHash.exactJaccardOracleSql())),
 
+    // Incremental (lang, word) token-count store: base build + delta
+    // append, then the summed merge — counts are additive integers, so
+    // the two-slice store hash-matches a direct corpus GROUP BY (the
+    // base+delta ≡ from-scratch identity, driver-gated).
+    QueryDef("q_token_store",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = graft.util.Scratch.dir("graft-token-store")
+        graft.text.TokenCounts.buildStore(docs.filter(col("doc_id") % 2 === 0), root)
+        graft.text.TokenCounts.appendStore(docs.filter(col("doc_id") % 2 === 1), root)
+        graft.text.TokenCounts.mergedCounts(s, root).orderBy("lang", "word")
+      },
+      Some("""SELECT lang, word, count(*) AS freq
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Zipf fit SERVED FROM the incremental store: shares q_zipf_fit's
+    // oracle VERBATIM — the store answers the distribution-drift
+    // question bit-identically to a full corpus re-scan.
+    QueryDef("q_zipf_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = graft.util.Scratch.dir("graft-zipf-store")
+        graft.text.TokenCounts.buildStore(docs.filter(col("doc_id") % 3 =!= 0), root)
+        graft.text.TokenCounts.appendStore(docs.filter(col("doc_id") % 3 === 0), root)
+        graft.text.TokenCounts.zipfFromStore(s, root).orderBy("lang")
+      },
+      Some(graft.text.CorpusStats.zipfFitOracleSql)),
+
     // Canonical text normalization (NFC + control strip + space collapse
     // + trim) on the NEW nfc_normalize codegen expression — the transform
     // every hash-grain operator needs upstream so visually-identical

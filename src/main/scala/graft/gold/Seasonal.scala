@@ -170,6 +170,99 @@ object Seasonal {
       .orderBy("event_type")
   }
 
+  /** CUSUM change-point screen (Page 1954) on the daily revenue series
+    * per event type: the standard SPC detector for a sustained mean
+    * shift that per-day z-score thresholds miss (many small same-sign
+    * deviations accumulate; one outlier day does not). s⁺ accumulates
+    * standardized up-shifts (max(0, s⁺+z−k)), s⁻ down-shifts; an alarm
+    * fires when either passes ±h.
+    *
+    * Scale shape: events collapse once to day grain; each type's series
+    * is then ONE ROW holding a calendar-bounded array (≤366/yr), and the
+    * recursive CUSUM folds run as row-local HOF `aggregate` over array
+    * prefixes — O(days²) per type on ≤366 elements, no iterative jobs,
+    * no UDF, no driver loop. Standardization uses exact decimal moments;
+    * the folds are identical left-to-right IEEE chains in Spark
+    * `aggregate` and DuckDB `list_reduce`, so the frame is hash-exact. */
+  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("y_cents"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("y_cents").cast("decimal(38,0)")).cast("string").cast("double").as("sy"),
+        sum((col("y_cents").cast("decimal(18,0)") * col("y_cents").cast("decimal(18,0)")))
+          .cast("string").cast("double").as("syy"))
+      .withColumn("mu", col("sy") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt(col("syy") / col("n").cast("double") - col("mu") * col("mu")))
+      .select("event_type", "mu", "sigma")
+    daily.join(broadcast(stats), "event_type")
+      .groupBy("event_type", "mu", "sigma")
+      .agg(array_sort(collect_list(struct(col("x"), col("day"), col("y_cents")))).as("s"))
+      .withColumn("zs",
+        expr("transform(s, e -> (CAST(e.y_cents AS DOUBLE) - mu) / sigma)"))
+      .withColumn("out", expr(
+        s"""transform(sequence(1, size(s)), t -> struct(
+           |  element_at(s, t).day AS day,
+           |  element_at(s, t).y_cents AS y_cents,
+           |  element_at(zs, t) AS z,
+           |  aggregate(slice(zs, 1, t), CAST(0.0 AS DOUBLE),
+           |    (acc, z) -> greatest(acc + z - $k, CAST(0.0 AS DOUBLE))) AS s_plus,
+           |  aggregate(slice(zs, 1, t), CAST(0.0 AS DOUBLE),
+           |    (acc, z) -> least(acc + z + $k, CAST(0.0 AS DOUBLE))) AS s_minus))""".stripMargin))
+      .select(col("event_type"), explode(col("out")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.y_cents").as("y_cents"), col("r.z").as("z"),
+        col("r.s_plus").as("s_plus"), col("r.s_minus").as("s_minus"),
+        (col("r.s_plus") > h).as("shift_up"),
+        (col("r.s_minus") < -h).as("shift_down"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB mirror of [[cusum]] — list_reduce with a prepended 0.0 is the
+    * same left fold as Spark's aggregate(…, 0.0, λ). */
+  def cusumOracleSql(k: Double = 0.5, h: Double = 4.0): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type,
+       |    CAST(CAST(sum(CAST(y_cents AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mu,
+       |    sqrt(CAST(CAST(sum(CAST(y_cents AS HUGEINT) * y_cents) AS VARCHAR) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE)
+       |      - (CAST(CAST(sum(CAST(y_cents AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE))
+       |      * (CAST(CAST(sum(CAST(y_cents AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE))) AS sigma
+       |  FROM daily GROUP BY 1
+       |), ser AS (
+       |  SELECT d.event_type, mu, sigma,
+       |    list(struct_pack(day := day, y_cents := y_cents) ORDER BY day) AS s
+       |  FROM daily d JOIN st ON d.event_type = st.event_type
+       |  GROUP BY 1, 2, 3
+       |), zz AS (
+       |  SELECT event_type, s,
+       |    list_transform(s, e -> (CAST(e.y_cents AS DOUBLE) - mu) / sigma) AS zs
+       |  FROM ser
+       |), rows_ AS (
+       |  SELECT event_type,
+       |    unnest(list_transform(range(1, len(s) + 1), t -> struct_pack(
+       |      day := s[t].day, y_cents := s[t].y_cents, z := zs[t],
+       |      s_plus := list_reduce(list_prepend(CAST(0.0 AS DOUBLE), zs[1:t]),
+       |        (acc, z) -> greatest(acc + z - $k, CAST(0.0 AS DOUBLE))),
+       |      s_minus := list_reduce(list_prepend(CAST(0.0 AS DOUBLE), zs[1:t]),
+       |        (acc, z) -> least(acc + z + $k, CAST(0.0 AS DOUBLE)))))) AS r
+       |  FROM zz
+       |)
+       |SELECT event_type, r.day AS day, r.y_cents AS y_cents, r.z AS z,
+       |  r.s_plus AS s_plus, r.s_minus AS s_minus,
+       |  r.s_plus > $h AS shift_up, r.s_minus < -$h AS shift_down
+       |FROM rows_ ORDER BY event_type, day""".stripMargin
+
   /** Rolling 7-day correlation between daily GMV and daily error count —
     * the fraud-ops KPI behind "are failures tracking revenue or breaking
     * away from it" (a rising-revenue/rising-error regime is load; errors

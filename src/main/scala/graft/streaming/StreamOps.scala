@@ -349,6 +349,29 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the (lang, word) token-count store
+    * ([[graft.text.TokenCounts]]): each micro-batch appends one
+    * partial-count parquet slice; counts are additive so readers merge
+    * by summation and the base+append ≡ from-scratch identity holds
+    * batch-by-batch. Same at-least-once hazard and same answer as the
+    * line sink: the batchId-KEYED overwrite makes a replayed batch
+    * rewrite its own slice instead of double-counting (which would skew
+    * every statistic served from the store — vocab growth, Zipf drift,
+    * mixture weights). */
+  def tokenCountSink(stream: DataFrame, storePath: String,
+                     checkpointDir: String, textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          claimStoreLineage(batch.sparkSession, storePath, checkpointDir)
+          graft.text.TokenCounts.writeTokenBatch(batch, storePath, batchId, textCol)
+        }
+      }
+      .start()
+
   /** Streaming maintenance of the Bloom pre-dedup store
     * ([[graft.text.BloomDedup]]): each micro-batch's content hashes fold
     * into the packed-bitset store as appended word rows. Uniquely in this

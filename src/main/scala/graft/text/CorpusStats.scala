@@ -39,7 +39,14 @@ object CorpusStats {
   def zipfFit(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("lang"),
       explode(split(col("text"), " ")).as("word"))
-    val counts = tok.groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    zipfFromCounts(tok.groupBy("lang", "word").agg(count(lit(1)).as("freq")))
+  }
+
+  /** The fit stage of [[zipfFit]], over any (lang, word, freq) vocabulary
+    * frame — shared verbatim by the direct path and the incremental
+    * token-count store ([[TokenCounts.zipfFromStore]]), so both answer
+    * the same oracle bit-for-bit. */
+  def zipfFromCounts(counts: DataFrame): DataFrame = {
     val ranked = ScalableRank.withGroupedPrefixSum(
         counts, col("lang"), Seq(col("freq").desc, col("word").asc),
         lit(1L), "rank0")

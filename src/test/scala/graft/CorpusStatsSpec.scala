@@ -157,6 +157,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("CUSUM fires on a planted sustained shift and stays quiet on the " +
+    "stationary prefix") {
+    import spark.implicits._
+    // 14 days at ~100 with tiny alternating noise, then 14 days at ~130:
+    // per-day z never clears a 4-sigma test, but CUSUM accumulates
+    val ev = (0 until 28).map { i =>
+      val base = if (i < 14) 100.0 else 130.0
+      val v = base + (if (i % 2 == 0) 1.0 else -1.0)
+      (i.toLong, 1L, "purchase", v,
+        java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.gold.Seasonal.cusum(ev).collect()
+    val flagsUp = out.filter(_.getAs[Boolean]("shift_up"))
+      .map(_.getAs[java.sql.Date]("day").toString)
+    assert(flagsUp.nonEmpty, "sustained +2sigma-ish shift must trip CUSUM")
+    assert(flagsUp.forall(_ >= "2024-01-15"),
+      s"no alarm may fire before the planted shift: $flagsUp")
+    // per-day |z| stays modest (the shift is ~1.9 sigma of the pooled
+    // series) — the point is accumulation, not a single outlier
+    assert(out.map(r => math.abs(r.getAs[Double]("z"))).max < 4.0)
+    // stationary series: no alarms either direction
+    val flat = (0 until 20).map { i =>
+      (i.toLong, 1L, "purchase", 100.0 + (if (i % 2 == 0) 1.0 else -1.0),
+        java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val quiet = graft.gold.Seasonal.cusum(flat).collect()
+    assert(!quiet.exists(r => r.getAs[Boolean]("shift_up") ||
+      r.getAs[Boolean]("shift_down")))
+  }
+
+  test("token-count store: base+append equals from-scratch, and zipf served " +
+    "from the store is bit-identical to the direct fit") {
+    import graft.text.{CorpusStats, TokenCounts}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-token-spec").toString
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    TokenCounts.buildStore(a, s"$root/inc")
+    TokenCounts.appendStore(b, s"$root/inc")
+    TokenCounts.buildStore(docs, s"$root/scratch")
+    val inc = TokenCounts.mergedCounts(spark, s"$root/inc")
+      .orderBy("lang", "word").collect().toSeq
+    val scr = TokenCounts.mergedCounts(spark, s"$root/scratch")
+      .orderBy("lang", "word").collect().toSeq
+    assert(inc.nonEmpty && inc == scr)
+    val viaStore = TokenCounts.zipfFromStore(spark, s"$root/inc")
+      .orderBy("lang").collect().toSeq
+    val direct = CorpusStats.zipfFit(docs).orderBy("lang").collect().toSeq
+    assert(viaStore == direct,
+      "store-served zipf must be bit-identical to the direct corpus fit")
+  }
+
   test("zipfFit and sourceKl are invariant under input repartitioning") {
     val z1 = CorpusStats.zipfFit(docs).orderBy("lang").collect().toSeq
     val z2 = CorpusStats.zipfFit(docs.repartition(5)).orderBy("lang").collect().toSeq

@@ -1073,6 +1073,60 @@ class StreamingSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  test("streaming token-count store equals the batch build; replay and " +
+    "foreign lineages are safe") {
+    import graft.text.TokenCounts
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-tokens").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select("doc_id", "lang", "text").cache()
+    try {
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+
+      val stream = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamOps.tokenCountSink(
+        stream.toDF.toDF("doc_id", "lang", "text"),
+        s"$root/tokens", s"$root/ckpt")
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = TokenCounts.mergedCounts(spark, s"$root/tokens")
+        .orderBy("lang", "word").collect().toSeq
+      TokenCounts.buildStore(docs, s"$root/tokens_batch")
+      val batch = TokenCounts.mergedCounts(spark, s"$root/tokens_batch")
+        .orderBy("lang", "word").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "micro-batch-appended token counts diverged from the batch build")
+
+      // replay: batchId-keyed overwrite absorbs a re-delivered batch
+      TokenCounts.writeTokenBatch(
+        a.toDF("doc_id", "lang", "text"), s"$root/tokens", batchId = 0L)
+      val afterReplay = TokenCounts.mergedCounts(spark, s"$root/tokens")
+        .orderBy("lang", "word").collect().toSeq
+      assert(afterReplay == streamed,
+        "replayed micro-batch changed the merged token counts")
+
+      // second lineage against the same store must be rejected loudly
+      val stream2 = MemoryStream[(Long, String, String)]
+      val q2 = graft.streaming.StreamOps.tokenCountSink(
+        stream2.toDF.toDF("doc_id", "lang", "text"),
+        s"$root/tokens", s"$root/ckpt_other")
+      try {
+        stream2.addData(b)
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(ex.getMessage.contains("owned by checkpoint"), ex.getMessage)
+      } finally q2.stop()
+    } finally docs.unpersist(blocking = false)
+  }
+
   test("streaming bloom store gates dedup like a batch build and replay is " +
     "idempotent by OR-algebra") {
     import graft.text.{BloomDedup, Dedup}
