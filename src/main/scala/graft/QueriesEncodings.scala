@@ -462,6 +462,17 @@ private[graft] object QueriesEncodings {
       },
       None),
 
+    // Cross-family tokenizer benchmark: whitespace / BPE / WordPiece /
+    // unigram-LM trained on the 80% split, fertility + compression on
+    // the held-out 20% per lang — the table a tokenizer decision comes
+    // down to. Rows-only (three learned vocabularies, §4 class 1);
+    // CurationSpec binds the whitespace fertility-1 floor and that every
+    // learned family compresses below the char ceiling.
+    QueryDef("q_tokenizer_bench",
+      (s, d) => graft.text.TokenizerBench.fertility(Tables.documents(s, d))
+        .orderBy("tokenizer", "lang"),
+      None),
+
     // Robust-scaler preprocessing statistics: per-feature exact quartiles
     // (rank-interpolated, non-buffering) + decimal-exact mean/std + IQR —
     // the broadcast lookup for median/IQR feature scaling.

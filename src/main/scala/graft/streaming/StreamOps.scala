@@ -421,4 +421,30 @@ object StreamOps {
         col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("e_ts") <= col("p_ts"))
   }
+
+  /** LEFT OUTER stream-stream interval join: every purchase row emits —
+    * matched rows as soon as the error arrives, UNMATCHED rows
+    * null-padded only once the watermark proves no in-window error can
+    * still arrive (the semantics an inner join cannot give: "purchases
+    * with NO preceding error" is itself the fraud-ops signal). State
+    * stays bounded exactly as in the inner join — the watermark + the
+    * time-range predicate let Spark evict both sides; the null-padded
+    * emission is the eviction. */
+  def purchaseErrorLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("ts").as("e_ts"), col("user_id").as("e_user"),
+        col("event_id").as("e_event_id"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"),
+      "left_outer")
+  }
 }

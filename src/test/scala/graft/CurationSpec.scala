@@ -1190,6 +1190,26 @@ class CurationSpec extends SparkSpec {
     sample.unpersist()
   }
 
+  test("tokenizer benchmark: whitespace floor at fertility 1, all families " +
+    "cover the held-out split") {
+    val out = graft.text.TokenizerBench.fertility(docs).collect()
+    val fams = out.map(_.getAs[String]("tokenizer")).toSet
+    assert(fams == Set("whitespace", "bpe", "wordpiece", "unigram_lm"))
+    out.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"${r.getAs[String]("tokenizer")} fertility $f < 1")
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+    // the untrained floor is exactly 1 token per word
+    out.filter(_.getAs[String]("tokenizer") == "whitespace")
+      .foreach(r => assert(r.getAs[Double]("fertility") == 1.0))
+    // every family reports the same held-out doc partition per lang
+    val docsPerLang = out.groupBy(_.getAs[String]("lang"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_docs")).toSet.size }
+    assert(docsPerLang.forall(_ == 1), "families disagree on the split")
+  }
+
   test("WordPiece vocabulary persists and reloads to identical encodes") {
     import graft.text.WordPiece
     val sample = docs.limit(30)

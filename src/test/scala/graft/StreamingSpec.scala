@@ -362,6 +362,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("LEFT OUTER stream-stream interval join null-pads unmatched " +
+    "purchases once the watermark passes, matching the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+    val rows = events
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect().toSeq
+    val maxTs = rows.map(_._1.getTime).max
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    stream.addData(rows)
+    val q = StreamOps.purchaseErrorLeftJoin(
+        stream.toDF.toDF("ts", "user_id", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future sentinel on EACH side advances both watermarks so
+    // every unmatched real purchase is provably beyond late errors and
+    // must emit null-padded; the sentinels themselves are excluded below
+    val future = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    stream.addData(Seq(
+      (future, 999999L, 888888L, "purchase", 0.0),
+      (future, 999998L, 888889L, "error", 0.0)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssj_left_out")
+      .filter(col("p_event_id") =!= 888888L)
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    val batch = StreamOps.purchaseErrorLeftJoin(events)
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    assert(streamed == batch)
+    // the left-outer semantics must actually exercise: some purchases
+    // have no in-window error and arrive null-padded
+    assert(batch.exists(_.isNullAt(batch.head.fieldIndex("e_event_id"))),
+      "test corpus must contain error-free purchases")
+    assert(batch.exists(!_.isNullAt(batch.head.fieldIndex("e_event_id"))))
+  }
+
   test("watermarked streaming dedup drops replayed events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
