@@ -590,6 +590,16 @@ private[graft] object QueriesAnalytics {
 
     // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
     // integer-cents moment sums, one-day-ahead forecast.
+    // Revenue concentration per region: rank-formula Gini + HHI +
+    // top-decile share over exact integer cents; customer ranks ride the
+    // grouped prefix-sum primitive, never a per-region window.
+    QueryDef("q_concentration",
+      (s, d) => gold.Concentration.revenueConcentration(
+          Tables.orders(s, d), Tables.customer(s, d),
+          Tables.nation(s, d), Tables.region(s, d))
+        .orderBy("region"),
+      Some(gold.Concentration.oracleSql)),
+
     // CUSUM change-point screen (Page 1954) per event type: sustained
     // mean shifts that per-day z thresholds miss. Day-grain collapse;
     // the recursive folds are row-local HOFs over calendar-bounded

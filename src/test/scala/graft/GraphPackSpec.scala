@@ -390,6 +390,34 @@ class GraphPackSpec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-12)
   }
 
+  test("concentration indices match hand math: planted Gini/HHI/top-decile, " +
+    "and perfect equality scores zero") {
+    // region A: customer revenues 1,2,3,4 cents ->
+    // gini = (2*30 - 5*10)/(4*10) = 0.25; hhi = 30/100; top-decile(n=4)=1
+    // customer -> share 4/10. region B: four equal -> gini exactly 0.
+    val cust = (1 to 8).map(c => (c.toLong, if (c <= 4) 1L else 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1L, 10L), (2L, 20L)).toDF("n_nationkey", "n_regionkey")
+    val reg = Seq((10L, "A"), (20L, "B")).toDF("r_regionkey", "r_name")
+    val ords = Seq(
+      (1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.04),
+      (5L, 0.05), (6L, 0.05), (7L, 0.05), (8L, 0.05)
+    ).zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = graft.gold.Concentration
+      .revenueConcentration(ords, cust, nat, reg).collect()
+      .map(r => r.getAs[String]("region") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_customers") == 4L)
+    assert(a.getAs[Long]("total_cents") == 10L)
+    assert(a.getAs[Double]("gini") == 0.25)
+    assert(a.getAs[Double]("hhi") == 0.30)
+    assert(a.getAs[Double]("top_decile_share") == 0.4)
+    val b = out("B")
+    assert(b.getAs[Double]("gini") == 0.0, "perfect equality must score 0")
+    assert(b.getAs[Double]("hhi") == 0.25)
+  }
+
   test("weighted sampling favors heavy rows (statistical sanity)") {
     // two strata-free populations: weight 1000 vs weight 1 — with k = 50
     // of 200 rows, the heavy half must dominate the sample.
