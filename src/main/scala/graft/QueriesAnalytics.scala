@@ -590,6 +590,15 @@ private[graft] object QueriesAnalytics {
 
     // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
     // integer-cents moment sums, one-day-ahead forecast.
+    // Kaplan-Meier repeat-purchase survival per segment: censoring-aware
+    // retention (single-order customers censor at the horizon instead of
+    // biasing the curve). Risk sets are prefix integer folds, the curve
+    // a left-to-right IEEE double product — row-local over
+    // duration-bounded arrays, hash-exact vs DuckDB list_reduce.
+    QueryDef("q_kaplan_meier",
+      (s, d) => gold.Survival.kaplanMeier(Tables.orders(s, d), Tables.customer(s, d)),
+      Some(gold.Survival.oracleSql)),
+
     // Revenue concentration per region: rank-formula Gini + HHI +
     // top-decile share over exact integer cents; customer ranks ride the
     // grouped prefix-sum primitive, never a per-region window.

@@ -418,6 +418,36 @@ class GraphPackSpec extends SparkSpec {
     assert(b.getAs[Double]("hhi") == 0.25)
   }
 
+  test("Kaplan-Meier matches hand math with censoring handled correctly") {
+    // A,B: repeat after 2 days; C: after 5; D: single order, censored at
+    // the day-5 horizon. KM: S(2) = 1 - 2/4 = 0.5;
+    // S(5) = 0.5 * (1 - 1/2) = 0.25 (D is still AT RISK at t=5).
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    val ords = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(2)),
+      (3L, 2L, ts(0)), (4L, 2L, ts(2)),
+      (5L, 3L, ts(0)), (6L, 3L, ts(5)),
+      (7L, 4L, ts(0))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = (1 to 4).map(c => (c.toLong, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val out = graft.gold.Survival.kaplanMeier(ords, cust).collect()
+      .map(r => r.getAs[Long]("t_days") -> r).toMap
+    assert(out.keySet == Set(2L, 5L))
+    assert(out(2L).getAs[Long]("n_risk") == 4L)
+    assert(out(2L).getAs[Long]("n_events") == 2L)
+    assert(out(2L).getAs[Double]("survival") == 0.5)
+    assert(out(5L).getAs[Long]("n_risk") == 2L)
+    assert(out(5L).getAs[Long]("n_events") == 1L)
+    assert(out(5L).getAs[Long]("n_censored") == 1L)
+    assert(out(5L).getAs[Double]("survival") == 0.25)
+    // dropping the censored customer entirely (the naive mistake) would
+    // give S(5) = 1/3 * ... != 0.25 — censoring must not silently vanish
+    val naive = graft.gold.Survival.kaplanMeier(
+      ords.filter(col("o_custkey") =!= 4L), cust).collect()
+      .map(r => r.getAs[Long]("t_days") -> r.getAs[Double]("survival")).toMap
+    assert(naive(5L) != 0.25)
+  }
+
   test("weighted sampling favors heavy rows (statistical sanity)") {
     // two strata-free populations: weight 1000 vs weight 1 — with k = 50
     // of 200 rows, the heavy half must dominate the sample.
