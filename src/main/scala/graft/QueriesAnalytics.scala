@@ -590,6 +590,17 @@ private[graft] object QueriesAnalytics {
 
     // Per-type OLS daily revenue trend (Seasonal.dailyTrend): exact
     // integer-cents moment sums, one-day-ahead forecast.
+    // Trimmed + winsorized means per order priority: the robust location
+    // estimates between mean and median; k = floor(n*frac) each tail by
+    // rank under a total order, grouped-prefix-sum ranks, exact integer
+    // clipping arithmetic.
+    QueryDef("q_trimmed_stats",
+      (s, d) => operators.Robust.trimmedStats(Tables.orders(s, d),
+          "o_orderpriority", col("o_totalprice"), col("o_orderkey"))
+        .orderBy("o_orderpriority"),
+      Some(operators.Robust.trimmedStatsOracleSql(
+        "orders", "o_orderpriority", "o_totalprice", "o_orderkey"))),
+
     // Kaplan-Meier repeat-purchase survival per segment: censoring-aware
     // retention (single-order customers censor at the horizon instead of
     // biasing the curve). Risk sets are prefix integer folds, the curve

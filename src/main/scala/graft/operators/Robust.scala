@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD) outlier detection — the heavy-tail-safe
@@ -52,4 +52,88 @@ object Robust {
       .withColumn("threshold", lit(k) * lit(1.4826) * col("mad"))
       .filter(col("abs_dev") > col("threshold"))
   }
+
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates between the mean (outlier-hostage) and the median
+    * (throws away all magnitude information): drop (trim) or clip
+    * (winsorize) exactly k = ⌊n·frac⌋ values at each tail, by RANK under
+    * a deterministic total order (value asc, then the tiebreak column).
+    *
+    * Scale shape: values collapse to integer cents; ranks ride the
+    * grouped prefix-sum primitive (no per-group single-partition
+    * window); group totals broadcast back (groups are a bounded domain);
+    * kept-sum / clip-value extraction / winsorized reconstruction
+    * sum + k·low_clip + k·high_clip are ALL exact integer/decimal
+    * arithmetic — the three means are one IEEE division each, so the
+    * frame is hash-exact. */
+  def trimmedStats(df: DataFrame, groupCol: String, value: Column,
+                   tiebreak: Column, trimBp: Int = 500): DataFrame = {
+    val cents = df.select(col(groupCol).as("grp"),
+      (value.cast("decimal(18,2)") * lit(100)).cast("long").as("x"),
+      tiebreak.as("tb"))
+    val ranked = graft.operators.ScalableRank.withGroupedPrefixSum(
+        cents, col("grp"), Seq(col("x").asc, col("tb").asc), lit(1L), "r0")
+      .withColumn("rnk", col("r0") + 1L)
+    val totals = cents.groupBy("grp").agg(count(lit(1)).as("n"))
+      .withColumn("k", expr(s"CAST(n * $trimBp DIV 10000 AS BIGINT)"))
+    ranked.join(broadcast(totals), "grp")
+      .groupBy("grp", "n", "k")
+      .agg(
+        sum(col("x").cast("decimal(38,0)")).as("sum_all"),
+        sum(when(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"),
+          col("x")).otherwise(lit(0L)).cast("decimal(38,0)")).as("sum_kept"),
+        max(when(col("rnk") === col("k") + 1, col("x"))).as("low_clip"),
+        max(when(col("rnk") === col("n") - col("k"), col("x"))).as("high_clip"))
+      .select(col("grp").as(groupCol), col("n"), col("k"),
+        (col("sum_all").cast("string").cast("double") / col("n").cast("double")
+          / lit(100.0)).as("mean"),
+        (col("sum_kept").cast("string").cast("double") /
+          (col("n") - lit(2L) * col("k")).cast("double") / lit(100.0))
+          .as("trimmed_mean"),
+        ((col("sum_kept") + col("k").cast("decimal(18,0)") * col("low_clip").cast("decimal(18,0)")
+          + col("k").cast("decimal(18,0)") * col("high_clip").cast("decimal(18,0)"))
+          .cast("string").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("winsorized_mean"),
+        (col("low_clip").cast("double") / lit(100.0)).as("low_clip_value"),
+        (col("high_clip").cast("double") / lit(100.0)).as("high_clip_value"))
+  }
+
+  /** DuckDB mirror of [[trimmedStats]] over orders/o_totalprice grouped
+    * by a column. */
+  def trimmedStatsOracleSql(table: String, groupCol: String,
+                            valueCol: String, tiebreakCol: String,
+                            trimBp: Int = 500): String =
+    s"""WITH cents AS (
+       |  SELECT $groupCol AS grp,
+       |    CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+       |    $tiebreakCol AS tb
+       |  FROM $table
+       |), ranked AS (
+       |  SELECT grp, x,
+       |    row_number() OVER (PARTITION BY grp ORDER BY x ASC, tb ASC) AS rnk,
+       |    count(*) OVER (PARTITION BY grp) AS n
+       |  FROM cents
+       |), kd AS (
+       |  SELECT grp, x, rnk, CAST(n AS BIGINT) AS n,
+       |    CAST(n * $trimBp // 10000 AS BIGINT) AS k
+       |  FROM ranked
+       |), agg AS (
+       |  SELECT grp, n, k,
+       |    sum(CAST(x AS HUGEINT)) AS sum_all,
+       |    sum(CASE WHEN rnk > k AND rnk <= n - k THEN CAST(x AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END) AS sum_kept,
+       |    max(CASE WHEN rnk = k + 1 THEN x END) AS low_clip,
+       |    max(CASE WHEN rnk = n - k THEN x END) AS high_clip
+       |  FROM kd GROUP BY grp, n, k
+       |)
+       |SELECT grp AS $groupCol, n, k,
+       |  CAST(CAST(sum_all AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       |  CAST(CAST(sum_kept AS VARCHAR) AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 100.0
+       |    AS trimmed_mean,
+       |  CAST(CAST(sum_kept + CAST(k AS HUGEINT) * low_clip
+       |      + CAST(k AS HUGEINT) * high_clip AS VARCHAR) AS DOUBLE)
+       |    / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean,
+       |  CAST(low_clip AS DOUBLE) / 100.0 AS low_clip_value,
+       |  CAST(high_clip AS DOUBLE) / 100.0 AS high_clip_value
+       |FROM agg ORDER BY $groupCol""".stripMargin
 }

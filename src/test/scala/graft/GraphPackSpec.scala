@@ -418,6 +418,25 @@ class GraphPackSpec extends SparkSpec {
     assert(b.getAs[Double]("hhi") == 0.25)
   }
 
+  test("trimmed/winsorized means match hand math and diverge from the raw " +
+    "mean under an outlier") {
+    import graft.operators.Robust
+    // cents: 1,2,3,4,5,9,10,100 — k=2 at 25% trim: kept 3,4,5,9
+    val ords = Seq(1, 2, 3, 4, 5, 9, 10, 100).zipWithIndex.map {
+      case (c, i) => (i.toLong, "P", c / 100.0)
+    }.toDF("o_orderkey", "grp", "price")
+    val r = Robust.trimmedStats(ords, "grp", col("price"), col("o_orderkey"),
+      trimBp = 2500).collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("mean") == 134.0 / 8.0 / 100.0)
+    assert(r.getAs[Double]("trimmed_mean") == 21.0 / 4.0 / 100.0)
+    assert(r.getAs[Double]("winsorized_mean") == 45.0 / 8.0 / 100.0)
+    assert(r.getAs[Double]("low_clip_value") == 0.03)
+    assert(r.getAs[Double]("high_clip_value") == 0.09)
+    // the robust estimates sit far below the outlier-dragged mean
+    assert(r.getAs[Double]("trimmed_mean") < r.getAs[Double]("mean") / 2)
+  }
+
   test("Kaplan-Meier matches hand math with censoring handled correctly") {
     // A,B: repeat after 2 days; C: after 5; D: single order, censored at
     // the day-5 horizon. KM: S(2) = 1 - 2/4 = 0.5;
