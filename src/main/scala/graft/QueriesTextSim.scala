@@ -651,6 +651,15 @@ private[graft] object QueriesTextSim {
         .orderBy("doc_id"),
       Some(graft.text.Normalize.normalizeOracleSql)),
 
+    // Evasion-resistant exact dedup: the q_dedup_exact contract on a
+    // folded key (NFC -> zero-width strip -> confusable fold -> casefold
+    // -> ws collapse), with per-group raw-variant accounting — catches
+    // the homoglyph/invisible-char duplicates byte-level dedup misses.
+    QueryDef("q_dedup_evasion",
+      (s, d) => graft.text.Normalize.evasionDups(Tables.documents(s, d))
+        .orderBy("content_hash"),
+      Some(graft.text.Normalize.evasionDupsOracleSql)),
+
     // LSH banding design table: closed-form P(candidate|s) per
     // (bands×rows) factorization of the signature budget, with miss
     // rates vs the design threshold — the table that justifies the

@@ -469,6 +469,30 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_chars_clean") < out(1L).getAs[Long]("n_chars_raw"))
   }
 
+  test("evasion-resistant dedup key unifies homoglyph and zero-width " +
+    "spoofed twins that byte-level dedup misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 2 spoofs doc 1 with a Cyrillic 'о' and an invisible ZWSP;
+    // doc 3 shouts the same text in caps with doubled spaces; doc 4 is
+    // genuinely different
+    val base = "free money now"
+    val spoof = "free m\u043Eney n\u200Bow"
+    val shouty = "FREE  MONEY  NOW"
+    val synth = Seq((1L, base), (2L, spoof), (3L, shouty), (4L, "hello world"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Normalize.evasionDups(synth).collect()
+    assert(out.length == 2, s"expected 2 folded groups, got ${out.length}")
+    val spam = out.filter(_.getAs[Long]("doc_count") == 3L).head
+    assert(spam.getAs[Long]("canonical_doc_id") == 1L)
+    assert(spam.getAs[Long]("n_raw_variants") == 3L)
+    assert(spam.getAs[Boolean]("evasion_caught"))
+    // byte-level dedup sees 4 distinct docs — the gap is the point
+    assert(graft.text.Dedup.exactDups(synth).count() == 4L)
+    val clean = out.filter(_.getAs[Long]("doc_count") == 1L).head
+    assert(!clean.getAs[Boolean]("evasion_caught"))
+  }
+
   test("bottomk_sample rejects uncastable input types at analysis time") {
     GraftFunctions.register(spark)
     val spark2 = spark
