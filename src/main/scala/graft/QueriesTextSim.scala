@@ -406,6 +406,14 @@ private[graft] object QueriesTextSim {
         .orderBy("doc_id"),
       Some(TextAnalysis.vocabGrowthOracleSql)),
 
+    // Per-language vocabulary diagnostics: TTR, hapax/dis-legomena
+    // rates, head share — the corpus-linguistics quality tells next to
+    // the Zipf/Heaps fits. One vocab-grain exchange, exact integers.
+    QueryDef("q_vocab_diagnostics",
+      (s, d) => graft.text.CorpusStats.vocabDiagnostics(Tables.documents(s, d))
+        .orderBy("lang"),
+      Some(graft.text.CorpusStats.vocabDiagnosticsOracleSql)),
+
     // Zipf rank-frequency OLS fit per language (Heaps'-law sibling):
     // vocab-grain moments, grouped-prefix-sum ranks, float-collapsed
     // micro-nat logs + exact decimal sums → hash-exact slope/intercept.

@@ -164,6 +164,57 @@ object CorpusStats {
       |  CAST(sum(c) AS DOUBLE) / CAST(n_s AS DOUBLE) / 1000000.0 AS kl_nats
       |FROM contrib GROUP BY source, n_s, n_types ORDER BY source""".stripMargin
 
+  /** Per-language vocabulary diagnostics — the corpus-linguistics
+    * companions to the Zipf/Heaps fits, each a known data-quality tell:
+    * type-token ratio (low = templated/repetitive), hapax rate (share of
+    * types seen once — unusually low = boilerplate, unusually high =
+    * OCR noise/mojibake), dis-legomena rate, and the head share (top-1
+    * word's token share — high = degenerate spam). One vocab-grain
+    * partial-agg exchange; exact integers, one IEEE division each. */
+  def vocabDiagnostics(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    counts.groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("freq")).as("n_tokens"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("hapax_types"),
+        sum(when(col("freq") === 2, 1L).otherwise(0L)).as("dis_types"),
+        max(col("freq")).as("top1_freq"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        col("hapax_types"),
+        (col("hapax_types").cast("double") / col("n_types").cast("double"))
+          .as("hapax_rate"),
+        (col("dis_types").cast("double") / col("n_types").cast("double"))
+          .as("dis_rate"),
+        (col("top1_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("top1_share"))
+  }
+
+  /** DuckDB mirror of [[vocabDiagnostics]]. */
+  def vocabDiagnosticsOracleSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), counts AS (
+      |  SELECT lang, word, count(*) AS freq FROM tok GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+      |    CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_types,
+      |    CAST(max(freq) AS BIGINT) AS top1_freq
+      |  FROM counts GROUP BY 1
+      |)
+      |SELECT lang, n_types, n_tokens,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+      |  hapax_types,
+      |  CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_rate,
+      |  CAST(dis_types AS DOUBLE) / CAST(n_types AS DOUBLE) AS dis_rate,
+      |  CAST(top1_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top1_share
+      |FROM agg ORDER BY lang""".stripMargin
+
   /** Temperature-scaled source mixture weights (the α-sampling rule of
     * multilingual/multi-source training, mBERT/mT5 family, at α = 1/2):
     * w_s ∝ n_s^α flattens the natural token distribution so small

@@ -126,6 +126,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("sB", "sB"))._2 == 1.0)              // 1 pair / C(2,2)=1
   }
 
+  test("vocabDiagnostics matches hand counts on a planted vocabulary") {
+    import spark.implicits._
+    // lang en: a a a b b c d -> types 4, tokens 7, hapax {c,d}=2,
+    // dis {b}=1, top1 a=3
+    val synth = Seq((1L, "a a a b", "en"), (2L, "b c d", "en")).toDF("doc_id", "text", "lang")
+    val r = CorpusStats.vocabDiagnostics(synth).collect().head
+    assert(r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Double]("type_token_ratio") == 4.0 / 7.0)
+    assert(r.getAs[Long]("hapax_types") == 2L)
+    assert(r.getAs[Double]("hapax_rate") == 0.5)
+    assert(r.getAs[Double]("dis_rate") == 0.25)
+    assert(r.getAs[Double]("top1_share") == 3.0 / 7.0)
+  }
+
   test("mixtureWeights flatten the distribution: small sources up, big down") {
     import spark.implicits._
     val synth = Seq(
