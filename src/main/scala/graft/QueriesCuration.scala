@@ -652,6 +652,29 @@ private[graft] object QueriesCuration {
         |  CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
         |  CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens AS avg_logprob,
         |  -(CAST(sum_lp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n_tokens) / ${text.UnigramLm.Ln2Literal} AS bits_per_token
-        |FROM agg ORDER BY doc_id""".stripMargin))
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Blocklist / taxonomy tagging on the NEW multi_match Aho-Corasick
+    // expression: P phrases in ONE text pass (vs P contains() scans),
+    // map-only at doc grain. The oracle's list_filter(contains) P-scan
+    // definition hash-gates the automaton, including the
+    // pattern-inside-pattern dict-link cases.
+    QueryDef("q_blocklist_tags",
+      (s, d) => text.Blocklist.tagDocs(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(text.Blocklist.tagDocsOracleSql())),
+
+    // Tag-grain rollup of the same tagger: docs + distinct sources per
+    // tag; one partial-agged exchange of <= |tags| rows per doc.
+    QueryDef("q_blocklist_summary",
+      (s, d) => text.Blocklist.tagSummary(Tables.documents(s, d)).orderBy("tag"),
+      Some(text.Blocklist.tagSummaryOracleSql())),
+
+    // Per-language readability (ARI + Coleman-Liau): syllable-free
+    // formulas over exact char/word/sentence count sums, one mirrored
+    // IEEE chain per score — the corpus-quality dashboard row that needs
+    // only a map-only count projection + one lang-grain exchange.
+    QueryDef("q_readability",
+      (s, d) => text.Readability.byLanguage(Tables.documents(s, d)).orderBy("lang"),
+      Some(text.Readability.byLanguageOracleSql))
   )
 }

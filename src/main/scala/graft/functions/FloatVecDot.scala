@@ -192,6 +192,13 @@ object GraftFunctions {
     NfcNormalize(exprs.head)
   }
 
+  val multiMatchBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"multi_match expects 2 arguments (text, patterns), got ${exprs.length}")
+    MultiMatch(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -219,6 +226,8 @@ object GraftFunctions {
       "cms_merge_agg", cmsMergeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_len", deflateLenBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_match", multiMatchBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -283,6 +292,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_merge_agg"),
       new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
       GraftFunctions.cmsMergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
+      GraftFunctions.multiMatchBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -232,4 +232,42 @@ class CorpusStatsSpec extends SparkSpec {
     val k2 = CorpusStats.sourceKl(docs.repartition(5)).orderBy("source").collect().toSeq
     assert(k1 == k2)
   }
+
+  test("readability counts and scores match a hand-computed document") {
+    import graft.text.Readability
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("xx", "The cat sat. It ran fast! Done?"), // 7 words, 3 marks, 22 letters, 25 chars
+      ("yy", "no terminal marks here")           // mark-free doc floors at 1 sentence
+    ).toDF("lang", "text")
+    val rows = Readability.byLanguage(df).orderBy("lang").collect()
+    val xx = rows(0)
+    assert(xx.getLong(2) == 7L && xx.getLong(3) == 3L &&
+      xx.getLong(4) == 22L && xx.getLong(5) == 25L)
+    val ari = 4.71 * (25.0 / 7.0) + 0.5 * (7.0 / 3.0) - 21.43
+    val cli = 0.0588 * ((22.0 / 7.0) * 100.0) - 0.296 * ((3.0 / 7.0) * 100.0) - 15.8
+    assert(xx.getDouble(6) == ari && xx.getDouble(7) == cli)
+    val yy = rows(1)
+    assert(yy.getLong(2) == 4L && yy.getLong(3) == 1L)
+  }
+
+  test("blocklist tagger matches the per-pattern contains definition on real docs") {
+    import graft.text.Blocklist
+    val tagged = Blocklist.tagDocs(docs).orderBy("doc_id")
+    val naive = docs.select(col("doc_id"),
+      filter(
+        expr(Blocklist.DefaultTags.map(t => s"'$t'").mkString("array(", ", ", ")")),
+        t => col("text").contains(t)).as("tags"))
+      .select(col("doc_id"), size(col("tags")).cast("long").as("n_tags"),
+        array_join(col("tags"), ",").as("tags_csv"))
+      .orderBy("doc_id")
+    assert(tagged.select("doc_id", "n_tags", "tags_csv").collect().toSeq ==
+      naive.collect().toSeq)
+    // the corpus actually exercises multi-word and overlapping tags
+    assert(tagged.filter(col("tags_csv").contains("hash join")).count() > 0)
+    val summary = Blocklist.tagSummary(docs)
+    assert(summary.count() > 0 &&
+      summary.filter(col("tag") === "fraud alert").count() == 0)
+  }
 }

@@ -535,4 +535,68 @@ class FunctionsSpec extends SparkSpec {
       assert(pris == pris.sorted, s"not ascending: $pris")
     }
   }
+
+  test("multi_match equals the P-scan contains baseline on real documents") {
+    GraftFunctions.register(spark)
+    // deliberately adversarial set: shared prefixes, pattern-inside-pattern,
+    // shared suffixes, single chars, and a never-matching phrase
+    val pats = Seq("scan", "slow scan", "an", "s", "join", "hash join",
+      "value table", "zzz never zzz")
+    val lst = pats.map(pt => s"'$pt'").mkString("array(", ", ", ")")
+    val both = Tables.documents(spark, TinySf).select(
+      expr(s"multi_match(text, $lst)").as("fast"),
+      filter(expr(lst), pt => col("text").contains(pt)).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    assert(both.filter(size(col("fast")) > 2).count() > 0) // nontrivial hits
+  }
+
+  test("multi_match edge semantics: nulls, no-hit, boundaries, multibyte UTF-8") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      Some("abcde"),            // start + end boundary hits
+      Some("aaa"),              // overlapping self-occurrences report once
+      Some(""),                 // empty text: no hits
+      None,                     // null text: null out
+      Some("xx h\u00e9llo yy")   // multibyte pattern, byte-level automaton
+    ).toDF("t")
+    val out = df.select(expr(
+      "multi_match(t, array('abc', 'cde', 'aa', 'h\u00e9llo', 'q'))").as("m"))
+      .collect().map(r => Option(r.getSeq[String](0)))
+    assert(out(0).contains(Seq("abc", "cde")))  // declaration order
+    assert(out(1).contains(Seq("aa")))
+    assert(out(2).contains(Seq.empty[String]))
+    assert(out(3).isEmpty)
+    assert(out(4).contains(Seq("h\u00e9llo")))
+  }
+
+  test("multi_match rejects non-foldable, empty, and duplicate patterns") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("abc", Array("a", "b"))).toDF("t", "ps")
+    // non-foldable patterns: analysis-time failure, not runtime CCE
+    val analysisErr = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("multi_match(t, ps)")).collect()
+    }
+    assert(analysisErr.getMessage.contains("foldable"))
+    val dupErr = intercept[Exception] {
+      df.select(expr("multi_match(t, array('x', 'x'))")).collect()
+    }
+    assert(dupErr.getMessage.contains("distinct"))
+    val emptyErr = intercept[Exception] {
+      df.select(expr("multi_match(t, array('x', ''))")).collect()
+    }
+    assert(emptyErr.getMessage.contains("non-empty"))
+  }
+
+  test("multi_match participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = Tables.documents(spark, TinySf)
+      .select(expr("multi_match(text, array('scan', 'join'))"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[multi_match".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
 }
