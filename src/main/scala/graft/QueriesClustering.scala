@@ -160,6 +160,29 @@ private[graft] object QueriesClustering {
       (s, d) => graft.sim.Clustering.balancedSample(
           Tables.embeddings(s, d), nlist = 16, quota = 25, cacheKey = Some(d))
         .orderBy("cell", "samp_rank"),
-      None)
+      None),
+
+    // c-TF-IDF topic labels for every kmeans cell (BERTopic's class-based
+    // TF-IDF): the human-readable column of the cluster-map audit.
+    // Rows-only (learned cells, same class as q_kmeans_clusters);
+    // ClusteringSpec pins the scoring formula on planted counts and binds
+    // determinism + label-occurs-in-cell.
+    QueryDef("q_cluster_labels",
+      (s, d) => graft.sim.Clustering.clusterLabels(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          nlist = 16, k = 5, cacheKey = Some(d))
+        .orderBy("cell", "label_rank"),
+      None),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
+    // margin-best en->de pairs where each cosine is ratio-scaled by both
+    // endpoints' k-NN neighborhood averages (nano-quantized integer sums,
+    // one IEEE chain). Hash-exact against the full SQL re-derivation —
+    // the candidate generation is the exact pair join at oracle scale;
+    // at web scale the same margin arithmetic rides IVF candidates.
+    QueryDef("q_bitext_mine",
+      (s, d) => graft.sim.Bitext.minePairs(
+          Tables.documents(s, d), Tables.embeddings(s, d)).orderBy("x_id"),
+      Some(graft.sim.Bitext.minePairsOracleSql(QueriesShared.cosSql)))
   )
 }

@@ -113,4 +113,54 @@ object Clustering {
         Seq(col("cell")), Seq(col("pri").asc, col("vec_id").asc),
         quota, "samp_rank")
       .select(col("cell"), col("samp_rank"), col("vec_id"), col("label"))
+
+  /** c-TF-IDF scoring (the class-based TF-IDF of BERTopic, Grootendorst
+    * 2022): score(t, c) = tf(t, c) · ln(1 + A / f(t)) where tf is the
+    * token's count inside the cluster, f its corpus count, and A the
+    * average token mass per cluster. Corpus-common tokens (stopwords,
+    * boilerplate) are discounted by the ln term without any stopword
+    * list. Exposed separately from the cluster plumbing so the formula
+    * is spec-testable on planted counts.
+    *
+    * Input: (cell, token, tf) counts. Output: top-k labels per cell by
+    * (score desc, token asc) — a total order, so labeling is
+    * deterministic. Scale: one token-grain exchange for corpus counts, a
+    * 1-row broadcast for A (broadcast BACK into the projection — no
+    * driver round-trip), and the two-phase ranked cut for the top-k. */
+  def ctfidfLabels(cellTokenCounts: DataFrame, k: Int = 5): DataFrame = {
+    val corpusF = cellTokenCounts.groupBy("token").agg(sum("tf").as("f"))
+    val aAvg = cellTokenCounts.agg(
+      (sum("tf").cast("double") / countDistinct("cell").cast("double"))
+        .as("a_avg"))
+    val scored = cellTokenCounts.join(corpusF, "token")
+      .crossJoin(broadcast(aAvg))
+      .withColumn("score", col("tf").cast("double") *
+        log(lit(1.0) + col("a_avg") / col("f").cast("double")))
+    graft.operators.ScalableRank.topKPerGroup(scored, Seq(col("cell")),
+        Seq(col("score").desc, col("token").asc), k, "label_rank")
+      .select(col("cell"), col("label_rank"), col("token"),
+        col("tf").cast("long").as("tf"), col("f").cast("long").as("f"),
+        col("score"))
+  }
+
+  /** Human-readable topic labels for every kmeans cell: join the cluster
+    * map onto the document text (vec_id ≡ doc_id), count tokens at
+    * (cell, token) grain — ONE exchange whose input is pre-collapsed by a
+    * map-side partial agg — and pick each cell's top-k c-TF-IDF terms.
+    * The label table is what a curation run reads next to `profile` to
+    * decide which topics to up/down-weight. Rows-only (learned cells);
+    * ClusteringSpec binds the formula, determinism, and that every label
+    * actually occurs in its cell. */
+  def clusterLabels(documents: DataFrame, embeddings: DataFrame,
+                    nlist: Int, k: Int = 5,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val cells = assignments(embeddings, nlist, cacheKey)
+      .select(col("vec_id"), col("cell"))
+    val counts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(cells, col("doc_id") === col("vec_id"))
+      .groupBy("cell", "token").agg(count(lit(1)).as("tf"))
+    ctfidfLabels(counts, k)
+  }
 }

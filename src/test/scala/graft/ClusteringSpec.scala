@@ -107,4 +107,70 @@ class ClusteringSpec extends SparkSpec {
     assert(a.sameElements(b),
       "cluster-balanced sample must not depend on input partitioning")
   }
+
+  test("c-TF-IDF scoring matches hand math on planted counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two cells; "the" is corpus-common, "rare" concentrated in cell 1
+    val counts = Seq(
+      (0L, "the", 10L), (0L, "cat", 5L),
+      (1L, "the", 10L), (1L, "rare", 8L)
+    ).toDF("cell", "token", "tf")
+    val out = Clustering.ctfidfLabels(counts, k = 2)
+      .orderBy("cell", "label_rank").collect()
+    val a = 33.0 / 2.0 // total tf / distinct cells
+    def score(tf: Long, f: Long): Double = tf.toDouble * math.log(1.0 + a / f.toDouble)
+    val byCellRank = out.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("label_rank")) -> r).toMap
+    // cell 0: cat (5, f=5) beats the (10, f=20)
+    assert(byCellRank((0L, 1L)).getAs[String]("token") == "cat")
+    assert(byCellRank((0L, 1L)).getAs[Double]("score") == score(5, 5))
+    assert(byCellRank((0L, 2L)).getAs[String]("token") == "the")
+    assert(byCellRank((0L, 2L)).getAs[Double]("score") == score(10, 20))
+    // cell 1: rare (8, f=8) beats the
+    assert(byCellRank((1L, 1L)).getAs[String]("token") == "rare")
+    assert(byCellRank((1L, 1L)).getAs[Double]("score") == score(8, 8))
+  }
+
+  test("cluster labels are deterministic and occur in their cell") {
+    val docs = Tables.documents(spark, TinySf)
+    val labels = Clustering.clusterLabels(docs, emb, Nlist, k = 3)
+      .orderBy("cell", "label_rank")
+    val a = labels.collect().map(_.toString)
+    val b = Clustering.clusterLabels(docs.repartition(5), emb, Nlist, k = 3)
+      .orderBy("cell", "label_rank").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b), "labels must be deterministic")
+    // every label token occurs in at least one document of its cell
+    val cells = Clustering.assignments(emb, Nlist).select(col("vec_id"), col("cell"))
+    val cellTokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(cells, col("doc_id") === col("vec_id"))
+      .select("cell", "token").distinct()
+    val orphans = Clustering.clusterLabels(docs, emb, Nlist, k = 3)
+      .join(cellTokens, Seq("cell", "token"), "left_anti").count()
+    assert(orphans == 0, "a label must occur in its own cell")
+  }
+
+  test("bitext mining: mutual-best pairs are consistent and margin-ranked") {
+    import graft.sim.Bitext
+    val docs = Tables.documents(spark, TinySf)
+    val mined = Bitext.minePairs(docs, emb, "en", "de", k = 4).cache()
+    try {
+      val rows = mined.collect()
+      assert(rows.nonEmpty)
+      // mutual-best means each x and each y appears at most once
+      val xs = rows.map(_.getAs[Long]("x_id"))
+      val ys = rows.map(_.getAs[Long]("y_id"))
+      assert(xs.distinct.length == xs.length, "an x appears in two mined pairs")
+      assert(ys.distinct.length == ys.length, "a y appears in two mined pairs")
+      // endpoints actually come from the requested languages
+      val langOf = docs.select("doc_id", "lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.forall(r => langOf(r.getAs[Long]("x_id")) == "en"))
+      assert(rows.forall(r => langOf(r.getAs[Long]("y_id")) == "de"))
+      // determinism across repartitioning
+      val again = Bitext.minePairs(docs.repartition(5), emb.repartition(3),
+        "en", "de", k = 4).orderBy("x_id").collect().map(_.toString)
+      assert(mined.orderBy("x_id").collect().map(_.toString).sameElements(again))
+    } finally mined.unpersist()
+  }
 }
