@@ -46,6 +46,91 @@ private[graft] object QueriesAnalytics {
         |SELECT pos_n, neg_n, rank_sum2, auc, 2.0 * auc - 1.0 AS gini
         |FROM a2 ORDER BY pos_n""".stripMargin)),
 
+    // DeLong paired-AUC comparison (DeLong, DeLong & Clarke-Pearson 1988):
+    // is the literal logistic actually better than the amount-only
+    // baseline on the SAME orders? Exact doubled midranks -> centered
+    // INTEGER structural components -> exact decimal (co)variance sums ->
+    // one mirrored IEEE chain for auc_a/auc_b/delta/se/z. Fully
+    // distributed (score-grain prefix sums via ScalableRank, scalars
+    // broadcast back) — the sklearn-free significance test.
+    QueryDef("q_delong_auc",
+      (s, d) => Evaluation.delongCompare(literalScored(s, d),
+          "fraud_score", "amount_log", "label")
+        .orderBy("pos_n"),
+      Some(ScoredCte +
+        """
+        |, sbase AS (
+        |  SELECT s.o_orderkey, s.label, s.fraud_score, f.amount_log
+        |  FROM scored s JOIN fv f USING (o_orderkey)
+        |), ga AS (
+        |  SELECT fraud_score AS sv, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM sbase GROUP BY 1
+        |), gaa AS (
+        |  SELECT sv,
+        |    2 * coalesce(sum(cnt) OVER w, 0) + cnt + 1 AS a_h2,
+        |    2 * coalesce(sum(pos) OVER w, 0) + pos + 1 AS a_h2p,
+        |    2 * (coalesce(sum(cnt) OVER w, 0) - coalesce(sum(pos) OVER w, 0))
+        |      + (cnt - pos) + 1 AS a_h2n
+        |  FROM ga WINDOW w AS (ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), gb AS (
+        |  SELECT amount_log AS sv, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM sbase GROUP BY 1
+        |), gbb AS (
+        |  SELECT sv,
+        |    2 * coalesce(sum(cnt) OVER w, 0) + cnt + 1 AS b_h2,
+        |    2 * coalesce(sum(pos) OVER w, 0) + pos + 1 AS b_h2p,
+        |    2 * (coalesce(sum(cnt) OVER w, 0) - coalesce(sum(pos) OVER w, 0))
+        |      + (cnt - pos) + 1 AS b_h2n
+        |  FROM gb WINDOW w AS (ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), rk AS (
+        |  SELECT sbase.label, a.a_h2, a.a_h2p, a.a_h2n, b.b_h2, b.b_h2p, b.b_h2n
+        |  FROM sbase JOIN gaa a ON sbase.fraud_score = a.sv
+        |             JOIN gbb b ON sbase.amount_log = b.sv
+        |), sc AS (
+        |  SELECT CAST(sum(label) AS BIGINT) AS m,
+        |    CAST(count(*) - sum(label) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label = 1 THEN a_h2 ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(sum(CASE WHEN label = 1 THEN b_h2 ELSE 0 END) AS BIGINT) AS rb,
+        |    CAST(sum(CASE WHEN label = 0 THEN a_h2 ELSE 0 END) AS BIGINT) AS qa,
+        |    CAST(sum(CASE WHEN label = 0 THEN b_h2 ELSE 0 END) AS BIGINT) AS qb
+        |  FROM rk
+        |), sc2 AS (
+        |  SELECT m, n, ra - m * (m + 1) AS s_a, rb - m * (m + 1) AS s_b,
+        |    qa - n * (n + 1) AS t_a, qb - n * (n + 1) AS t_b
+        |  FROM sc
+        |), comp AS (
+        |  SELECT
+        |    CASE WHEN r.label = 1 THEN CAST(s.m AS HUGEINT) * (r.a_h2 - r.a_h2p) - s.s_a ELSE 0 END AS caa,
+        |    CASE WHEN r.label = 1 THEN CAST(s.m AS HUGEINT) * (r.b_h2 - r.b_h2p) - s.s_b ELSE 0 END AS cab,
+        |    CASE WHEN r.label = 0 THEN CAST(s.n AS HUGEINT) * (r.a_h2 - r.a_h2n) - s.t_a ELSE 0 END AS cba,
+        |    CASE WHEN r.label = 0 THEN CAST(s.n AS HUGEINT) * (r.b_h2 - r.b_h2n) - s.t_b ELSE 0 END AS cbb
+        |  FROM rk r CROSS JOIN sc2 s
+        |), sums AS (
+        |  SELECT sum(caa * caa) AS paa, sum(cab * cab) AS pbb, sum(caa * cab) AS pab,
+        |    sum(cba * cba) AS qaa, sum(cbb * cbb) AS qbb, sum(cba * cbb) AS qab
+        |  FROM comp
+        |), fin AS (
+        |  SELECT m, n, paa, pbb, pab, qaa, qbb, qab, s_a, s_b,
+        |    2.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE) AS c2
+        |  FROM sc2 CROSS JOIN sums
+        |), fin2 AS (
+        |  SELECT m, n,
+        |    CAST(s_a AS DOUBLE) / c2 AS auc_a,
+        |    CAST(s_b AS DOUBLE) / c2 AS auc_b,
+        |    (CAST(paa AS DOUBLE) + CAST(pbb AS DOUBLE) - 2.0 * CAST(pab AS DOUBLE))
+        |      / ((CAST(m AS DOUBLE) - 1.0) * c2 * c2 * CAST(m AS DOUBLE)) AS var10,
+        |    (CAST(qaa AS DOUBLE) + CAST(qbb AS DOUBLE) - 2.0 * CAST(qab AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) - 1.0) * c2 * c2 * CAST(n AS DOUBLE)) AS var01
+        |  FROM fin
+        |)
+        |SELECT m AS pos_n, n AS neg_n, auc_a, auc_b, auc_a - auc_b AS delta,
+        |  sqrt(var10 + var01) AS se,
+        |  CASE WHEN sqrt(var10 + var01) = 0 THEN NULL
+        |       ELSE (auc_a - auc_b) / sqrt(var10 + var01) END AS z
+        |FROM fin2 ORDER BY pos_n""".stripMargin)),
+
     // Reliability-diagram decile bins; micro-unit quantization keeps the
     // double sums hash-exact (SURVEY §4 / UnigramLm contract).
     QueryDef("q_calibration",

@@ -140,4 +140,115 @@ object Evaluation {
       .withColumn("calib_gap", col("mean_pred") - col("pos_rate"))
       .orderBy("bin")
   }
+
+  /** Midrank decoration for one scorer: collapse to score grain, exact
+    * distributed exclusive prefix sums (ScalableRank — never a
+    * single-partition running total), then join the per-score doubled
+    * midranks back onto the rows. For a row at score v (cum = counts
+    * strictly below v): 2·midrank = 2·cum + cnt + 1, and likewise within
+    * the row's own class. */
+  private def withMidranks(rows: DataFrame, scoreCol: String,
+                           prefix: String): DataFrame = {
+    val g = rows.groupBy(col(scoreCol).as("_sv"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
+    val cum1 = ScalableRank.withGroupedPrefixSum(
+      g, lit(0L), Seq(col("_sv").asc), col("_cnt"), "_cum_all")
+    val cum2 = ScalableRank.withGroupedPrefixSum(
+      cum1, lit(0L), Seq(col("_sv").asc), col("_pos"), "_cum_pos")
+    val enriched = cum2.select(
+      col("_sv"),
+      (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as(s"${prefix}_h2"),
+      (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as(s"${prefix}_h2p"),
+      (lit(2L) * (col("_cum_all") - col("_cum_pos")) +
+        (col("_cnt") - col("_pos")) + lit(1L)).as(s"${prefix}_h2n"))
+    rows.join(enriched, col(scoreCol) === col("_sv")).drop("_sv")
+  }
+
+  /** DeLong, DeLong & Clarke-Pearson (1988) comparison of two PAIRED
+    * classifiers: exact AUCs, the variance of their difference from the
+    * rank-based structural components, and the z statistic — the
+    * "is model B actually better?" significance test, fully distributed.
+    *
+    * Exactness (§4): midranks are doubled into integers (the rocAuc
+    * contract); each structural component is centered and scaled to the
+    * INTEGER  A_i = m·(h2_i − h2⁺_i) − S  (positives; negatives mirror
+    * with n/T), so all (co)variance sums are exact DECIMAL(38,0) integer
+    * sums and the final statistics are one mirrored IEEE chain. Overflow
+    * bound: components ~ N², products ~ N⁴ — exact to ~10⁹ rows, far
+    * past any single evaluation slice (significance saturates long
+    * before; subsample beyond that).
+    *
+    * Scale shape per scorer: one score-grain partial-agged groupBy, two
+    * distributed prefix sums over the collapsed frame, one join back at
+    * score grain; scalars are a 1-row aggregate broadcast BACK into the
+    * projection (no driver round-trip). Output: one row. */
+  def delongCompare(scored: DataFrame, scoreA: String, scoreB: String,
+                    labelCol: String): DataFrame = {
+    val rows = scored.select(col(scoreA).as("_sa"), col(scoreB).as("_sb"),
+      col(labelCol).cast("long").as("_l"))
+    val ranked = withMidranks(withMidranks(rows, "_sa", "a"), "_sb", "b")
+    // scalar frame: m, n, and the four rank-sum offsets
+    val scalars = ranked.agg(
+      sum(col("_l")).cast("long").as("m"),
+      sum(lit(1L) - col("_l")).cast("long").as("n"),
+      sum(when(col("_l") === 1L, col("a_h2")).otherwise(lit(0L)))
+        .cast("long").as("_ra"),
+      sum(when(col("_l") === 1L, col("b_h2")).otherwise(lit(0L)))
+        .cast("long").as("_rb"),
+      sum(when(col("_l") === 0L, col("a_h2")).otherwise(lit(0L)))
+        .cast("long").as("_qa"),
+      sum(when(col("_l") === 0L, col("b_h2")).otherwise(lit(0L)))
+        .cast("long").as("_qb"))
+      .select(col("m"), col("n"),
+        (col("_ra") - col("m") * (col("m") + lit(1L))).as("sa"),
+        (col("_rb") - col("m") * (col("m") + lit(1L))).as("sb"),
+        (col("_qa") - col("n") * (col("n") + lit(1L))).as("ta"),
+        (col("_qb") - col("n") * (col("n") + lit(1L))).as("tb"))
+    // decimal(19,0) components ⇒ products promote to decimal(38,0):
+    // exact through ~10⁹-row evaluation slices (see scaladoc bound)
+    val dec = "decimal(19,0)"
+    val withC = ranked.crossJoin(broadcast(scalars))
+      // centered integer structural components (0 for the other class)
+      .withColumn("aa", when(col("_l") === 1L,
+        col("m") * (col("a_h2") - col("a_h2p")) - col("sa")).otherwise(lit(0L))
+        .cast(dec))
+      .withColumn("ab", when(col("_l") === 1L,
+        col("m") * (col("b_h2") - col("b_h2p")) - col("sb")).otherwise(lit(0L))
+        .cast(dec))
+      .withColumn("ba", when(col("_l") === 0L,
+        col("n") * (col("a_h2") - col("a_h2n")) - col("ta")).otherwise(lit(0L))
+        .cast(dec))
+      .withColumn("bb", when(col("_l") === 0L,
+        col("n") * (col("b_h2") - col("b_h2n")) - col("tb")).otherwise(lit(0L))
+        .cast(dec))
+    val sums = withC.groupBy("m", "n", "sa", "sb", "ta", "tb")
+      .agg(sum(col("aa") * col("aa")).as("paa"),
+        sum(col("ab") * col("ab")).as("pbb"),
+        sum(col("aa") * col("ab")).as("pab"),
+        sum(col("ba") * col("ba")).as("qaa"),
+        sum(col("bb") * col("bb")).as("qbb"),
+        sum(col("ba") * col("bb")).as("qab"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    sums
+      .withColumn("c2", lit(2.0) * mD * nD) // the (2mn) scaling, once
+      .withColumn("auc_a", col("sa").cast("double") / col("c2"))
+      .withColumn("auc_b", col("sb").cast("double") / col("c2"))
+      .withColumn("delta", col("auc_a") - col("auc_b"))
+      .withColumn("var10",
+        (col("paa").cast("double") + col("pbb").cast("double") -
+          lit(2.0) * col("pab").cast("double")) /
+          ((mD - lit(1.0)) * col("c2") * col("c2") * mD))
+      .withColumn("var01",
+        (col("qaa").cast("double") + col("qbb").cast("double") -
+          lit(2.0) * col("qab").cast("double")) /
+          ((nD - lit(1.0)) * col("c2") * col("c2") * nD))
+      .withColumn("se", sqrt(col("var10") + col("var01")))
+      // identical-rank scorers have zero variance of the difference: no
+      // sampling distribution to test against (and ANSI division traps)
+      .withColumn("z", when(col("se") === 0.0, lit(null).cast("double"))
+        .otherwise(col("delta") / col("se")))
+      .select(col("m").as("pos_n"), col("n").as("neg_n"),
+        col("auc_a"), col("auc_b"), col("delta"), col("se"), col("z"))
+  }
 }

@@ -339,4 +339,38 @@ class EvalDriftSpec extends SparkSpec {
       math.round(1e6 / math.log(2)).toDouble
     assert(math.abs(out2.getAs[Double]("ndcg") - expected) < 1e-12)
   }
+
+  // ---- DeLong paired-AUC comparison ----
+
+  test("delongCompare matches hand-computed DeLong statistics with ties") {
+    // m = n = 2. Scorer A: pos {3, 1}, neg {2, 1} -> AUC_A = 2.5/4 = 0.625
+    // Scorer B (same rows): pos {2, 2}, neg {1, 3} -> AUC_B = 2/4 = 0.5
+    // Structural components (by psi definition):
+    //   V10a = {1, 0.25}, V10b = {0.5, 0.5}; V01a = {0.5, 0.75}, V01b = {1, 0}
+    //   S10aa = 0.28125, S10bb = 0, S10ab = 0
+    //   S01aa = 0.03125, S01bb = 0.5, S01ab = -0.125
+    //   var = 0.28125/2 + (0.03125 + 0.5 + 0.25)/2 = 0.53125
+    val df = Seq(
+      (3.0f, 2.0f, 1L), (1.0f, 2.0f, 1L), (2.0f, 1.0f, 0L), (1.0f, 3.0f, 0L)
+    ).toDF("sa", "sb", "label")
+    val r = Evaluation.delongCompare(df, "sa", "sb", "label").collect().head
+    assert(r.getAs[Long]("pos_n") == 2L && r.getAs[Long]("neg_n") == 2L)
+    assert(r.getAs[Double]("auc_a") == 0.625)
+    assert(r.getAs[Double]("auc_b") == 0.5)
+    assert(r.getAs[Double]("delta") == 0.125)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(0.53125)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 0.125 / math.sqrt(0.53125)) < 1e-12)
+  }
+
+  test("delongCompare is rank-invariant: a monotone transform has delta 0, se 0") {
+    val df = Seq(
+      (0.9f, 1L), (0.7f, 1L), (0.7f, 0L), (0.3f, 0L), (0.1f, 0L)
+    ).toDF("s", "label")
+      .withColumn("s2", col("s") * 2.0f) // same ranks, different values
+    val r = Evaluation.delongCompare(df, "s", "s2", "label").collect().head
+    assert(r.getAs[Double]("auc_a") == r.getAs[Double]("auc_b"))
+    assert(r.getAs[Double]("delta") == 0.0)
+    assert(r.getAs[Double]("se") == 0.0, "identical-rank scorers have zero variance of the difference")
+    assert(r.isNullAt(r.fieldIndex("z")), "z is undefined at zero variance")
+  }
 }
