@@ -590,6 +590,15 @@ private[graft] object QueriesAnalytics {
       (s, d) => text.Colloc.pmiCollocations(Tables.documents(s, d)),
       Some(text.Colloc.oracleSql())),
 
+    // Skip-gram / GloVe co-occurrence extraction: row-local windowed pair
+    // generation (token array zipped with its d-shifted self), symmetric
+    // orientation, micro-quantized 1/d weights summed as exact integers —
+    // the (center, context, X_ij) table embedding training consumes.
+    QueryDef("q_skipgram_pairs",
+      (s, d) => text.Colloc.skipgramPairs(Tables.documents(s, d))
+        .orderBy("center", "context"),
+      Some(text.Colloc.skipgramOracleSql())),
+
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // word score = degree/freq (one IEEE division of exact BIGINTs),
     // phrase score = exact integer micro-score sum.

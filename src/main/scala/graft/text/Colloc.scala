@@ -92,4 +92,66 @@ object Colloc {
       |  CAST(pmi_micro AS BIGINT) AS pmi_micro,
       |  CAST(pmi_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS pmi
       |FROM pm ORDER BY pmi_micro DESC, token_x, token_y LIMIT $topK""".stripMargin
+
+  /** Skip-gram / GloVe co-occurrence extraction (Mikolov et al. 2013;
+    * Pennington et al. 2014): the (center, context) pair table with
+    * inverse-distance weights that word2vec consumes as training pairs
+    * and GloVe consumes as its X_ij matrix — the training-data prep step
+    * for classical embedding pipelines.
+    *
+    * Pair generation is ROW-LOCAL (the token array zipped with its
+    * d-shifted self per distance d ≤ window — the BigramLm contract,
+    * never a corpus self-join), symmetrized by emitting both
+    * orientations; counts are one partial-agged (center, context)
+    * exchange. GloVe's 1/d weight is micro-quantized per instance
+    * (⌊10⁶/d⌋, a per-branch literal) so the weight sum is an exact
+    * integer with ONE division at the end — hash-exact at any window. */
+  def skipgramPairs(documents: DataFrame, window: Int = 2,
+                    minCount: Long = 3): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = documents
+      .withColumn("toksf", expr("filter(split(text, ' '), t -> t <> '')"))
+    val dists = (1 to window).map { d =>
+      toks.filter(size(col("toksf")) > d)
+        .select(explode(expr(
+          s"zip_with(slice(toksf, 1, size(toksf) - $d), slice(toksf, ${d + 1}, size(toksf) - $d)," +
+            " (x, y) -> named_struct('tx', x, 'ty', y))")).as("p"))
+        .select(col("p.tx").as("w1"), col("p.ty").as("w2"),
+          lit(1000000L / d).as("w_micro"))
+    }.reduce(_ unionByName _)
+    val sym = dists
+      .select(col("w1").as("center"), col("w2").as("context"), col("w_micro"))
+      .unionByName(dists
+        .select(col("w2").as("center"), col("w1").as("context"), col("w_micro")))
+    sym.groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("w_micro")).cast("long").as("weight_micro"))
+      .filter(col("n_pairs") >= minCount)
+      .withColumn("glove_weight",
+        col("weight_micro").cast("double") / lit(1000000.0))
+  }
+
+  /** DuckDB mirror for the correctness oracle. */
+  def skipgramOracleSql(window: Int = 2, minCount: Long = 3): String = {
+    val perDist = (1 to window).map { d =>
+      s"""  SELECT toks[i] AS w1, toks[i + $d] AS w2, ${1000000L / d} AS w_micro
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - $d)) AS i
+         |        FROM toksf WHERE len(toks) > $d)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toksf AS (
+       |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |), pf AS (
+       |$perDist
+       |), sym AS (
+       |  SELECT w1 AS center, w2 AS context, w_micro FROM pf
+       |  UNION ALL
+       |  SELECT w2 AS center, w1 AS context, w_micro FROM pf
+       |)
+       |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(w_micro) AS BIGINT) AS weight_micro,
+       |  CAST(sum(w_micro) AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS glove_weight
+       |FROM sym GROUP BY 1, 2 HAVING count(*) >= $minCount
+       |ORDER BY center, context""".stripMargin
+  }
 }

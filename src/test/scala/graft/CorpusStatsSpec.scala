@@ -270,4 +270,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(summary.count() > 0 &&
       summary.filter(col("tag") === "fraud alert").count() == 0)
   }
+
+  test("skipgram pairs match hand enumeration and are symmetric") {
+    import graft.text.Colloc
+    val spark2 = spark
+    import spark2.implicits._
+    // "a b c a", window 2: d1 = (a,b),(b,c),(c,a); d2 = (a,c),(b,a)
+    val df = Seq("a b c a").toDF("text")
+    val out = Colloc.skipgramPairs(df, window = 2, minCount = 1)
+      .orderBy("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("weight_micro"))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 1500000L),
+      ("a", "c", 2L, 1500000L),
+      ("b", "a", 2L, 1500000L),
+      ("b", "c", 1L, 1000000L),
+      ("c", "a", 2L, 1500000L),
+      ("c", "b", 1L, 1000000L)))
+    // symmetry on the real corpus: X_ij == X_ji
+    val real = Colloc.skipgramPairs(Tables.documents(spark, TinySf), 2, 1)
+    val asym = real.select(col("center").as("c1"), col("context").as("c2"),
+        col("n_pairs").as("n12"), col("weight_micro").as("w12"))
+      .join(real.select(col("context").as("c1"), col("center").as("c2"),
+        col("n_pairs").as("n21"), col("weight_micro").as("w21")), Seq("c1", "c2"))
+      .filter(col("n12") =!= col("n21") || col("w12") =!= col("w21")).count()
+    assert(asym == 0, "skip-gram co-occurrence must be symmetric")
+  }
 }
