@@ -147,6 +147,42 @@ private[graft] object QueriesTextSim {
         |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // DataSource V2 media connector, driver-gated end to end: the corpus
+    // materializes as real PPM FILES (distributed Hadoop-FS write, bytes
+    // a pure function of the documents row), is read back through
+    // spark.read.format("graft-media") — planning-time file pruning +
+    // decode-skipping column pruning live in the connector — and the
+    // decoded (size, dims, pixel md5) must hash-match DuckDB recomputing
+    // the same files from the documents table alone. A wrong header
+    // length, a mis-cycled pixel buffer, or a broken reader column order
+    // all fail this row.
+    QueryDef("q_media_source",
+      (s, d) => {
+        val dir = graft.util.Scratch.dir("graft-media-files")
+        graft.multimodal.MediaFiles.writePpm(Tables.documents(s, d), dir)
+        s.read.format("graft-media").load(dir)
+          .select(
+            regexp_extract(col("name"), "doc_(\\d+)", 1).cast("long").as("doc_id"),
+            col("size"), col("width"), col("height"),
+            md5(col("pixels")).as("px_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
+        |    CAST(3 + doc_id % 7 AS INT) AS height, text
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, width, height,
+        |    substr(repeat(text, CAST(ceil((width * height * 3.0) / length(text)) AS INT)),
+        |      1, width * height * 3) AS pixels
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  CAST(9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
+        |    + width * height * 3 AS BIGINT) AS size,
+        |  width, height, md5(pixels) AS px_md5
+        |FROM px ORDER BY doc_id""".stripMargin)),
+
     // Audio windowing (whisper-style fixed windows + hop overlap): the
     // 1-D analog of frame sampling; typed stub-decoder twin parity-tested
     // in OperatorsSpec.

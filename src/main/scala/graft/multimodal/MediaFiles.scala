@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Deterministic PPM corpus materializer — the file-side fixture for the
+  * graft-media DataSource V2 connector ([[graft.sources.MediaFileSource]]):
+  * every document becomes `doc_<id>.ppm` whose dimensions derive from the
+  * doc_id and whose RGB buffer cycles the document's UTF-8 bytes, so the
+  * whole file (header, size, pixel checksum) is re-derivable from the
+  * `documents` table alone — which is what lets a FILE-format read be
+  * DuckDB-hash-gated end to end.
+  *
+  * Writing is distributed (foreachPartition through the Hadoop FileSystem
+  * API — local FS in tests, any HDFS-compatible store in production);
+  * nothing is collected to the driver.
+  */
+object MediaFiles {
+
+  def dims(docId: Long): (Int, Int) =
+    ((4 + docId % 13).toInt, (3 + docId % 7).toInt)
+
+  /** Binary P6 PPM: "P6\n<w> <h>\n255\n" + w·h·3 bytes cycling the text. */
+  def ppmBytes(docId: Long, text: String): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val tb = text.getBytes(UTF_8)
+    require(tb.nonEmpty, s"doc $docId has empty text")
+    val n = w * h * 3
+    val px = Array.tabulate(n)(i => tb(i % tb.length))
+    s"P6\n$w $h\n255\n".getBytes(US_ASCII) ++ px
+  }
+
+  def writePpm(documents: DataFrame, dir: String): Unit =
+    documents.select("doc_id", "text").foreachPartition { rows: Iterator[Row] =>
+      val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val out = fs.create(new HPath(s"$dir/doc_$id.ppm"), true)
+        try out.write(ppmBytes(id, r.getString(1))) finally out.close()
+      }
+    }
+}

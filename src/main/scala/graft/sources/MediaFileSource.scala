@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.multimodal.Codecs
+
+/** DataSource V2 batch source for raw media files (PPM/BMP in this
+  * container; the connector pattern is format-agnostic):
+  * `spark.read.format("graft-media").load(dir)` →
+  * (path, name, size, mtime, width, height, pixels).
+  *
+  * Engine-extension value — the two DSv2 contracts that matter at 100 TB
+  * of small binary objects, both REAL here (not pass-through):
+  *
+  *   - `SupportsPushDownFilters`: predicates on the FILE-METADATA columns
+  *     (`name`, `size`) prune the file list at PLANNING time, before any
+  *     partition exists — a `size < 1 MB` screen never schedules the
+  *     pathological large objects at all (no task, no read, no decode).
+  *     Those filters are file-constant, so they are fully consumed (no
+  *     residual re-evaluation); content-column predicates stay residual.
+  *   - `SupportsPushDownRequiredColumns`: a projection without `pixels`
+  *     never materializes pixel buffers, and a metadata-only projection
+  *     (`path`/`name`/`size`/`mtime`) never OPENS the file — directory
+  *     listing alone answers it. Decode runs once per file at most.
+  *
+  * Partition planning round-robins size-sorted files so partitions are
+  * byte-balanced (small-file corpora skew badly under naive chunking).
+  * Oversized files (> `maxBytes`, default 16 MiB) surface metadata with
+  * NULL content columns rather than poisoning a task. The
+  * `filesPlanned/filesOpened/bytesRead` counters are observability for
+  * the pruning contracts (SourcesSpec pins them).
+  */
+class MediaFileSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-media"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MediaFileSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-media requires a path")
+    new MediaFileSource.MediaTable(path)
+  }
+}
+
+object MediaFileSource {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("mtime", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("pixels", BinaryType, nullable = true)))
+
+  private val MetaCols = Set("path", "name", "size", "mtime")
+
+  /** Pruning observability (per-JVM): planned = files surviving pushdown
+    * in the MOST RECENT planning pass (Spark may re-plan the same scan —
+    * a running total would double-count); opened = files whose CONTENT
+    * was actually read; bytesRead = content bytes. SourcesSpec resets and
+    * asserts these. */
+  val filesPlanned = new AtomicLong(0)
+  val filesOpened = new AtomicLong(0)
+  val bytesRead = new AtomicLong(0)
+  def resetCounters(): Unit = { filesPlanned.set(0); filesOpened.set(0); bytesRead.set(0) }
+
+  private[sources] class MediaTable(path: String) extends Table with SupportsRead {
+    override def name(): String = s"graft-media($path)"
+    override def schema(): StructType = Schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new MediaScanBuilder(path,
+        options.getInt("partitions", 8),
+        options.getLong("maxbytes", 16L * 1024 * 1024))
+  }
+
+  private[sources] class MediaScanBuilder(path: String, partitions: Int,
+                                          maxBytes: Long)
+      extends ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
+
+    private var pushed: Array[Filter] = Array.empty
+    private var required: StructType = Schema
+
+    /** A filter is plan-consumable iff it only references file-constant
+      * metadata the LISTING already knows — then it prunes files before
+      * partition planning and needs no re-evaluation. */
+    private def pushable(f: Filter): Boolean = f match {
+      case EqualTo(a, _) => MetaCols(a)
+      case GreaterThan(a, _) => a == "size"
+      case GreaterThanOrEqual(a, _) => a == "size"
+      case LessThan(a, _) => a == "size"
+      case LessThanOrEqual(a, _) => a == "size"
+      case StringStartsWith(a, _) => a == "name" || a == "path"
+      case _ => false
+    }
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      val (take, residual) = filters.partition(pushable)
+      pushed = take
+      residual // only these need re-evaluation above the scan
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan =
+      new MediaScan(path, pushed, required, partitions, maxBytes)
+  }
+
+  private def evalMeta(f: Filter, name: String, path: String, size: Long,
+                       mtime: Long): Boolean = f match {
+    case EqualTo("name", v) => name == v
+    case EqualTo("path", v) => path == v
+    case EqualTo("size", v: Long) => size == v
+    case EqualTo("mtime", v: Long) => mtime == v
+    case GreaterThan("size", v: Long) => size > v
+    case GreaterThanOrEqual("size", v: Long) => size >= v
+    case LessThan("size", v: Long) => size < v
+    case LessThanOrEqual("size", v: Long) => size <= v
+    case StringStartsWith("name", p) => name.startsWith(p)
+    case StringStartsWith("path", p) => path.startsWith(p)
+    case _ => true
+  }
+
+  private case class MediaPartition(paths: Array[String], sizes: Array[Long],
+                                    mtimes: Array[Long]) extends InputPartition
+
+  private[sources] class MediaScan(path: String, pushed: Array[Filter],
+                                   required: StructType, partitions: Int,
+                                   maxBytes: Long) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-media path=$path pushed=[${pushed.mkString(", ")}] " +
+        s"cols=[${required.fieldNames.mkString(",")}]"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val fs = FileSystem.get(new HPath(path).toUri, new Configuration())
+      val all = fs.listStatus(new HPath(path)).filter(_.isFile)
+      val kept = all.filter { st =>
+        pushed.forall(evalMeta(_, st.getPath.getName, st.getPath.toString,
+          st.getLen, st.getModificationTime))
+      }.sortBy(st => (-st.getLen, st.getPath.getName)) // big-first balance
+      filesPlanned.set(kept.length)
+      val n = math.max(1, math.min(partitions, kept.length))
+      val groups = Array.fill(n)(Vector.empty[(String, Long, Long)])
+      kept.zipWithIndex.foreach { case (st, i) => // round-robin of the
+        val g = i % n // size-sorted list ≈ byte-balanced partitions
+        groups(g) = groups(g) :+ ((st.getPath.toString, st.getLen,
+          st.getModificationTime))
+      }
+      groups.filter(_.nonEmpty).map { g =>
+        MediaPartition(g.map(_._1).toArray, g.map(_._2).toArray,
+          g.map(_._3).toArray): InputPartition
+      }
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MediaReaderFactory(required.fieldNames, maxBytes)
+  }
+
+  private class MediaReaderFactory(cols: Array[String], maxBytes: Long)
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new MediaReader(partition.asInstanceOf[MediaPartition], cols, maxBytes)
+  }
+
+  private class MediaReader(part: MediaPartition, cols: Array[String],
+                            maxBytes: Long) extends PartitionReader[InternalRow] {
+    // any content column forces the open + decode; metadata-only
+    // projections never touch file bytes
+    private val needContent =
+      cols.exists(c => c == "pixels" || c == "width" || c == "height")
+    private var i = -1
+    private var row: InternalRow = _
+    @transient private lazy val fs =
+      FileSystem.get(new HPath(part.paths(0)).toUri, new Configuration())
+
+    override def next(): Boolean = {
+      i += 1
+      if (i >= part.paths.length) return false
+      val p = part.paths(i)
+      val size = part.sizes(i)
+      val img =
+        if (!needContent || size > maxBytes) None
+        else {
+          filesOpened.incrementAndGet()
+          val in = fs.open(new HPath(p))
+          val buf = try {
+            val b = new Array[Byte](size.toInt)
+            in.readFully(0, b)
+            b
+          } finally in.close()
+          bytesRead.addAndGet(size)
+          Codecs.decodeImage(buf)
+        }
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      val values = cols.map {
+        case "path" => UTF8String.fromString(p)
+        case "name" => UTF8String.fromString(name)
+        case "size" => size
+        case "mtime" => part.mtimes(i)
+        case "width" => img.map(x => x.width: Any).orNull
+        case "height" => img.map(x => x.height: Any).orNull
+        case "pixels" => img.map(x => x.pixels: Any).orNull
+      }
+      row = InternalRow.fromSeq(values.toIndexedSeq)
+      true
+    }
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
+  }
+}
