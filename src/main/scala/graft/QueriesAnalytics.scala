@@ -46,6 +46,72 @@ private[graft] object QueriesAnalytics {
         |SELECT pos_n, neg_n, rank_sum2, auc, 2.0 * auc - 1.0 AS gini
         |FROM a2 ORDER BY pos_n""".stripMargin)),
 
+    // Per-segment AUC with DeLong 95% CIs — the fairness/cohort panel:
+    // exact within-segment midranks, centered integer components folded
+    // pos/neg-weighted at (segment, score) grain, exact decimal squared
+    // sums, one mirrored IEEE chain per segment.
+    QueryDef("q_auc_by_segment",
+      (s, d) => Evaluation.aucBySegment(literalScored(s, d),
+          "region_risk", "fraud_score", "label")
+        .orderBy("segment"),
+      Some(ScoredCte +
+        """
+        |, sb AS (
+        |  SELECT f.region_risk AS seg, s.label, s.fraud_score
+        |  FROM scored s JOIN fv f USING (o_orderkey)
+        |), gg AS (
+        |  SELECT seg, fraud_score AS sv, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM sb GROUP BY 1, 2
+        |), hh AS (
+        |  SELECT seg, cnt, pos,
+        |    2 * coalesce(sum(cnt) OVER w, 0) + cnt + 1 AS h2,
+        |    2 * coalesce(sum(pos) OVER w, 0) + pos + 1 AS h2p,
+        |    2 * (coalesce(sum(cnt) OVER w, 0) - coalesce(sum(pos) OVER w, 0))
+        |      + (cnt - pos) + 1 AS h2n
+        |  FROM gg WINDOW w AS (PARTITION BY seg ORDER BY sv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), sc AS (
+        |  SELECT seg, CAST(sum(pos) AS BIGINT) AS m,
+        |    CAST(sum(cnt - pos) AS BIGINT) AS n,
+        |    CAST(sum(pos * h2) AS BIGINT) AS r2,
+        |    CAST(sum((cnt - pos) * h2) AS BIGINT) AS q2
+        |  FROM hh GROUP BY 1
+        |), sc2 AS (
+        |  SELECT seg, m, n, r2 - m * (m + 1) AS s_off, q2 - n * (n + 1) AS t_off
+        |  FROM sc
+        |), comp AS (
+        |  SELECT h.seg, s.m, s.n, s.s_off,
+        |    CAST(h.pos AS HUGEINT) *
+        |      (CAST(s.m AS HUGEINT) * (h.h2 - h.h2p) - s.s_off) *
+        |      (CAST(s.m AS HUGEINT) * (h.h2 - h.h2p) - s.s_off) AS a2,
+        |    CAST(h.cnt - h.pos AS HUGEINT) *
+        |      (CAST(s.n AS HUGEINT) * (h.h2 - h.h2n) - s.t_off) *
+        |      (CAST(s.n AS HUGEINT) * (h.h2 - h.h2n) - s.t_off) AS b2
+        |  FROM hh h JOIN sc2 s USING (seg)
+        |), agg AS (
+        |  SELECT seg, m, n, s_off, sum(a2) AS sum_a2, sum(b2) AS sum_b2
+        |  FROM comp GROUP BY 1, 2, 3, 4
+        |), fin AS (
+        |  SELECT seg, m, n, s_off, sum_a2, sum_b2,
+        |    2.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE) AS c2
+        |  FROM agg
+        |), fin2 AS (
+        |  SELECT seg, m, n,
+        |    CASE WHEN m > 0 AND n > 0 THEN CAST(s_off AS DOUBLE) / c2
+        |         ELSE NULL END AS auc,
+        |    CASE WHEN m > 1 AND n > 1 THEN
+        |      sqrt(CAST(sum_a2 AS DOUBLE)
+        |          / ((CAST(m AS DOUBLE) - 1.0) * c2 * c2 * CAST(m AS DOUBLE))
+        |        + CAST(sum_b2 AS DOUBLE)
+        |          / ((CAST(n AS DOUBLE) - 1.0) * c2 * c2 * CAST(n AS DOUBLE)))
+        |    ELSE NULL END AS se
+        |  FROM fin
+        |)
+        |SELECT seg AS segment, m AS pos_n, n AS neg_n, auc, se,
+        |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
+        |FROM fin2 ORDER BY segment""".stripMargin)),
+
     // DeLong paired-AUC comparison (DeLong, DeLong & Clarke-Pearson 1988):
     // is the literal logistic actually better than the amount-only
     // baseline on the SAME orders? Exact doubled midranks -> centered

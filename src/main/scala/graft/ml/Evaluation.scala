@@ -141,6 +141,77 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Per-segment exact AUC with a DeLong 95% confidence interval — the
+    * fairness / cohort-regression panel: a model whose global AUC holds
+    * can still collapse on one region or tier, and the CI says whether a
+    * segment gap is signal or small-sample noise.
+    *
+    * Same exactness contract as [[delongCompare]] (doubled midranks WITHIN
+    * the segment, centered integer components, exact decimal squared
+    * sums, one mirrored IEEE chain), but aggregated pos/neg-weighted at
+    * (segment, score) grain — no row-level join-back is needed because a
+    * single scorer's components are constant across a score's tie group.
+    * Segments with m ≤ 1 or n ≤ 1 report NULL se/CI (no variance
+    * estimate) instead of trapping ANSI division.
+    *
+    * Scale: one (segment, score)-grain partial-agged groupBy, two
+    * ScalableRank grouped prefix sums (a segment never funnels into one
+    * partition), one segment-grain scalar join back. Output = |segments|
+    * rows. */
+  def aucBySegment(scored: DataFrame, segCol: String, scoreCol: String,
+                   labelCol: String): DataFrame = {
+    val rows = scored.select(col(segCol).as("_seg"), col(scoreCol).as("_s"),
+      col(labelCol).cast("long").as("_l"))
+    val g = rows.groupBy("_seg", "_s")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
+    val c1 = ScalableRank.withGroupedPrefixSum(
+      g, col("_seg"), Seq(col("_s").asc), col("_cnt"), "_cum_all")
+    val c2 = ScalableRank.withGroupedPrefixSum(
+      c1, col("_seg"), Seq(col("_s").asc), col("_pos"), "_cum_pos")
+    val h = c2.select(col("_seg"), col("_cnt"), col("_pos"),
+      (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as("h2"),
+      (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as("h2p"),
+      (lit(2L) * (col("_cum_all") - col("_cum_pos")) +
+        (col("_cnt") - col("_pos")) + lit(1L)).as("h2n"))
+    val scalars = h.groupBy("_seg").agg(
+        sum(col("_pos")).cast("long").as("m"),
+        sum(col("_cnt") - col("_pos")).cast("long").as("n"),
+        sum(col("_pos") * col("h2")).cast("long").as("_r2"),
+        sum((col("_cnt") - col("_pos")) * col("h2")).cast("long").as("_q2"))
+      .select(col("_seg").as("_gs"), col("m"), col("n"),
+        (col("_r2") - col("m") * (col("m") + lit(1L))).as("s_off"),
+        (col("_q2") - col("n") * (col("n") + lit(1L))).as("t_off"))
+    val dec = "decimal(19,0)"
+    val sums = h.alias("hh").join(scalars.alias("sc"),
+        col("hh._seg") <=> col("sc._gs"))
+      .withColumn("ca", (col("m") * (col("h2") - col("h2p")) - col("s_off"))
+        .cast(dec))
+      .withColumn("cb", (col("n") * (col("h2") - col("h2n")) - col("t_off"))
+        .cast(dec))
+      .groupBy("_seg", "m", "n", "s_off")
+      // pos/neg weights fold the tie group without a row-level expand
+      .agg(sum(col("_pos").cast(dec) * col("ca") * col("ca")).as("sum_a2"),
+        sum((col("_cnt") - col("_pos")).cast(dec) * col("cb") * col("cb"))
+          .as("sum_b2"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    sums
+      .withColumn("c2", lit(2.0) * mD * nD)
+      .withColumn("auc", when(col("m") > 0L && col("n") > 0L,
+        col("s_off").cast("double") / col("c2"))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("se", when(col("m") > 1L && col("n") > 1L,
+        sqrt(col("sum_a2").cast("double") /
+            ((mD - lit(1.0)) * col("c2") * col("c2") * mD) +
+          col("sum_b2").cast("double") /
+            ((nD - lit(1.0)) * col("c2") * col("c2") * nD)))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("ci_lo", col("auc") - lit(1.96) * col("se"))
+      .withColumn("ci_hi", col("auc") + lit(1.96) * col("se"))
+      .select(col("_seg").as("segment"), col("m").as("pos_n"),
+        col("n").as("neg_n"), col("auc"), col("se"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Midrank decoration for one scorer: collapse to score grain, exact
     * distributed exclusive prefix sums (ScalableRank — never a
     * single-partition running total), then join the per-score doubled

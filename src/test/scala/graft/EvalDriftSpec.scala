@@ -373,4 +373,31 @@ class EvalDriftSpec extends SparkSpec {
     assert(r.getAs[Double]("se") == 0.0, "identical-rank scorers have zero variance of the difference")
     assert(r.isNullAt(r.fieldIndex("z")), "z is undefined at zero variance")
   }
+
+  test("aucBySegment: per-segment AUC matches rocAuc and degenerate segments go NULL") {
+    // segment "x" reuses the rocAuc hand example (AUC = 8.5/9);
+    // segment "y" has no negatives -> auc/se NULL
+    val df = Seq(
+      ("x", 0.9f, 1L), ("x", 0.8f, 1L), ("x", 0.5f, 1L),
+      ("x", 0.5f, 0L), ("x", 0.3f, 0L), ("x", 0.1f, 0L),
+      ("y", 0.7f, 1L), ("y", 0.2f, 1L)
+    ).toDF("seg", "score", "label")
+    val rows = Evaluation.aucBySegment(df, "seg", "score", "label")
+      .orderBy("segment").collect()
+    val x = rows(0)
+    assert(x.getAs[String]("segment") == "x")
+    assert(x.getAs[Long]("pos_n") == 3L && x.getAs[Long]("neg_n") == 3L)
+    assert(math.abs(x.getAs[Double]("auc") - 8.5 / 9.0) < 1e-15)
+    assert(x.getAs[Double]("se") > 0.0)
+    assert(x.getAs[Double]("ci_lo") < x.getAs[Double]("auc") &&
+      x.getAs[Double]("auc") < x.getAs[Double]("ci_hi"))
+    val y = rows(1)
+    assert(y.getAs[Long]("neg_n") == 0L)
+    assert(y.isNullAt(y.fieldIndex("auc")) && y.isNullAt(y.fieldIndex("se")))
+    // single-segment consistency with rocAuc on the same data
+    val whole = Evaluation.rocAuc(
+      df.filter(col("seg") === "x").withColumn("id", monotonically_increasing_id()),
+      "score", "label", "id").collect().head.getAs[Double]("auc")
+    assert(x.getAs[Double]("auc") == whole)
+  }
 }
