@@ -112,6 +112,55 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // Split-conformal anomaly thresholds: per miscoverage level alpha,
+    // the exact-rank calibration-negative cutoff whose false-flag rate is
+    // distribution-free bounded by alpha. One global ranking + a 4-row
+    // broadcast over the test slice.
+    QueryDef("q_conformal",
+      (s, d) => Evaluation.conformalThresholds(literalScored(s, d),
+          "fraud_score", "label", "o_orderkey")
+        .orderBy("alpha"),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT o_orderkey AS id, fraud_score AS sv, label,
+        |    o_orderkey % 5 <> 0 AS cal
+        |  FROM scored
+        |), cn AS (
+        |  SELECT sv, row_number() OVER (ORDER BY sv, id) AS rn
+        |  FROM b WHERE cal AND label = 0
+        |), nc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal FROM b WHERE cal AND label = 0
+        |), grid AS (
+        |  SELECT unnest([0.01, 0.05, 0.1, 0.2]) AS alpha
+        |), ks AS (
+        |  SELECT alpha, n_cal,
+        |    CAST(ceil((n_cal + 1) * (1.0 - alpha)) AS BIGINT) AS k
+        |  FROM grid CROSS JOIN nc
+        |), thr AS (
+        |  SELECT ks.alpha, ks.n_cal, ks.k, cn.sv AS threshold
+        |  FROM ks LEFT JOIN cn ON ks.k = cn.rn
+        |), m AS (
+        |  SELECT t.alpha, t.n_cal, t.k, t.threshold,
+        |    CAST(sum(CASE WHEN b.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_neg,
+        |    CAST(sum(CASE WHEN b.label = 0 AND t.threshold IS NOT NULL
+        |      AND b.sv > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS false_flags,
+        |    CAST(sum(CASE WHEN b.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pos,
+        |    CAST(sum(CASE WHEN b.label = 1 AND t.threshold IS NOT NULL
+        |      AND b.sv > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS detected
+        |  FROM b CROSS JOIN thr t WHERE NOT b.cal
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT alpha, n_cal, k, threshold, n_test_neg, false_flags,
+        |  n_test_pos, detected,
+        |  CASE WHEN n_test_neg > 0
+        |    THEN CAST(false_flags AS DOUBLE) / CAST(n_test_neg AS DOUBLE)
+        |    ELSE NULL END AS fp_rate,
+        |  CASE WHEN n_test_pos > 0
+        |    THEN CAST(detected AS DOUBLE) / CAST(n_test_pos AS DOUBLE)
+        |    ELSE NULL END AS recall
+        |FROM m ORDER BY alpha""".stripMargin)),
+
     // DeLong paired-AUC comparison (DeLong, DeLong & Clarke-Pearson 1988):
     // is the literal logistic actually better than the amount-only
     // baseline on the SAME orders? Exact doubled midranks -> centered

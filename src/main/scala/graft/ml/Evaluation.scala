@@ -212,6 +212,60 @@ object Evaluation {
         col("n").as("neg_n"), col("auc"), col("se"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Split-conformal anomaly thresholds (inductive conformal prediction,
+    * Vovk et al. 2005; Papadopoulos 2008): for each miscoverage level α,
+    * the threshold is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration-
+    * NEGATIVE score — flagging test points above it bounds the expected
+    * false-flag rate among exchangeable negatives by α, with NO
+    * distributional assumption on the scorer. The frame a fraud platform
+    * reads to pick an alert budget with a guarantee instead of a vibe.
+    *
+    * Deterministic end to end: the calibration split is a modulo of the
+    * id, the rank selection is exact (ScalableRank global row number —
+    * tie values make any tiebreak value-identical), k is one IEEE chain,
+    * and the test metrics are integer counts with one division each.
+    * α levels where k exceeds n_cal yield a NULL threshold (flag
+    * nothing) rather than an unsound max-score cutoff.
+    *
+    * Scale: one global ranking of calibration negatives, a |α|-row
+    * broadcast of thresholds expanded over the test slice map-only, one
+    * (α)-grain partial-agged rollup. */
+  def conformalThresholds(scored: DataFrame, scoreCol: String,
+                          labelCol: String, idCol: String,
+                          alphas: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.2)): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(col(idCol).as("_id"), col(scoreCol).as("_s"),
+        col(labelCol).cast("long").as("_l"))
+      .withColumn("_cal", col("_id") % 5 =!= 0)
+    val calNeg = base.filter(col("_cal") && col("_l") === 0L)
+    val ranked = ScalableRank.withGlobalRowNumber(calNeg,
+      Seq(col("_s").asc, col("_id").asc), "_rn")
+    val nCal = calNeg.agg(count(lit(1)).cast("long").as("n_cal"))
+    val ks = alphas.toDF("alpha").crossJoin(broadcast(nCal))
+      .withColumn("k",
+        ceil((col("n_cal") + lit(1L)) * (lit(1.0) - col("alpha"))).cast("long"))
+    val thr = ks.join(ranked, col("k") === col("_rn"), "left")
+      .select(col("alpha"), col("n_cal"), col("k"), col("_s").as("threshold"))
+    base.filter(!col("_cal")).crossJoin(broadcast(thr))
+      .withColumn("flag",
+        col("threshold").isNotNull && col("_s") > col("threshold"))
+      .groupBy("alpha", "n_cal", "k", "threshold")
+      .agg(
+        sum(when(col("_l") === 0L, 1L).otherwise(0L)).cast("long").as("n_test_neg"),
+        sum(when(col("_l") === 0L && col("flag"), 1L).otherwise(0L))
+          .cast("long").as("false_flags"),
+        sum(when(col("_l") === 1L, 1L).otherwise(0L)).cast("long").as("n_test_pos"),
+        sum(when(col("_l") === 1L && col("flag"), 1L).otherwise(0L))
+          .cast("long").as("detected"))
+      .withColumn("fp_rate", when(col("n_test_neg") > 0L,
+        col("false_flags").cast("double") / col("n_test_neg").cast("double"))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("recall", when(col("n_test_pos") > 0L,
+        col("detected").cast("double") / col("n_test_pos").cast("double"))
+        .otherwise(lit(null).cast("double")))
+  }
+
   /** Midrank decoration for one scorer: collapse to score grain, exact
     * distributed exclusive prefix sums (ScalableRank — never a
     * single-partition running total), then join the per-score doubled

@@ -400,4 +400,31 @@ class EvalDriftSpec extends SparkSpec {
       "score", "label", "id").collect().head.getAs[Double]("auc")
     assert(x.getAs[Double]("auc") == whole)
   }
+
+  test("conformal thresholds select the exact calibration rank and guard overflow alphas") {
+    // calibration negatives (ids 1..4): scores .1 .2 .3 .4 -> n_cal = 4
+    // alpha = 0.5: k = ceil(5 * 0.5) = 3 -> threshold = 0.3
+    // alpha = 0.01: k = ceil(5 * 0.99) = 5 > n_cal -> NULL threshold, no flags
+    val df = Seq(
+      (1L, 0.1f, 0L), (2L, 0.2f, 0L), (3L, 0.3f, 0L), (4L, 0.4f, 0L),
+      (6L, 0.9f, 1L),                    // calibration positive: ignored
+      (5L, 0.35f, 0L), (10L, 0.25f, 1L)  // test slice (id % 5 == 0)
+    ).toDF("id", "score", "label")
+    val rows = Evaluation.conformalThresholds(df, "score", "label", "id",
+      alphas = Seq(0.5, 0.01)).orderBy("alpha").collect()
+    val strict = rows(0) // alpha = 0.01
+    assert(strict.getAs[Long]("n_cal") == 4L && strict.getAs[Long]("k") == 5L)
+    assert(strict.isNullAt(strict.fieldIndex("threshold")))
+    assert(strict.getAs[Long]("false_flags") == 0L &&
+      strict.getAs[Long]("detected") == 0L)
+    val loose = rows(1) // alpha = 0.5
+    assert(loose.getAs[Long]("k") == 3L)
+    assert(loose.getAs[Float]("threshold") == 0.3f)
+    assert(loose.getAs[Long]("n_test_neg") == 1L &&
+      loose.getAs[Long]("false_flags") == 1L) // 0.35 > 0.3
+    assert(loose.getAs[Long]("n_test_pos") == 1L &&
+      loose.getAs[Long]("detected") == 0L)    // 0.25 <= 0.3
+    assert(loose.getAs[Double]("fp_rate") == 1.0 &&
+      loose.getAs[Double]("recall") == 0.0)
+  }
 }
