@@ -112,6 +112,86 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // CUPED variance reduction (Deng et al. 2013): per-customer pre/post
+    // revenue, pooled theta from exact decimal power sums, adjusted
+    // metric micro/milli-quantized before any cross-row sum. The
+    // experiment-readout frame that makes small revenue effects
+    // detectable without more traffic.
+    QueryDef("q_cuped",
+      (s, d) => gold.Experiment.cuped(
+          Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("arm"),
+      Some(CleanOrdersCte +
+        """
+        |, pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN order_date < DATE '1997-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS x,
+        |    CAST(sum(CASE WHEN order_date >= DATE '1997-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS y,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM clean_orders GROUP BY o_custkey
+        |), mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    sum(CAST(x AS DECIMAL(38,6))) AS sx, sum(CAST(y AS DECIMAL(38,6))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,6))) AS sxy
+        |  FROM pc
+        |), th AS (
+        |  SELECT
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE) AS xbar
+        |  FROM mo
+        |), adj AS (
+        |  SELECT arm, theta, CAST(y AS DECIMAL(18,2)) AS y_dec,
+        |    CAST(floor((CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar))
+        |      * 1000000.0) AS BIGINT) AS ya_micro,
+        |    CAST(floor((CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar))
+        |      * (CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar))
+        |      * 1000.0) AS BIGINT) AS ya2_milli,
+        |    CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1000.0) AS BIGINT) AS y2_milli
+        |  FROM pc CROSS JOIN th
+        |), ag AS (
+        |  SELECT arm, theta, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y_dec) AS DECIMAL(38,2)) AS ysum,
+        |    sum(CAST(y2_milli AS HUGEINT)) AS y2,
+        |    sum(CAST(ya_micro AS HUGEINT)) AS ya,
+        |    sum(CAST(ya2_milli AS HUGEINT)) AS ya2
+        |  FROM adj GROUP BY 1, 2
+        |), f AS (
+        |  SELECT arm, n, theta,
+        |    CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |    CAST(ya AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean_y_adj,
+        |    CAST(y2 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)
+        |      - (CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y,
+        |    CAST(ya2 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)
+        |      - (CAST(ya AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |        * (CAST(ya AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) AS var_y_adj
+        |  FROM ag
+        |)
+        |SELECT arm, n, theta, mean_y, mean_y_adj, var_y, var_y_adj,
+        |  1.0 - var_y_adj / var_y AS var_reduction
+        |FROM f ORDER BY arm""".stripMargin)),
+
+    // Isotonic (PAV) calibration map: distributed Spark-ML fit; the
+    // bounded (boundary, calibrated_p) table serving broadcasts.
+    // Rows-only (learned map, SURVEY section 4); MlSpec pins the PAV hand
+    // example, monotonicity, and the Brier improvement direction.
+    QueryDef("q_isotonic_map",
+      (s, d) => graft.ml.Calibration.isotonicMap(literalScored(s, d),
+          "fraud_score", "label")
+        .orderBy("boundary"),
+      None),
+
+    // Calibration payoff in one row: micro-quantized Brier before/after
+    // the isotonic map on the same rows. Rows-only (learned predictions).
+    QueryDef("q_isotonic_gain",
+      (s, d) => graft.ml.Calibration.brierGain(literalScored(s, d),
+          "fraud_score", "label")
+        .orderBy("n"),
+      None),
+
     // Split-conformal anomaly thresholds: per miscoverage level alpha,
     // the exact-rank calibration-negative cutoff whose false-flag rate is
     // distribution-free bounded by alpha. One global ranking + a 4-row

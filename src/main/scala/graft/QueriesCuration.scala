@@ -669,6 +669,15 @@ private[graft] object QueriesCuration {
       (s, d) => text.Blocklist.tagSummary(Tables.documents(s, d)).orderBy("tag"),
       Some(text.Blocklist.tagSummaryOracleSql())),
 
+    // Single-pass blocklist REDACTION (multi_redact + multi_match_count):
+    // leftmost-longest non-overlapping masking, hash-gated against a
+    // longest-first-alternation global regex replace — the semantics
+    // proof that the automaton sweep equals the regex contract while
+    // costing O(text) for any pattern count.
+    QueryDef("q_blocklist_redact",
+      (s, d) => text.Blocklist.redactDocs(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(text.Blocklist.redactOracleSql())),
+
     // Per-language readability (ARI + Coleman-Liau): syllable-free
     // formulas over exact char/word/sentence count sums, one mirrored
     // IEEE chain per score — the corpus-quality dashboard row that needs

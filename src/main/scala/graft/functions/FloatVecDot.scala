@@ -199,6 +199,20 @@ object GraftFunctions {
     MultiMatch(exprs.head, exprs(1))
   }
 
+  val multiRedactBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"multi_redact expects 3 arguments (text, patterns, mask), got ${exprs.length}")
+    MultiRedact(exprs(0), exprs(1), exprs(2))
+  }
+
+  val multiMatchCountBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"multi_match_count expects 2 arguments (text, patterns), got ${exprs.length}")
+    MultiMatchCount(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
@@ -228,6 +242,10 @@ object GraftFunctions {
       "deflate_len", deflateLenBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "multi_match", multiMatchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_redact", multiRedactBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_match_count", multiMatchCountBuilder, "built-in")
   }
 
   /** Runtime installation of graft's optimizer rules (for sessions not
@@ -296,6 +314,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
       GraftFunctions.multiMatchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("multi_redact"),
+      new ExpressionInfo(classOf[MultiRedact].getName, "multi_redact"),
+      GraftFunctions.multiRedactBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("multi_match_count"),
+      new ExpressionInfo(classOf[MultiMatchCount].getName, "multi_match_count"),
+      GraftFunctions.multiMatchCountBuilder))
     ext.injectOptimizerRule(_ => graft.plans.FuseVecDot)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -44,20 +44,8 @@ case class MultiMatch(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  @transient private lazy val automaton: MultiMatch.Automaton = {
-    val data = right.eval(null)
-    if (data == null)
-      throw new IllegalArgumentException("multi_match patterns array must not be null")
-    val arr = data.asInstanceOf[ArrayData]
-    val pats = Array.tabulate(arr.numElements()) { i =>
-      val p = arr.getUTF8String(i)
-      if (p == null || p.numBytes() == 0)
-        throw new IllegalArgumentException(
-          "multi_match patterns must be non-null and non-empty")
-      p.getBytes.clone()
-    }
-    new MultiMatch.Automaton(pats)
-  }
+  @transient private lazy val automaton: MultiMatch.Automaton =
+    MultiMatch.automatonFromFoldable(right, prettyName)
 
   override protected def nullSafeEval(t: Any, p: Any): Any =
     automaton.matchedArray(t.asInstanceOf[UTF8String])
@@ -73,17 +61,131 @@ case class MultiMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `multi_redact(text, patterns, mask)` — single-pass multi-pattern
+  * REDACTION on the same plan-time Aho–Corasick automaton as
+  * [[MultiMatch]]: every leftmost-longest non-overlapping occurrence of
+  * any pattern is replaced by `mask`. Semantics are exactly those of a
+  * global regex replace over the alternation `p1|p2|…` with alternatives
+  * ordered longest-first (which is how the oracle mirrors it) — but the
+  * scan is O(|text| + matches) for ANY pattern count, where the regex
+  * alternation re-tries P alternatives per position. Patterns and mask
+  * must be foldable; the mask is not rescanned (no replacement cascades).
+  */
+case class MultiRedact(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType, ArrayType(StringType), StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "multi_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "multi_redact patterns and mask must be foldable (plan-time structures)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val automaton: MultiMatch.Automaton =
+    MultiMatch.automatonFromFoldable(second, prettyName)
+
+  @transient private lazy val maskBytes: Array[Byte] = {
+    val m = third.eval(null)
+    if (m == null)
+      throw new IllegalArgumentException("multi_redact mask must not be null")
+    m.asInstanceOf[UTF8String].getBytes.clone()
+  }
+
+  override protected def nullSafeEval(t: Any, p: Any, m: Any): Any =
+    automaton.redact(t.asInstanceOf[UTF8String], maskBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val autoRef =
+      ctx.addReferenceObj("acAutomaton", automaton, classOf[MultiMatch.Automaton].getName)
+    val maskRef = ctx.addReferenceObj("acMask", maskBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"${ev.value} = $autoRef.redact($t, $maskRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `multi_match_count(text, patterns)` — the number of leftmost-longest
+  * non-overlapping pattern occurrences (the redaction count of
+  * [[MultiRedact]], without building the redacted string). */
+case class MultiMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "multi_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "multi_match_count patterns must be foldable (plan-time structure)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val automaton: MultiMatch.Automaton =
+    MultiMatch.automatonFromFoldable(right, prettyName)
+
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    automaton.sweepCount(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val autoRef =
+      ctx.addReferenceObj("acAutomaton", automaton, classOf[MultiMatch.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $autoRef.sweepCount($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MultiMatch {
+
+  /** Shared builder: evaluate the foldable pattern-array child into the
+    * plan-time automaton (MultiMatch / MultiRedact / MultiMatchCount). */
+  private[functions] def automatonFromFoldable(patterns: Expression,
+                                               fn: String): Automaton = {
+    val data = patterns.eval(null)
+    if (data == null)
+      throw new IllegalArgumentException(s"$fn patterns array must not be null")
+    val arr = data.asInstanceOf[ArrayData]
+    val pats = Array.tabulate(arr.numElements()) { i =>
+      val p = arr.getUTF8String(i)
+      if (p == null || p.numBytes() == 0)
+        throw new IllegalArgumentException(
+          s"$fn patterns must be non-null and non-empty")
+      p.getBytes.clone()
+    }
+    new Automaton(pats)
+  }
 
   /** Per-thread match scratch: generation-stamped visit marks make repeat
     * calls allocation-free without clearing (a clear would be O(nodes) per
     * row). `nodeGen[n] == gen` ⇒ node n's dict chain was already walked
-    * for the current row; `patGen[p] == gen` ⇒ pattern p already reported. */
+    * for the current row; `patGen[p] == gen` ⇒ pattern p already reported.
+    * The growable (start, len) buffer serves the redaction sweep. */
   private final class Scratch(nNodes: Int, nPats: Int) {
     val nodeGen = new Array[Int](nNodes)
     val patGen = new Array[Int](nPats)
     val hits = new Array[Int](nPats)
+    var starts = new Array[Int](64)
+    var lens = new Array[Int](64)
     var gen = 0
+    def grow(n: Int): Unit = if (n >= starts.length) {
+      starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      lens = java.util.Arrays.copyOf(lens, lens.length * 2)
+    }
   }
 
   /** Frozen byte-trie with BFS fail links and dict (output-suffix) links.
@@ -218,6 +320,103 @@ object MultiMatch {
       var j = 0
       while (j < nHits) { res(j) = outStrings(sc.hits(j)); j += 1 }
       new GenericArrayData(res)
+    }
+
+    private val patLen: Array[Int] = patternBytes.map(_.length)
+
+    /** Every occurrence (overlapping included) as (start, len) into the
+      * scratch buffers — occurrences, not distinct patterns, so no
+      * dict-chain memoization here. Returns the raw occurrence count. */
+    private def collectMatches(bytes: Array[Byte], sc: Scratch): Int = {
+      var n = 0
+      var state = 0
+      var i = 0
+      while (i < bytes.length) {
+        val ub = bytes(i) & 0xff
+        var s = state
+        var nxt = if (s == 0) rootNext(ub) else -1
+        while (nxt < 0) {
+          nxt = child(s, ub)
+          if (nxt < 0) {
+            if (s == 0) nxt = 0 else s = fail(s)
+          }
+        }
+        state = nxt
+        var cur = if (out(state) >= 0) state else dict(state)
+        while (cur != 0) {
+          val p = out(cur)
+          if (p >= 0) {
+            sc.grow(n)
+            sc.starts(n) = i - patLen(p) + 1
+            sc.lens(n) = patLen(p)
+            n += 1
+          }
+          cur = dict(cur)
+        }
+        i += 1
+      }
+      n
+    }
+
+    /** Leftmost-longest non-overlapping selection (global-regex-replace
+      * semantics with longest-first alternation): sort occurrences by
+      * (start asc, len desc) via one packed-long sort, then a greedy
+      * sweep. Survivors overwrite the scratch prefix; returns their
+      * count. */
+    private def greedySelect(sc: Scratch, n: Int): Int = {
+      val keys = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        keys(i) = (sc.starts(i).toLong << 32) | (0xFFFFFFFFL - sc.lens(i))
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      var k = 0
+      var next = 0
+      i = 0
+      while (i < n) {
+        val s = (keys(i) >>> 32).toInt
+        val l = (0xFFFFFFFFL - (keys(i) & 0xFFFFFFFFL)).toInt
+        if (s >= next) { sc.starts(k) = s; sc.lens(k) = l; k += 1; next = s + l }
+        i += 1
+      }
+      k
+    }
+
+    /** Number of leftmost-longest non-overlapping occurrences. */
+    def sweepCount(text: UTF8String): Long = {
+      val sc = scratch.get()
+      val n = collectMatches(text.getBytes, sc)
+      greedySelect(sc, n).toLong
+    }
+
+    /** Redacted copy: every selected occurrence replaced by `mask` (the
+      * mask is never rescanned). Returns the original object when nothing
+      * matched — the common case allocates nothing. */
+    def redact(text: UTF8String, mask: Array[Byte]): UTF8String = {
+      val sc = scratch.get()
+      val bytes = text.getBytes
+      val n0 = collectMatches(bytes, sc)
+      val k = greedySelect(sc, n0)
+      if (k == 0) return text
+      var outLen = bytes.length
+      var i = 0
+      while (i < k) { outLen += mask.length - sc.lens(i); i += 1 }
+      val outB = new Array[Byte](outLen)
+      var src = 0
+      var dst = 0
+      i = 0
+      while (i < k) {
+        val s = sc.starts(i)
+        System.arraycopy(bytes, src, outB, dst, s - src)
+        dst += s - src
+        System.arraycopy(mask, 0, outB, dst, mask.length)
+        dst += mask.length
+        src = s + sc.lens(i)
+        i += 1
+      }
+      System.arraycopy(bytes, src, outB, dst, bytes.length - src)
+      UTF8String.fromBytes(outB)
     }
   }
 }

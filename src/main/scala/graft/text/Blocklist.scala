@@ -78,4 +78,29 @@ object Blocklist {
        |CROSS JOIN (SELECT unnest(${sqlListLit(tags)}) AS tag) AS t
        |WHERE contains(text, t.tag)
        |GROUP BY t.tag ORDER BY t.tag""".stripMargin
+
+  /** Doc-grain redaction on the `multi_redact` / `multi_match_count`
+    * expressions: every leftmost-longest non-overlapping blocklist
+    * occurrence masked, with the occurrence count alongside — still one
+    * text pass total per expression, map-only. */
+  def redactDocs(documents: DataFrame, tags: Seq[String] = DefaultTags): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val arr = sparkArrayLit(tags)
+    documents.select(col("doc_id"),
+      expr(s"multi_match_count(text, $arr)").as("n_redactions"),
+      expr(s"multi_redact(text, $arr, '[MASK]')").as("redacted"))
+  }
+
+  /** Oracle: a global regex replace over the longest-first alternation is
+    * semantically identical to the automaton's leftmost-longest sweep for
+    * literal patterns. */
+  def redactOracleSql(tags: Seq[String] = DefaultTags): String = {
+    require(tags.forall(_.matches("[A-Za-z0-9 ]+")),
+      "oracle alternation requires regex-meta-free tags")
+    val alt = tags.sortBy(t => (-t.length, t)).mkString("|")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$alt')) AS BIGINT) AS n_redactions,
+       |  regexp_replace(text, '$alt', '[MASK]', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

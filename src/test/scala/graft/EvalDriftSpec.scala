@@ -427,4 +427,28 @@ class EvalDriftSpec extends SparkSpec {
     assert(loose.getAs[Double]("fp_rate") == 1.0 &&
       loose.getAs[Double]("recall") == 0.0)
   }
+
+  test("CUPED recovers the exact theta on a planted linear relation and kills its variance") {
+    import graft.gold.Experiment
+    // two orders per customer: pre-period spend x = i, post-period y = 2i
+    // -> theta == 2.0 exactly (all moment sums fit doubles exactly),
+    // adjusted metric y' = 2*xbar is CONSTANT -> variance ~ 0
+    val rows = (1 to 100).flatMap { i =>
+      Seq((i.toLong, i.toDouble, java.sql.Date.valueOf("1996-06-01")),
+        (i.toLong, 2.0 * i, java.sql.Date.valueOf("1997-06-01")))
+    }.toDF("o_custkey", "o_totalprice", "order_date")
+    val out = Experiment.cuped(rows).orderBy("arm").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") == 2.0, s"theta ${r.getAs[Double]("theta")}")
+      assert(r.getAs[Double]("var_y_adj") < 1e-3,
+        s"adjusted variance ${r.getAs[Double]("var_y_adj")}")
+      assert(r.getAs[Double]("var_reduction") > 0.99)
+    }
+    // CUPED preserves the pooled mean (up to micro-quantization)
+    val pooledRaw = out.map(r => r.getAs[Double]("mean_y") * r.getAs[Long]("n")).sum
+    val pooledAdj = out.map(r => r.getAs[Double]("mean_y_adj") * r.getAs[Long]("n")).sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
+      s"pooled mean moved: $pooledRaw vs $pooledAdj")
+  }
 }

@@ -599,4 +599,35 @@ class FunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[multi_match".r.findFirstIn(plan).isDefined, plan.take(800))
   }
+
+  test("multi_redact equals the longest-first-alternation regex replace on real docs") {
+    GraftFunctions.register(spark)
+    val tags = graft.text.Blocklist.DefaultTags
+    val arr = tags.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val alt = tags.sortBy(t => (-t.length, t)).mkString("|")
+    val both = Tables.documents(spark, TinySf).select(
+      expr(s"multi_redact(text, $arr, '[MASK]')").as("fast"),
+      regexp_replace(col("text"), alt, "[MASK]").as("slow"),
+      expr(s"multi_match_count(text, $arr)").as("cnt"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // count == number of masks actually inserted
+    val bad = both.filter(
+      size(split(col("fast"), "\\[MASK\\]", -1)) - 1 =!= col("cnt")).count()
+    assert(bad == 0)
+    assert(both.filter(col("cnt") > 0).count() > 0)
+  }
+
+  test("multi_redact picks leftmost-longest and skips overlaps") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Some("abab"), Some("ababa"), Some("xyz"), None).toDF("t")
+    val out = df.select(
+      expr("multi_redact(t, array('ab', 'aba'), 'M')").as("r"),
+      expr("multi_match_count(t, array('ab', 'aba'))").as("c")).collect()
+    assert(out(0).getString(0) == "Mb" && out(0).getLong(1) == 1L)  // aba wins at 0
+    assert(out(1).getString(0) == "Mba" && out(1).getLong(1) == 1L) // overlap at 2 skipped
+    assert(out(2).getString(0) == "xyz" && out(2).getLong(1) == 0L)
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1))
+  }
 }

@@ -186,4 +186,37 @@ class MlSpec extends SparkSpec {
     assert(first == second, "retrain diverged")
     QualityClassifier.releaseCache()
   }
+
+  // ---- isotonic calibration ----
+
+  test("isotonic map reproduces the PAV hand example and is monotone on real scores") {
+    import graft.ml.Calibration
+    val spark2 = spark
+    import spark2.implicits._
+    // PAV on labels (0, 1, 0, 1) over increasing scores pools the middle
+    // violation (1, 0) -> 0.5: map = [0, 0.5, 0.5, 1]
+    val tiny = Seq((1.0f, 0L), (2.0f, 1L), (3.0f, 0L), (4.0f, 1L))
+      .toDF("score", "label")
+    val m = Calibration.isotonicMap(tiny, "score", "label")
+      .orderBy("boundary").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(m == Seq((1.0, 0.0), (2.0, 0.5), (3.0, 0.5), (4.0, 1.0)))
+    // real scorer: calibrated_p must be non-decreasing in the boundary
+    val real = Calibration.isotonicMap(
+      graft.QueriesShared.literalScored(spark, TinySf), "fraud_score", "label")
+      .orderBy("boundary").collect().map(_.getDouble(1))
+    assert(real.nonEmpty && real.sameElements(real.sorted),
+      "isotonic map must be monotone")
+  }
+
+  test("isotonic calibration can only improve the train-set Brier") {
+    import graft.ml.Calibration
+    val g = Calibration.brierGain(
+      graft.QueriesShared.literalScored(spark, TinySf), "fraud_score", "label")
+      .collect().head
+    val gain = g.getAs[Double]("brier_gain")
+    assert(gain >= -1e-6, s"calibration worsened Brier by ${-gain}")
+    assert(g.getAs[Double]("brier_cal") >= 0.0 &&
+      g.getAs[Double]("brier_raw") >= 0.0)
+  }
 }
