@@ -112,6 +112,50 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // Mann-Whitney U two-sample drift test: exact-rank (unbinned) shift
+    // detection on order amounts between periods — doubled midranks,
+    // exact tie correction, one mirrored IEEE chain for u/mu/sigma/z.
+    QueryDef("q_mannwhitney",
+      (s, d) => gold.Drift.mannWhitney(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          col("o_totalprice"), col("order_date") < to_date(lit("1997-01-01")))
+        .orderBy("m"),
+      Some(CleanOrdersCte +
+        """
+        |, rows_mw AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN order_date < DATE '1997-01-01' THEN 1 ELSE 0 END AS a
+        |  FROM clean_orders
+        |), g AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(a) AS BIGINT) AS ca
+        |  FROM rows_mw GROUP BY 1
+        |), h AS (
+        |  SELECT cnt, ca,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS h2
+        |  FROM g
+        |), agg AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS m,
+        |    CAST(sum(cnt - ca) AS BIGINT) AS n,
+        |    CAST(sum(ca * h2) AS BIGINT) AS r2a,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+        |  FROM h
+        |), s1 AS (
+        |  SELECT m, n, r2a - m * (m + 1) AS u2, ties FROM agg
+        |), s2 AS (
+        |  SELECT m, n, u2,
+        |    CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |    CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 2.0 AS mu,
+        |    sqrt(CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 12.0 *
+        |      ((CAST(m + n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |        (CAST(m + n AS DOUBLE) * (CAST(m + n AS DOUBLE) - 1.0)))) AS sigma
+        |  FROM s1
+        |)
+        |SELECT m, n, u2, u, mu, sigma,
+        |  CASE WHEN sigma > 0 THEN (u - mu) / sigma ELSE NULL END AS z,
+        |  2.0 * (u / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) - 1.0 AS rank_biserial
+        |FROM s2 ORDER BY m""".stripMargin)),
+
     // CUPED variance reduction (Deng et al. 2013): per-customer pre/post
     // revenue, pooled theta from exact decimal power sums, adjusted
     // metric micro/milli-quantized before any cross-row sum. The

@@ -77,4 +77,50 @@ object Drift {
     when(tier === "micro", 0).when(tier === "low", 1)
       .when(tier === "medium", 2).when(tier === "high", 3)
       .otherwise(4).cast("long")
+
+  /** Mann–Whitney U two-sample test (Mann & Whitney 1947) — the UNBINNED
+    * companion to [[binnedDrift]]: has the distribution of a numeric
+    * column shifted between two periods, judged on exact ranks with the
+    * tie-corrected normal approximation. Binned PSI/KS need a bin design;
+    * this needs nothing and sees pure location shifts the bin grid can
+    * blur.
+    *
+    * Exactness (§4): the doubled-midrank machinery of the AUC family —
+    * 2U = Σ_A h2 − m(m+1) is an exact BIGINT; the tie term Σ(t³−t) is an
+    * exact decimal sum; μ, the tie-corrected σ, z, and the rank-biserial
+    * effect size are one mirrored IEEE chain. All-tied inputs (σ = 0)
+    * report NULL z instead of trapping.
+    *
+    * Scale: one value-grain partial-agged groupBy, one distributed prefix
+    * sum over the collapsed frame, a 1-row output. */
+  def mannWhitney(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val rows = df.select(value.as("_v"), inA.cast("long").as("_a"))
+    val g = rows.groupBy("_v")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_a")).cast("long").as("_ca"))
+    val c = graft.operators.ScalableRank.withGroupedPrefixSum(
+      g, lit(0L), Seq(col("_v").asc), col("_cnt"), "_cum")
+    val h = c.withColumn("h2", lit(2L) * col("_cum") + col("_cnt") + lit(1L))
+    val agg = h.agg(
+        sum(col("_ca")).cast("long").as("m"),
+        sum(col("_cnt") - col("_ca")).cast("long").as("n"),
+        sum(col("_ca") * col("h2")).cast("long").as("_r2a"),
+        sum((col("_cnt").cast("decimal(19,0)") * col("_cnt") * col("_cnt") -
+          col("_cnt")).cast("decimal(38,0)")).cast("decimal(38,0)").as("_ties"))
+      .select(col("m"), col("n"),
+        (col("_r2a") - col("m") * (col("m") + lit(1L))).as("u2"), col("_ties"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    val bigN = (col("m") + col("n")).cast("double")
+    agg
+      .withColumn("u", col("u2").cast("double") / lit(2.0))
+      .withColumn("mu", mD * nD / lit(2.0))
+      .withColumn("sigma", sqrt(mD * nD / lit(12.0) *
+        ((bigN + lit(1.0)) - col("_ties").cast("double") /
+          (bigN * (bigN - lit(1.0))))))
+      .withColumn("z", when(col("sigma") > 0.0,
+        (col("u") - col("mu")) / col("sigma"))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("rank_biserial", lit(2.0) * (col("u") / (mD * nD)) - lit(1.0))
+      .select("m", "n", "u2", "u", "mu", "sigma", "z", "rank_biserial")
+  }
 }

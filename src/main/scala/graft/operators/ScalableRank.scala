@@ -84,33 +84,41 @@ object ScalableRank {
     * (every window frame bounded by one partition's slice of one group);
     * per-(partition, group) totals — ≤ P rows per group, config-bounded —
     * prefix-summed per group and broadcast back as offsets.
-    * `order` must totally order rows within a group. */
+    * `order` must totally order rows within a group.
+    *
+    * Internal working columns are `_gps_`-prefixed so caller frames can
+    * use ordinary short names — an earlier `_v` internal silently
+    * re-ordered a caller's prefix sums when the caller also had a `_v`
+    * column (caught by the q_mannwhitney oracle gate). Caller columns may
+    * not start with `_gps_`. */
   def withGroupedPrefixSum(df: DataFrame, group: Column, order: Seq[Column],
                            value: Column, out: String): DataFrame = {
+    require(df.columns.forall(!_.startsWith("_gps_")),
+      "caller columns must not use the _gps_ internal prefix")
     val keys = group +: order
     val ranged = persisted(df
       .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33))
-      .withColumn("_v", value.cast("long")))
-    val wLocal = Window.partitionBy(col("_pid"), group).orderBy(order: _*)
+      .withColumn("_gps_mid", monotonically_increasing_id())
+      .withColumn("_gps_pid", shiftright(col("_gps_mid"), 33))
+      .withColumn("_gps_v", value.cast("long")))
+    val wLocal = Window.partitionBy(col("_gps_pid"), group).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged
-      .withColumn("_lps", coalesce(sum(col("_v")).over(wLocal), lit(0L)))
-    val totals = ranged.groupBy(col("_pid"), group.as("_g"))
-      .agg(sum(col("_v")).as("_ptot"))
+      .withColumn("_gps_lps", coalesce(sum(col("_gps_v")).over(wLocal), lit(0L)))
+    val totals = ranged.groupBy(col("_gps_pid"), group.as("_gps_g"))
+      .agg(sum(col("_gps_v")).as("_gps_ptot"))
     // one row per (shuffle partition × group) slice: the per-group window
     // below is over ≤ P rows per group — bounded by config, not data
-    val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))
+    val wOff = Window.partitionBy(col("_gps_g")).orderBy(col("_gps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
-      .withColumn("_goff", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
-      .select(col("_pid").as("_opid"), col("_g"), col("_goff"))
+      .withColumn("_gps_goff", coalesce(sum(col("_gps_ptot")).over(wOff), lit(0L)))
+      .select(col("_gps_pid").as("_gps_opid"), col("_gps_g"), col("_gps_goff"))
     local.join(broadcast(offsets),
-        col("_pid") === col("_opid") && group <=> col("_g"))
-      .withColumn(out, col("_lps") + col("_goff"))
-      .drop("_mid", "_pid", "_v", "_lps", "_opid", "_g", "_goff")
+        col("_gps_pid") === col("_gps_opid") && group <=> col("_gps_g"))
+      .withColumn(out, col("_gps_lps") + col("_gps_goff"))
+      .drop("_gps_mid", "_gps_pid", "_gps_v", "_gps_lps", "_gps_opid", "_gps_g", "_gps_goff")
   }
 
   /** Exact per-group top-k without concentrating each group into one

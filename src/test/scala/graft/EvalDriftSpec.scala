@@ -451,4 +451,33 @@ class EvalDriftSpec extends SparkSpec {
     assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
       s"pooled mean moved: $pooledRaw vs $pooledAdj")
   }
+
+  test("Mann-Whitney matches hand math with and without ties; all-tied goes NULL") {
+    import graft.gold.Drift
+    // no ties: A = {1,2}, B = {3,4} -> U = 0, tie term 0
+    val a = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "in_a")
+    val r1 = Drift.mannWhitney(a, col("v"), col("in_a")).collect().head
+    assert(r1.getAs[Long]("m") == 2L && r1.getAs[Long]("n") == 2L)
+    assert(r1.getAs[Long]("u2") == 0L && r1.getAs[Double]("u") == 0.0)
+    assert(r1.getAs[Double]("mu") == 2.0)
+    val sig1 = math.sqrt(2.0 * 2.0 / 12.0 * ((4.0 + 1.0) - 0.0 / (4.0 * 3.0)))
+    assert(r1.getAs[Double]("sigma") == sig1)
+    assert(r1.getAs[Double]("z") == (0.0 - 2.0) / sig1)
+    assert(r1.getAs[Double]("rank_biserial") == -1.0) // B stochastically larger
+    // heavy tie: A = {1,1}, B = {1,2} -> U = 1 (two half-wins), sigma = 1
+    val t = Seq((1.0, true), (1.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "in_a")
+    val r2 = Drift.mannWhitney(t, col("v"), col("in_a")).collect().head
+    assert(r2.getAs[Long]("u2") == 2L && r2.getAs[Double]("u") == 1.0)
+    val sig2 = math.sqrt(2.0 * 2.0 / 12.0 * ((4.0 + 1.0) - 24.0 / (4.0 * 3.0)))
+    assert(r2.getAs[Double]("sigma") == sig2) // ~1 up to the IEEE chain
+    assert(math.abs(sig2 - 1.0) < 1e-12)
+    assert(r2.getAs[Double]("z") == (1.0 - 2.0) / sig2)
+    // degenerate: every value tied -> zero variance, NULL z
+    val const = Seq((5.0, true), (5.0, false)).toDF("v", "in_a")
+    val r3 = Drift.mannWhitney(const, col("v"), col("in_a")).collect().head
+    assert(r3.getAs[Double]("sigma") == 0.0)
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+  }
 }
