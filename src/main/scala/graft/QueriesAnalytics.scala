@@ -112,6 +112,16 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // Holt double-exponential smoothing forecast: the day series
+    // materialized as ONE sorted struct array, the whole recursion a
+    // row-local HOF fold (identical left fold in DuckDB list_reduce),
+    // h-step forecasts + one-step-ahead SSE.
+    QueryDef("q_holt_forecast",
+      (s, d) => gold.Seasonal.holtForecast(
+          Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("h"),
+      Some("WITH RECURSIVE " + CleanOrdersCte.stripPrefix("WITH ") +
+        gold.Seasonal.holtOracleSql())),
+
     // Mann-Whitney U two-sample drift test: exact-rank (unbinned) shift
     // detection on order amounts between periods — doubled midranks,
     // exact tie correction, one mirrored IEEE chain for u/mu/sigma/z.

@@ -393,4 +393,83 @@ object Seasonal {
       |FROM ms JOIN mi ON ms.event_type = mi.event_type
       |        JOIN da ON ms.event_type = da.event_type
       |ORDER BY ms.event_type""".stripMargin
+
+  /** Holt double-exponential smoothing (Holt 1957): level + trend with
+    * exponential discounting — the forecasting rung above the OLS trend
+    * (q_revenue_trend fits one global slope; Holt adapts to slope
+    * CHANGES). The one-step-ahead SSE rides along as the fit diagnostic.
+    *
+    * Shape discipline (the Kaplan–Meier lesson): the day series is
+    * MATERIALIZED through the aggregation boundary as one sorted struct
+    * array, and the entire recursion is a row-local HOF `aggregate` fold
+    * over that array — calendar-bounded arithmetic, never an iterative
+    * job or driver loop. The fold is an identical left-to-right IEEE
+    * chain in Spark `aggregate` and DuckDB `list_reduce` (the CUSUM
+    * contract), with the accumulator carried as a struct on both sides —
+    * hash-exact. Init: L = y₂, B = y₂ − y₁; fold over y₃…; smoothing
+    * constants are shared literals. */
+  def holtForecast(cleanOrders: DataFrame, horizon: Int = 7): DataFrame = {
+    val daily = cleanOrders
+      .groupBy(col("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("y"))
+    daily
+      .agg(sort_array(collect_list(struct(col("order_date").as("d"),
+        col("y").as("y")))).as("s"))
+      .withColumn("ys", expr("transform(s, x -> x.y)"))
+      .filter(size(col("ys")) >= 3)
+      .withColumn("st", expr(HoltFold))
+      .select(explode(expr(s"sequence(1L, ${horizon}L)")).as("h"),
+        col("st"), size(col("ys")).cast("long").as("n_days"))
+      .select(col("h"),
+        (col("st.l") + col("h").cast("double") * col("st.b")).as("forecast"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        col("st.sse").as("sse"), col("n_days"))
+  }
+
+  // alpha = 0.5, beta = 0.3 as shared literals; l_new is inlined twice in
+  // b_new (a HOF lambda cannot reference a sibling field) — the oracle
+  // duplicates the same text so the IEEE chains agree.
+  private val HoltFold =
+    """aggregate(slice(ys, 3, size(ys) - 2),
+      |  named_struct('l', element_at(ys, 2),
+      |    'b', element_at(ys, 2) - element_at(ys, 1),
+      |    'sse', cast(0.0 as double)),
+      |  (acc, y) -> named_struct(
+      |    'l', 0.5 * y + 0.5 * (acc.l + acc.b),
+      |    'b', 0.3 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b,
+      |    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))""".stripMargin
+
+  /** DuckDB mirror of [[holtForecast]] — the fold runs as a RECURSIVE CTE
+    * with the (l, b, sse) state carried as plain columns: one row per
+    * step, exactly Spark's left fold. (A list_reduce with a STRUCT
+    * accumulator was tried first and DuckDB 1.0 evaluated different
+    * fields of the lambda against inconsistent accumulator values —
+    * caught by this oracle gate; recursive CTEs have no such quirk.)
+    * Callers must open the chain with `WITH RECURSIVE`. */
+  def holtOracleSql(horizon: Int = 7): String =
+    s"""
+       |, daily AS (
+       |  SELECT order_date AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+       |  FROM clean_orders GROUP BY 1
+       |), arr AS (
+       |  SELECT list(y ORDER BY d) AS ys FROM daily WHERE 1 = 1
+       |  HAVING count(*) >= 3
+       |), hw(i, l, b, sse) AS (
+       |    SELECT 2, ys[2], ys[2] - ys[1], CAST(0.0 AS DOUBLE) FROM arr
+       |  UNION ALL
+       |    SELECT i + 1,
+       |      0.5 * ys[i + 1] + 0.5 * (l + b),
+       |      0.3 * ((0.5 * ys[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b,
+       |      sse + (ys[i + 1] - (l + b)) * (ys[i + 1] - (l + b))
+       |    FROM hw, arr WHERE i < len(ys)
+       |), fit AS (
+       |  SELECT l, b, sse, CAST(len(ys) AS BIGINT) AS n_days
+       |  FROM hw, arr WHERE i = len(ys)
+       |)
+       |SELECT h, l + CAST(h AS DOUBLE) * b AS forecast,
+       |  l AS level, b AS trend, sse, n_days
+       |FROM fit CROSS JOIN (SELECT unnest(range(1, ${horizon + 1})) AS h)
+       |ORDER BY h""".stripMargin
 }

@@ -480,4 +480,24 @@ class EvalDriftSpec extends SparkSpec {
     assert(r3.getAs[Double]("sigma") == 0.0)
     assert(r3.isNullAt(r3.fieldIndex("z")))
   }
+
+  test("Holt forecast is exact on a planted linear series") {
+    import graft.gold.Seasonal
+    // y_t = 10 + 5t: after init (L = y2, B = 5) every one-step forecast is
+    // exact, so L tracks y, B stays 5, SSE stays 0 — all bit-exact
+    val rows = (0 until 50).map { t =>
+      (10.0 + 5.0 * t, java.sql.Date.valueOf(java.time.LocalDate.of(1996, 1, 1).plusDays(t)))
+    }.toDF("o_totalprice", "order_date")
+    val out = Seasonal.holtForecast(rows).orderBy("h").collect()
+    assert(out.length == 7)
+    val last = 10.0 + 5.0 * 49
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(r.getAs[Long]("n_days") == 50L)
+      assert(r.getAs[Double]("level") == last)
+      assert(r.getAs[Double]("trend") == 5.0)
+      assert(r.getAs[Double]("sse") == 0.0)
+      assert(r.getAs[Double]("forecast") == last + 5.0 * h)
+    }
+  }
 }
