@@ -66,6 +66,70 @@ private[graft] object QueriesCuration {
         |  FROM c
         |) t ORDER BY stage_idx""".stripMargin)),
 
+    // A/B funnel with per-stage two-proportion z-tests: the funnel split
+    // by user-parity arms, counts folded to one row, pooled z per stage
+    // (nested CASE keeps NaN out of cross-engine comparisons).
+    QueryDef("q_funnel_ab",
+      (s, d) => gold.Behavior.funnelAb(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us")),
+          Seq("signup", "view", "click", "purchase"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+        .orderBy("stage_idx"),
+      Some {
+        val stages = Seq("signup", "view", "click", "purchase")
+        val armAgg = stages.indices.flatMap { i =>
+          Seq(s"coalesce(max(CASE WHEN arm = 'A' THEN u$i END), 0) AS a_u$i",
+            s"coalesce(max(CASE WHEN arm = 'B' THEN u$i END), 0) AS b_u$i")
+        }.mkString(",\n    ")
+        val stageSelects = stages.zipWithIndex.map { case (stage, i) =>
+          val pA = s"CASE WHEN a_u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(a_u$i AS DOUBLE) / CAST(a_u0 AS DOUBLE) END"
+          val pB = s"CASE WHEN b_u0 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(b_u$i AS DOUBLE) / CAST(b_u0 AS DOUBLE) END"
+          val se = s"sqrt((CAST(a_u$i + b_u$i AS DOUBLE) / CAST(a_u0 + b_u0 AS DOUBLE)) * (1.0 - CAST(a_u$i + b_u$i AS DOUBLE) / CAST(a_u0 + b_u0 AS DOUBLE)) * (1.0 / CAST(a_u0 AS DOUBLE) + 1.0 / CAST(b_u0 AS DOUBLE)))"
+          s"""  SELECT CAST($i AS BIGINT) AS stage_idx, '$stage' AS stage,
+             |    a_u0 AS a_entered, a_u$i AS a_reached,
+             |    b_u0 AS b_entered, b_u$i AS b_reached,
+             |    $pA AS p_a, $pB AS p_b,
+             |    CASE WHEN a_u0 > 0 AND b_u0 > 0 THEN
+             |      CASE WHEN $se > 0.0 THEN (($pA) - ($pB)) / $se END
+             |    END AS z
+             |  FROM one""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        graft.QueriesShared.EventsUsCte +
+          """
+          |, s0 AS (
+          |  SELECT user_id, event_type, ts_us,
+          |    min(CASE WHEN event_type = 'signup' THEN ts_us END) OVER (PARTITION BY user_id) AS t0
+          |  FROM ev
+          |), s1 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > t0 THEN ts_us END)
+          |    OVER (PARTITION BY user_id) AS t1 FROM s0
+          |), s2 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+          |    OVER (PARTITION BY user_id) AS t2 FROM s1
+          |), s3 AS (
+          |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+          |    OVER (PARTITION BY user_id) AS t3 FROM s2
+          |), pu AS (
+          |  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+          |  FROM s3 GROUP BY user_id
+          |), pa AS (
+          |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, t0, t1, t2, t3
+          |  FROM pu
+          |), c AS (
+          |  SELECT arm, count(t0) AS u0, count(t1) AS u1, count(t2) AS u2, count(t3) AS u3
+          |  FROM pa GROUP BY arm
+          |), one AS (
+          |  SELECT """.stripMargin + armAgg +
+          """
+          |  FROM c
+          |)
+          |SELECT * FROM (
+          |""".stripMargin + stageSelects +
+          """
+          |) t ORDER BY stage_idx""".stripMargin
+      }),
+
     QueryDef("q_retention_cohorts",
       (s, d) => gold.Behavior.retentionCohorts(
           Tables.orders(s, d).select(col("o_custkey"),

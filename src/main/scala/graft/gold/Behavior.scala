@@ -68,6 +68,62 @@ object Behavior {
     counts.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
   }
 
+  /** A/B funnel comparison: the ordered funnel split by a deterministic
+    * arm assignment, with a pooled two-proportion z-test per stage on
+    * conversion-from-start — "did the treatment change where users drop
+    * off, and is the gap more than noise?". Same single-exchange funnel
+    * plan (arm is a pure function of user_id, so it costs nothing); the
+    * per-arm counts collapse to ONE row and every stage's test is an
+    * integer-count IEEE chain (NULL z when the pooled rate is degenerate).
+    */
+  def funnelAb(events: DataFrame, stages: Seq[String], arm: Column): DataFrame = {
+    require(stages.size >= 2, "an A/B funnel needs at least two stages")
+    val w = Window.partitionBy("user_id")
+    val withTimes = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), col("ts_us"))) {
+      case (df, (stage, 0)) =>
+        df.withColumn("t0", min(when(col("event_type") === stage, col("ts_us"))).over(w))
+      case (df, (stage, i)) =>
+        df.withColumn(s"t$i",
+          min(when(col("event_type") === stage && col("ts_us") > col(s"t${i - 1}"),
+            col("ts_us"))).over(w))
+    }
+    val perUser = withTimes.groupBy("user_id")
+      .agg(min(col("t0")).as("t0"),
+        stages.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+      .withColumn("arm", arm)
+    val counts = perUser.groupBy("arm")
+      .agg(count(col("t0")).as("u0"),
+        stages.indices.drop(1).map(i => count(col(s"t$i")).as(s"u$i")): _*)
+    // both arms folded into ONE row: a_u*/b_u* columns
+    val armCols = stages.indices.flatMap { i =>
+      Seq(coalesce(max(when(col("arm") === "A", col(s"u$i"))), lit(0L))
+            .as(s"a_u$i"),
+          coalesce(max(when(col("arm") === "B", col(s"u$i"))), lit(0L))
+            .as(s"b_u$i"))
+    }
+    val one = counts.agg(armCols.head, armCols.tail: _*)
+    val stageStructs = stages.zipWithIndex.map { case (stage, i) =>
+      val (au, bu) = (col(s"a_u$i"), col(s"b_u$i"))
+      val (an, bn) = (col("a_u0"), col("b_u0"))
+      val pA = when(an === 0, lit(0.0))
+        .otherwise(au.cast("double") / an.cast("double"))
+      val pB = when(bn === 0, lit(0.0))
+        .otherwise(bu.cast("double") / bn.cast("double"))
+      val pPool = (au + bu).cast("double") / (an + bn).cast("double")
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / an.cast("double") + lit(1.0) / bn.cast("double")))
+      struct(
+        lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        an.as("a_entered"), au.as("a_reached"),
+        bn.as("b_entered"), bu.as("b_reached"),
+        pA.as("p_a"), pB.as("p_b"),
+        when(an > 0 && bn > 0 && se > 0.0, (pA - pB) / se)
+          .otherwise(lit(null).cast("double")).as("z"))
+    }
+    one.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
+  }
+
   /** Monthly retention cohorts: cohort = month of a customer's first order;
     * for every (cohort_month, months_since_cohort) report active distinct
     * customers and the retention rate vs the cohort's size (its

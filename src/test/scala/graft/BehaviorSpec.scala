@@ -152,4 +152,35 @@ class BehaviorSpec extends SparkSpec {
     val flat = Seq((1L, "g", 5.0), (2L, "g", 5.0)).toDF("id", "grp", "v")
     assert(Anomaly.outliers(flat, Seq("grp"), "v", 3.0).count() === 0L)
   }
+
+  test("funnelAb: arms partition the funnel and the planted z is exact") {
+    import graft.gold.Behavior
+    val spark2 = spark
+    import spark2.implicits._
+    // arms by parity: A = users 2,4 convert; B = users 1,3 drop at view
+    val ev = Seq(
+      (2L, "signup", 1L), (2L, "view", 2L),
+      (4L, "signup", 1L), (4L, "view", 2L),
+      (1L, "signup", 1L), (3L, "signup", 1L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val arm = when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B"))
+    val out = Behavior.funnelAb(ev, Seq("signup", "view"), arm)
+      .orderBy("stage_idx").collect()
+    val v = out(1)
+    assert(v.getAs[Long]("a_reached") == 2L && v.getAs[Long]("b_reached") == 0L)
+    assert(v.getAs[Double]("p_a") == 1.0 && v.getAs[Double]("p_b") == 0.0)
+    // pooled p = 0.5, se = sqrt(.5*.5*(.5+.5)) = 0.5 exactly -> z = 2
+    assert(v.getAs[Double]("z") == 2.0)
+    // degenerate stage 0: both arms at 100% -> pooled rate 1 -> NULL z
+    assert(out(0).isNullAt(out(0).fieldIndex("z")))
+    // arm counts partition the unsplit funnel on real events
+    val events = Tables.events(spark, TinySf).select(col("user_id"),
+      col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val whole = Behavior.funnel(events, stages).orderBy("stage_idx")
+      .collect().map(_.getAs[Long]("users_reached"))
+    val ab = Behavior.funnelAb(events, stages, arm).orderBy("stage_idx")
+      .collect().map(r => r.getAs[Long]("a_reached") + r.getAs[Long]("b_reached"))
+    assert(whole.sameElements(ab), "arm funnels must partition the whole funnel")
+  }
 }
