@@ -174,6 +174,18 @@ private[graft] object QueriesClustering {
         .orderBy("cell", "label_rank"),
       None),
 
+    // Orthogonal Procrustes embedding alignment (Schonemann 1966): align
+    // the old embedding version into the new space (R = UV^T from the
+    // d x d cross-covariance SVD) and report per-vector distance before
+    // vs after — the embedding-migration audit. Rows-only (engine-local
+    // SVD, SURVEY section 4); ClusteringSpec plants an exact block
+    // rotation and binds recovery, orthogonality, and determinism.
+    QueryDef("q_embed_align",
+      (s, d) => graft.sim.Procrustes.alignReport(
+          graft.sim.Procrustes.plantedVersionPair(Tables.embeddings(s, d)))
+        .orderBy("vec_id"),
+      None),
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
     // margin-best en->de pairs where each cosine is ratio-scaled by both
     // endpoints' k-NN neighborhood averages (nano-quantized integer sums,

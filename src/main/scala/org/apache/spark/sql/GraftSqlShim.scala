@@ -15,4 +15,9 @@ object GraftSqlShim {
     * SQL builder (and its implicit casts) is bypassed. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The reverse bridge: the Catalyst expression behind a public Column
+    * (Spark 4 Columns wrap ColumnNodes; `.expr` is gone). */
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -173,4 +173,36 @@ class ClusteringSpec extends SparkSpec {
       assert(mined.orderBy("x_id").collect().map(_.toString).sameElements(again))
     } finally mined.unpersist()
   }
+
+  test("Procrustes recovers a planted block rotation: residuals collapse, R orthogonal") {
+    import graft.sim.Procrustes
+    val pairs = Procrustes.plantedVersionPair(emb)
+    val d = 64
+    val r = Procrustes.rotation(pairs, d)
+    // orthogonality: R^T R == I (double-precision SVD)
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"R^T R [$i,$j] = $dot")
+    }
+    // recovery of the planted ground truth (float fixture => ~1e-4)
+    val truth = Procrustes.plantedRotation(d)
+    val maxErr = (for (i <- 0 until d; j <- 0 until d)
+      yield math.abs(r(i)(j) - truth(i)(j))).max
+    assert(maxErr < 1e-4, s"rotation recovery max err $maxErr")
+    // residuals: aligned distance collapses vs raw distance
+    val rep = Procrustes.alignReport(pairs).cache()
+    try {
+      val rows = rep.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Double]("dist_after") < 1e-3))
+      val moved = rows.count(_.getAs[Double]("dist_before") > 0.1)
+      assert(moved > rows.length / 2, "the planted rotation must actually move vectors")
+      // determinism: partials sum in partition-index order, so the same
+      // input partitioning reproduces R (and the report) bit-for-bit
+      val again = Procrustes.alignReport(Procrustes.plantedVersionPair(emb))
+        .orderBy("vec_id").collect().map(_.toString)
+      assert(rep.orderBy("vec_id").collect().map(_.toString).sameElements(again))
+    } finally rep.unpersist()
+  }
 }
