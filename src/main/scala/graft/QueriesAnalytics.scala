@@ -112,6 +112,15 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // Log-log price elasticity per product category: OLS of ln(qty) on
+    // ln(net unit price) with float32-collapsed micro-nat logs and exact
+    // decimal moments (the zipfFit contract) — slope = % demand per
+    // % price.
+    QueryDef("q_price_elasticity",
+      (s, d) => gold.Elasticity.priceElasticity(
+          Tables.lineitem(s, d), Tables.part(s, d)).orderBy("p_type"),
+      Some(gold.Elasticity.priceElasticityOracleSql)),
+
     // Holt double-exponential smoothing forecast: the day series
     // materialized as ONE sorted struct array, the whole recursion a
     // row-local HOF fold (identical left fold in DuckDB list_reduce),

@@ -500,4 +500,20 @@ class EvalDriftSpec extends SparkSpec {
       assert(r.getAs[Double]("forecast") == last + 5.0 * h)
     }
   }
+
+  test("price elasticity recovers a planted power law") {
+    import graft.gold.Elasticity
+    // qty = price^-2 exactly: elasticity slope must be -2 (up to the
+    // micro-nat log quantization)
+    val lines = (0 until 8).map { k =>
+      val price = math.pow(2.0, k)
+      val qty = math.pow(price, -2.0) * 1000.0 // scale keeps qty > 0
+      (k.toLong, price * qty, 0.0, qty)
+    }.toDF("l_partkey", "l_extendedprice", "l_discount", "l_quantity")
+    val parts = (0 until 8).map(k => (k.toLong, "WIDGET")).toDF("p_partkey", "p_type")
+    val r = Elasticity.priceElasticity(lines, parts).collect().head
+    assert(r.getAs[Long]("n_lines") == 8L)
+    assert(math.abs(r.getAs[Double]("elasticity") - (-2.0)) < 1e-4,
+      s"elasticity ${r.getAs[Double]("elasticity")}")
+  }
 }
