@@ -164,10 +164,12 @@ object Evaluation {
       col(labelCol).cast("long").as("_l"))
     val g = rows.groupBy("_seg", "_s")
       .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
-    val c1 = ScalableRank.withGroupedPrefixSum(
-      g, col("_seg"), Seq(col("_s").asc), col("_cnt"), "_cum_all")
+    // packed (cnt, pos) prefix — see withMidranks: one exchange, not two
     val c2 = ScalableRank.withGroupedPrefixSum(
-      c1, col("_seg"), Seq(col("_s").asc), col("_pos"), "_cum_pos")
+        g, col("_seg"), Seq(col("_s").asc),
+        col("_cnt") * lit(1L << 31) + col("_pos"), "_cum_packed")
+      .withColumn("_cum_all", shiftright(col("_cum_packed"), 31))
+      .withColumn("_cum_pos", col("_cum_packed").bitwiseAND(lit((1L << 31) - 1)))
     val h = c2.select(col("_seg"), col("_cnt"), col("_pos"),
       (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as("h2"),
       (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as("h2p"),
@@ -276,10 +278,15 @@ object Evaluation {
                            prefix: String): DataFrame = {
     val g = rows.groupBy(col(scoreCol).as("_sv"))
       .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
-    val cum1 = ScalableRank.withGroupedPrefixSum(
-      g, lit(0L), Seq(col("_sv").asc), col("_cnt"), "_cum_all")
+    // ONE prefix pass for both running counts: pack (cnt, pos) into a
+    // single long (cnt·2³¹ + pos — exact while each stays < 2³¹, the same
+    // ~10⁹-row bound the decimal components carry), prefix-sum the packed
+    // value, unpack with shift/mask. Halves the range exchanges.
     val cum2 = ScalableRank.withGroupedPrefixSum(
-      cum1, lit(0L), Seq(col("_sv").asc), col("_pos"), "_cum_pos")
+        g, lit(0L), Seq(col("_sv").asc),
+        col("_cnt") * lit(1L << 31) + col("_pos"), "_cum_packed")
+      .withColumn("_cum_all", shiftright(col("_cum_packed"), 31))
+      .withColumn("_cum_pos", col("_cum_packed").bitwiseAND(lit((1L << 31) - 1)))
     val enriched = cum2.select(
       col("_sv"),
       (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as(s"${prefix}_h2"),
