@@ -154,10 +154,10 @@ object Evaluation {
     * Segments with m ≤ 1 or n ≤ 1 report NULL se/CI (no variance
     * estimate) instead of trapping ANSI division.
     *
-    * Scale: one (segment, score)-grain partial-agged groupBy, two
-    * ScalableRank grouped prefix sums (a segment never funnels into one
-    * partition), one segment-grain scalar join back. Output = |segments|
-    * rows. */
+    * Scale: one (segment, score)-grain partial-agged groupBy, ONE packed
+    * ScalableRank grouped prefix sum (running all/pos counts share a
+    * pass; a segment never funnels into one partition), one segment-grain
+    * scalar join back. Output = |segments| rows. */
   def aucBySegment(scored: DataFrame, segCol: String, scoreCol: String,
                    labelCol: String): DataFrame = {
     val rows = scored.select(col(segCol).as("_seg"), col(scoreCol).as("_s"),
@@ -310,15 +310,19 @@ object Evaluation {
     * past any single evaluation slice (significance saturates long
     * before; subsample beyond that).
     *
-    * Scale shape per scorer: one score-grain partial-agged groupBy, two
-    * distributed prefix sums over the collapsed frame, one join back at
-    * score grain; scalars are a 1-row aggregate broadcast BACK into the
-    * projection (no driver round-trip). Output: one row. */
+    * Scale shape per scorer: one score-grain partial-agged groupBy, ONE
+    * packed distributed prefix sum over the collapsed frame (running
+    * all/pos counts share the pass), one join back at score grain; the
+    * decorated frame persists through the bounded ScalableRank registry
+    * (it feeds the scalar aggregate AND the component sums); scalars are
+    * a 1-row aggregate broadcast BACK into the projection (no driver
+    * round-trip). Output: one row. */
   def delongCompare(scored: DataFrame, scoreA: String, scoreB: String,
                     labelCol: String): DataFrame = {
     val rows = scored.select(col(scoreA).as("_sa"), col(scoreB).as("_sb"),
       col(labelCol).cast("long").as("_l"))
-    val ranked = withMidranks(withMidranks(rows, "_sa", "a"), "_sb", "b")
+    val ranked = ScalableRank.persistTracked(
+      withMidranks(withMidranks(rows, "_sa", "a"), "_sb", "b"))
     // scalar frame: m, n, and the four rank-sum offsets
     val scalars = ranked.agg(
       sum(col("_l")).cast("long").as("m"),

@@ -46,6 +46,12 @@ object ScalableRank {
     cached.foreach(_.unpersist(blocking = false))
     cached.clear()
   }
+  /** Track a caller-persisted frame in the same bounded release registry
+    * (for operators whose decorated frame feeds several branches —
+    * delongCompare's midrank frame is read by the scalar aggregate AND
+    * the component sums). */
+  private[graft] def persistTracked(df: DataFrame): DataFrame = persisted(df)
+
   private def persisted(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached += p
