@@ -112,6 +112,52 @@ private[graft] object QueriesAnalytics {
         |  auc - 1.96 * se AS ci_lo, auc + 1.96 * se AS ci_hi
         |FROM fin2 ORDER BY segment""".stripMargin)),
 
+    // Exact tie-corrected Spearman: monotone association between account
+    // balance and lifetime spend per customer — doubled midranks (the
+    // rocAuc integer-tie contract), Pearson over ranks from exact decimal
+    // sums, one IEEE chain.
+    QueryDef("q_spearman",
+      (s, d) => {
+        val perCust = Cleaning.cleanOrders(Tables.orders(s, d))
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("spend"))
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+            col("o_custkey") === col("c_custkey"))
+        graft.operators.Profiling.spearman(perCust, "c_acctbal", "spend")
+          .orderBy("n")
+      },
+      Some(CleanOrdersCte +
+        """
+        |, pc AS (
+        |  SELECT co.o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,
+        |    any_value(c.c_acctbal) AS bal
+        |  FROM clean_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+        |  GROUP BY 1
+        |), rk AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY bal) + count(*) OVER (PARTITION BY bal) - 1 AS u2,
+        |    2 * rank() OVER (ORDER BY spend) + count(*) OVER (PARTITION BY spend) - 1 AS v2
+        |  FROM pc
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(u2 AS HUGEINT)) AS su, sum(CAST(v2 AS HUGEINT)) AS sv,
+        |    sum(CAST(u2 AS HUGEINT) * v2) AS suv,
+        |    sum(CAST(u2 AS HUGEINT) * u2) AS suu,
+        |    sum(CAST(v2 AS HUGEINT) * v2) AS svv
+        |  FROM rk
+        |), f AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE) AS cxy
+        |  FROM m
+        |)
+        |SELECT n, CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy)
+        |             ELSE NULL END AS rho
+        |FROM f ORDER BY n""".stripMargin)),
+
     // Log-log price elasticity per product category: OLS of ln(qty) on
     // ln(net unit price) with float32-collapsed micro-nat logs and exact
     // decimal moments (the zipfFit contract) — slope = % demand per

@@ -184,4 +184,48 @@ object Profiling {
       .select("feature", "n", "min_v", "max_v", "mean", "std",
         "p25", "median", "p75", "iqr")
   }
+
+  /** Exact tie-corrected Spearman rank correlation — the monotone-
+    * association companion to [[correlation]]'s Pearson: rank both
+    * variables with doubled midranks (the rocAuc integer-tie contract),
+    * then Pearson over the rank vectors from exact decimal sums — one
+    * mirrored IEEE chain, hash-exact. The doubling cancels in the ratio.
+    *
+    * Scale: per variable one value-grain partial-agged groupBy + one
+    * ScalableRank distributed prefix sum + one join-back at value grain;
+    * a single 1-row aggregate of decimal products. Constant variables
+    * (zero rank variance) report NULL rho instead of trapping. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).as("_sx"), col(yCol).as("_sy"))
+    def midranks(in: DataFrame, v: String, out: String): DataFrame = {
+      val g = in.groupBy(col(v).as("_mv")).agg(count(lit(1)).as("_cnt"))
+      val c = ScalableRank.withGroupedPrefixSum(
+        g, lit(0L), Seq(col("_mv").asc), col("_cnt"), "_cum")
+      val h = c.select(col("_mv"),
+        (lit(2L) * col("_cum") + col("_cnt") + lit(1L)).as(out))
+      in.join(h, col(v) === col("_mv")).drop("_mv")
+    }
+    val ranked = midranks(midranks(rows, "_sx", "u2"), "_sy", "v2")
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("u2").cast(d38)).cast(d38).as("su"),
+      sum(col("v2").cast(d38)).cast(d38).as("sv"),
+      sum((col("u2").cast(d19) * col("v2")).cast(d38)).cast(d38).as("suv"),
+      sum((col("u2").cast(d19) * col("u2")).cast(d38)).cast(d38).as("suu"),
+      sum((col("v2").cast(d19) * col("v2")).cast(d38)).cast(d38).as("svv"))
+    val nD = col("n").cast("double")
+    m
+      .withColumn("vx", nD * col("suu").cast("double") -
+        col("su").cast("double") * col("su").cast("double"))
+      .withColumn("vy", nD * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double"))
+      .withColumn("rho", when(col("vx") > 0.0 && col("vy") > 0.0,
+        (nD * col("suv").cast("double") -
+          col("su").cast("double") * col("sv").cast("double")) /
+          sqrt(col("vx") * col("vy")))
+        .otherwise(lit(null).cast("double")))
+      .select("n", "rho")
+  }
 }

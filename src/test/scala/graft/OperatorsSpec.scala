@@ -306,4 +306,27 @@ class OperatorsSpec extends SparkSpec {
       (1L, 4L, false, Some(20.0), 1L),
       (2L, 7L, false, Some(5.0), 1L)))
   }
+
+  test("spearman: monotone pairs hit +/-1, ties match scipy-style hand math, constants NULL") {
+    import graft.operators.Profiling
+    val spark2 = spark
+    import spark2.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 35.0)).toDF("x", "y")
+    val up = Profiling.spearman(mono, "x", "y").collect().head
+    assert(up.getAs[Long]("n") == 4L && math.abs(up.getAs[Double]("rho") - 1.0) < 1e-12)
+    val anti = Profiling.spearman(mono.withColumn("y", -col("y")), "x", "y")
+      .collect().head
+    assert(math.abs(anti.getAs[Double]("rho") + 1.0) < 1e-12)
+    // tied case, hand-computed: x = [1,2,2,3], y = [10,30,30,20]
+    // midranks: Rx = [1, 2.5, 2.5, 4], Ry = [1, 3.5, 3.5, 2]
+    // Pearson over ranks = 6/18 = 1/3
+    val tied = Seq((1.0, 10.0), (2.0, 30.0), (2.0, 30.0), (3.0, 20.0)).toDF("x", "y")
+    val t = Profiling.spearman(tied, "x", "y").collect().head
+    assert(math.abs(t.getAs[Double]("rho") - 1.0 / 3.0) < 1e-12,
+      s"tied rho ${t.getAs[Double]("rho")}")
+    // constant variable: no rank variance -> NULL
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    val c = Profiling.spearman(const, "x", "y").collect().head
+    assert(c.isNullAt(c.fieldIndex("rho")))
+  }
 }
