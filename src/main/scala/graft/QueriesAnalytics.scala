@@ -1073,7 +1073,17 @@ private[graft] object QueriesAnalytics {
         |  (sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE) AS intercept_cents,
         |  ((sum_y - slope_cents * sum_x) / CAST(n_days AS DOUBLE)
         |    + slope_cents * CAST(max_x + 1 AS DOUBLE)) / 100.0 AS forecast_next
-        |FROM sl ORDER BY event_type""".stripMargin))
+        |FROM sl ORDER BY event_type""".stripMargin)),
+
+    // Market-basket association rules (Apriori size-2): row-local pair
+    // generation from bounded sorted basket arrays behind an occupancy
+    // governor, pair/item-grain partial-agg shuffles, 1-row N broadcast,
+    // single-IEEE-chain support/confidence/lift (gold/Basket.scala).
+    QueryDef("q_basket_rules",
+      (s, d) => gold.Basket.associationRules(
+          Tables.lineitem(s, d), Tables.part(s, d))
+        .orderBy("antecedent", "consequent"),
+      Some(gold.Basket.associationRulesOracleSql()))
   )
 
   // r8 late batch: supervised categorical encoders (WOE/IV, K-fold OOF

@@ -183,4 +183,36 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("a_reached") + r.getAs[Long]("b_reached"))
     assert(whole.sameElements(ab), "arm funnels must partition the whole funnel")
   }
+
+  test("basket rules: hand-computed support/confidence/lift, governor excludes oversized baskets") {
+    import graft.gold.Basket
+    val spark2 = spark
+    import spark2.implicits._
+    // baskets: o1={A,B}, o2={A,B}, o3={A,C}, o4={B} (dropped: <2 items),
+    // o5={A,B,C,D,E} (dropped by maxBasket=4 governor)
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L),
+      (4L, 20L), (5L, 10L), (5L, 20L), (5L, 30L), (5L, 40L), (5L, 50L)
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (20L, "B"), (30L, "C"), (40L, "D"), (50L, "E"))
+      .toDF("p_partkey", "p_brand")
+    val out = Basket.associationRules(li, part, minPairSupport = 1L, maxBasket = 4)
+      .orderBy("antecedent", "consequent").collect()
+    // admitted: o1,o2,o3 -> N=3; c_A=3, c_B=2, c_C=1; pairs AB=2, AC=1
+    val ab = out.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getAs[Long]("pair_n") == 2L && ab.getAs[Long]("n") == 3L)
+    assert(ab.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 2.0 * 3.0 / (3.0 * 2.0))
+    val ba = out.find(r => r.getString(0) == "B" && r.getString(1) == "A").get
+    assert(ba.getAs[Double]("confidence") == 1.0) // B always with A
+    // both directions of each pair, nothing from the governed basket
+    assert(out.length == 4) // AB, BA, AC, CA
+    assert(!out.exists(r => r.getString(0) == "D" || r.getString(0) == "E"))
+    // a duplicate line of the same brand collapses (distinct basket sets)
+    val dup = Basket.associationRules(
+      li.unionByName(Seq((1L, 10L)).toDF("l_orderkey", "l_partkey")),
+      part, minPairSupport = 1L, maxBasket = 4)
+    assert(dup.orderBy("antecedent", "consequent").collect().map(_.toString)
+      .sameElements(out.map(_.toString)))
+  }
 }
