@@ -614,6 +614,15 @@ private[graft] object QueriesAnalytics {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // Adamic–Adar link prediction over the governed user×device-day
+    // bipartite graph: rarity-weighted co-occurrence (1/ln occupancy,
+    // float32-rounded micro-units summed exactly) + degree-normalized
+    // Jaccard — the ranking layer over q_shared_device_pairs' counts.
+    QueryDef("q_link_prediction",
+      (s, d) => Rings.adamicAdarPairs(Tables.events(s, d))
+        .orderBy("user_a", "user_b"),
+      Some(Rings.adamicAdarOracleSql())),
+
     // Multi-touch attribution: 24h-lookback purchase×touch pairing via
     // the RangeJoin day-bin trick, linear/first/last credit
     // (gold/Attribution.scala).

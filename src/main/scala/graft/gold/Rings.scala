@@ -102,6 +102,97 @@ object Rings {
         min(col("first_day")).as("first_day"),
         max(col("last_day")).as("last_day"))
 
+  /** Link prediction over the bipartite user×(day, device) graph
+    * (Adamic–Adar, Adamic & Adar 2003; Liben-Nowell & Kleinberg 2007):
+    * scores candidate user pairs by the RARITY of what they share —
+    * Σ over shared buckets 1/ln(occupancy) — so two users meeting on a
+    * 2-user device outweigh twenty meetings on a 50-user gateway. The
+    * ranking layer on top of sharedDevicePairs' raw counts: which
+    * not-yet-flagged pairs the ring graph predicts next.
+    *
+    * Also emits common-neighbor count and the degree-normalized Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| over admitted buckets.
+    *
+    * Cross-engine determinism: 1/ln(occ) is quantized per BUCKET to
+    * micro-units through a float32 round (the Colloc.q contract — the
+    * float round absorbs sub-ulp libm differences between engines), and
+    * pair scores assemble by exact integer sums; Jaccard is one IEEE
+    * division of exact BIGINTs. Occupancy ≥ 2 by the governor, so
+    * ln never sees 1.
+    *
+    * Scale shape: identical to pairDeviceStore — pair volume is Σ m²
+    * over governed bucket occupancies, user degrees are one partial-agg
+    * count over admitted membership, and the two degree joins are
+    * user-grain SHUFFLE joins (the user population is corpus-sized).
+    */
+  def adamicAdarPairs(events: DataFrame, eventType: String = "purchase",
+                      maxUsersPerBucket: Int = 50): DataFrame = {
+    releaseCache()
+    val admitted = admittedBuckets(events, eventType, maxUsersPerBucket)
+    // Occupancy re-derived from admitted membership (exact — the
+    // governor admitted whole buckets), carried onto each wedge row.
+    val occ = admitted.groupBy("day", "device")
+      .agg(count(lit(1)).as("occ"))
+    val qinv = "CAST(floor(CAST(CAST(1.0 / ln(CAST(occ AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
+      " * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    val a = admitted.join(occ, Seq("day", "device"))
+      .select(col("day"), col("device"), col("user_id").as("user_a"),
+        expr(qinv).as("w_micro"))
+    val b = admitted.select(col("day"), col("device"), col("user_id").as("user_b"))
+    val userDeg = admitted.groupBy("user_id")
+      .agg(count(lit(1)).as("u_deg"))
+    a.join(b, Seq("day", "device"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy("user_a", "user_b")
+      .agg(
+        count(lit(1)).as("common_buckets"),
+        sum(col("w_micro")).as("aa_micro"))
+      .join(userDeg.select(col("user_id").as("user_a"), col("u_deg").as("deg_a")),
+        Seq("user_a"))
+      .join(userDeg.select(col("user_id").as("user_b"), col("u_deg").as("deg_b")),
+        Seq("user_b"))
+      .withColumn("adamic_adar", col("aa_micro").cast("double") / lit(1000000.0))
+      .withColumn("jaccard", col("common_buckets").cast("double")
+        / (col("deg_a") + col("deg_b") - col("common_buckets")).cast("double"))
+      .select("user_a", "user_b", "common_buckets", "deg_a", "deg_b",
+        "aa_micro", "adamic_adar", "jaccard")
+  }
+
+  /** DuckDB mirror — same governor, same float32-rounded micro weights. */
+  def adamicAdarOracleSql(maxUsersPerBucket: Int = 50): String =
+    s"""WITH b AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+      |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS device, user_id
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND json_extract_string(props, '$$.k') IS NOT NULL
+      |), ok AS (
+      |  SELECT day, device, CAST(count(*) AS BIGINT) AS occ
+      |  FROM b GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxUsersPerBucket
+      |), adm AS (
+      |  SELECT b.day, b.device, b.user_id, ok.occ
+      |  FROM b JOIN ok USING (day, device)
+      |), ud AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS u_deg FROM adm GROUP BY 1
+      |), pw AS (
+      |  SELECT x.user_id AS user_a, y.user_id AS user_b,
+      |    CAST(count(*) AS BIGINT) AS common_buckets,
+      |    CAST(sum(CAST(floor(CAST(CAST(1.0 / ln(CAST(x.occ AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS aa_micro
+      |  FROM adm x JOIN adm y USING (day, device)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.user_a, p.user_b, p.common_buckets,
+      |  da.u_deg AS deg_a, db.u_deg AS deg_b, p.aa_micro,
+      |  CAST(p.aa_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS adamic_adar,
+      |  CAST(p.common_buckets AS DOUBLE)
+      |    / CAST(da.u_deg + db.u_deg - p.common_buckets AS DOUBLE) AS jaccard
+      |FROM pw p
+      |JOIN ud da ON p.user_a = da.user_id
+      |JOIN ud db ON p.user_b = db.user_id
+      |ORDER BY p.user_a, p.user_b""".stripMargin
+
   /** Roll a (pair, device)-grain store up to the pair view —
     * shared_devices is the store's row count per pair (one row per
     * distinct device by construction), so no countDistinct is needed. */

@@ -101,6 +101,35 @@ class GraphPackSpec extends SparkSpec {
     assert(delta.count() > 0)
   }
 
+  test("adamic-adar: rare shared bucket outscores a crowded one; jaccard is exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // day 1, device 1: users {1,2} (occ 2 — rare); day 1, device 2:
+    // users {1,2,3,4} (occ 4 — crowded). Pair (1,2) shares both.
+    val ev = Seq(
+      (1L, 1L), (2L, 1L),
+      (1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)
+    ).map { case (u, k) => (u, s"""{"k": $k}""") }
+      .toDF("user_id", "props")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("event_type", lit("purchase"))
+    val out = graft.gold.Rings.adamicAdarPairs(ev)
+      .orderBy("user_a", "user_b").collect()
+    graft.gold.Rings.releaseCache()
+    def q(occ: Double): Long =
+      math.floor((1.0 / math.log(occ)).toFloat.toDouble * 1e6).toLong
+    val p12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(p12.getAs[Long]("common_buckets") == 2L)
+    assert(p12.getAs[Long]("aa_micro") == q(2.0) + q(4.0))
+    // deg(1)=deg(2)=2, common=2 -> jaccard = 2/(2+2-2) = 1.0
+    assert(p12.getAs[Double]("jaccard") == 1.0)
+    val p34 = out.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
+    assert(p34.getAs[Long]("aa_micro") == q(4.0), "crowded-only pair scores lower")
+    assert(p12.getAs[Long]("aa_micro") > p34.getAs[Long]("aa_micro"))
+    // 6 pairs total: (1,2) plus C(4,2) on device 2 minus the dup (1,2)
+    assert(out.length == 6)
+  }
+
   // ---- entity resolution ----
 
   test("entity resolution matches planted near-duplicates and only those") {
