@@ -956,6 +956,15 @@ private[graft] object QueriesAnalytics {
         |FROM sp GROUP BY 1, 2
         |ORDER BY sessions DESC, path LIMIT 20""".stripMargin)),
 
+    // Behavioral-entropy screen (Forensics.userEntropy): per-user
+    // Shannon entropy of the event-type mix from float32-rounded
+    // micro-nat terms summed exactly — the WHAT-variety twin of
+    // q_bot_timing's WHEN-regularity cv².
+    QueryDef("q_user_entropy",
+      (s, d) => Forensics.userEntropy(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some(Forensics.userEntropyOracleSql())),
+
     // Bot-timing screen (Forensics.botTiming): inter-event-gap cv² per
     // user from exact integer second-grain moments.
     QueryDef("q_bot_timing",

@@ -97,4 +97,74 @@ object Forensics {
       .select("user_id", "n_gaps", "mean_gap_s", "cv2", "is_bot_timing")
       .orderBy("user_id")
   }
+
+  private def qln(v: String): String =
+    s"CAST(floor(CAST(CAST(ln(CAST($v AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
+      " * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+
+  /** Per-user Shannon entropy of the event-type mix — the WHAT-variety
+    * companion to botTiming's WHEN-regularity screen: scripted accounts
+    * hammer one action (entropy → 0) while organic users mix
+    * view/click/purchase. H = ln N − (Σ c·ln c)/N in nats, plus the
+    * type-count-normalized H/ln(k) in [0, 1].
+    *
+    * Cross-engine determinism: each ln is float32-rounded to micro-nats
+    * (the Colloc.q libm-absorbing contract) and the weighted sum
+    * Σ c·q(ln c) accumulates as exact BIGINTs — headroom: c·ln(c)·10⁶
+    * stays under 2⁶³ for any per-(user, type) count up to ~2.8·10¹¹ —
+    * then ONE fixed IEEE chain forms H and H/ln(k). n_types = 1 gives
+    * exactly 0 entropy and a NULL normalization (ln 1 = 0).
+    *
+    * Scale shape: two partial-agged shuffles — (user, type) grain then
+    * user grain. Linear, no windows, no joins.
+    */
+  def userEntropy(events: DataFrame, minEvents: Long = 10,
+                  maxNormEntropy: Double = 0.3): DataFrame = {
+    events
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("term", expr(s"c * ${qln("c")}"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("term")).as("s_micro"))
+      .filter(col("n_events") >= minEvents)
+      .withColumn("entropy_nats",
+        expr(s"CAST(n_events * ${qln("n_events")} - s_micro AS DOUBLE)")
+          / (col("n_events").cast("double") * lit(1000000.0)))
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1,
+          expr(s"CAST(n_events * ${qln("n_events")} - s_micro AS DOUBLE)")
+            / (col("n_events").cast("double") * expr(s"CAST(${qln("n_types")} AS DOUBLE)"))))
+      .withColumn("is_low_entropy",
+        col("n_types") === 1 || col("norm_entropy") < maxNormEntropy)
+      .select("user_id", "n_events", "n_types", "s_micro",
+        "entropy_nats", "norm_entropy", "is_low_entropy")
+  }
+
+  /** DuckDB mirror of [[userEntropy]]. */
+  def userEntropyOracleSql(minEvents: Long = 10,
+                           maxNormEntropy: Double = 0.3): String =
+    s"""WITH ec AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), u AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c * ${qln("c")}) AS BIGINT) AS s_micro
+      |  FROM ec GROUP BY 1
+      |  HAVING sum(c) >= $minEvents
+      |), h AS (
+      |  SELECT *,
+      |    CAST(n_events * ${qln("n_events")} - s_micro AS DOUBLE)
+      |      / (CAST(n_events AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS entropy_nats,
+      |    CASE WHEN n_types > 1 THEN
+      |      CAST(n_events * ${qln("n_events")} - s_micro AS DOUBLE)
+      |        / (CAST(n_events AS DOUBLE) * CAST(${qln("n_types")} AS DOUBLE))
+      |    END AS norm_entropy
+      |  FROM u
+      |)
+      |SELECT user_id, n_events, n_types, s_micro, entropy_nats, norm_entropy,
+      |  (n_types = 1 OR norm_entropy < $maxNormEntropy) AS is_low_entropy
+      |FROM h ORDER BY user_id""".stripMargin
 }

@@ -309,6 +309,32 @@ class GraphPackSpec extends SparkSpec {
     assert(r(2L)._2 > 0.5)
   }
 
+  test("user entropy: uniform mix maxes out, single-action bot scores zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    // user 1: 10 clicks only (H = 0); user 2: 5 views + 5 clicks
+    // (H = ln 2, norm 1); user 3: below minEvents
+    val ev = (Seq.fill(10)((1L, "click")) ++
+      Seq.fill(5)((2L, "view")) ++ Seq.fill(5)((2L, "click")) ++
+      Seq.fill(3)((3L, "view"))).toDF("user_id", "event_type")
+    val out = graft.gold.Forensics.userEntropy(ev)
+      .orderBy("user_id").collect()
+    assert(out.length == 2, "minEvents drops user 3")
+    val bot = out(0)
+    assert(bot.getAs[Long]("n_types") == 1L)
+    assert(bot.getAs[Double]("entropy_nats") == 0.0)
+    assert(bot.isNullAt(bot.fieldIndex("norm_entropy")))
+    assert(bot.getAs[Boolean]("is_low_entropy"))
+    val organic = out(1)
+    // H = ln 10 - (2*5*q(ln 5))/10 in micro-nats; norm = H/ln 2 = 1
+    def q(v: Double): Long = math.floor(math.log(v).toFloat.toDouble * 1e6).toLong
+    val expected = (10L * q(10.0) - 10L * q(5.0)).toDouble / (10.0 * 1e6)
+    assert(organic.getAs[Double]("entropy_nats") == expected)
+    assert(organic.getAs[Double]("norm_entropy") ==
+      (10L * q(10.0) - 10L * q(5.0)).toDouble / (10.0 * q(2.0).toDouble))
+    assert(!organic.getAs[Boolean]("is_low_entropy"))
+  }
+
   test("bot timing needs the minimum event count") {
     val base = 1700000000000000000L
     val few = (0 until 5).map(i => (i.toLong, 1L, base + i * 60000000000L))
