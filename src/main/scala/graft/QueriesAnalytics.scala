@@ -1010,6 +1010,21 @@ private[graft] object QueriesAnalytics {
     // estimates between mean and median; k = floor(n*frac) each tail by
     // rank under a total order, grouped-prefix-sum ranks, exact integer
     // clipping arithmetic.
+    // Exact per-brand weighted median price (weight = quantity): the
+    // crossing row of a ScalableRank distributed grouped prefix sum —
+    // pure integer comparisons, untouched input double out, no
+    // corpus-spanning Window.partitionBy (operators/Robust.scala).
+    QueryDef("q_weighted_median",
+      (s, d) => operators.Robust.weightedMedian(
+          Tables.lineitem(s, d).join(
+            broadcast(Tables.part(s, d)
+              .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))),
+            Seq("l_partkey")),
+          "brand", "l_extendedprice", "l_quantity",
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy("brand"),
+      Some(operators.Robust.weightedMedianOracleSql)),
+
     QueryDef("q_trimmed_stats",
       (s, d) => operators.Robust.trimmedStats(Tables.orders(s, d),
           "o_orderpriority", col("o_totalprice"), col("o_orderkey"))

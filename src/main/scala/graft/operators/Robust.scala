@@ -136,4 +136,63 @@ object Robust {
        |  CAST(low_clip AS DOUBLE) / 100.0 AS low_clip_value,
        |  CAST(high_clip AS DOUBLE) / 100.0 AS high_clip_value
        |FROM agg ORDER BY $groupCol""".stripMargin
+
+  /** Exact per-group WEIGHTED median (lower weighted median: the smallest
+    * value whose inclusive cumulative weight reaches half the group's
+    * total) — the volume-aware center the plain median misses: a brand's
+    * typical transacted price should weight a 50-unit line 50×, not 1×.
+    *
+    * Picked row satisfies 2·cw_incl ≥ W and 2·cw_excl < W — pure integer
+    * comparisons on exact BIGINT weights, no interpolation, no division,
+    * so the result is the untouched input double and hash-matches any
+    * engine. Non-positive weights are excluded by contract (a zero-weight
+    * row can never satisfy the crossing; excluding them keeps the total
+    * meaningful). Exactly one row survives per group.
+    *
+    * Scale shape: the cumulative weight is ScalableRank's distributed
+    * grouped prefix sum — range-partition + per-slice local window +
+    * broadcast offsets — so a group spanning the corpus NEVER funnels
+    * into one task (the q_running_totals contract, not a
+    * Window.partitionBy(group) over full groups). Totals are one
+    * partial-agged group-grain exchange joined back at group grain.
+    */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+                     weight: String, tiebreak: Seq[String]): DataFrame = {
+    val rows = df
+      .select((Seq(col(group), col(value),
+        col(weight).cast("long").as("_w")) ++ tiebreak.map(col)): _*)
+      .filter(col("_w") > 0)
+    val pre = ScalableRank.withGroupedPrefixSum(
+      rows, col(group), col(value) +: tiebreak.map(col), col("_w"), "_cw_excl")
+    val totals = rows.groupBy(group)
+      .agg(sum(col("_w")).as("total_w"), count(lit(1)).as("n_rows"))
+    pre.join(totals, Seq(group))
+      .filter(lit(2L) * (col("_cw_excl") + col("_w")) >= col("total_w") &&
+        lit(2L) * col("_cw_excl") < col("total_w"))
+      .select(col(group), col("n_rows"), col("total_w"),
+        col(value).as("weighted_median"))
+  }
+
+  /** DuckDB mirror of [[weightedMedian]] over lineitem×part at brand
+    * grain (value = extendedprice, weight = quantity). */
+  def weightedMedianOracleSql: String =
+    """WITH j AS (
+      |  SELECT p_brand AS brand, l_extendedprice AS v,
+      |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE CAST(l_quantity AS BIGINT) > 0
+      |), c AS (
+      |  SELECT brand, v, w,
+      |    sum(w) OVER (PARTITION BY brand ORDER BY v, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS cw
+      |  FROM j
+      |), t AS (
+      |  SELECT brand, CAST(sum(w) AS BIGINT) AS total_w,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT c.brand, t.n_rows, t.total_w, c.v AS weighted_median
+      |FROM c JOIN t USING (brand)
+      |WHERE 2 * c.cw >= t.total_w AND 2 * (c.cw - c.w) < t.total_w
+      |ORDER BY c.brand""".stripMargin
 }

@@ -492,6 +492,33 @@ class GraphPackSpec extends SparkSpec {
     assert(r.getAs[Double]("trimmed_mean") < r.getAs[Double]("mean") / 2)
   }
 
+  test("weighted median picks the crossing row exactly, ignores zero weights") {
+    import graft.operators.Robust
+    val spark2 = spark
+    import spark2.implicits._
+    // group P: values 10,20,30 with weights 1,1,4 -> W=6, half=3:
+    //   cum 1,2,6 -> first 2*cum>=6 is value 30 (plain median would be 20)
+    // group Q: values 5,7 weights 1,1 -> W=2, crossing at cum=1 -> lower
+    //   median 5 (even split takes the LOWER value by contract)
+    // group R: one zero-weight row must be excluded entirely
+    val df = Seq(
+      ("P", 10.0, 1.0, 1L, 1), ("P", 20.0, 1.0, 2L, 1), ("P", 30.0, 4.0, 3L, 1),
+      ("Q", 5.0, 1.0, 4L, 1), ("Q", 7.0, 1.0, 5L, 1),
+      ("R", 9.0, 0.0, 6L, 1), ("R", 11.0, 2.0, 7L, 1)
+    ).toDF("grp", "v", "w", "ok", "ln")
+    val out = Robust.weightedMedian(df, "grp", "v", "w", Seq("ok", "ln"))
+      .orderBy("grp").collect()
+    assert(out.length == 3 && out.forall(_ != null))
+    val byG = out.map(r => r.getString(0) -> r).toMap
+    assert(byG("P").getAs[Double]("weighted_median") == 30.0)
+    assert(byG("P").getAs[Long]("total_w") == 6L)
+    assert(byG("Q").getAs[Double]("weighted_median") == 5.0)
+    assert(byG("R").getAs[Double]("weighted_median") == 11.0)
+    assert(byG("R").getAs[Long]("n_rows") == 1L, "zero-weight row excluded")
+    // exactly one row per group survives the crossing filter
+    assert(out.map(_.getString(0)).distinct.length == 3)
+  }
+
   test("Kaplan-Meier matches hand math with censoring handled correctly") {
     // A,B: repeat after 2 days; C: after 5; D: single order, censored at
     // the day-5 horizon. KM: S(2) = 1 - 2/4 = 0.5;
