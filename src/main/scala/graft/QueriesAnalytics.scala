@@ -956,6 +956,50 @@ private[graft] object QueriesAnalytics {
         |FROM sp GROUP BY 1, 2
         |ORDER BY sessions DESC, path LIMIT 20""".stripMargin)),
 
+    // Frequent contiguous session trigrams (Markov.sessionTrigrams):
+    // PrefixSpan-style support for length-3 windows — row-local trigram
+    // generation from bounded per-session arrays, pattern-grain
+    // partial-agg counts, 1-row total broadcast. 24h gap (daily journey
+    // windows): the synthetic stream is too sparse for 3-event 30-min
+    // sessions, and the wider window is the realistic grain for
+    // cross-visit patterns anyway.
+    QueryDef("q_seq_patterns",
+      (s, d) => Markov.sessionTrigrams(Tables.events(s, d),
+          gapUs = 86400000000L)
+        .orderBy("pattern"),
+      Some(EventsUsCte +
+        """
+        |, b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 86400000000
+        |                 THEN 1 ELSE 0 END AS is_boundary
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b
+        |), tg AS (
+        |  SELECT user_id, session_idx, event_type AS t1,
+        |    lead(event_type, 1) OVER w2 AS t2,
+        |    lead(event_type, 2) OVER w2 AS t3
+        |  FROM sx WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY ts_us, event_id)
+        |), tri AS (
+        |  SELECT user_id, session_idx, t1 || '>' || t2 || '>' || t3 AS pattern
+        |  FROM tg WHERE t3 IS NOT NULL
+        |), occ AS (
+        |  SELECT pattern, CAST(count(*) AS BIGINT) AS occurrences FROM tri GROUP BY 1
+        |), sc AS (
+        |  SELECT pattern, CAST(count(*) AS BIGINT) AS sessions
+        |  FROM (SELECT DISTINCT user_id, session_idx, pattern FROM tri)
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total_sessions
+        |  FROM (SELECT user_id, session_idx FROM sx GROUP BY 1, 2 HAVING count(*) >= 3)
+        |)
+        |SELECT o.pattern, o.occurrences, s.sessions, tot.total_sessions,
+        |  CAST(s.sessions AS DOUBLE) / CAST(tot.total_sessions AS DOUBLE) AS support
+        |FROM occ o JOIN sc s USING (pattern) CROSS JOIN tot
+        |ORDER BY o.pattern""".stripMargin)),
+
     // Behavioral-entropy screen (Forensics.userEntropy): per-user
     // Shannon entropy of the event-type mix from float32-rounded
     // micro-nat terms summed exactly — the WHAT-variety twin of

@@ -77,4 +77,48 @@ object Markov {
       .orderBy(col("sessions").desc, col("path"))
       .limit(topK)
   }
+
+  /** Frequent contiguous 3-step behavior patterns within gap-sessions
+    * (the sequential-pattern-mining cut between q_event_transitions'
+    * bigrams and q_session_paths' whole journeys — the PrefixSpan
+    * support semantics restricted to contiguous length-3 subsequences,
+    * which keeps it exactly SQL-expressible): every "a>b>c" window,
+    * its total occurrence count, the number of DISTINCT sessions
+    * containing it (pattern support in the PrefixSpan sense), and the
+    * support fraction over trigram-capable (≥3 event) sessions.
+    *
+    * Scale shape: trigram generation is ROW-LOCAL — each session's
+    * ordered type array (bounded by one user's single-session activity,
+    * the sessionPaths contract) zipped with its shifted selves; support
+    * counts are partial-agged shuffles at pattern grain;
+    * total_sessions is a 1-row broadcast; support is one IEEE division
+    * of exact BIGINTs.
+    */
+  def sessionTrigrams(events: DataFrame,
+                      gapUs: Long = graft.operators.Sessionize.DefaultGapUs,
+                      minSessions: Long = 2): DataFrame = {
+    val sess = graft.operators.Sessionize.assignSessions(events, gapUs)
+    val seqs = sess
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
+          " x -> x.event_type)").as("seq"))
+      .filter(size(col("seq")) >= 3)
+    val tris = seqs.withColumn("tris", expr(
+      "zip_with(zip_with(slice(seq, 1, size(seq) - 2), slice(seq, 2, size(seq) - 2)," +
+        " (a, b) -> concat(a, '>', b)), slice(seq, 3, size(seq) - 2)," +
+        " (ab, c) -> concat(ab, '>', c))"))
+    val occ = tris.select(explode(col("tris")).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("occurrences"))
+    val inSessions = tris
+      .select(explode(array_distinct(col("tris"))).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("sessions"))
+      .filter(col("sessions") >= minSessions)
+    val total = seqs.agg(count(lit(1)).as("total_sessions"))
+    occ.join(inSessions, Seq("pattern"))
+      .crossJoin(broadcast(total))
+      .withColumn("support",
+        col("sessions").cast("double") / col("total_sessions").cast("double"))
+      .select("pattern", "occurrences", "sessions", "total_sessions", "support")
+  }
 }

@@ -290,6 +290,40 @@ class GraphPackSpec extends SparkSpec {
 
   // ---- bot timing ----
 
+  test("session trigrams: contiguous windows only, session-grain support, gap splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val m = 60000000000L // 1 min in ns
+    // user 1 session A: v>c>p>v  -> trigrams v>c>p, c>p>v
+    // user 1 session B (after a >30min gap): v>c>p -> v>c>p again
+    // user 2: v>c only (too short, counts toward nothing, not even total)
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", m), (3L, 1L, "purchase", 2 * m),
+      (4L, 1L, "view", 3 * m),
+      (5L, 1L, "view", 100 * m), (6L, 1L, "click", 101 * m), (7L, 1L, "purchase", 102 * m),
+      (8L, 2L, "view", 0L), (9L, 2L, "click", m)
+    ).map { case (e, u, t, ns) => (e, u, t, 1700000000000000000L + ns) }
+      .toDF("event_id", "user_id", "event_type", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("value", lit(1.0))
+    val out = graft.gold.Markov.sessionTrigrams(ev, minSessions = 1)
+      .orderBy("pattern").collect()
+    val byP = out.map(r => r.getString(0) -> r).toMap
+    assert(byP.keySet == Set("c>p>v", "v>c>p").map(_.replace("v", "view")
+      .replace("c", "click").replace("p", "purchase")))
+    val vcp = byP("view>click>purchase")
+    assert(vcp.getAs[Long]("occurrences") == 2L)
+    assert(vcp.getAs[Long]("sessions") == 2L)
+    assert(vcp.getAs[Long]("total_sessions") == 2L, "2-event session excluded")
+    assert(vcp.getAs[Double]("support") == 1.0)
+    val cpv = byP("click>purchase>view")
+    assert(cpv.getAs[Long]("sessions") == 1L && cpv.getAs[Double]("support") == 0.5)
+    // minSessions floor prunes singleton patterns
+    val floored = graft.gold.Markov.sessionTrigrams(ev, minSessions = 2)
+      .collect().map(_.getString(0))
+    assert(floored.toSeq == Seq("view>click>purchase"))
+  }
+
   test("bot timing flags metronomic users and spares bursty ones") {
     val base = 1700000000000000000L // epoch ns
     // user 1: exactly every 60 s (cv² = 0); user 2: alternating 10 s / 600 s
