@@ -256,6 +256,23 @@ private[graft] object QueriesCuration {
         .orderBy("bm25_rank"),
       Some(text.Bm25.oracleSql(Bm25QueryTerms, 20))),
 
+    // BM25 SERVED FROM the incremental inverted-index store (postings +
+    // doclens, disjoint doc slices appended without rewriting earlier
+    // ones): shares q_bm25_rank's oracle VERBATIM — base+delta ≡
+    // from-scratch, and serving reads only the query terms' posting
+    // lists (term filter pushed to the parquet scan), never the corpus
+    // text.
+    QueryDef("q_bm25_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = graft.util.Scratch.dir("graft-bm25-index")
+        text.Bm25.buildIndex(docs.filter(col("doc_id") % 4 =!= 1), root)
+        text.Bm25.appendIndex(docs.filter(col("doc_id") % 4 === 1), root)
+        text.Bm25.searchIndex(s, root, Bm25QueryTerms, 20)
+          .orderBy("bm25_rank")
+      },
+      Some(text.Bm25.oracleSql(Bm25QueryTerms, 20))),
+
     QueryDef("q_neardup_ensemble",
       (s, d) => text.Ensemble.ensembleNearDups(
           Tables.documents(s, d), Tables.embeddings(s, d), 0.35)

@@ -71,6 +71,15 @@ object Bm25 {
           sum(when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$t"))
     val totals = perDoc.agg(totAggs.head, totAggs.tail: _*)
 
+    scoreAndRank(perDoc, totals, queryTerms, k)
+  }
+
+  /** The shared scoring tail of [[rank]] and [[searchIndex]]: identical
+    * expression tree over (doc_id, dl, tf_*) + (n_docs, total_len, df_*)
+    * frames, so the store-served search is bit-identical to the
+    * from-scratch ranking whenever the input integers agree. */
+  private def scoreAndRank(perDoc: DataFrame, totals: DataFrame,
+                           queryTerms: Seq[String], k: Int): DataFrame = {
     // Row-local scoring: idf per term from the broadcast totals, contrib
     // from this row's tf/dl. tf = 0 contributes exactly 0.0 (zero
     // numerator), matching the SQL mirror's arithmetic bit for bit.
@@ -104,6 +113,81 @@ object Bm25 {
       .filter(col("bm25_rank") <= k)
       .select(Seq(col("bm25_rank"), col("doc_id"), col("dl"), col("score"))
         ++ queryTerms.map(t => col(s"c_$t")): _*)
+  }
+
+  // ---- incremental inverted-index store ----
+  //
+  // The mergeable state is the classic inverted index: (term, doc_id, tf)
+  // postings plus (doc_id, dl) document lengths. Disjoint document slices
+  // append WITHOUT rewriting earlier slices (each doc_id lives in exactly
+  // one slice by contract), and every serving statistic — df, N, Σdl —
+  // is an order-insensitive exact-integer reduce over the store, so
+  // base+delta serves BIT-IDENTICALLY to a from-scratch rank() on the
+  // union corpus (q_bm25_incremental shares q_bm25_rank's oracle
+  // verbatim). Postings are written sorted by term so parquet row-group
+  // min/max stats prune non-query terms at read time — serving a |Q|-term
+  // query reads |Q| posting lists plus the doclen side, never the corpus
+  // text.
+
+  /** Build the index store at `root` (overwrites existing slices). */
+  def buildIndex(documents: DataFrame, root: String): Unit =
+    writeIndexSlice(documents, root, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append a DISJOINT document slice (doc_ids not already in the store —
+    * the caller's contract, same as every incremental store here). */
+  def appendIndex(documents: DataFrame, root: String): Unit =
+    writeIndexSlice(documents, root, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIndexSlice(documents: DataFrame, root: String,
+                              mode: org.apache.spark.sql.SaveMode): Unit = {
+    // One tokenize feeds both files: doclen derives from the (much
+    // smaller) grouped postings frame, persisted across the two writes so
+    // the corpus text is scanned exactly once per slice.
+    val postings = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings
+        .sortWithinPartitions("term")
+        .write.mode(mode).parquet(s"$root/postings")
+      postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .write.mode(mode).parquet(s"$root/doclen")
+    } finally postings.unpersist(blocking = false)
+  }
+
+  /** Serve a BM25 query from the store: reads only the query terms'
+    * posting lists (term filter pushed to the parquet scan) plus the
+    * doclen table; bit-identical to `rank()` on the same corpus. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                  queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be a non-empty duplicate-free list")
+    val doclen = spark.read.parquet(s"$root/doclen")
+    val postings = spark.read.parquet(s"$root/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    // Pivot the ≤|Q| surviving postings per doc into rank()'s fixed
+    // per-term tf columns; join back the doc length at doc grain.
+    val tfPivot = postings.groupBy("doc_id")
+      .agg(
+        sum(when(col("term") === queryTerms.head, col("tf")).otherwise(lit(0L)))
+          .as(s"tf_${queryTerms.head}"),
+        queryTerms.tail.map(t =>
+          sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$t")): _*)
+    val perDoc = tfPivot.join(doclen, Seq("doc_id"))
+    // df per term = posting-list length (postings are (term, doc)-unique);
+    // N and Σdl reduce the doclen side. All exact integers, so the
+    // scoring inputs equal rank()'s bit for bit.
+    val dfRow = postings.agg(
+      sum(when(col("term") === queryTerms.head, lit(1L)).otherwise(lit(0L)))
+        .as(s"df_${queryTerms.head}"),
+      queryTerms.tail.map(t =>
+        sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"df_$t")): _*)
+    val totals = doclen
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .crossJoin(dfRow)
+    scoreAndRank(perDoc, totals, queryTerms, k)
   }
 
   /** The DuckDB mirror of `rank` — same fused doc-grain shape and the same

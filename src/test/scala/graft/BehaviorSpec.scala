@@ -124,6 +124,31 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("bm25_rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("bm25 index store: base+delta serves bit-identically to from-scratch; " +
+    "term filter reaches the postings scan") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha alpha alpha alpha alpha beta"),
+      (3L, "alpha filler filler filler filler filler filler filler filler filler"),
+      (4L, "gamma delta"),
+      (5L, "beta beta gamma"),
+      (6L, "alpha gamma filler")
+    ).toDF("doc_id", "text")
+    val root = graft.util.Scratch.dir("graft-bm25-spec")
+    graft.text.Bm25.buildIndex(docs.filter(col("doc_id") <= 3L), root)
+    graft.text.Bm25.appendIndex(docs.filter(col("doc_id") > 3L), root)
+    val served = graft.text.Bm25.searchIndex(spark, root, Seq("alpha", "beta"), 10)
+      .orderBy("bm25_rank")
+    val direct = graft.text.Bm25.rank(docs, Seq("alpha", "beta"), 10)
+      .orderBy("bm25_rank").collect()
+    assert(served.collect().map(_.toString).toSeq === direct.map(_.toString).toSeq)
+    assert(direct.length == 5) // every alpha/beta doc, no gamma-only doc 4
+    // serving never reads the corpus text: the term predicate is pushed
+    // into the postings parquet scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, [alpha,beta])]"), plan.take(800))
+  }
+
   test("change feed classifies inserts, updates, deletes; drops no-ops") {
     import graft.operators.ChangeFeed
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
