@@ -17,6 +17,22 @@ import graft.QueriesShared._
 private[graft] object QueriesCuration {
   private[graft] lazy val defs: Seq[QueryDef] = Seq(
 
+    // Time-constrained funnel (ClickHouse windowFunnel family, per-step
+    // 24h windows): greedy latest-completion fold per user, all-integer
+    // until the conversion divisions; oracle mirrors the fold as a
+    // recursive CTE (gold/Behavior.windowFunnel).
+    QueryDef("q_window_funnel",
+      (s, d) => gold.Behavior.windowFunnel(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            col("event_id"), expr("ts_ns div 1000").as("ts_us")),
+          Seq("signup", "view", "click", "purchase"), 86400000000L)
+        .orderBy("stage_idx"),
+      Some("WITH RECURSIVE " + EventsUsCte.stripPrefix("WITH ") +
+        gold.Behavior.windowFunnelOracleCtes(
+          Seq("signup", "view", "click", "purchase"), 86400000000L) +
+        gold.Behavior.windowFunnelOracleSelect(
+          Seq("signup", "view", "click", "purchase")))),
+
     QueryDef("q_funnel",
       (s, d) => gold.Behavior.funnel(
           Tables.events(s, d).select(col("user_id"), col("event_type"),

@@ -68,6 +68,129 @@ object Behavior {
     counts.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
   }
 
+  /** Time-constrained funnel (the ClickHouse `windowFunnel` family, with
+    * PER-STEP windows): a user reaches stage i only through a chain
+    * e₁ < … < eᵢ in (ts, event_id) order where each consecutive gap is
+    * ≤ `windowUs` — "signed up, then viewed within a day OF THAT, then
+    * clicked within a day OF THAT". The plain [[funnel]] never expires a
+    * chain; this one does, which is what campaign attribution and
+    * activation SLAs actually ask.
+    *
+    * Algorithm: one greedy left fold per user over the time-ordered
+    * stage-event array, keeping for every stage the LATEST timestamp at
+    * which a valid chain completed it. Latest-is-optimal for per-step
+    * windows: a later completion can only loosen the next step's
+    * deadline, and chain validity never depends on discarded history —
+    * so the fold finds the maximal reachable stage. Stage timestamps
+    * are only ever set when the previous stage's slot is set, so the
+    * reached set is a contiguous prefix.
+    *
+    * Exactness: the fold is ALL-INTEGER (µs timestamps, comparisons) —
+    * no floats until the final conversion-rate divisions, which are
+    * single IEEE divisions of exact counts. The oracle mirrors the fold
+    * as a recursive CTE (the Holt contract: struct-accumulator
+    * list_reduce is quirky in DuckDB; recursive CTEs are not).
+    *
+    * Scale shape: non-stage events are pruned BEFORE the one user-grain
+    * shuffle; the fold is row-local over an array bounded by one user's
+    * stage-event activity (the sessionPaths contract); the stage
+    * summary is a 1-row aggregate exploded to |stages| rows.
+    */
+  def windowFunnel(events: DataFrame, stages: Seq[String],
+                   windowUs: Long): DataFrame = {
+    require(stages.size >= 2 && stages.distinct == stages,
+      "windowFunnel needs >= 2 distinct stages")
+    val k = stages.size
+    val stagesSql = stages.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .groupBy("user_id")
+      .agg(expr("array_sort(collect_list(struct(ts_us, event_id, event_type)))")
+        .as("evs"))
+      .withColumn("acc", expr(
+        s"""aggregate(evs, array_repeat(CAST(-1 AS BIGINT), $k), (acc, x) ->
+           |  transform(acc, (v, j) ->
+           |    CASE WHEN j + 1 = array_position($stagesSql, x.event_type)
+           |         THEN CASE WHEN j = 0 THEN x.ts_us
+           |                   WHEN acc[j - 1] >= 0L
+           |                        AND x.ts_us - acc[j - 1] <= ${windowUs}L
+           |                   THEN x.ts_us
+           |                   ELSE v END
+           |         ELSE v END))""".stripMargin))
+      .withColumn("reached", expr("size(filter(acc, v -> v >= 0L))"))
+    val counts = perUser.agg(
+      sum(when(col("reached") >= 1, lit(1L)).otherwise(lit(0L))).as("u0"),
+      (1 until k).map(i =>
+        sum(when(col("reached") >= i + 1, lit(1L)).otherwise(lit(0L))).as(s"u$i")): _*)
+    val stageStructs = stages.zipWithIndex.map { case (stage, i) =>
+      val prev = if (i == 0) col("u0") else col(s"u${i - 1}")
+      struct(
+        lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        col(s"u$i").as("users_reached"),
+        when(prev === 0, lit(0.0))
+          .otherwise(col(s"u$i").cast("double") / prev.cast("double"))
+          .as("conversion_from_prev"),
+        when(col("u0") === 0, lit(0.0))
+          .otherwise(col(s"u$i").cast("double") / col("u0").cast("double"))
+          .as("conversion_from_start"))
+    }
+    counts.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
+  }
+
+  /** DuckDB mirror of [[windowFunnel]] — the greedy fold as a recursive
+    * CTE with one timestamp column per stage. Callers must open the
+    * chain with `WITH RECURSIVE` (the DedupClusterCtes pattern). */
+  def windowFunnelOracleCtes(stages: Seq[String], windowUs: Long): String = {
+    val k = stages.size
+    val tCols = stages.indices.map(i => s"t$i").mkString(", ")
+    val init = stages.indices.map(_ => "CAST(-1 AS BIGINT)").mkString(", ")
+    val steps = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"CASE WHEN u.evs[f.i + 1].t = '$s' THEN u.evs[f.i + 1].ts_us ELSE f.t0 END"
+      else
+        s"""CASE WHEN u.evs[f.i + 1].t = '$s' AND f.t${i - 1} >= 0
+           |           AND u.evs[f.i + 1].ts_us - f.t${i - 1} <= $windowUs
+           |      THEN u.evs[f.i + 1].ts_us ELSE f.t$i END""".stripMargin
+    }.mkString(",\n      |    ")
+    val reachedSum = stages.indices
+      .map(i => s"(CASE WHEN t$i >= 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val inList = stages.map(s => s"'$s'").mkString(", ")
+    s"""
+      |, u AS (
+      |  SELECT user_id,
+      |    list(struct_pack(ts_us := ts_us, event_id := event_id, t := event_type)
+      |         ORDER BY ts_us, event_id) AS evs
+      |  FROM ev WHERE event_type IN ($inList) GROUP BY 1
+      |), f(user_id, i, $tCols) AS (
+      |    SELECT user_id, 0, $init FROM u
+      |  UNION ALL
+      |    SELECT f.user_id, f.i + 1,
+      |    $steps
+      |    FROM f JOIN u USING (user_id) WHERE f.i < len(u.evs)
+      |), fin AS (
+      |  SELECT f.user_id, $reachedSum AS reached
+      |  FROM f JOIN u USING (user_id) WHERE f.i = len(u.evs)
+      |), c AS (
+      |  SELECT ${stages.indices.map(i =>
+            s"CAST(sum(CASE WHEN reached >= ${i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS u$i")
+            .mkString(",\n      |    ")}
+      |  FROM fin
+      |)""".stripMargin
+  }
+
+  /** Full oracle tail: one row per stage from the 1-row count frame. */
+  def windowFunnelOracleSelect(stages: Seq[String]): String =
+    stages.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "u0" else s"u${i - 1}"
+      s"""SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage, u$i AS users_reached,
+         |  CASE WHEN $prev = 0 THEN 0.0
+         |       ELSE CAST(u$i AS DOUBLE) / CAST($prev AS DOUBLE) END AS conversion_from_prev,
+         |  CASE WHEN u0 = 0 THEN 0.0
+         |       ELSE CAST(u$i AS DOUBLE) / CAST(u0 AS DOUBLE) END AS conversion_from_start
+         |FROM c""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY stage_idx")
+
   /** A/B funnel comparison: the ordered funnel split by a deterministic
     * arm assignment, with a pooled two-proportion z-test per stage on
     * conversion-from-start — "did the treatment change where users drop

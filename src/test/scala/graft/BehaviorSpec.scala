@@ -209,6 +209,38 @@ class BehaviorSpec extends SparkSpec {
     assert(whole.sameElements(ab), "arm funnels must partition the whole funnel")
   }
 
+  test("window funnel expires slow chains, revives on a fresh start, and is greedy-optimal") {
+    import graft.gold.Behavior
+    val spark2 = spark
+    import spark2.implicits._
+    val H = 3600000000L // 1h in us
+    // window = 1h per step.
+    // u1: signup@0, view@30m, purchase-stage click@50m -> reaches 3 stages
+    // u2: signup@0, view@2h (expired) -> stuck at stage 1...
+    //     BUT a second signup@90m revives: view@2h is within 1h of it -> 2
+    // u3: signup@0, view@30m, click@30m+2h (expired) -> 2
+    // u4: view@0 only (no signup): 0 stages
+    val ev = Seq(
+      (1L, 1L, "signup", 0L), (2L, 1L, "view", H / 2), (3L, 1L, "click", H * 5 / 6),
+      (4L, 2L, "signup", 0L), (5L, 2L, "signup", H * 3 / 2), (6L, 2L, "view", 2 * H),
+      (7L, 3L, "signup", 0L), (8L, 3L, "view", H / 2), (9L, 3L, "click", H / 2 + 2 * H),
+      (10L, 4L, "view", 0L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Behavior.windowFunnel(ev, Seq("signup", "view", "click"), H)
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[Long]("users_reached")).toSeq === Seq(3L, 3L, 1L))
+    // u2 only converts because the fold keeps the LATEST valid chain
+    // start — an earliest-chain fold would strand it (greedy-optimality)
+    assert(out(1).getAs[Double]("conversion_from_prev") == 1.0)
+    assert(out(2).getAs[Double]("conversion_from_start") == 1.0 / 3.0)
+    // the untimed funnel would have passed u3's click: the window is
+    // what rejects it
+    val untimed = Behavior.funnel(
+      ev.select(col("user_id"), col("event_type"), col("ts_us")),
+      Seq("signup", "view", "click")).orderBy("stage_idx").collect()
+    assert(untimed(2).getAs[Long]("users_reached") == 2L)
+  }
+
   test("basket rules: hand-computed support/confidence/lift, governor excludes oversized baskets") {
     import graft.gold.Basket
     val spark2 = spark
