@@ -458,6 +458,15 @@ private[graft] object QueriesTextSim {
         .orderBy("lang"),
       Some(graft.text.CorpusStats.zipfFitOracleSql)),
 
+    // word2vec negative-sampling table: count^0.75 smoothed weights with
+    // exact integer cumulative ranges for inverse-CDF sampling — both
+    // libm outputs (ln, exp) float32-rounded, prefix sums exact, one
+    // IEEE division for p (CorpusStats.negativeSampling).
+    QueryDef("q_negative_sampling",
+      (s, d) => graft.text.CorpusStats.negativeSampling(Tables.documents(s, d))
+        .orderBy("token"),
+      Some(graft.text.CorpusStats.negativeSamplingOracleSql())),
+
     // Per-source unigram KL vs the corpus mixture — the data-mixture
     // design diagnostic (which sources sit far from the blend). Exact
     // integer contributions in micro-nats, one double chain at the end.

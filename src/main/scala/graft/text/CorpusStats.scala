@@ -323,4 +323,67 @@ object CorpusStats {
        |FROM rolled JOIN per_source pa ON src_a = pa.source
        |            JOIN per_source pb ON src_b = pb.source
        |ORDER BY src_a, src_b""".stripMargin
+
+  /** word2vec-style negative-sampling table (Mikolov et al. 2013): each
+    * vocabulary token weighted ∝ count^0.75 — the frequency smoothing
+    * that keeps stopwords from dominating negatives while rare words
+    * still appear — with the EXCLUSIVE cumulative range [cum_start,
+    * cum_end) a trainer inverse-CDF samples from (draw u uniform in
+    * [0, Σw), binary-search the token whose range contains u).
+    *
+    * Cross-engine determinism: c^0.75 forms as exp(0.75·ln c) with BOTH
+    * libm outputs float32-rounded (the Colloc.q contract, applied to exp
+    * as well — the multiply between them is IEEE on identical operands),
+    * then micro-quantized to a BIGINT weight; cumulative ranges are
+    * exact integer prefix sums; p is one IEEE division.
+    *
+    * Scale shape: one token-grain partial-agg exchange to the bounded
+    * vocabulary, then the grouped-prefix-sum primitive under a constant
+    * group (= the global-offset decomposition — never a vocab-spanning
+    * single-partition window); Σw is a 1-row broadcast.
+    */
+  def negativeSampling(documents: DataFrame, minCount: Long = 5,
+                       power: String = "0.75"): DataFrame = {
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val wExpr = s"CAST(floor(CAST(CAST(exp(CAST($power AS DOUBLE)" +
+      " * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
+      " * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    val weighted = counts.withColumn("w_micro", expr(wExpr))
+    val cum = ScalableRank.withGroupedPrefixSum(
+      weighted, lit(1L), Seq(col("token")), col("w_micro"), "cum_start")
+    val total = weighted.agg(sum(col("w_micro")).as("total_w"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_end", col("cum_start") + col("w_micro"))
+      .withColumn("p", col("w_micro").cast("double") / col("total_w").cast("double"))
+      .select("token", "c", "w_micro", "cum_start", "cum_end", "p")
+  }
+
+  /** DuckDB mirror of [[negativeSampling]]. */
+  def negativeSamplingOracleSql(minCount: Long = 5,
+                                power: String = "0.75"): String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), counts AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE token <> '' GROUP BY 1 HAVING count(*) >= $minCount
+      |), w AS (
+      |  SELECT token, c,
+      |    CAST(floor(CAST(CAST(exp(CAST($power AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w_micro
+      |  FROM counts
+      |), cum AS (
+      |  SELECT *, CAST(sum(w_micro) OVER (ORDER BY token
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - w_micro AS cum_start
+      |  FROM w
+      |), t AS (
+      |  SELECT CAST(sum(w_micro) AS BIGINT) AS total_w FROM w
+      |)
+      |SELECT token, c, w_micro, cum_start, cum_start + w_micro AS cum_end,
+      |  CAST(w_micro AS DOUBLE) / CAST(total_w AS DOUBLE) AS p
+      |FROM cum CROSS JOIN t ORDER BY token""".stripMargin
 }

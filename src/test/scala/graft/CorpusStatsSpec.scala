@@ -297,4 +297,30 @@ class CorpusStatsSpec extends SparkSpec {
       .filter(col("n12") =!= col("n21") || col("w12") =!= col("w21")).count()
     assert(asym == 0, "skip-gram co-occurrence must be symmetric")
   }
+
+  test("negative-sampling table: smoothed weights, disjoint covering ranges, " +
+    "min-count floor") {
+    import graft.text.CorpusStats
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: the 16, of 8, rare 1 (dropped by minCount=2)
+    val docs = Seq((1L, (Seq.fill(16)("the") ++ Seq.fill(8)("of") ++ Seq("rare"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusStats.negativeSampling(docs, minCount = 2)
+      .orderBy("token").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("of", "the"))
+    def w(c: Long): Long = math.floor(
+      math.exp(0.75 * math.log(c.toDouble).toFloat.toDouble).toFloat.toDouble * 1e6).toLong
+    val byT = out.map(r => r.getString(0) -> r).toMap
+    assert(byT("the").getAs[Long]("w_micro") == w(16))
+    assert(byT("of").getAs[Long]("w_micro") == w(8))
+    // smoothing: 16/8 = 2x count ratio compresses to 2^0.75 in weight
+    assert(byT("the").getAs[Long]("w_micro") < 2L * byT("of").getAs[Long]("w_micro"))
+    // ranges tile [0, total) with no gap or overlap, in token order
+    val total = w(16) + w(8)
+    assert(byT("of").getAs[Long]("cum_start") == 0L)
+    assert(byT("of").getAs[Long]("cum_end") == byT("the").getAs[Long]("cum_start"))
+    assert(byT("the").getAs[Long]("cum_end") == total)
+    assert(out.map(_.getAs[Double]("p")).sum == 1.0)
+  }
 }
