@@ -70,6 +70,16 @@ private[graft] object QueriesPrivacy {
 
     // Suppression-to-k release: QI combos below k collapse into the
     // residual '*' group; audit reports sizes + merged-combo counts.
+    // t-closeness audit: per-QI-class EMD between the class's sensitive
+    // distribution and the global one over the ORDERED priority domain —
+    // the distribution-level tightening of l-diversity. Integer
+    // cumulative-difference numerators over the common n·N denominator,
+    // decimal(38,0)/HUGEINT products, one IEEE chain for the EMD
+    // (gold/Privacy.tCloseness).
+    QueryDef("q_t_closeness",
+      (s, d) => gold.Privacy.tCloseness(Tables.orders(s, d), Tables.customer(s, d)),
+      Some(gold.Privacy.tClosenessOracleSql())),
+
     QueryDef("q_suppress_k",
       (s, d) => gold.Privacy.suppressToK(Tables.customer(s, d)),
       Some(s"""WITH sized AS (

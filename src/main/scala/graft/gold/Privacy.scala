@@ -89,6 +89,116 @@ object Privacy {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    * distribution-level tightening of [[lDiversity]]: a class can be
+    * l-diverse yet still leak when its sensitive mix skews far from the
+    * table's): per QI class, the Earth-Mover's Distance between the
+    * class's sensitive-attribute distribution P and the global Q over
+    * the ORDERED sensitive domain, EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}(Pⱼ−Qⱼ)|.
+    *
+    * Exactness: each cumulative difference forms as the INTEGER
+    * numerator CPᵢ·N − CGᵢ·n over the common denominator n·N — products
+    * carried as decimal(38,0) (HUGEINT in the oracle) so n·N never
+    * overflows at any realistic scale — and the EMD is ONE IEEE chain
+    * over the exact |numerator| sum.
+    *
+    * Scale shape: the corpus collapses to (QI, sensitive)-grain cells
+    * first (the lDiversity contract); the full class×domain grid is the
+    * class list crossed with an m-row broadcast of the global domain
+    * (m = sensitive cardinality, a small constant), so the cumulative
+    * window runs over m-row frames — bounded by the domain, never the
+    * data. */
+  def tCloseness(orders: DataFrame, customer: DataFrame,
+                 t: Double = 0.2): DataFrame = {
+    val joined = orders
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val cell = joined
+      .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val global = cell.groupBy("o_orderpriority").agg(sum(col("n")).as("g"))
+    val classes = cell.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("n")).as("group_size"))
+    val total = global.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("m_domain"))
+    // full grid: every class × every global sensitive value, zero-filled
+    val grid = classes
+      .crossJoin(broadcast(global))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "o_orderpriority"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("o_orderpriority")
+    val result = grid
+      .withColumn("cp", sum(col("n")).over(w))
+      .withColumn("cg", sum(col("g")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("num", expr(
+        "abs(CAST(cp AS DECIMAL(38,0)) * n_total - CAST(cg AS DECIMAL(38,0)) * group_size)"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(
+        max(col("group_size")).as("group_size"),
+        max(col("n_total")).as("n_total"),
+        max(col("m_domain")).as("m_domain"),
+        sum(col("num")).as("num_sum"))
+      .withColumn("emd",
+        col("num_sum").cast("string").cast("double")
+          / (col("group_size").cast("double") * col("n_total").cast("double")
+            * (col("m_domain") - lit(1L)).cast("double")))
+      .withColumn("meets_t", col("emd") <= t)
+      .select("c_nationkey", "c_mktsegment", "group_size", "emd", "meets_t")
+      .orderBy("c_nationkey", "c_mktsegment")
+    cell.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB mirror of [[tCloseness]]. */
+  def tClosenessOracleSql(t: Double = 0.2): String =
+    s"""WITH cell AS (
+      |  SELECT c_nationkey, c_mktsegment, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3
+      |), gdist AS (
+      |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS g FROM cell GROUP BY 1
+      |), cls AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS group_size
+      |  FROM cell GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT CAST(sum(g) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS m_domain FROM gdist
+      |), grid AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.group_size,
+      |    gdist.o_orderpriority, gdist.g, COALESCE(cell.n, 0) AS n
+      |  FROM cls CROSS JOIN gdist
+      |  LEFT JOIN cell USING (c_nationkey, c_mktsegment, o_orderpriority)
+      |), cum AS (
+      |  SELECT *,
+      |    sum(n) OVER wc AS cp, sum(g) OVER wc AS cg
+      |  FROM grid
+      |  WINDOW wc AS (PARTITION BY c_nationkey, c_mktsegment
+      |                ORDER BY o_orderpriority ROWS UNBOUNDED PRECEDING)
+      |), nums AS (
+      |  SELECT c_nationkey, c_mktsegment, group_size, n_total, m_domain,
+      |    abs(CAST(cp AS HUGEINT) * n_total - CAST(cg AS HUGEINT) * group_size) AS num
+      |  FROM cum CROSS JOIN tot
+      |), agg AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    max(group_size) AS group_size, max(n_total) AS n_total,
+      |    max(m_domain) AS m_domain, sum(num) AS num_sum
+      |  FROM nums GROUP BY 1, 2
+      |)
+      |SELECT c_nationkey, c_mktsegment, group_size,
+      |  CAST(CAST(num_sum AS VARCHAR) AS DOUBLE)
+      |    / (CAST(group_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |       * CAST(m_domain - 1 AS DOUBLE)) AS emd,
+      |  (CAST(CAST(num_sum AS VARCHAR) AS DOUBLE)
+      |    / (CAST(group_size AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |       * CAST(m_domain - 1 AS DOUBLE))) <= $t AS meets_t
+      |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Suppression-to-k release: QI combos below k collapse into one
     * residual '*' group (members stay countable, no QI published);
     * combos at/above k are released as-is. Two QI-grain aggregates —

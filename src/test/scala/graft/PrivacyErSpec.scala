@@ -121,6 +121,36 @@ class PrivacyErSpec extends SparkSpec {
     }
   }
 
+  test("t-closeness: hand-computed EMD, zero for a mirror class, missing " +
+    "domain values still contribute") {
+    import graft.gold.Privacy
+    val spark2 = spark
+    import spark2.implicits._
+    // sensitive domain {1-URGENT, 2-HIGH}, m=2, so EMD = |P1 - Q1|.
+    // class (0,A): 3 urgent, 1 high; class (1,B): 1 urgent, 3 high.
+    // global: 4 urgent, 4 high -> Q1 = 0.5.
+    // EMD(0,A) = |3/4 - 1/2| = 0.25; EMD(1,B) = |1/4 - 1/2| = 0.25.
+    val cust = Seq((1L, 0L, "A"), (2L, 1L, "B"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    def ords(ck: Long, urgent: Int, high: Int) =
+      (Seq.fill(urgent)("1-URGENT") ++ Seq.fill(high)("2-HIGH"))
+        .map(p => (ck, p))
+    val orders = (ords(1L, 3, 1) ++ ords(2L, 1, 3))
+      .toDF("o_custkey", "o_orderpriority")
+    val out = Privacy.tCloseness(orders, cust, t = 0.3)
+      .orderBy("c_nationkey").collect()
+    assert(out.map(_.getAs[Double]("emd")).toSeq == Seq(0.25, 0.25))
+    assert(out.forall(_.getAs[Boolean]("meets_t")))
+    // a class missing a domain value entirely: P over {u,h,l} with the
+    // third class holding all the '3-LOW's -> its EMD reflects the gap
+    val orders2 = (ords(1L, 4, 0) ++ ords(2L, 0, 4)).toDF("o_custkey", "o_orderpriority")
+    val skew = Privacy.tCloseness(orders2, cust, t = 0.3)
+      .orderBy("c_nationkey").collect()
+    // Q1 = 0.5; class (0,A) all urgent -> |1 - 0.5| = 0.5 > t
+    assert(skew.map(_.getAs[Double]("emd")).toSeq == Seq(0.5, 0.5))
+    assert(skew.forall(!_.getAs[Boolean]("meets_t")))
+  }
+
   test("DP release: noise is deterministic across runs, symmetric-Laplace shaped") {
     def run() = gold.Privacy.dpRevenueByNation(Tables.orders(spark, TinySf),
       Tables.customer(spark, TinySf), Tables.nation(spark, TinySf)).collect()
