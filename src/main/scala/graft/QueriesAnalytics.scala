@@ -466,6 +466,38 @@ private[graft] object QueriesAnalytics {
     // Operating-point sweep: precision/recall/F1 at every occupied grid
     // threshold — suffix sums over the ≤20-row bin frame, no per-threshold
     // rescan (ml/Evaluation.scala).
+    // Decile gains/lift table: ScalableRank arithmetic ntile cut, exact
+    // BIGINT counts, single-IEEE-chain capture/lift — the "review the
+    // top decile, catch X% at Y× random" fraud-ops view
+    // (ml/Evaluation.gainsTable).
+    QueryDef("q_gains_table",
+      (s, d) => Evaluation.gainsTable(literalScored(s, d),
+          "fraud_score", "label", "o_orderkey"),
+      Some(ScoredCte +
+        """
+        |, tiled AS (
+        |  SELECT label,
+        |    ntile(10) OVER (ORDER BY fraud_score DESC, o_orderkey ASC) AS decile
+        |  FROM scored
+        |), pt AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM tiled GROUP BY 1
+        |), c AS (
+        |  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS pos_total,
+        |    CAST(sum(n) OVER wc AS BIGINT) AS cum_n,
+        |    CAST(sum(pos) OVER wc AS BIGINT) AS cum_pos
+        |  FROM pt WINDOW wc AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, pos, cum_n, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(pos_total AS DOUBLE) AS capture_rate,
+        |  CAST(pos AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(pos_total AS DOUBLE)) AS lift,
+        |  CAST(cum_pos AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(cum_n AS DOUBLE) * CAST(pos_total AS DOUBLE)) AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin)),
+
     QueryDef("q_threshold_sweep",
       (s, d) => Evaluation.thresholdSweep(literalScored(s, d), "fraud_score",
         "label", steps = 20),

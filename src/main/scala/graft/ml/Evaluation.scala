@@ -106,6 +106,48 @@ object Evaluation {
       .orderBy("threshold_step")
   }
 
+  /** Decile gains/lift table — the fraud-ops targeting view ("review the
+    * top decile, catch X% of fraud at Y× random"): rank by score
+    * descending, cut into `deciles` equal-population tiles, report
+    * per-tile positives, the cumulative capture rate (the gains curve),
+    * and per-tile + cumulative lift vs the base rate.
+    *
+    * Exactness: the tile cut is ScalableRank's arithmetic ntile (no
+    * single-partition window over the corpus; the same cut DuckDB's
+    * ntile produces); every rate is a single IEEE chain over exact
+    * BIGINT counts, products formed in double space so pos·N never
+    * overflows. Once at decile grain the frame is `deciles` rows —
+    * the cumulative window is constant-size.
+    */
+  def gainsTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                 tiebreakCol: String, deciles: Int = 10): DataFrame = {
+    val tiled = ScalableRank.ranked(
+      scored.select(col(scoreCol), col(labelCol).cast("long").as("_l"),
+        col(tiebreakCol)),
+      col(scoreCol), col(tiebreakCol), deciles)
+    val perTile = tiled.groupBy(col("ntile").as("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("_l")).as("pos"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTile
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("pos_total", sum(col("pos")).over(wAll))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("pos")).over(wCum))
+      .withColumn("capture_rate",
+        col("cum_pos").cast("double") / col("pos_total").cast("double"))
+      .withColumn("lift",
+        col("pos").cast("double") * col("n_total").cast("double")
+          / (col("n").cast("double") * col("pos_total").cast("double")))
+      .withColumn("cum_lift",
+        col("cum_pos").cast("double") * col("n_total").cast("double")
+          / (col("cum_n").cast("double") * col("pos_total").cast("double")))
+      .select("decile", "n", "pos", "cum_n", "cum_pos",
+        "capture_rate", "lift", "cum_lift")
+      .orderBy("decile")
+  }
+
   /** Reliability-diagram bins: fixed decile bins over [0,1) score space,
     * per-bin support, positive rate, and mean predicted score.
     *

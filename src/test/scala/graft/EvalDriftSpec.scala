@@ -516,4 +516,32 @@ class EvalDriftSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("elasticity") - (-2.0)) < 1e-4,
       s"elasticity ${r.getAs[Double]("elasticity")}")
   }
+
+  test("gains table: perfect ranking captures everything in the top tiles; " +
+    "identities hold") {
+    import graft.ml.Evaluation
+    val spark2 = spark
+    import spark2.implicits._
+    // 100 rows, scores = 100-i, positives = the 20 highest scores:
+    // a perfect ranker. Deciles of 10 rows each.
+    val df = (1 to 100).map(i =>
+      (i.toLong, (101 - i).toDouble, if (i <= 20) 1L else 0L))
+      .toDF("id", "score", "label")
+    val out = Evaluation.gainsTable(df, "score", "label", "id")
+      .orderBy("decile").collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("n")).forall(_ == 10L))
+    // all 20 positives in deciles 1-2: capture 0.5 then 1.0, flat after
+    assert(out(0).getAs[Double]("capture_rate") == 0.5)
+    assert(out(1).getAs[Double]("capture_rate") == 1.0)
+    assert(out(9).getAs[Double]("capture_rate") == 1.0)
+    // decile-1 lift = (10/10)/(20/100) = 5x; cumulative lift decays to 1
+    assert(out(0).getAs[Double]("lift") == 5.0)
+    assert(out(9).getAs[Double]("cum_lift") == 1.0)
+    // identities: cum columns are prefix sums, totals consistent
+    val ns = out.map(_.getAs[Long]("n"))
+    val cums = out.map(_.getAs[Long]("cum_n"))
+    assert(cums.toSeq == ns.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(out.last.getAs[Long]("cum_pos") == 20L)
+  }
 }
