@@ -128,6 +128,33 @@ private[graft] object QueriesCore {
         |GROUP BY order_date, region_name, status_normalized, amount_tier
         |ORDER BY order_date, region_name, status_normalized, amount_tier""".stripMargin)),
 
+    // MoM/YoY growth per priority band: (band, month)-grain decimal sums
+    // first, then EXPLICIT calendar self-joins on shifted month keys —
+    // a row-LAG would mispair across calendar gaps (Revenue.growthTrend).
+    QueryDef("q_growth_trend",
+      (s, d) => Revenue.growthTrend(Cleaning.cleanOrders(Tables.orders(s, d)))
+        .orderBy("o_orderpriority", "month"),
+      Some(CleanOrdersCte +
+        """
+        |, m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_trunc('month', order_date) AS DATE) AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    CAST(count(*) AS BIGINT) AS orders
+        |  FROM clean_orders GROUP BY 1, 2
+        |)
+        |SELECT m.o_orderpriority, m.month, m.orders, m.revenue,
+        |  pm.revenue AS prev_month_rev,
+        |  (m.revenue - pm.revenue) / pm.revenue AS mom_growth,
+        |  py.revenue AS prev_year_rev,
+        |  (m.revenue - py.revenue) / py.revenue AS yoy_growth
+        |FROM m
+        |LEFT JOIN m pm ON pm.o_orderpriority = m.o_orderpriority
+        |  AND CAST(pm.month + INTERVAL 1 MONTH AS DATE) = m.month
+        |LEFT JOIN m py ON py.o_orderpriority = m.o_orderpriority
+        |  AND CAST(py.month + INTERVAL 12 MONTH AS DATE) = m.month
+        |ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q_revenue_hourly",
       (s, d) => Revenue.revenueHourly(Tables.events(s, d))
         .select("hour_ts", "purchase_count", "hourly_gmv", "avg_purchase", "active_users")

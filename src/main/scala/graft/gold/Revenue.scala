@@ -91,6 +91,40 @@ object Revenue {
     * a global sort or a single-partition window over the full per-customer
     * aggregate. The customer dim joins AFTER the cut, so only n rows are
     * broadcast against it; the ranking window's input is bounded at n. */
+  /** Month-over-month and year-over-year revenue growth per priority
+    * band — the BI trend panel every revenue mart ships. The corpus
+    * collapses to (priority, month) grain FIRST (one partial-agged
+    * exchange of exact decimal sums), so the LAG-1/LAG-12 windows run
+    * over dimension-bounded frames (bands × months), never data-sized
+    * partitions. Growth rates are single IEEE chains on identically
+    * derived doubles; months without a comparison row report NULL (the
+    * LAG semantics — a calendar gap would silently compare to the wrong
+    * month if LAG counted rows, so the prior month/year is looked up by
+    * EXPLICIT month key self-equality through the lag month arithmetic).
+    */
+  def growthTrend(cleanOrders: DataFrame): DataFrame = {
+    val monthly = cleanOrders
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("order_date")).cast("date").as("month"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("orders"))
+    // explicit calendar lookups: self-joins at (priority, month) grain on
+    // shifted keys — a row-LAG would mispair across calendar gaps
+    val prevM = monthly.select(col("o_orderpriority"),
+      add_months(col("month"), 1).as("month"), col("revenue").as("prev_month_rev"))
+    val prevY = monthly.select(col("o_orderpriority"),
+      add_months(col("month"), 12).as("month"), col("revenue").as("prev_year_rev"))
+    monthly
+      .join(prevM, Seq("o_orderpriority", "month"), "left")
+      .join(prevY, Seq("o_orderpriority", "month"), "left")
+      .withColumn("mom_growth",
+        (col("revenue") - col("prev_month_rev")) / col("prev_month_rev"))
+      .withColumn("yoy_growth",
+        (col("revenue") - col("prev_year_rev")) / col("prev_year_rev"))
+      .select("o_orderpriority", "month", "orders", "revenue",
+        "prev_month_rev", "mom_growth", "prev_year_rev", "yoy_growth")
+  }
+
   def topCustomers(cleanOrders: DataFrame, customer: DataFrame, n: Int): DataFrame = {
     val perCust = cleanOrders
       .groupBy(col("o_custkey"))

@@ -404,6 +404,25 @@ class GraphPackSpec extends SparkSpec {
 
   // ---- OLS trend ----
 
+  test("growth trend: exact MoM/YoY, calendar gaps yield NULL not mispairs") {
+    import graft.gold.Revenue
+    val spark2 = spark
+    import spark2.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // band P: Jan24 100, Feb24 150, Apr24 120 (Mar missing), Jan25 200
+    val rows = Seq(
+      ("P", d("2024-01-15"), 100.0), ("P", d("2024-02-10"), 150.0),
+      ("P", d("2024-04-05"), 120.0), ("P", d("2025-01-20"), 200.0))
+    val clean = rows.toDF("o_orderpriority", "order_date", "o_totalprice")
+    val out = Revenue.growthTrend(clean).orderBy("month").collect()
+    val byM = out.map(r => r.getDate(1).toString -> r).toMap
+    assert(byM("2024-02-01").getAs[Double]("mom_growth") == 0.5)
+    // April has no March row: NULL, not a mispair against February
+    assert(byM("2024-04-01").isNullAt(byM("2024-04-01").fieldIndex("mom_growth")))
+    assert(byM("2025-01-01").getAs[Double]("yoy_growth") == 1.0)
+    assert(byM("2024-01-01").isNullAt(byM("2024-01-01").fieldIndex("yoy_growth")))
+  }
+
   test("daily trend recovers an exact linear series and its forecast") {
     // value grows exactly 10/day: daily totals 100, 110, ..., 140
     val ev = (0 until 5).map { i =>
