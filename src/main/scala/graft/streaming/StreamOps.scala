@@ -372,6 +372,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the BM25 inverted-index store
+    * ([[graft.text.Bm25]]): each micro-batch of new documents writes its
+    * own batchId-keyed postings + doclen slices (disjoint doc_ids by the
+    * append contract), and searchIndex's df/N/Σdl reduces are
+    * order-insensitive integer sums over all slices — so a continuously
+    * crawled corpus serves BM25 bit-identically to a from-scratch
+    * rank() at every point, with no read-modify-write and no snapshot
+    * versioning. Replay safety is the writeLineBatch contract: a
+    * re-delivered batch overwrites its own slice instead of inflating
+    * tf/dl (which would skew every idf and length norm). */
+  def bm25IndexSink(stream: DataFrame, storePath: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          claimStoreLineage(batch.sparkSession, storePath, checkpointDir)
+          graft.text.Bm25.writeIndexBatch(batch, storePath, batchId)
+        }
+      }
+      .start()
+
   /** Streaming maintenance of the Bloom pre-dedup store
     * ([[graft.text.BloomDedup]]): each micro-batch's content hashes fold
     * into the packed-bitset store as appended word rows. Uniquely in this

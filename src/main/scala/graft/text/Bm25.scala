@@ -139,7 +139,21 @@ object Bm25 {
     writeIndexSlice(documents, root, org.apache.spark.sql.SaveMode.Append)
 
   private def writeIndexSlice(documents: DataFrame, root: String,
-                              mode: org.apache.spark.sql.SaveMode): Unit = {
+                              mode: org.apache.spark.sql.SaveMode): Unit =
+    writeIndexTo(documents, s"$root/postings", s"$root/doclen", mode)
+
+  /** Streaming micro-batch slice: batchId-KEYED subdirectories, so an
+    * at-least-once replay overwrites its own slice instead of
+    * double-counting tf/dl (the writeLineBatch contract — a re-appended
+    * batch would inflate term frequencies and document lengths, skewing
+    * every downstream idf and length norm). */
+  def writeIndexBatch(batch: DataFrame, root: String, batchId: Long): Unit =
+    writeIndexTo(batch, s"$root/postings/batch_$batchId",
+      s"$root/doclen/batch_$batchId", org.apache.spark.sql.SaveMode.Overwrite)
+
+  private def writeIndexTo(documents: DataFrame, postingsPath: String,
+                           doclenPath: String,
+                           mode: org.apache.spark.sql.SaveMode): Unit = {
     // One tokenize feeds both files: doclen derives from the (much
     // smaller) grouped postings frame, persisted across the two writes so
     // the corpus text is scanned exactly once per slice.
@@ -151,9 +165,9 @@ object Bm25 {
     try {
       postings
         .sortWithinPartitions("term")
-        .write.mode(mode).parquet(s"$root/postings")
+        .write.mode(mode).parquet(postingsPath)
       postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        .write.mode(mode).parquet(s"$root/doclen")
+        .write.mode(mode).parquet(doclenPath)
     } finally postings.unpersist(blocking = false)
   }
 
@@ -164,8 +178,12 @@ object Bm25 {
                   queryTerms: Seq[String], k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "queryTerms must be a non-empty duplicate-free list")
-    val doclen = spark.read.parquet(s"$root/doclen")
-    val postings = spark.read.parquet(s"$root/postings")
+    // recursive lookup merges flat appended slices and batchId-keyed
+    // streaming subdirectories identically
+    val doclen = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/doclen")
+    val postings = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/postings")
       .filter(col("term").isin(queryTerms: _*))
     // Pivot the ≤|Q| surviving postings per doc into rank()'s fixed
     // per-term tf columns; join back the doc length at doc grain.

@@ -1112,6 +1112,45 @@ class StreamingSpec extends SparkSpec {
     } finally docs.unpersist(blocking = false)
   }
 
+  test("streaming BM25 index serves bit-identically to from-scratch rank; " +
+    "replay cannot inflate tf/dl") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select("doc_id", "text").limit(200).cache()
+    val terms = graft.QueriesShared.Bm25QueryTerms
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.bm25IndexSink(
+        stream.toDF.toDF("doc_id", "text"), s"$root/idx", s"$root/ckpt")
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      val served = graft.text.Bm25.searchIndex(spark, s"$root/idx", terms, 10)
+        .orderBy("bm25_rank").collect().map(_.toString).toSeq
+      val direct = graft.text.Bm25.rank(docs, terms, 10)
+        .orderBy("bm25_rank").collect().map(_.toString).toSeq
+      assert(served == direct,
+        "stream-built index diverged from the from-scratch ranking")
+      assert(served.nonEmpty)
+
+      // replay a batch (same id): tf/dl must not inflate — a re-append
+      // would skew every idf and length norm
+      graft.text.Bm25.writeIndexBatch(
+        a.toDF("doc_id", "text"), s"$root/idx", batchId = 0L)
+      val afterReplay = graft.text.Bm25.searchIndex(spark, s"$root/idx", terms, 10)
+        .orderBy("bm25_rank").collect().map(_.toString).toSeq
+      assert(afterReplay == served, "replayed micro-batch changed the index")
+    } finally docs.unpersist(blocking = false)
+  }
+
   test("streaming token-count store equals the batch build; replay and " +
     "foreign lineages are safe") {
     import graft.text.TokenCounts
