@@ -54,6 +54,28 @@ private[graft] object QueriesTextSim {
         |GROUP BY n_name, r_name
         |ORDER BY n_name""".stripMargin)),
 
+    // Order→ship cycle-time mart: integer-day delays, exact decimal
+    // mean, exact interpolated p50/p95 via grouped-prefix-sum ranks
+    // (bands are few and corpus-spanning — never Window.partitionBy)
+    // (gold/Pipelines.cycleTime).
+    QueryDef("q_cycle_time",
+      (s, d) => Pipelines.cycleTime(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          Cleaning.cleanLineitem(Tables.lineitem(s, d))),
+      Some(CleanOrdersCte + ", " + CleanLineitemCte.stripPrefix("WITH ") +
+        """
+        |, j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', order_date, ship_date) AS BIGINT) AS delay_days
+        |  FROM clean_lineitem JOIN clean_orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(delay_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_delay,
+        |  quantile_cont(CAST(delay_days AS DOUBLE), 0.5) AS p50_delay,
+        |  quantile_cont(CAST(delay_days AS DOUBLE), 0.95) AS p95_delay,
+        |  min(delay_days) AS min_delay, max(delay_days) AS max_delay
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("q_order_denorm",
       (s, d) => Pipelines.orderDenorm(
           Cleaning.cleanOrders(Tables.orders(s, d)),

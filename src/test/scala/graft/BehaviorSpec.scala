@@ -149,6 +149,28 @@ class BehaviorSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term, [alpha,beta])]"), plan.take(800))
   }
 
+  test("cycle time: exact interpolated percentiles per band without a band window") {
+    import graft.gold.Pipelines
+    val spark2 = spark
+    import spark2.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // band P: delays 1,2,3,10 -> p50 = 2.5 (interpolated), p95 = 9.0 + ...
+    val orders = Seq((1L, "P", d("2024-01-01")), (2L, "P", d("2024-01-01")),
+      (3L, "P", d("2024-01-01")), (4L, "P", d("2024-01-01")))
+      .toDF("o_orderkey", "o_orderpriority", "order_date")
+    val lines = Seq((1L, 1, 1), (2L, 1, 2), (3L, 1, 3), (4L, 1, 10))
+      .map { case (ok, ln, delay) => (ok, ln, d(f"2024-01-${1 + delay}%02d")) }
+      .toDF("l_orderkey", "l_linenumber", "ship_date")
+    val r = Pipelines.cycleTime(orders, lines).collect().head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Double]("avg_delay") == 4.0)
+    assert(r.getAs[Double]("p50_delay") == 2.5)
+    // p95 over 4 values: pos = 0.95*3 = 2.85 -> 0.15*3 + 0.85*10 = 8.95
+    assert(r.getAs[Double]("p95_delay") == 0.15000000000000002 * 3.0 + 0.85 * 10.0
+      || math.abs(r.getAs[Double]("p95_delay") - 8.95) < 1e-12)
+    assert(r.getAs[Long]("min_delay") == 1L && r.getAs[Long]("max_delay") == 10L)
+  }
+
   test("change feed classifies inserts, updates, deletes; drops no-ops") {
     import graft.operators.ChangeFeed
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
