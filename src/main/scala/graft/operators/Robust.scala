@@ -164,7 +164,10 @@ object Robust {
       .filter(col("_w") > 0)
     val pre = ScalableRank.withGroupedPrefixSum(
       rows, col(group), col(value) +: tiebreak.map(col), col("_w"), "_cw_excl")
-    val totals = rows.groupBy(group)
+    // totals derive from the prefix-sum OUTPUT (whose ranged input is
+    // persisted inside withGroupedPrefixSum), not from `rows` — deriving
+    // from rows would re-run the base scan a second time at 100 TB
+    val totals = pre.groupBy(group)
       .agg(sum(col("_w")).as("total_w"), count(lit(1)).as("n_rows"))
     pre.join(totals, Seq(group))
       .filter(lit(2L) * (col("_cw_excl") + col("_w")) >= col("total_w") &&
