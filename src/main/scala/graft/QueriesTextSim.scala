@@ -616,28 +616,32 @@ private[graft] object QueriesTextSim {
 
     QueryDef("q_lang_id",
       (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
-      Some {
-        def mk(lang: String): String = {
-          val list = TextAnalysis.LangMarkers(lang).map(w => s"'$w'").mkString(", ")
-          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT) AS s_$lang"
-        }
-        s"""WITH t AS (
-           |  SELECT doc_id, lang AS actual_lang,
-           |    ${Seq("de", "en", "es", "fr", "zh").map(mk).mkString(",\n    ")}
-           |  FROM documents
-           |), t2 AS (
-           |  SELECT *,
-           |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-           |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-           |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-           |         WHEN s_fr >= s_zh THEN 'fr'
-           |         ELSE 'zh' END AS predicted_lang
-           |  FROM t
-           |)
+      Some(TextAnalysis.langIdOracleCtes +
+        """
            |SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh, predicted_lang,
            |  (predicted_lang = actual_lang) AS correct
-           |FROM t2 ORDER BY doc_id""".stripMargin
-      }),
+           |FROM t2 ORDER BY doc_id""".stripMargin)),
+
+    // Lang-id confusion matrix + accuracy: the eval rollup that turns the
+    // heuristic classifier into a measured component; marginals/windows
+    // over the ≤|langs|² cell frame, shares single IEEE divisions
+    // (TextAnalysis.langIdConfusion, oracle shares q_lang_id's CTEs).
+    QueryDef("q_langid_confusion",
+      (s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))
+        .orderBy("actual_lang", "predicted_lang"),
+      Some(TextAnalysis.langIdOracleCtes +
+        """
+           |, cells AS (
+           |  SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM t2 GROUP BY 1, 2
+           |)
+           |SELECT actual_lang, predicted_lang, n,
+           |  CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS actual_n,
+           |  CAST(n AS DOUBLE)
+           |    / CAST(sum(n) OVER (PARTITION BY actual_lang) AS DOUBLE) AS share_of_actual,
+           |  CAST(sum(CASE WHEN actual_lang = predicted_lang THEN n ELSE 0 END) OVER () AS DOUBLE)
+           |    / CAST(sum(n) OVER () AS DOUBLE) AS accuracy
+           |FROM cells ORDER BY actual_lang, predicted_lang""".stripMargin)),
 
     QueryDef("q_simhash",
       (s, d) => SimHash.simhash(Tables.documents(s, d)).orderBy("doc_id"),

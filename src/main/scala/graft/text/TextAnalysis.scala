@@ -104,6 +104,57 @@ object TextAnalysis {
       .withColumn("correct", col("predicted_lang") === col("actual_lang"))
   }
 
+  /** Confusion matrix + accuracy rollup of [[languageId]] against the
+    * labeled `lang` column — the eval table that turns the classifier
+    * into a measured component (which languages bleed into which, where
+    * the marker lists need work). One (actual, predicted)-grain
+    * partial-agg exchange; the marginals and windows run over the
+    * ≤|langs|² cell frame — bounded by the label space, never the data;
+    * accuracy and shares are single IEEE divisions of exact BIGINTs.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = languageId(documents)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val wActual = Window.partitionBy("actual_lang")
+    val wAll = Window.partitionBy(lit(1))
+    cells
+      .withColumn("actual_n", sum(col("n")).over(wActual))
+      .withColumn("total_n", sum(col("n")).over(wAll))
+      .withColumn("correct_n",
+        sum(when(col("actual_lang") === col("predicted_lang"), col("n"))
+          .otherwise(lit(0L))).over(wAll))
+      .withColumn("share_of_actual",
+        col("n").cast("double") / col("actual_n").cast("double"))
+      .withColumn("accuracy",
+        col("correct_n").cast("double") / col("total_n").cast("double"))
+      .select("actual_lang", "predicted_lang", "n", "actual_n",
+        "share_of_actual", "accuracy")
+  }
+
+  /** The [[languageId]] oracle as a CTE chain ending in `t2` (doc grain,
+    * actual + predicted), shared by q_lang_id and q_langid_confusion. */
+  def langIdOracleCtes: String = {
+    def mk(lang: String): String = {
+      val list = LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT) AS s_$lang"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    ${Seq("de", "en", "es", "fr", "zh").map(mk).mkString(",\n    ")}
+       |  FROM documents
+       |), t2 AS (
+       |  SELECT *,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |         WHEN s_fr >= s_zh THEN 'fr'
+       |         ELSE 'zh' END AS predicted_lang
+       |  FROM t
+       |)""".stripMargin
+  }
+
   /** Heaps'-law vocabulary-growth curve: walking the corpus in doc_id
     * order, the cumulative token count vs the cumulative count of NOVEL
     * token types — the statistic that sizes a tokenizer vocabulary and

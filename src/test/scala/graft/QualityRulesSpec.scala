@@ -86,4 +86,27 @@ class QualityRulesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_lines") == 1L)
     }
   }
+
+  test("langIdConfusion: diagonal counts, marginals, and accuracy match hand math") {
+    import graft.text.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    // en markers: the/a/...; fr markers: query/join/... ; docs labeled
+    // en: 2 correctly en-looking, 1 fr-looking (a planted confusion)
+    val docs = Seq(
+      (1L, "the fast key", "en"), (2L, "a key order", "en"),
+      (3L, "query join filter", "en"),
+      (4L, "query join sort", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdConfusion(docs)
+      .orderBy("actual_lang", "predicted_lang").collect()
+    val byCell = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byCell(("en", "en")).getAs[Long]("n") == 2L)
+    assert(byCell(("en", "fr")).getAs[Long]("n") == 1L)
+    assert(byCell(("en", "fr")).getAs[Long]("actual_n") == 3L)
+    assert(byCell(("en", "fr")).getAs[Double]("share_of_actual") == 1.0 / 3.0)
+    assert(byCell(("fr", "fr")).getAs[Long]("n") == 1L)
+    // accuracy = 3 correct of 4, constant across cells
+    assert(out.forall(_.getAs[Double]("accuracy") == 0.75))
+  }
 }
