@@ -17,6 +17,43 @@ import graft.QueriesShared._
 private[graft] object QueriesCuration {
   private[graft] lazy val defs: Seq[QueryDef] = Seq(
 
+    // Time-to-convert distribution among full-funnel completers: exact
+    // µs lags, decimal mean, exact interpolated p50/p95 via the
+    // constant-group prefix sum (Behavior.conversionLag).
+    QueryDef("q_conversion_lag",
+      (s, d) => gold.Behavior.conversionLag(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us")),
+          Seq("signup", "view", "click", "purchase")),
+      Some(EventsUsCte +
+        """
+        |, s0 AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    min(CASE WHEN event_type = 'signup' THEN ts_us END) OVER (PARTITION BY user_id) AS t0
+        |  FROM ev
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > t0 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM s0
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2
+        |), pu AS (
+        |  SELECT user_id, min(t0) AS t0, min(t3) AS t3
+        |  FROM s3 GROUP BY user_id
+        |), lg AS (
+        |  SELECT user_id, t3 - t0 AS lag_us FROM pu WHERE t3 IS NOT NULL
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(CAST(sum(CAST(lag_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_lag_us,
+        |  quantile_cont(CAST(lag_us AS DOUBLE), 0.5) AS p50_lag_us,
+        |  quantile_cont(CAST(lag_us AS DOUBLE), 0.95) AS p95_lag_us,
+        |  min(lag_us) AS min_lag_us, max(lag_us) AS max_lag_us
+        |FROM lg""".stripMargin)),
+
     // Time-constrained funnel (ClickHouse windowFunnel family, per-step
     // 24h windows): greedy latest-completion fold per user, all-integer
     // until the conversion divisions; oracle mirrors the fold as a

@@ -68,6 +68,64 @@ object Behavior {
     counts.select(explode(array(stageStructs: _*)).as("_s")).select(col("_s.*"))
   }
 
+  /** Time-to-convert distribution: among users who complete the whole
+    * ordered funnel, the lag from first stage to final stage — the
+    * "how long does activation take" dispersion (exact p50/p95, not a
+    * mean that a few slow converters drag) that pairs with [[funnel]]'s
+    * how-many counts.
+    *
+    * Exactness: lags are integer µs; the mean sums them as
+    * decimal(38,0) (HUGEINT in the oracle — µs lags × 10⁹ users
+    * overflow BIGINT) with one VARCHAR-routed conversion; percentiles
+    * are exact rank-interpolated (the quantile_cont contract).
+    *
+    * Scale shape: the same single user-grain exchange as [[funnel]]
+    * (chained conditional window mins); the converted-user frame is
+    * persisted (it feeds totals AND the rank path); global percentiles
+    * ride the grouped prefix sum under a constant group — never a
+    * corpus-wide single-partition window. */
+  def conversionLag(events: DataFrame, stages: Seq[String]): DataFrame = {
+    import graft.operators.{RankPercentile, ScalableRank}
+    require(stages.size >= 2, "conversionLag needs at least two stages")
+    val w = Window.partitionBy("user_id")
+    val withTimes = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), col("ts_us"))) {
+      case (df, (stage, 0)) =>
+        df.withColumn("t0", min(when(col("event_type") === stage, col("ts_us"))).over(w))
+      case (df, (stage, i)) =>
+        df.withColumn(s"t$i",
+          min(when(col("event_type") === stage && col("ts_us") > col(s"t${i - 1}"),
+            col("ts_us"))).over(w))
+    }
+    val last = s"t${stages.size - 1}"
+    val perUser = ScalableRank.persistTracked(withTimes
+      .groupBy("user_id")
+      .agg(min(col("t0")).as("t0"), min(col(last)).as("t_last"))
+      .filter(col("t_last").isNotNull)
+      .select(col("user_id"), (col("t_last") - col("t0")).as("lag_us")))
+    val totals = perUser.agg(
+      count(lit(1)).as("n_converted"),
+      sum(col("lag_us").cast("decimal(38,0)")).as("_sum_lag"),
+      min(col("lag_us")).as("min_lag_us"),
+      max(col("lag_us")).as("max_lag_us"))
+    val ranked = ScalableRank.withGroupedPrefixSum(perUser, lit(1L),
+        Seq(col("lag_us").asc, col("user_id").asc), lit(1L), "_cl_r0")
+      .withColumn(RankPercentile.RankCol, col("_cl_r0") + lit(1L))
+    val frame = ranked
+      .crossJoin(broadcast(totals
+        .select(col("n_converted").as(RankPercentile.CountCol))))
+      .withColumn(RankPercentile.ValueCol, col("lag_us").cast("double"))
+    val pcts = RankPercentile.atNeededRanks(frame, Seq(0.5, 0.95))
+      .agg(RankPercentile.pct(0.5).as("p50_lag_us"),
+        RankPercentile.pct(0.95).as("p95_lag_us"))
+    totals.crossJoin(pcts)
+      .withColumn("avg_lag_us",
+        col("_sum_lag").cast("string").cast("double")
+          / col("n_converted").cast("double"))
+      .select("n_converted", "avg_lag_us", "p50_lag_us", "p95_lag_us",
+        "min_lag_us", "max_lag_us")
+  }
+
   /** Time-constrained funnel (the ClickHouse `windowFunnel` family, with
     * PER-STEP windows): a user reaches stage i only through a chain
     * e₁ < … < eᵢ in (ts, event_id) order where each consecutive gap is

@@ -231,6 +231,25 @@ class BehaviorSpec extends SparkSpec {
     assert(whole.sameElements(ab), "arm funnels must partition the whole funnel")
   }
 
+  test("conversion lag: only completers counted, exact interpolated percentiles") {
+    import graft.gold.Behavior
+    val spark2 = spark
+    import spark2.implicits._
+    // completers u1 (lag 100), u2 (lag 300); u3 never purchases
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 100L),
+      (2L, "signup", 50L), (2L, "purchase", 350L),
+      (3L, "signup", 0L), (3L, "view", 10L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = Behavior.conversionLag(ev, Seq("signup", "purchase")).collect().head
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Double]("avg_lag_us") == 200.0)
+    assert(r.getAs[Double]("p50_lag_us") == 200.0) // interpolated midpoint
+    assert(r.getAs[Double]("p95_lag_us") == 0.050000000000000044 * 100.0 + 0.95 * 300.0
+      || math.abs(r.getAs[Double]("p95_lag_us") - 290.0) < 1e-9)
+    assert(r.getAs[Long]("min_lag_us") == 100L && r.getAs[Long]("max_lag_us") == 300L)
+  }
+
   test("window funnel expires slow chains, revives on a fresh start, and is greedy-optimal") {
     import graft.gold.Behavior
     val spark2 = spark
