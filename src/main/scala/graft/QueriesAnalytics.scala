@@ -466,6 +466,58 @@ private[graft] object QueriesAnalytics {
     // Operating-point sweep: precision/recall/F1 at every occupied grid
     // threshold — suffix sums over the ≤20-row bin frame, no per-threshold
     // rescan (ml/Evaluation.scala).
+    // Murphy Brier decomposition on the calibration bins: REL − RES +
+    // UNC via bin-sorted left folds (aggregate HOF ↔ list_reduce),
+    // scalar accumulators only (ml/Evaluation.brierDecomposition).
+    QueryDef("q_brier_decomposition",
+      (s, d) => Evaluation.brierDecomposition(literalScored(s, d),
+          "fraud_score", "label"),
+      Some(ScoredCte +
+        """
+        |, b AS (
+        |  SELECT least(CAST(floor(CAST(fraud_score AS DOUBLE) * 10) AS BIGINT), 9) AS bin,
+        |    label,
+        |    CAST(floor(CAST(fraud_score AS DOUBLE) * 1000000.0) AS BIGINT) AS s_micro
+        |  FROM scored
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS nb, CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(s_micro) AS BIGINT) AS sm
+        |  FROM b GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(nb) AS BIGINT) AS n_total, CAST(sum(pos) AS BIGINT) AS pos_total
+        |  FROM g
+        |), terms AS (
+        |  SELECT g.bin, t.n_total, t.pos_total,
+        |    CAST(g.nb AS DOUBLE)
+        |      * ((CAST(g.sm AS DOUBLE) / (CAST(g.nb AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))
+        |         - (CAST(g.pos AS DOUBLE) / CAST(g.nb AS DOUBLE)))
+        |      * ((CAST(g.sm AS DOUBLE) / (CAST(g.nb AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))
+        |         - (CAST(g.pos AS DOUBLE) / CAST(g.nb AS DOUBLE))) AS rel_term,
+        |    CAST(g.nb AS DOUBLE)
+        |      * ((CAST(g.pos AS DOUBLE) / CAST(g.nb AS DOUBLE))
+        |         - CAST(t.pos_total AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+        |      * ((CAST(g.pos AS DOUBLE) / CAST(g.nb AS DOUBLE))
+        |         - CAST(t.pos_total AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS res_term
+        |  FROM g CROSS JOIN tot t
+        |), one AS (
+        |  SELECT max(n_total) AS n_total, max(pos_total) AS pos_total,
+        |    list(rel_term ORDER BY bin) AS rts, list(res_term ORDER BY bin) AS sts
+        |  FROM terms
+        |), parts AS (
+        |  SELECT n_total, pos_total,
+        |    CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS base_rate,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rts), (a, x) -> a + x)
+        |      / CAST(n_total AS DOUBLE) AS reliability,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sts), (a, x) -> a + x)
+        |      / CAST(n_total AS DOUBLE) AS resolution
+        |  FROM one
+        |), unc AS (
+        |  SELECT *, base_rate * (1.0 - base_rate) AS uncertainty FROM parts
+        |)
+        |SELECT n_total, pos_total, base_rate, reliability, resolution, uncertainty,
+        |  reliability - resolution + uncertainty AS brier_binned
+        |FROM unc""".stripMargin)),
+
     // Decile gains/lift table: ScalableRank arithmetic ntile cut, exact
     // BIGINT counts, single-IEEE-chain capture/lift — the "review the
     // top decile, catch X% at Y× random" fraud-ops view

@@ -183,6 +183,60 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Murphy (1973) decomposition of the binned Brier score:
+    * REL − RES + UNC — reliability (how far bin mean-predictions sit
+    * from bin outcome rates: miscalibration), resolution (how far bin
+    * outcome rates spread from the base rate: discrimination), and
+    * uncertainty (base-rate variance, the irreducible floor). The
+    * single-number diagnosis of WHY a probabilistic scorer is good or
+    * bad, on the same decile bins as [[calibrationBins]].
+    *
+    * Exactness: per-bin terms are fixed IEEE chains over exact integer
+    * bin aggregates (micro-quantized score sums, the calibration
+    * contract); the Σ over bins — a parallel double sum would be
+    * order-nondeterministic — runs as a LEFT FOLD over the bin-sorted
+    * array (Spark `aggregate` HOF ↔ DuckDB list_reduce with a prepended
+    * 0.0, the Kaplan–Meier contract), scalar accumulator only (the
+    * DuckDB struct-accumulator quirk).
+    *
+    * Scale shape: one ≤bins-group partial-agg exchange, then a 1-row
+    * frame; everything after is row-local arithmetic.
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val l = col(labelCol).cast("long")
+    val binned = scored
+      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        l.as("_l"), floor(s * 1000000d).cast("long").as("_s_micro"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum(col("_l")).as("pos"),
+        sum(col("_s_micro")).as("sm"))
+    val yhat = "(CAST(b.sm AS DOUBLE) / (CAST(b.nb AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))"
+    val obs = "(CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE))"
+    binned
+      .agg(
+        sum(col("nb")).as("n_total"), sum(col("pos")).as("pos_total"),
+        sort_array(collect_list(struct(col("bin"), col("nb"), col("pos"),
+          col("sm")))).as("bs"))
+      .withColumn("base_rate",
+        col("pos_total").cast("double") / col("n_total").cast("double"))
+      .withColumn("reliability", expr(
+        s"aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc" +
+          s" + CAST(b.nb AS DOUBLE) * ($yhat - $obs) * ($yhat - $obs))")
+        / col("n_total").cast("double"))
+      .withColumn("resolution", expr(
+        s"aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc" +
+          s" + CAST(b.nb AS DOUBLE) * ($obs - base_rate) * ($obs - base_rate))")
+        / col("n_total").cast("double"))
+      .withColumn("uncertainty",
+        col("base_rate") * (lit(1.0) - col("base_rate")))
+      .withColumn("brier_binned",
+        col("reliability") - col("resolution") + col("uncertainty"))
+      .select("n_total", "pos_total", "base_rate", "reliability",
+        "resolution", "uncertainty", "brier_binned")
+  }
+
   /** Per-segment exact AUC with a DeLong 95% confidence interval — the
     * fairness / cohort-regression panel: a model whose global AUC holds
     * can still collapse on one region or tier, and the CI says whether a

@@ -517,6 +517,32 @@ class EvalDriftSpec extends SparkSpec {
       s"elasticity ${r.getAs[Double]("elasticity")}")
   }
 
+  test("brier decomposition: calibrated scorer has zero reliability; " +
+    "constant scorer has zero resolution") {
+    import graft.ml.Evaluation
+    val spark2 = spark
+    import spark2.implicits._
+    // perfectly calibrated: bin 0.25 has 1/4 positives, bin 0.75 has 3/4
+    val calibrated = (Seq.fill(3)((0.25, 0L)) ++ Seq((0.25, 1L)) ++
+      Seq.fill(3)((0.75, 1L)) ++ Seq((0.75, 0L))).toDF("score", "label")
+    val r = Evaluation.brierDecomposition(calibrated, "score", "label")
+      .collect().head
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+    // RES = (4*(0.25-0.5)^2 + 4*(0.75-0.5)^2)/8 = 0.0625 exactly (dyadic)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier_binned") == 0.1875)
+    // constant scorer: one bin at the base rate -> zero resolution
+    val flat = (Seq.fill(4)((0.5, 1L)) ++ Seq.fill(4)((0.5, 0L)))
+      .toDF("score", "label")
+    val f = Evaluation.brierDecomposition(flat, "score", "label")
+      .collect().head
+    assert(f.getAs[Double]("resolution") == 0.0)
+    assert(f.getAs[Double]("reliability") == 0.0) // 0.5 predicted, 0.5 observed
+    assert(f.getAs[Double]("brier_binned") == 0.25)
+  }
+
   test("gains table: perfect ranking captures everything in the top tiles; " +
     "identities hold") {
     import graft.ml.Evaluation
