@@ -480,6 +480,15 @@ private[graft] object QueriesTextSim {
         .orderBy("lang"),
       Some(graft.text.CorpusStats.zipfFitOracleSql)),
 
+    // Vocabulary-coverage crossing table: smallest frequency-ranked
+    // vocab prefix reaching 50/90/95/99% of running tokens — integer
+    // crossing tests on one global-rank + one prefix-sum exchange
+    // (CorpusStats.vocabCoverage).
+    QueryDef("q_vocab_coverage",
+      (s, d) => graft.text.CorpusStats.vocabCoverage(Tables.documents(s, d))
+        .orderBy("p_pct"),
+      Some(graft.text.CorpusStats.vocabCoverageOracleSql())),
+
     // word2vec negative-sampling table: count^0.75 smoothed weights with
     // exact integer cumulative ranges for inverse-CDF sampling — both
     // libm outputs (ln, exp) float32-rounded, prefix sums exact, one

@@ -324,6 +324,77 @@ object CorpusStats {
        |            JOIN per_source pb ON src_b = pb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Vocabulary-coverage crossing table — the tokenizer-budget design
+    * question ("how many types must the vocab hold to cover 95% of
+    * running tokens?") answered exactly: for each target percentage,
+    * the FIRST frequency-ranked vocabulary prefix whose cumulative
+    * token mass reaches it, with the crossing token and its achieved
+    * share. The inverse of the Zipf fit's slope view, and the table
+    * BPE/unigram budget decisions read.
+    *
+    * Exactness: the crossing test is pure integer arithmetic
+    * (100·cum ≥ p·T over exact BIGINTs — the weightedMedian contract);
+    * the achieved share is one IEEE division.
+    *
+    * Scale shape: corpus → vocabulary (token-grain partial agg), then
+    * ONE balanced global-rank exchange and ONE prefix-sum pass over
+    * the already-ranked frame (ordering by the computed rank — no
+    * second sort of raw data); the 4 crossing rows fall out of a
+    * row-local explode × filter. Never a vocab-spanning window.
+    */
+  def vocabCoverage(documents: DataFrame,
+                    pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ranked = ScalableRank.withGlobalRowNumber(counts,
+      Seq(col("c").desc, col("token").asc), "vocab_size")
+    val cum = ScalableRank.withGroupedPrefixSum(ranked, lit(1L),
+      Seq(col("vocab_size").asc), col("c"), "_cum_excl")
+    val totals = cum.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("total_types"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("p_pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      .filter(
+        lit(100L) * (col("_cum_excl") + col("c")) >= col("p_pct") * col("total_tokens") &&
+          lit(100L) * col("_cum_excl") < col("p_pct") * col("total_tokens"))
+      .withColumn("covered_share",
+        (col("_cum_excl") + col("c")).cast("double") / col("total_tokens").cast("double"))
+      .select(col("p_pct"), col("vocab_size"), col("token").as("crossing_token"),
+        col("c").as("crossing_count"), col("covered_share"),
+        col("total_types"), col("total_tokens"))
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]]. */
+  def vocabCoverageOracleSql(pcts: Seq[Int] = Seq(50, 90, 95, 99)): String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), counts AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE token <> '' GROUP BY 1
+      |), ranked AS (
+      |  SELECT token, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS BIGINT) AS vocab_size,
+      |    CAST(sum(c) OVER (ORDER BY c DESC, token ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM counts
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) AS BIGINT) AS total_types
+      |  FROM counts
+      |), px AS (
+      |  SELECT unnest(ARRAY[${pcts.map(p => s"CAST($p AS BIGINT)").mkString(", ")}]) AS p_pct
+      |)
+      |SELECT px.p_pct, r.vocab_size, r.token AS crossing_token,
+      |  r.c AS crossing_count,
+      |  CAST(r.cum AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS covered_share,
+      |  t.total_types, t.total_tokens
+      |FROM ranked r CROSS JOIN tot t CROSS JOIN px
+      |WHERE 100 * r.cum >= px.p_pct * t.total_tokens
+      |  AND 100 * (r.cum - r.c) < px.p_pct * t.total_tokens
+      |ORDER BY px.p_pct""".stripMargin
+
   /** word2vec-style negative-sampling table (Mikolov et al. 2013): each
     * vocabulary token weighted ∝ count^0.75 — the frequency smoothing
     * that keeps stopwords from dominating negatives while rare words

@@ -298,6 +298,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(asym == 0, "skip-gram co-occurrence must be symmetric")
   }
 
+  test("vocab coverage: crossing prefix is minimal and shares are exact") {
+    import graft.text.CorpusStats
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: a 10, b 5, c 4, d 1 -> T = 20.
+    // 50%: cum(a)=10 >= 10 -> vocab 1 (share .5); 90%: cum(abc)=19 >= 18
+    // -> vocab 3 (share .95); 95%: same row; 99%: needs d -> vocab 4.
+    val docs = Seq((1L,
+      (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(4)("c") ++ Seq("d"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusStats.vocabCoverage(docs).orderBy("p_pct").collect()
+    val byP = out.map(r => r.getAs[Long]("p_pct") -> r).toMap
+    assert(byP(50L).getAs[Long]("vocab_size") == 1L)
+    assert(byP(50L).getAs[String]("crossing_token") == "a")
+    assert(byP(50L).getAs[Double]("covered_share") == 0.5)
+    assert(byP(90L).getAs[Long]("vocab_size") == 3L)
+    assert(byP(95L).getAs[Long]("vocab_size") == 3L)
+    assert(byP(95L).getAs[Double]("covered_share") == 0.95)
+    assert(byP(99L).getAs[Long]("vocab_size") == 4L)
+    assert(byP(99L).getAs[Long]("total_tokens") == 20L)
+  }
+
   test("negative-sampling table: smoothed weights, disjoint covering ranges, " +
     "min-count floor") {
     import graft.text.CorpusStats
