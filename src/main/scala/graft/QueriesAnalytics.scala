@@ -1084,6 +1084,15 @@ private[graft] object QueriesAnalytics {
         |FROM occ o JOIN sc s USING (pattern) CROSS JOIN tot
         |ORDER BY o.pattern""".stripMargin)),
 
+    // Hill tail-index estimator on the top-100 order amounts: exact
+    // integer micro-nat sums after per-value float32 ln rounding, alpha
+    // in one IEEE chain, two-phase top-k cut — the heavy-tail screen
+    // next to Benford (Forensics.hillTailIndex).
+    QueryDef("q_tail_index",
+      (s, d) => Forensics.hillTailIndex(Tables.orders(s, d),
+          col("o_totalprice"), col("o_orderkey")),
+      Some(Forensics.hillOracleSql())),
+
     // Behavioral-entropy screen (Forensics.userEntropy): per-user
     // Shannon entropy of the event-type mix from float32-rounded
     // micro-nat terms summed exactly — the WHAT-variety twin of

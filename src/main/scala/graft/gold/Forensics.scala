@@ -98,6 +98,76 @@ object Forensics {
       .orderBy("user_id")
   }
 
+  /** Hill (1975) tail-index estimator over the top-k order statistics —
+    * the heavy-tail screen next to [[benford]]'s digit test: α ≤ 2 means
+    * infinite variance (a single whale can dominate any mean-based
+    * statistic), which changes how every downstream amount aggregate
+    * should be read. 1/α̂ = mean of ln(xᵢ/x_k) over the k−1 largest
+    * values.
+    *
+    * Exactness: each ln is float32-rounded to micro-nats (Colloc.q) so
+    * the sum Σ(qᵢ − q_k) is EXACT integer arithmetic; α forms in one
+    * IEEE chain, NULL when all top-k values tie (zero sum).
+    *
+    * Scale shape: the top-k cut is TakeOrderedAndProject (two-phase,
+    * never a global sort); everything after runs on a k-row frame, so
+    * the single-partition window is bounded by the parameter, not the
+    * data. */
+  def hillTailIndex(df: DataFrame, value: Column, tiebreak: Column,
+                    k: Int = 100): DataFrame = {
+    val top = df.select(value.as("x"), tiebreak.as("_tb"))
+      .filter(col("x") > 0)
+      .orderBy(col("x").desc, col("_tb").asc)
+      .limit(k)
+      .withColumn("qx", expr(qln("x")))
+    top
+      .agg(
+        count(lit(1)).as("k_used"),
+        min(col("x")).as("x_min_top"),
+        sum(col("qx")).as("_q_sum"))
+      // Σᵢ(qᵢ − q_k) = Σqᵢ − k·q_k (the k-th term self-cancels), with q_k
+      // re-derived rank-freely as the MIN x's quantized ln — no window
+      // needed anywhere
+      .withColumn("_qk", expr(qln("x_min_top")))
+      .withColumn("hill_sum",
+        col("_q_sum") - col("k_used") * col("_qk"))
+      .withColumn("inv_alpha",
+        when(col("k_used") > 1 && col("hill_sum") > 0,
+          col("hill_sum").cast("double")
+            / (lit(1000000.0) * (col("k_used") - lit(1L)).cast("double"))))
+      .withColumn("alpha", lit(1.0) / col("inv_alpha"))
+      .withColumn("heavy_tail", col("alpha") < 2.0)
+      .select("k_used", "x_min_top", "hill_sum", "inv_alpha", "alpha",
+        "heavy_tail")
+  }
+
+  /** DuckDB mirror of [[hillTailIndex]] over orders.o_totalprice. */
+  def hillOracleSql(k: Int = 100): String =
+    s"""WITH topk AS (
+      |  SELECT o_totalprice AS x FROM orders
+      |  WHERE o_totalprice > 0
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT $k
+      |), q AS (
+      |  SELECT x, ${qln("x")} AS qx FROM topk
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k_used, min(x) AS x_min_top,
+      |    CAST(sum(qx) AS BIGINT) AS q_sum
+      |  FROM q
+      |), h AS (
+      |  SELECT k_used, x_min_top,
+      |    q_sum - k_used * ${qln("x_min_top")} AS hill_sum
+      |  FROM agg
+      |), ia AS (
+      |  SELECT *, CASE WHEN k_used > 1 AND hill_sum > 0 THEN
+      |    CAST(hill_sum AS DOUBLE)
+      |      / (CAST(1000000.0 AS DOUBLE) * CAST(k_used - 1 AS DOUBLE))
+      |  END AS inv_alpha
+      |  FROM h
+      |)
+      |SELECT k_used, x_min_top, hill_sum, inv_alpha,
+      |  1.0 / inv_alpha AS alpha, (1.0 / inv_alpha) < 2.0 AS heavy_tail
+      |FROM ia""".stripMargin
+
   private def qln(v: String): String =
     s"CAST(floor(CAST(CAST(ln(CAST($v AS DOUBLE)) AS FLOAT) AS DOUBLE)" +
       " * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"

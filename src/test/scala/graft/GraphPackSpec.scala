@@ -343,6 +343,31 @@ class GraphPackSpec extends SparkSpec {
     assert(r(2L)._2 > 0.5)
   }
 
+  test("hill tail index: exact on a planted Pareto, NULL on constant tails") {
+    val spark2 = spark
+    import spark2.implicits._
+    // exact Pareto(alpha=2) top-k: x_i = x_k * (k/i)^(1/2) for i=1..k.
+    // Hill over these recovers 1/alpha = mean(ln(x_i/x_k)).
+    val k = 50
+    val xs = (1 to k).map(i => (i.toLong, 1000.0 * math.sqrt(k.toDouble / i)))
+    val df = xs.toDF("o_orderkey", "x")
+    val r = graft.gold.Forensics.hillTailIndex(df, col("x"), col("o_orderkey"), k)
+      .collect().head
+    assert(r.getAs[Long]("k_used") == k.toLong)
+    // hand-computed from the same quantization
+    def q(v: Double): Long = math.floor(math.log(v).toFloat.toDouble * 1e6).toLong
+    val expectedSum = xs.map(x => q(x._2)).sum - k.toLong * q(1000.0)
+    assert(r.getAs[Long]("hill_sum") == expectedSum)
+    val alpha = r.getAs[Double]("alpha")
+    assert(math.abs(alpha - 2.0) < 0.15, s"alpha $alpha should be near 2")
+    assert(r.getAs[Boolean]("heavy_tail") == (alpha < 2.0))
+    // constant values: zero sum -> NULL alpha, not Infinity
+    val flat = (1 to 10).map(i => (i.toLong, 7.0)).toDF("o_orderkey", "x")
+    val f = graft.gold.Forensics.hillTailIndex(flat, col("x"), col("o_orderkey"), 5)
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("alpha")))
+  }
+
   test("user entropy: uniform mix maxes out, single-action bot scores zero") {
     val spark2 = spark
     import spark2.implicits._
