@@ -44,7 +44,13 @@ object Marts {
       "dim_customers" -> gold.StarSchema.dimCustomers(
         Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
         Tables.region(spark, sfDir)),
-      "fact_orders" -> gold.StarSchema.factOrders(clean, Tables.lineitem(spark, sfDir)))
+      "fact_orders" -> gold.StarSchema.factOrders(clean, Tables.lineitem(spark, sfDir)),
+      // r11 analytics marts: the BI/ops views the new gold queries serve
+      "basket_rules" -> gold.Basket.associationRules(
+        Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)),
+      "growth_trend" -> gold.Revenue.growthTrend(clean),
+      "cycle_time" -> gold.Pipelines.cycleTime(clean,
+        operators.Cleaning.cleanLineitem(Tables.lineitem(spark, sfDir))))
     marts.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     source.map(_._1) ++ marts.keys.toSeq
   }

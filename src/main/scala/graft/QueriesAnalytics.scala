@@ -712,31 +712,37 @@ private[graft] object QueriesAnalytics {
     // (gold/Attribution.scala).
     QueryDef("q_attribution",
       (s, d) => Attribution.multiTouch(Tables.events(s, d)),
-      Some(EventsUsCte +
+      Some(AttributionCredCtes +
         """
-        |, p AS (
-        |  SELECT event_id AS purchase_id, user_id, value AS purchase_value, ts_us AS p_ts_us
-        |  FROM ev WHERE event_type = 'purchase'
-        |), t AS (
-        |  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts_us AS t_ts_us
-        |  FROM ev WHERE event_type IN ('click', 'view')
-        |), pair AS (
-        |  SELECT p.*, t.touch_id, t.touch_type, t.t_ts_us
-        |  FROM p JOIN t USING (user_id)
-        |  WHERE t.t_ts_us >= p.p_ts_us - 86400000000 AND t.t_ts_us < p.p_ts_us
-        |), cred AS (
-        |  SELECT *,
-        |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
-        |    first_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_t,
-        |    last_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_t
-        |  FROM pair
-        |)
         |SELECT purchase_id, user_id, purchase_value, p_ts_us, touch_id, touch_type, t_ts_us,
         |  n_touches, purchase_value / CAST(n_touches AS DOUBLE) AS credit_linear,
         |  touch_id = first_t AS is_first_touch, touch_id = last_t AS is_last_touch
         |FROM cred ORDER BY purchase_id, touch_id""".stripMargin)),
+
+    // Channel-grain attribution rollup: per-row linear credit
+    // micro-quantized BEFORE the sum (exact integers, not an
+    // order-dependent double sum), first/last revenue on the decimal
+    // money contract (Attribution.creditRollup).
+    QueryDef("q_attribution_rollup",
+      (s, d) => Attribution.creditRollup(Tables.events(s, d)),
+      Some(AttributionCredCtes +
+        """
+        |, r AS (
+        |  SELECT touch_type, purchase_id, purchase_value,
+        |    CAST(floor((purchase_value / CAST(n_touches AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS credit_micro,
+        |    (touch_id = first_t) AS isf, (touch_id = last_t) AS isl
+        |  FROM cred
+        |)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS purchases_touched,
+        |  CAST(sum(credit_micro) AS BIGINT) AS linear_credit_micro,
+        |  CAST(sum(credit_micro) AS DOUBLE) / 1000000.0 AS linear_credit,
+        |  CAST(sum(CASE WHEN isf THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN isl THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(CASE WHEN isf THEN CAST(purchase_value AS DECIMAL(18,2)) END) AS DOUBLE) AS first_touch_value,
+        |  CAST(sum(CASE WHEN isl THEN CAST(purchase_value AS DECIMAL(18,2)) END) AS DOUBLE) AS last_touch_value
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- r8 graph / resolution / robust-stats pack ----
 

@@ -114,6 +114,30 @@ private[graft] object QueriesShared {
       |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
       |)""".stripMargin
 
+  // Attribution pairing chain ending in `cred` (purchase×touch pairs with
+  // first/last markers), shared by q_attribution and q_attribution_rollup.
+  private[graft] val AttributionCredCtes = EventsUsCte +
+    """
+    |, p AS (
+    |  SELECT event_id AS purchase_id, user_id, value AS purchase_value, ts_us AS p_ts_us
+    |  FROM ev WHERE event_type = 'purchase'
+    |), t AS (
+    |  SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts_us AS t_ts_us
+    |  FROM ev WHERE event_type IN ('click', 'view')
+    |), pair AS (
+    |  SELECT p.*, t.touch_id, t.touch_type, t.t_ts_us
+    |  FROM p JOIN t USING (user_id)
+    |  WHERE t.t_ts_us >= p.p_ts_us - 86400000000 AND t.t_ts_us < p.p_ts_us
+    |), cred AS (
+    |  SELECT *,
+    |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+    |    first_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_t,
+    |    last_value(touch_id) OVER (PARTITION BY purchase_id ORDER BY t_ts_us, touch_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_t
+    |  FROM pair
+    |)""".stripMargin
+
   // Literal-scorer output (mirrors FraudScore.score), shared by the
   // model-evaluation oracles (q_roc_auc, q_calibration).
   private[graft] val ScoredCte = EnrichedFeaturesCte +

@@ -68,4 +68,39 @@ object Attribution {
         (col("touch_id") === col("_last")).as("is_last_touch"))
       .orderBy("purchase_id", "touch_id")
   }
+
+  /** Channel-grain credit rollup of [[multiTouch]] — the mart marketing
+    * actually reads: per touch type, how many touches, how many distinct
+    * purchases it influenced, its LINEAR credit total, and the
+    * first-/last-touch revenue it would claim under those models.
+    *
+    * Exactness: per-row linear credit (an IEEE division both engines
+    * compute identically) is micro-quantized BEFORE the sum, so the
+    * channel totals are exact integer sums, not order-dependent double
+    * sums; first/last revenue sums ride the decimal(18,2) money
+    * contract. One channel-grain partial-agg exchange over the paired
+    * frame. */
+  def creditRollup(events: DataFrame, lookbackHours: Int = 24): DataFrame =
+    multiTouch(events, lookbackHours)
+      .withColumn("_credit_micro",
+        floor(col("credit_linear") * lit(1000000.0)).cast("long"))
+      .groupBy("touch_type")
+      .agg(
+        count(lit(1)).as("touches"),
+        countDistinct(col("purchase_id")).as("purchases_touched"),
+        sum(col("_credit_micro")).as("linear_credit_micro"),
+        sum(when(col("is_first_touch"), lit(1L)).otherwise(lit(0L))).as("n_first"),
+        sum(when(col("is_last_touch"), lit(1L)).otherwise(lit(0L))).as("n_last"),
+        sum(when(col("is_first_touch"),
+          col("purchase_value").cast("decimal(18,2)"))).cast("double")
+          .as("first_touch_value"),
+        sum(when(col("is_last_touch"),
+          col("purchase_value").cast("decimal(18,2)"))).cast("double")
+          .as("last_touch_value"))
+      .withColumn("linear_credit",
+        col("linear_credit_micro").cast("double") / lit(1000000.0))
+      .select("touch_type", "touches", "purchases_touched",
+        "linear_credit_micro", "linear_credit", "n_first", "n_last",
+        "first_touch_value", "last_touch_value")
+      .orderBy("touch_type")
 }

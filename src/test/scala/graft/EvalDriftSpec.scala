@@ -225,6 +225,26 @@ class EvalDriftSpec extends SparkSpec {
       p9.head.getAs[Boolean]("is_first_touch") && p9.head.getAs[Boolean]("is_last_touch"))
   }
 
+  test("attribution rollup: channel credits partition the purchase value") {
+    import graft.gold.Attribution
+    val ev = Tables.events(spark, TinySf)
+    val pairGrain = Attribution.multiTouch(ev)
+    val rollup = Attribution.creditRollup(ev).collect()
+    assert(rollup.nonEmpty)
+    // channel touch counts partition the pair-grain rows
+    val totalTouches = rollup.map(_.getAs[Long]("touches")).sum
+    assert(totalTouches == pairGrain.count())
+    // micro-quantized linear credits sum exactly to the per-row quanta
+    val directMicro = pairGrain
+      .select(floor(col("credit_linear") * lit(1000000.0)).cast("long").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    assert(rollup.map(_.getAs[Long]("linear_credit_micro")).sum == directMicro)
+    // first/last counts both partition the distinct purchase set
+    val nPurch = pairGrain.select("purchase_id").distinct().count()
+    assert(rollup.map(_.getAs[Long]("n_first")).sum == nPurch)
+    assert(rollup.map(_.getAs[Long]("n_last")).sum == nPurch)
+  }
+
   test("multiTouch day-bin pairing crosses midnight (lookback spans two days)") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-09 23:30:00"), 1L, "click", 0.0, "{}"),
