@@ -40,6 +40,23 @@ object BloomDedup {
   val DefaultBits: Int = 1 << 20
   val DefaultHashes: Int = 5
 
+  // The probed delta frame feeds three consumers (negatives, positives'
+  // two join sides) and the base-join frame feeds two (merged output +
+  // matched set) — without persists each re-derives the delta groupBy,
+  // the bitset fold, AND the base-summary subtree per consumer (~6 base
+  // scans at 100 TB; measured 13 s vs 0.6 s for the ungated dedup at
+  // sf0.1). Same cache-lifecycle contract as Rings/Basket.
+  @volatile private var caches: List[DataFrame] = Nil
+  def releaseCache(): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches = Nil
+  }
+  private def persisted(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { caches = p :: caches }
+    p
+  }
+
   private def bloomPos(h: Column, i: Int, mBits: Int): Column =
     pmod(xxhash64(h, lit(i)), lit(mBits.toLong)).cast("int")
 
@@ -142,7 +159,8 @@ object BloomDedup {
   def exactDupsIncremental(baseSummary: DataFrame, delta: DataFrame,
                            storePath: String,
                            textCol: String = "text"): DataFrame = {
-    val probed = probedDeltaGroups(delta, storePath, textCol)
+    releaseCache()
+    val probed = persisted(probedDeltaGroups(delta, storePath, textCol))
     val negatives = probed.filter(!col("might"))
     val positives = probed.filter(col("might"))
       .select(col("content_hash"), col("canonical_doc_id").as("d_can"),
@@ -150,9 +168,9 @@ object BloomDedup {
 
     // one base scan: merge matched positive groups in place, pass the
     // rest through untouched
-    val baseJoined = baseSummary
+    val baseJoined = persisted(baseSummary
       .select("content_hash", "canonical_doc_id", "doc_count")
-      .join(broadcast(positives), Seq("content_hash"), "left")
+      .join(broadcast(positives), Seq("content_hash"), "left"))
     val baseOut = baseJoined.select(
       col("content_hash"),
       least(col("canonical_doc_id"),
