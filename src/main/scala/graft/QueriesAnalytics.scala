@@ -1259,7 +1259,140 @@ private[graft] object QueriesAnalytics {
       (s, d) => gold.Basket.associationRules(
           Tables.lineitem(s, d), Tables.part(s, d))
         .orderBy("antecedent", "consequent"),
-      Some(gold.Basket.associationRulesOracleSql()))
+      Some(gold.Basket.associationRulesOracleSql())),
+
+    // Exact Shapley-value attribution over the 4-channel coalition
+    // lattice: journey masks by (user, day)-binned equi-join, v(S) and
+    // marginals as exact BIGINT sums on the 16-row lattice, factorial
+    // weights kept integer (k! divided out in the final IEEE chain only).
+    // Σ phi_scaled_micro = k!·v(U) — the Shapley efficiency identity —
+    // holds bit-for-bit (BehaviorSpec).
+    QueryDef("q_shapley_attribution",
+      (s, d) => Attribution.shapley(Tables.events(s, d)),
+      Some(EventsUsCte +
+        """
+        |, p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS value_micro,
+        |    ts_us AS p_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |         WHEN 'signup' THEN 2 ELSE 3 END AS idx,
+        |    ts_us AS t_ts_us
+        |  FROM ev WHERE event_type IN ('click', 'view', 'signup', 'error')
+        |), j AS (
+        |  SELECT p.purchase_id, max(p.value_micro) AS value_micro,
+        |    CAST(bit_or(1 << t.idx) AS INT) AS mask
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts_us >= p.p_ts_us - 86400000000 AND t.t_ts_us < p.p_ts_us
+        |  GROUP BY p.purchase_id
+        |), m AS (
+        |  SELECT mask, CAST(sum(value_micro) AS BIGINT) AS v_micro,
+        |    CAST(count(*) AS BIGINT) AS n_journeys
+        |  FROM j GROUP BY mask
+        |), s AS (SELECT CAST(i AS INT) AS cs FROM range(16) t(i)
+        |), vs AS (
+        |  SELECT cs, CAST(COALESCE(sum(m.v_micro), 0) AS BIGINT) AS v
+        |  FROM s LEFT JOIN m ON (m.mask & s.cs) = m.mask GROUP BY cs
+        |), ch(touch_type, idx) AS (
+        |  VALUES ('click', 0), ('view', 1), ('signup', 2), ('error', 3)
+        |), marg AS (
+        |  SELECT ch.touch_type,
+        |    CAST(sum((CASE bit_count(s0.cs) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |              WHEN 2 THEN 2 ELSE 6 END) * (s1.v - s0.v)) AS BIGINT)
+        |      AS phi_scaled_micro
+        |  FROM ch
+        |  JOIN vs s0 ON ((s0.cs >> ch.idx) & 1) = 0
+        |  JOIN vs s1 ON s1.cs = (s0.cs | (1 << ch.idx))
+        |  GROUP BY ch.touch_type
+        |), tch AS (
+        |  SELECT ch.touch_type,
+        |    CAST(COALESCE(sum(m.n_journeys), 0) AS BIGINT) AS journeys_touched
+        |  FROM ch LEFT JOIN m ON ((m.mask >> ch.idx) & 1) = 1
+        |  GROUP BY ch.touch_type
+        |)
+        |SELECT marg.touch_type, tch.journeys_touched, marg.phi_scaled_micro,
+        |  CAST(marg.phi_scaled_micro AS DOUBLE) / 24.0 / 1000000.0 AS phi_revenue,
+        |  CAST(marg.phi_scaled_micro AS DOUBLE)
+        |    / CAST(nullif(sum(marg.phi_scaled_micro) OVER (), 0) AS DOUBLE)
+        |    AS phi_share
+        |FROM marg JOIN tch USING (touch_type) ORDER BY touch_type""".stripMargin)),
+
+    // Cohort LTV curves: acquisition-cohort × month-age revenue, exact
+    // decimal cumulative sums, one IEEE division per row for the per-head
+    // LTV (gold/Behavior.cohortLtv) — the revenue-weighted completion of
+    // q_retention_cohorts.
+    QueryDef("q_cohort_ltv",
+      (s, d) => gold.Behavior.cohortLtv(
+        Tables.orders(s, d).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice")),
+        "o_custkey", "order_date", "o_totalprice"),
+      Some("""WITH o AS (
+        |  SELECT o_custkey,
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS activity_month,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |), w AS (
+        |  SELECT o_custkey, activity_month, price,
+        |    min(activity_month) OVER (PARTITION BY o_custkey) AS cohort_month
+        |  FROM o
+        |), grain AS (
+        |  SELECT cohort_month,
+        |    CAST((year(activity_month) * 12 + month(activity_month))
+        |       - (year(cohort_month) * 12 + month(cohort_month)) AS BIGINT) AS months_since,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+        |    sum(price) AS rev
+        |  FROM w GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort_month, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+        |  FROM w GROUP BY 1
+        |), cum AS (
+        |  SELECT g.*, sz.cohort_size,
+        |    sum(g.rev) OVER (PARTITION BY g.cohort_month ORDER BY g.months_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM grain g JOIN sz USING (cohort_month)
+        |)
+        |SELECT cohort_month, months_since, active_customers, cohort_size,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum_rev AS DOUBLE) AS cum_revenue,
+        |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_ltv_per_customer
+        |FROM cum ORDER BY cohort_month, months_since""".stripMargin)),
+
+    // Time-decay attribution: recency-weighted channel credit, weight
+    // 2^(−Δt/6h) float32-rounded to micro-units (the one libm call), then
+    // per-touch credit = (value_micro·w_micro) div Σw_micro — exact floor
+    // division, BIGINT channel totals (Attribution.timeDecay).
+    QueryDef("q_time_decay_attribution",
+      (s, d) => Attribution.timeDecay(Tables.events(s, d)),
+      Some(AttributionCredCtes +
+        """
+        |, dw AS (
+        |  SELECT *,
+        |    CAST(floor(purchase_value * 1000000.0) AS BIGINT) AS vm,
+        |    CAST(floor(CAST(CAST(power(2.0, -(CAST(p_ts_us - t_ts_us AS DOUBLE)
+        |      / 21600000000.0)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS wm
+        |  FROM cred
+        |), dc AS (
+        |  SELECT *, (vm * wm) // sum(wm) OVER (PARTITION BY purchase_id) AS credit_micro
+        |  FROM dw
+        |)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS purchases_touched,
+        |  CAST(sum(credit_micro) AS BIGINT) AS decay_credit_micro,
+        |  CAST(sum(credit_micro) AS DOUBLE) / 1000000.0 AS decay_credit,
+        |  CAST(sum(wm) AS BIGINT) AS weight_micro_total
+        |FROM dc GROUP BY touch_type ORDER BY touch_type""".stripMargin)),
+
+    // Always-valid sequential A/B monitoring (mSPRT, Johari et al. 2017):
+    // daily cumulative two-proportion state on a deterministic md5 user
+    // split, mixture log-LR with float32-rounded ln/exp (micro-unit
+    // integer p running min) — the peek-safe companion to q_funnel_ab's
+    // fixed-horizon z-test (gold/Sequential.scala).
+    QueryDef("q_msprt_ab",
+      (s, d) => gold.Sequential.msprtDaily(Tables.events(s, d)),
+      Some(gold.Sequential.msprtOracleSql()))
   )
 
   // r8 late batch: supervised categorical encoders (WOE/IV, K-fold OOF

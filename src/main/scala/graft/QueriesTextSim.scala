@@ -1347,7 +1347,24 @@ private[graft] object QueriesTextSim {
         |  sha256(text) AS checksum,
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS stub_width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) // 7) % 1024 AS stub_height
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    // per-window rightmost-min selection over 28-bit md5-prefix k-gram
+    // hashes via ONE min-window aggregate on the packed (hash, pos) key —
+    // exact integers end to end, identical selection in both engines.
+    // Guarantees any shared substring ≥ K+W−1 chars shares a fingerprint.
+    QueryDef("q_winnow_fingerprints",
+      (s, d) => text.Winnow.docSummary(Tables.documents(s, d)),
+      Some(text.Winnow.docSummaryOracleSql)),
+
+    // Winnowing near-dup candidates: docs sharing ≥2 selected fingerprint
+    // hashes, behind the band-store occupancy governor (hot grams shared
+    // by half the corpus are dropped before the pair join) — the
+    // position-robust substring complement to q_neardup_pairs.
+    QueryDef("q_winnow_pairs",
+      (s, d) => text.Winnow.candidatePairs(Tables.documents(s, d)),
+      Some(text.Winnow.candidatePairsOracleSql()))
   )
 
   // ---- round-3 additions: behavior analytics, SCD2, TF-IDF, anomaly ----

@@ -330,4 +330,47 @@ object Behavior {
       .withColumn("retention_rate",
         col("active_customers").cast("double") / col("cohort_size").cast("double"))
   }
+
+  /** Cohort lifetime-value curves: for each acquisition cohort (month of a
+    * customer's first order) and month-age, the cohort's exact revenue,
+    * its cumulative revenue to that age, and cumulative LTV per acquired
+    * customer — the curve a growth team reads payback periods off, and
+    * the revenue-weighted completion of [[retentionCohorts]] (which only
+    * counts heads).
+    *
+    * Exactness: revenue sums ride the decimal(18,2) money contract end to
+    * end (the cumulative sum is a DECIMAL window sum over the tiny
+    * (cohort, age) rollup, still exact); the only doubles are the final
+    * casts and one IEEE division per row. Scale: two customer-grain
+    * exchanges (first-order window + rollup) over orders, then windows on
+    * a #cohorts×#ages mart — per-cohort partitions are bounded by the
+    * calendar, never by the corpus. */
+  def cohortLtv(orders: DataFrame, custKey: String, dateCol: String,
+                priceCol: String): DataFrame = {
+    val w = Window.partitionBy(custKey)
+    val monthIdx = (c: Column) => year(c) * 12 + month(c)
+    val base = orders
+      .select(col(custKey), trunc(col(dateCol), "month").as("activity_month"),
+        col(priceCol).cast("decimal(18,2)").as("_price"))
+      .withColumn("cohort_month", min(col("activity_month")).over(w))
+    val grain = base
+      .groupBy(col("cohort_month"),
+        (monthIdx(col("activity_month")) - monthIdx(col("cohort_month")))
+          .cast("long").as("months_since"))
+      .agg(countDistinct(col(custKey)).as("active_customers"),
+        sum(col("_price")).as("_rev"))
+    val sizes = base.groupBy("cohort_month")
+      .agg(countDistinct(col(custKey)).as("cohort_size"))
+    val wc = Window.partitionBy("cohort_month").orderBy("months_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain.join(sizes, Seq("cohort_month"))
+      .withColumn("_cum", sum(col("_rev")).over(wc))
+      .select(col("cohort_month"), col("months_since"),
+        col("active_customers"), col("cohort_size"),
+        col("_rev").cast("double").as("revenue"),
+        col("_cum").cast("double").as("cum_revenue"),
+        (col("_cum").cast("double") / col("cohort_size").cast("double"))
+          .as("cum_ltv_per_customer"))
+      .orderBy("cohort_month", "months_since")
+  }
 }

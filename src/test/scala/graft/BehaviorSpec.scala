@@ -1,6 +1,6 @@
 package graft
 
-import graft.gold.Behavior
+import graft.gold.{Attribution, Behavior}
 import graft.operators.{Anomaly, Scd}
 import graft.text.TfIdf
 import org.apache.spark.sql.Row
@@ -312,5 +312,157 @@ class BehaviorSpec extends SparkSpec {
       part, minPairSupport = 1L, maxBasket = 4)
     assert(dup.orderBy("antecedent", "consequent").collect().map(_.toString)
       .sameElements(out.map(_.toString)))
+  }
+
+  test("shapley attribution: unanimity-game decomposition and efficiency") {
+    val spark2 = spark
+    import spark2.implicits._
+    val S = 1000000L // seconds -> micros
+    // journeys: u1 {click,view} worth 10; u2 {signup} worth 5;
+    // u3 no preceding touch (excluded); u4 {click,error} worth 2.
+    // Shapley is linear in v and each journey is a unanimity game on its
+    // mask, so phi = value/|mask| for each member channel:
+    //   click 10/2+2/2=6, view 10/2=5, signup 5, error 2/2=1.
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, 100L), (2L, 1L, "view", 0.0, 200L),
+      (3L, 1L, "purchase", 10.0, 300L),
+      (4L, 2L, "signup", 0.0, 100L), (5L, 2L, "purchase", 5.0, 200L),
+      (6L, 3L, "purchase", 7.0, 500L),
+      (7L, 4L, "error", 0.0, 100L), (8L, 4L, "click", 0.0, 150L),
+      (9L, 4L, "purchase", 2.0, 200L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", timestamp_micros(col("ts_s") * S)).drop("ts_s")
+    val out = Attribution.shapley(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("click").getAs[Double]("phi_revenue") === 6.0)
+    assert(out("view").getAs[Double]("phi_revenue") === 5.0)
+    assert(out("signup").getAs[Double]("phi_revenue") === 5.0)
+    assert(out("error").getAs[Double]("phi_revenue") === 1.0)
+    assert(out("click").getAs[Long]("journeys_touched") === 2L)
+    // efficiency identity, exact in scaled-micro integers:
+    // sum(phi_scaled) = k! * v(U) with v(U) = (10+5+2) micro
+    assert(out.values.map(_.getAs[Long]("phi_scaled_micro")).sum ===
+      24L * 17L * 1000000L)
+    // shares sum to 1 (4 exact quarters of the same integer total)
+    assert(math.abs(out.values.map(_.getAs[Double]("phi_share")).sum - 1.0) < 1e-12)
+  }
+
+  test("shapley rewards synergy that linear credit splits blindly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val S = 1000000L
+    // click alone converts 1.0 twice; {click,view} converts 8.0 once.
+    // Linear credit gives view 4.0; Shapley also gives view 4.0 here
+    // (unanimity), but click must get 1+1+4 = 6 and never less than its
+    // solo conversions - the property last-touch/linear break.
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, 100L), (2L, 1L, "purchase", 1.0, 200L),
+      (3L, 2L, "click", 0.0, 100L), (4L, 2L, "purchase", 1.0, 200L),
+      (5L, 3L, "click", 0.0, 100L), (6L, 3L, "view", 0.0, 150L),
+      (7L, 3L, "purchase", 8.0, 200L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", timestamp_micros(col("ts_s") * S)).drop("ts_s")
+    val out = Attribution.shapley(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("phi_revenue")).toMap
+    assert(out("click") === 6.0)
+    assert(out("view") === 4.0)
+  }
+
+  test("time-decay attribution: exact powers of two and the undershoot bound") {
+    val spark2 = spark
+    import spark2.implicits._
+    val H = 3600L * 1000000L
+    // one purchase of 3.0 with a click 6h before (w=2^-1=0.5, exact in
+    // float32) and a view 12h before (w=2^-2=0.25): credits split 2:1
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, 18L * H), (2L, 1L, "view", 0.0, 12L * H),
+      (3L, 1L, "purchase", 3.0, 24L * H)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val out = Attribution.timeDecay(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("click").getAs[Long]("decay_credit_micro") === 2000000L)
+    assert(out("view").getAs[Long]("decay_credit_micro") === 1000000L)
+    assert(out("click").getAs[Double]("decay_credit") === 2.0)
+    assert(out("view").getAs[Long]("weight_micro_total") === 250000L)
+    // floor-division undershoot: per-purchase credits never exceed the
+    // value and miss it by < n_touches micro-units
+    val ev2 = Seq(
+      (1L, 1L, "click", 0.0, 23L * H), (2L, 1L, "view", 0.0, 17L * H),
+      (3L, 1L, "click", 0.0, 11L * H), (4L, 1L, "purchase", 9.99, 24L * H)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val tot = Attribution.timeDecay(ev2).agg(sum("decay_credit_micro"))
+      .collect()(0).getLong(0)
+    assert(tot <= 9990000L && tot > 9990000L - 3L)
+  }
+
+  test("mSPRT: always-valid p is non-increasing and rejects a planted effect") {
+    val spark2 = spark
+    import spark2.implicits._
+    // recover the engine's md5 arm split so the planted effect is real:
+    // arm-A users always purchase, arm-B users never do
+    def arm(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 10000 < 5000) "A" else "B"
+    }
+    val day = 86400L * 1000000L
+    val ev = (1L to 200L).flatMap { uid =>
+      val d0 = (uid % 20) * day // staggered entry over 20 days
+      val enter = (uid * 10L, uid, "view", 0.0, d0)
+      if (arm(uid) == "A") Seq(enter, (uid * 10L + 1, uid, "purchase", 1.0, d0 + day))
+      else Seq(enter)
+    }.toDF("event_id", "user_id", "event_type", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val out = gold.Sequential.msprtDaily(ev).orderBy("d").collect()
+    // p_valid_micro is a running min: non-increasing wherever defined
+    val ps = out.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("p_valid_micro"))) None
+      else Some(r.getAs[Long]("p_valid_micro")))
+    assert(ps.nonEmpty && ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    // reject flag is exactly the 0.05 threshold on the p column
+    out.foreach { r =>
+      val p = if (r.isNullAt(r.fieldIndex("p_valid_micro"))) None
+        else Some(r.getAs[Long]("p_valid_micro"))
+      assert(r.getAs[Boolean]("reject_at_05") === p.exists(_ < 50000L))
+    }
+    // a 100%-vs-0% conversion split on ~200 users must reject by the end
+    assert(out.last.getAs[Boolean]("reject_at_05"))
+    // exact exposure accounting: final cumulative n covers every user
+    assert(out.last.getAs[Long]("n_a") + out.last.getAs[Long]("n_b") === 200L)
+  }
+
+  test("cohortLtv: exact cumulative revenue and per-head LTV") {
+    val spark2 = spark
+    import spark2.implicits._
+    val orders = Seq(
+      (1L, "2024-01-05", 100.0), (1L, "2024-02-10", 50.0),
+      (2L, "2024-01-20", 200.0),
+      (3L, "2024-02-01", 80.0)
+    ).toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("order_date", to_date(col("d"))).drop("d")
+    val out = Behavior.cohortLtv(orders, "o_custkey", "order_date", "o_totalprice")
+      .collect()
+    val jan0 = out.find(r => r.getDate(0).toString == "2024-01-01" && r.getLong(1) == 0L).get
+    assert(jan0.getAs[Long]("active_customers") === 2L)
+    assert(jan0.getAs[Long]("cohort_size") === 2L)
+    assert(jan0.getAs[Double]("revenue") === 300.0)
+    assert(jan0.getAs[Double]("cum_ltv_per_customer") === 150.0)
+    val jan1 = out.find(r => r.getDate(0).toString == "2024-01-01" && r.getLong(1) == 1L).get
+    assert(jan1.getAs[Double]("cum_revenue") === 350.0)
+    assert(jan1.getAs[Double]("cum_ltv_per_customer") === 175.0)
+    val feb0 = out.find(r => r.getDate(0).toString == "2024-02-01" && r.getLong(1) == 0L).get
+    assert(feb0.getAs[Long]("cohort_size") === 1L)
+    assert(feb0.getAs[Double]("revenue") === 80.0)
+    // cohort sizes agree with retentionCohorts on the same frame
+    val ret = Behavior.retentionCohorts(orders, "o_custkey", "order_date")
+      .select("cohort_month", "months_since", "active_customers").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      assert(ret((r.getDate(0).toString, r.getLong(1))) ===
+        r.getAs[Long]("active_customers"))
+    }
   }
 }
