@@ -24,6 +24,21 @@ object Attribution {
 
   private val DayUs = 86400000000L
 
+  // shapley's mask-grain frame (≤ 2^k − 1 rows) feeds THREE lattice
+  // consumers (v(S) via s0 and s1, journeys_touched) — without a persist
+  // each re-derives the corpus-sized purchase×touch pairing. Same
+  // cache-lifecycle contract as Basket.releaseCache.
+  @volatile private var caches: List[DataFrame] = Nil
+  def releaseCache(): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches = Nil
+  }
+  private def persisted(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { caches = p :: caches }
+    p
+  }
+
   /** One row per (purchase, touch) with linear credit and first/last
     * flags. Deterministic: touch order is (ts_us, event_id). */
   def multiTouch(events: DataFrame, lookbackHours: Int = 24): DataFrame = {
@@ -200,9 +215,11 @@ object Attribution {
       .groupBy(col("purchase_id"))
       .agg(max(col("value_micro")).as("value_micro"),
         expr("bit_or(shiftleft(1, ch_idx))").cast("int").as("mask"))
-    // mask grain: ≤ 2^k − 1 rows — the bounded state everything below rides
-    val maskAgg = journeys.groupBy("mask")
-      .agg(sum("value_micro").as("v_micro"), count(lit(1)).as("n_journeys"))
+    // mask grain: ≤ 2^k − 1 rows — the bounded state everything below
+    // rides; persisted so the corpus pairing above runs exactly once
+    releaseCache()
+    val maskAgg = persisted(journeys.groupBy("mask")
+      .agg(sum("value_micro").as("v_micro"), count(lit(1)).as("n_journeys")))
     val lattice = spark.range(1 << k).select(col("id").cast("int").as("cs"))
     // v(S) = Σ_{mask ⊆ S} v_micro(mask): a 2^k × 2^k containment join of
     // two tiny frames

@@ -359,11 +359,15 @@ object Behavior {
           .cast("long").as("months_since"))
       .agg(countDistinct(col(custKey)).as("active_customers"),
         sum(col("_price")).as("_rev"))
-    val sizes = base.groupBy("cohort_month")
-      .agg(countDistinct(col(custKey)).as("cohort_size"))
+    // every cohort member is active at month 0 by definition, so cohort
+    // size is the month-0 head count — a window on the tiny rollup, not a
+    // second corpus pass (the retentionCohorts trick)
+    val wsz = Window.partitionBy("cohort_month")
     val wc = Window.partitionBy("cohort_month").orderBy("months_since")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grain.join(sizes, Seq("cohort_month"))
+    grain
+      .withColumn("cohort_size",
+        max(when(col("months_since") === 0L, col("active_customers"))).over(wsz))
       .withColumn("_cum", sum(col("_rev")).over(wc))
       .select(col("cohort_month"), col("months_since"),
         col("active_customers"), col("cohort_size"),

@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
+  // candidatePairs reads the selected-fingerprint frame four times (hot
+  // set, governed cool set on both sides of the self-join) — without a
+  // persist each consumer re-runs the char-grain explode + selection
+  // window. Same cache-lifecycle contract as Basket.releaseCache.
+  @volatile private var caches: List[DataFrame] = Nil
+  def releaseCache(): Unit = synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches = Nil
+  }
+  private def persisted(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { caches = p :: caches }
+    p
+  }
+
   /** Gram length k: fingerprints detect shared substrings of length
     * ≥ GuaranteeLen = K + W − 1 = 11. */
   val K = 8
@@ -105,8 +120,9 @@ object Winnow {
     * grams shared by half the corpus cannot explode the join. */
   def candidatePairs(docs: DataFrame, textCol: String = "text",
                      minShared: Int = 8, maxBucket: Int = 16): DataFrame = {
-    val fp = fingerprints(docs, textCol)
-      .select("doc_id", "fp_hash").distinct()
+    releaseCache()
+    val fp = persisted(fingerprints(docs, textCol)
+      .select("doc_id", "fp_hash").distinct())
     val hot = fp.groupBy("fp_hash")
       .agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") > maxBucket)
