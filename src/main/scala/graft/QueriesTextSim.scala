@@ -1364,7 +1364,23 @@ private[graft] object QueriesTextSim {
     // position-robust substring complement to q_neardup_pairs.
     QueryDef("q_winnow_pairs",
       (s, d) => text.Winnow.candidatePairs(Tables.documents(s, d)),
-      Some(text.Winnow.candidatePairsOracleSql()))
+      Some(text.Winnow.candidatePairsOracleSql())),
+
+    // Incremental winnowing store: base build + delta append, then the
+    // delta probed from the store alone. Fingerprints are a pure per-doc
+    // function, so the store ≡ a from-scratch build and the probe ≡ the
+    // full governed pair set restricted to delta-touching pairs — which
+    // is exactly what the oracle computes.
+    QueryDef("q_winnow_incremental",
+      (s, d) => {
+        val store = graft.util.Scratch.dir("graft-winnow-store") + "/fp"
+        val docs = Tables.documents(s, d)
+        text.Winnow.buildFingerprintStore(docs.filter(col("doc_id") % 10 =!= 7), store)
+        text.Winnow.appendFingerprintStore(docs.filter(col("doc_id") % 10 === 7), store)
+        text.Winnow.incrementalPairs(s, store, col("doc_id") % 10 === 7)
+      },
+      Some(text.Winnow.candidatePairsOracleSql(
+        deltaWhere = "(a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")))
   )
 
   // ---- round-3 additions: behavior analytics, SCD2, TF-IDF, anomaly ----

@@ -349,6 +349,33 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the winnowing fingerprint store
+    * ([[graft.text.Winnow]]): selected fingerprints are a PURE
+    * per-document function (the selection window never crosses
+    * documents), so each micro-batch's rows append without touching
+    * existing ones — identical to a from-scratch build over the same
+    * docs. The streamed store then serves
+    * [[graft.text.Winnow.incrementalPairs]] exactly like a batch-built
+    * one (governor and shared counts run over the whole store at probe
+    * time). Substring-level near-dup gets the same continuous-ingestion
+    * loop the band store gives whole-doc near-dup. */
+  def winnowStoreSink(stream: DataFrame, storePath: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // at-least-once replay safety: a re-delivered batch overwrites its
+        // own keyed slice — a re-append would duplicate fingerprint rows
+        // and inflate hash occupancy past the governor
+        if (!batch.isEmpty) {
+          claimStoreLineage(batch.sparkSession, storePath, checkpointDir)
+          graft.text.Winnow.writeFingerprintBatch(batch, storePath, batchId)
+        }
+      }
+      .start()
+
   /** Streaming maintenance of the (lang, word) token-count store
     * ([[graft.text.TokenCounts]]): each micro-batch appends one
     * partial-count parquet slice; counts are additive so readers merge

@@ -137,6 +137,72 @@ object Winnow {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- incremental fingerprint-store maintenance ---------------------
+  // Selected fingerprints are a PURE per-document function (the winnowing
+  // selection window never crosses documents), so the fingerprint corpus
+  // materializes ONCE and new documents append without touching existing
+  // rows — the same nightly-append operating mode as the MinHash band
+  // store, for the substring-level detector. The delta probe joins only
+  // NEW docs' fingerprints against the governed store, so its cost scales
+  // with |delta| × hash occupancy, never corpus².
+
+  /** Materialize the (doc_id, fp_hash) fingerprint store for a corpus. */
+  def buildFingerprintStore(docs: DataFrame, path: String,
+                            textCol: String = "text"): Unit =
+    fingerprints(docs, textCol).select("doc_id", "fp_hash").distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append new documents' fingerprints (per-doc computation — identical
+    * to what a from-scratch build would write for those docs). */
+  def appendFingerprintStore(newDocs: DataFrame, path: String,
+                             textCol: String = "text"): Unit =
+    fingerprints(newDocs, textCol).select("doc_id", "fp_hash").distinct()
+      .write.mode("append").parquet(path)
+
+  /** IDEMPOTENT keyed append for at-least-once writers (streaming
+    * foreachBatch): a replayed micro-batch overwrites its own
+    * `batch_<id>` slice — a plain re-append would duplicate fingerprint
+    * rows and inflate hash occupancy past the governor. */
+  def writeFingerprintBatch(newDocs: DataFrame, path: String, batchId: Long,
+                            textCol: String = "text"): Unit =
+    fingerprints(newDocs, textCol).select("doc_id", "fp_hash").distinct()
+      .write.mode("overwrite").parquet(s"$path/batch_$batchId")
+
+  /** Near-dup candidate pairs INVOLVING documents matching `newPred`,
+    * computed from the fingerprint store alone. The occupancy governor
+    * runs over the FULL store (exactly the full-run rule, so incremental
+    * and from-scratch probes drop the same hashes) and shared counts come
+    * from the store — output ≡ [[candidatePairs]] over the whole corpus
+    * restricted to pairs touching the delta. */
+  def incrementalPairs(spark: org.apache.spark.sql.SparkSession,
+                       path: String, newPred: Column,
+                       minShared: Int = 8, maxBucket: Int = 16): DataFrame = {
+    // recursive lookup: flat appends and keyed batch slices read as one.
+    // The doc-grain distinct makes occupancy count DOCUMENTS per hash
+    // (candidatePairs' fpd semantics) and armors the governor against
+    // duplicated rows from overlapping slices.
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(path)
+      .select("doc_id", "fp_hash").distinct()
+    val hot = store.groupBy("fp_hash")
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") > maxBucket)
+      .select("fp_hash")
+    val cool = store.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    val newRows = cool.filter(newPred)
+      .select(col("fp_hash"), col("doc_id").as("n_id"))
+    newRows
+      .join(cool.select(col("fp_hash"), col("doc_id").as("o_id")), Seq("fp_hash"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("doc_a"),
+        greatest(col("n_id"), col("o_id")).as("doc_b"), col("fp_hash"))
+      .groupBy("doc_a", "doc_b")
+      // countDistinct, not count: a delta×delta pair reaches the join from
+      // BOTH sides, so a plain count would double its shared tally
+      .agg(countDistinct(col("fp_hash")).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- DuckDB oracle fragments (mirror the exact integer contract) ----
 
   /** Shared oracle CTEs ending in `fp` (doc_id, fp_pos, fp_hash). */
@@ -186,8 +252,11 @@ object Winnow {
        |  a.fp_digest
        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
-  /** Oracle for [[candidatePairs]] at the default governor. */
-  def candidatePairsOracleSql(minShared: Int = 8, maxBucket: Int = 16): String =
+  /** Oracle for [[candidatePairs]] at the default governor; `deltaWhere`
+    * (a SQL predicate over a.doc_id/b.doc_id) restricts to delta-touching
+    * pairs for the [[incrementalPairs]] contract. */
+  def candidatePairsOracleSql(minShared: Int = 8, maxBucket: Int = 16,
+                              deltaWhere: String = "true"): String =
     fingerprintSqlCtes +
       s"""
          |, fpd AS (
@@ -200,6 +269,7 @@ object Winnow {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(count(*) AS BIGINT) AS shared_fingerprints
          |FROM cool a JOIN cool b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |WHERE $deltaWhere
          |GROUP BY 1, 2 HAVING count(*) >= $minShared
          |ORDER BY doc_a, doc_b""".stripMargin
 }

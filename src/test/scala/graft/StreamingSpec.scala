@@ -1313,6 +1313,53 @@ class StreamingSpec extends SparkSpec {
         "replayed micro-batch changed the band store")
     } finally docs.unpersist(blocking = false)
   }
+
+  test("streaming winnow store serves delta substring probes like a batch build") {
+    import graft.text.Winnow
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-winnow").toString
+    val docs = Tables.documents(spark, TinySf)
+      .select(col("doc_id"), col("text")).limit(300).cache()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (a, b) = rows.partition(_._1 % 3 != 0)
+
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.winnowStoreSink(
+        stream.toDF.toDF("doc_id", "text"), s"$root/fp", s"$root/ckpt")
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+
+      // streamed store rows == from-scratch build (pure per-doc selection)
+      Winnow.buildFingerprintStore(docs, s"$root/fp_batch")
+      val streamed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/fp")
+        .orderBy("doc_id", "fp_hash").collect().toSeq
+      val batch = spark.read.parquet(s"$root/fp_batch")
+        .orderBy("doc_id", "fp_hash").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "streamed fingerprint rows diverged from the batch build")
+
+      // a delta probe against the streamed store == against the batch store
+      val probeS = Winnow.incrementalPairs(spark, s"$root/fp", col("doc_id") % 3 === 0)
+        .collect().toSeq
+      val probeB = Winnow.incrementalPairs(spark, s"$root/fp_batch", col("doc_id") % 3 === 0)
+        .collect().toSeq
+      assert(probeS == probeB)
+
+      // at-least-once replay: re-delivering batch 0 rewrites its own slice
+      Winnow.writeFingerprintBatch(a.toDF("doc_id", "text"), s"$root/fp", 0L)
+      val afterReplay = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/fp")
+        .orderBy("doc_id", "fp_hash").collect().toSeq
+      assert(afterReplay == streamed,
+        "replayed micro-batch changed the winnow store")
+    } finally docs.unpersist(blocking = false)
+  }
 }
 
 private object Sessionize2 { val gapUs: Long = graft.operators.Sessionize.DefaultGapUs }

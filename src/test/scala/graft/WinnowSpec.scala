@@ -75,6 +75,29 @@ class WinnowSpec extends SparkSpec {
     assert(again.getString(5) === r1.getString(5))
   }
 
+  test("incremental store probe equals the full pair set restricted to the delta") {
+    val docs = Tables.documents(spark, TinySf).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val store = s"$root/fp"
+    Winnow.buildFingerprintStore(docs.filter(col("doc_id") % 3 =!= 0), store)
+    Winnow.appendFingerprintStore(docs.filter(col("doc_id") % 3 === 0), store)
+    val inc = Winnow.incrementalPairs(spark, store, col("doc_id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Winnow.candidatePairs(docs)
+      .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full, "incremental probe diverged from the full restricted set")
+    assert(inc.nonEmpty, "fixture produced no delta-touching pairs")
+    // an overlapping keyed slice (e.g. a replayed batch next to a flat
+    // append of the same docs) duplicates store ROWS; the probe's
+    // doc-grain distinct keeps both the governor occupancy and the
+    // shared counts unchanged
+    Winnow.writeFingerprintBatch(docs.filter(col("doc_id") % 3 === 0), store, 0L)
+    val again = Winnow.incrementalPairs(spark, store, col("doc_id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === full)
+  }
+
   test("candidatePairs finds near-dups and the governor drops hot grams") {
     val common = "jumps over the lazy dog while seventeen magpies argue loudly"
     val docs = ((1L, "prefix one " + common) ::
