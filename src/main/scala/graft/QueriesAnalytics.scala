@@ -1392,7 +1392,18 @@ private[graft] object QueriesAnalytics {
     // fixed-horizon z-test (gold/Sequential.scala).
     QueryDef("q_msprt_ab",
       (s, d) => gold.Sequential.msprtDaily(Tables.events(s, d)),
-      Some(gold.Sequential.msprtOracleSql()))
+      Some(gold.Sequential.msprtOracleSql())),
+
+    // Markov removal-effect attribution (Anderl et al. 2014), the sixth
+    // model: per-(user, day) journey chain, channel credit = conversion-
+    // probability drop when its node is removed. q6 edge probs + a fixed
+    // 32-step q12 integer power iteration (the device-pagerank playbook)
+    // run driver-side over the ≤30-row transition matrix; the oracle
+    // unrolls the same iteration as 32 vector CTEs over a 5-variant edge
+    // table — exact BIGINTs end to end (gold/RemovalEffect.scala).
+    QueryDef("q_removal_effect",
+      (s, d) => gold.RemovalEffect.attribution(Tables.events(s, d)),
+      Some(gold.RemovalEffect.oracleSql))
   )
 
   // r8 late batch: supervised categorical encoders (WOE/IV, K-fold OOF

@@ -434,6 +434,38 @@ class BehaviorSpec extends SparkSpec {
     assert(out.last.getAs[Long]("n_a") + out.last.getAs[Long]("n_b") === 200L)
   }
 
+  test("removal effect: hand-computed chain, post-purchase truncation, zero for absent channels") {
+    val spark2 = spark
+    import spark2.implicits._
+    val S = 1000000L
+    // u1/u3/u4 convert via click (u4 has a post-purchase view that must be
+    // truncated); u2 dead-ends on view. Chain: start->click 3/4,
+    // start->view 1/4, click->conv 1, view->null 1.
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, 100L), (2L, 1L, "purchase", 4.0, 200L),
+      (3L, 2L, "view", 0.0, 100L),
+      (4L, 3L, "click", 0.0, 100L), (5L, 3L, "purchase", 2.0, 200L),
+      (6L, 4L, "click", 0.0, 100L), (7L, 4L, "purchase", 1.0, 200L),
+      (8L, 4L, "view", 0.0, 300L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", timestamp_micros(col("ts_s") * S)).drop("ts_s")
+    val out = gold.RemovalEffect.attribution(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // p6(start->click) = 750000, click->conv certain:
+    // full conversion mass = 0.75 in q12 exactly
+    assert(out("click").getAs[Long]("full_conv_q12") === 750000000000L)
+    // removing click kills every conversion; removing view changes nothing
+    assert(out("click").getAs[Long]("removal_conv_q12") === 0L)
+    assert(out("click").getAs[Long]("removal_effect_q12") === 750000000000L)
+    assert(out("view").getAs[Long]("removal_effect_q12") === 0L)
+    assert(out("signup").getAs[Long]("removal_effect_q12") === 0L)
+    assert(out("error").getAs[Long]("removal_effect_q12") === 0L)
+    // click takes the full share and the full 7.0 of converted revenue
+    // (the post-purchase view is truncated out of the journey AND the sum)
+    assert(out("click").getAs[Double]("share") === 1.0)
+    assert(out("click").getAs[Double]("attributed_revenue") === 7.0)
+  }
+
   test("cohortLtv: exact cumulative revenue and per-head LTV") {
     val spark2 = spark
     import spark2.implicits._
