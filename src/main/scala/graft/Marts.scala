@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, to_date}
 
 /** SQL-surface registration: the reference's users read gold marts by
   * NAME (Postgres `gold.*` tables behind the dashboards and dbt); this
@@ -50,7 +51,17 @@ object Marts {
         Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)),
       "growth_trend" -> gold.Revenue.growthTrend(clean),
       "cycle_time" -> gold.Pipelines.cycleTime(clean,
-        operators.Cleaning.cleanLineitem(Tables.lineitem(spark, sfDir))))
+        operators.Cleaning.cleanLineitem(Tables.lineitem(spark, sfDir))),
+      // r11 wave 3: the attribution/experimentation/cohort marts.
+      // (removal-effect attribution is NOT a view: its driver-side chain
+      // iteration executes eagerly, and register() must stay job-free)
+      "attribution_shapley" -> gold.Attribution.shapley(Tables.events(spark, sfDir)),
+      "attribution_time_decay" -> gold.Attribution.timeDecay(Tables.events(spark, sfDir)),
+      "msprt_daily" -> gold.Sequential.msprtDaily(Tables.events(spark, sfDir)),
+      "cohort_ltv" -> gold.Behavior.cohortLtv(
+        Tables.orders(spark, sfDir).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice")),
+        "o_custkey", "order_date", "o_totalprice"))
     marts.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     source.map(_._1) ++ marts.keys.toSeq
   }
