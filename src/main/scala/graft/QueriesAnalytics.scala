@@ -177,6 +177,16 @@ private[graft] object QueriesAnalytics {
       Some("WITH RECURSIVE " + CleanOrdersCte.stripPrefix("WITH ") +
         gold.Seasonal.holtOracleSql())),
 
+    // Holt-Winters additive forecast with a 7-day season — level, trend,
+    // and day-of-cycle seasonal off one array fold whose step arithmetic
+    // is GENERATED once for both engines (Spark aggregate HOF ≡ the
+    // oracle's recursive CTE), completing the forecasting family.
+    QueryDef("q_holt_winters",
+      (s, d) => gold.Seasonal.holtWintersForecast(
+          Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("h"),
+      Some("WITH RECURSIVE " + CleanOrdersCte.stripPrefix("WITH ") +
+        gold.Seasonal.holtWintersOracleSql())),
+
     // Mann-Whitney U two-sample drift test: exact-rank (unbinned) shift
     // detection on order amounts between periods — doubled midranks,
     // exact tie correction, one mirrored IEEE chain for u/mu/sigma/z.

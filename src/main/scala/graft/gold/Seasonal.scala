@@ -440,6 +440,126 @@ object Seasonal {
       |    'b', 0.3 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b,
       |    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))""".stripMargin
 
+  // ---- Holt-Winters (triple exponential smoothing, additive weekly) ----
+  // The engine-mirroring hazard here is TEXTUAL: l', b', s'ᵢ and the sse
+  // error all reference each other, a HOF lambda cannot name a sibling
+  // field, and the two engines must run the same IEEE chain — so ONE
+  // generator below emits the arithmetic for both (Spark reads state off
+  // `acc.` fields, DuckDB off recursive-CTE columns).
+
+  private val HwAlpha = "0.3"; private val HwBeta = "0.1"
+  private val HwGamma = "0.2"; private val HwSeason = 7
+
+  /** `s[idx]` lookup for idx = (dayCounter % 7), as a 7-way CASE. */
+  private def hwSidx(p: String, t: String): String =
+    s"(CASE $t % $HwSeason " +
+      (1 to HwSeason).map(i => s"WHEN ${i - 1} THEN ${p}s$i ").mkString +
+      "ELSE CAST(NULL AS DOUBLE) END)"
+
+  private def hwLnew(p: String, y: String, t: String): String =
+    s"($HwAlpha * ($y - ${hwSidx(p, t)}) + (1.0 - $HwAlpha) * (${p}l + ${p}b))"
+
+  /** One smoothing step's fields, shared verbatim by both engines.
+    * @param p state prefix ("acc." for the Spark fold, "" for the CTE)
+    * @param y the new observation's SQL text
+    * @param t the day-counter SQL text (days folded so far, 7-phase) */
+  private def hwStep(p: String, y: String, t: String): Seq[(String, String)] = {
+    val lnew = hwLnew(p, y, t)
+    Seq(
+      "l" -> lnew,
+      "b" -> s"($HwBeta * ($lnew - ${p}l) + (1.0 - $HwBeta) * ${p}b)") ++
+      (1 to HwSeason).map(i => s"s$i" ->
+        s"(CASE WHEN $t % $HwSeason = ${i - 1} THEN ($HwGamma * ($y - $lnew) + (1.0 - $HwGamma) * ${p}s$i) ELSE ${p}s$i END)") ++
+      Seq(
+        "t" -> s"($t + 1)",
+        "sse" -> (s"(${p}sse + ($y - (${p}l + ${p}b + ${hwSidx(p, t)}))" +
+          s" * ($y - (${p}l + ${p}b + ${hwSidx(p, t)})))"))
+  }
+
+  /** Deterministic two-week init: l₀ = mean(week1), b₀ = (mean(week2) −
+    * mean(week1))/7, s₀ᵢ = yᵢ − l₀ — every term a fixed left-assoc chain. */
+  private def hwInit(el: Int => String): Seq[(String, String)] = {
+    def mean(from: Int): String =
+      "((" + (from until from + HwSeason).map(el).mkString(" + ") + s") / 7.0)"
+    Seq("l" -> mean(1),
+      "b" -> s"((${mean(8)} - ${mean(1)}) / 7.0)") ++
+      (1 to HwSeason).map(i => s"s$i" -> s"(${el(i)} - ${mean(1)})") ++
+      Seq("t" -> "14", "sse" -> "CAST(0.0 AS DOUBLE)")
+  }
+
+  /** Holt-Winters additive forecast of daily revenue with a 7-day season
+    * (α=0.3, β=0.1, γ=0.2): level + trend + day-of-cycle seasonal, the
+    * completion of the forecasting family (OLS trend → Theil–Sen →
+    * Holt → seasonal). Same shape as [[holtForecast]]: exact decimal
+    * daily sums, one array fold (Spark `aggregate` HOF ≡ the oracle's
+    * recursive CTE — both run the generator's identical IEEE chain),
+    * forecasts for h = 1..horizon off the final state. Needs ≥ 14 days.
+    * Scale: one date-grain partial agg; the fold runs once on the
+    * calendar-bounded daily array. */
+  def holtWintersForecast(cleanOrders: DataFrame, horizon: Int = 14): DataFrame = {
+    val fields = hwStep("acc.", "y", "acc.t")
+      .map { case (n, e) => s"'$n', $e" }.mkString(", ")
+    val init = hwInit(i => s"element_at(ys, $i)")
+      .map { case (n, e) => s"'$n', $e" }.mkString(", ")
+    val fold =
+      s"""aggregate(slice(ys, 15, size(ys) - 14),
+         |  named_struct($init),
+         |  (acc, y) -> named_struct($fields))""".stripMargin
+    val seasonal = "(CASE CAST((n_days + h - 1) % 7 AS INT) " +
+      (1 to HwSeason).map(i => s"WHEN ${i - 1} THEN st.s$i ").mkString +
+      "ELSE CAST(NULL AS DOUBLE) END)"
+    cleanOrders
+      .groupBy(col("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("y"))
+      .agg(sort_array(collect_list(struct(col("order_date").as("d"),
+        col("y").as("y")))).as("s"))
+      .withColumn("ys", expr("transform(s, x -> x.y)"))
+      .filter(size(col("ys")) >= 14)
+      .withColumn("st", expr(fold))
+      .select(explode(expr(s"sequence(1L, ${horizon}L)")).as("h"),
+        col("st"), size(col("ys")).cast("long").as("n_days"))
+      .select(col("h"),
+        (col("st.l") + col("h").cast("double") * col("st.b") +
+          expr(seasonal)).as("forecast"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        expr(seasonal).as("seasonal"),
+        col("st.sse").as("sse"), col("n_days"))
+  }
+
+  /** DuckDB mirror of [[holtWintersForecast]] — the same generated step
+    * arithmetic as a recursive CTE (the [[holtOracleSql]] pattern; i IS
+    * the day counter t). Callers open with `WITH RECURSIVE`. */
+  def holtWintersOracleSql(horizon: Int = 14): String = {
+    val cols = Seq("l", "b") ++ (1 to HwSeason).map(i => s"s$i") ++ Seq("t", "sse")
+    val initSel = hwInit(i => s"ys[$i]").map(_._2).mkString(",\n      ")
+    val stepSel = hwStep("", "ys[t + 1]", "t").map(_._2).mkString(",\n      ")
+    val seasonal = "(CASE (n_days + h - 1) % 7 " +
+      (1 to HwSeason).map(i => s"WHEN ${i - 1} THEN s$i ").mkString +
+      "ELSE CAST(NULL AS DOUBLE) END)"
+    s"""
+       |, daily AS (
+       |  SELECT order_date AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+       |  FROM clean_orders GROUP BY 1
+       |), arr AS (
+       |  SELECT list(y ORDER BY d) AS ys FROM daily WHERE 1 = 1
+       |  HAVING count(*) >= 14
+       |), hw(${cols.mkString(", ")}) AS (
+       |    SELECT $initSel FROM arr
+       |  UNION ALL
+       |    SELECT $stepSel
+       |    FROM hw, arr WHERE t < len(ys)
+       |), fit AS (
+       |  SELECT hw.*, CAST(len(ys) AS BIGINT) AS n_days
+       |  FROM hw, arr WHERE t = len(ys)
+       |)
+       |SELECT h, l + CAST(h AS DOUBLE) * b + $seasonal AS forecast,
+       |  l AS level, b AS trend, $seasonal AS seasonal, sse, n_days
+       |FROM fit CROSS JOIN (SELECT unnest(range(1, ${horizon + 1})) AS h)
+       |ORDER BY h""".stripMargin
+  }
+
   /** DuckDB mirror of [[holtForecast]] — the fold runs as a RECURSIVE CTE
     * with the (l, b, sse) state carried as plain columns: one row per
     * step, exactly Spark's left fold. (A list_reduce with a STRUCT

@@ -521,6 +521,43 @@ class EvalDriftSpec extends SparkSpec {
     }
   }
 
+  test("Holt-Winters matches an in-Scala reference fold bit-for-bit") {
+    import graft.gold.Seasonal
+    // y_t = 100 + 5t + s[(t-1)%7], 21 days: reference fold re-runs the
+    // SAME generated arithmetic (init at t=14, idx = t%7, a=.3 b=.1 g=.2)
+    val sPat = Array(30.0, -10.0, 0.0, 20.0, -25.0, -5.0, -10.0)
+    val ys = (1 to 21).map(t => 100.0 + 5.0 * t + sPat((t - 1) % 7)).toArray
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      (y, java.sql.Date.valueOf(java.time.LocalDate.of(1996, 3, 1).plusDays(i)))
+    }.toSeq.toDF("o_totalprice", "order_date")
+    // reference: two-week init, fold days 15..21
+    def mean(from: Int) = (from until from + 7).map(i => ys(i - 1)).sum / 7.0
+    var l = mean(1); var b = (mean(8) - mean(1)) / 7.0
+    val s = Array.tabulate(7)(i => ys(i) - mean(1))
+    var t = 14; var sse = 0.0
+    while (t < ys.length) {
+      val y = ys(t); val idx = t % 7
+      val e = y - (l + b + s(idx))
+      val lNew = 0.3 * (y - s(idx)) + (1.0 - 0.3) * (l + b)
+      val bNew = 0.1 * (lNew - l) + (1.0 - 0.1) * b
+      s(idx) = 0.2 * (y - lNew) + (1.0 - 0.2) * s(idx)
+      sse = sse + e * e
+      l = lNew; b = bNew; t += 1
+    }
+    val out = Seasonal.holtWintersForecast(rows).orderBy("h").collect()
+    assert(out.length == 14)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(r.getAs[Long]("n_days") == 21L)
+      assert(r.getAs[Double]("level") == l, s"level @h=$h")
+      assert(r.getAs[Double]("trend") == b, s"trend @h=$h")
+      assert(r.getAs[Double]("sse") == sse, s"sse @h=$h")
+      val sea = s((21 + h - 1) % 7)
+      assert(r.getAs[Double]("seasonal") == sea, s"seasonal @h=$h")
+      assert(r.getAs[Double]("forecast") == l + h.toDouble * b + sea, s"forecast @h=$h")
+    }
+  }
+
   test("price elasticity recovers a planted power law") {
     import graft.gold.Elasticity
     // qty = price^-2 exactly: elasticity slope must be -2 (up to the
