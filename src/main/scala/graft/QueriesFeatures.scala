@@ -1023,6 +1023,16 @@ private[graft] object QueriesFeatures {
         .orderBy("doc_id"),
       None),
 
+    // Uplift T-learner decile table (Künzel et al.; Qini): two seeded LR
+    // fits over the md5-split arms, predicted vs actual per-decile uplift
+    // + the cumulative Qini curve. Rows-only: learned LR weights are
+    // engine-local (SURVEY §4); MlSpec binds a planted heterogeneous
+    // effect (top decile captures it, bottom does not, Qini ends at the
+    // true incremental total).
+    QueryDef("q_uplift_deciles",
+      (s, d) => ml.Uplift.upliftDeciles(Tables.events(s, d)),
+      None),
+
     QueryDef("q_fraud_summary",
       (s, d) => FraudSummary.fraudSummaryDaily(Tables.events(s, d))
         .select("event_date", "total_events", "error_events", "purchase_events",

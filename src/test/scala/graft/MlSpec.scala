@@ -219,4 +219,48 @@ class MlSpec extends SparkSpec {
     assert(g.getAs[Double]("brier_cal") >= 0.0 &&
       g.getAs[Double]("brier_raw") >= 0.0)
   }
+
+  test("uplift T-learner: top deciles capture a planted heterogeneous effect") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // recover the engine's md5 arm so the planted effect is real
+    def treated(uid: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000 < 5000
+    }
+    // heterogeneous effect: "responders" (uid % 10 >= 5, visible to the
+    // model as many clicks) convert ONLY when treated; non-responders
+    // never convert. True uplift = 1 for responders, 0 otherwise.
+    val us = 1000000L
+    val ev = (1L to 2000L).flatMap { uid =>
+      val responder = uid % 10 >= 5
+      val clicks = (1 to (if (responder) 8 else 1)).map(k =>
+        (uid * 100 + k, uid, "click", 0.0, (uid * 1000 + k) * us))
+      val buy = if (responder && treated(uid))
+        Seq((uid * 100 + 99, uid, "purchase", 1.0, (uid * 1000 + 500) * us))
+      else Seq.empty
+      clicks ++ buy
+    }.toDF("event_id", "user_id", "event_type", "value", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val out = ml.Uplift.upliftDeciles(ev).orderBy("decile").collect()
+    assert(out.length == 10)
+    // population accounting: every user landed in exactly one decile
+    assert(out.map(_.getAs[Long]("n")).sum == 2000L)
+    // the model must rank responders first: top decile all-responder
+    // (actual uplift ~1), bottom decile all non-responder (~0)
+    val top = out.head; val bottom = out.last
+    assert(top.getAs[Double]("actual_uplift") > 0.8,
+      s"top ${top.getAs[Double]("actual_uplift")}")
+    assert(math.abs(bottom.getAs[Double]("actual_uplift")) < 0.2,
+      s"bottom ${bottom.getAs[Double]("actual_uplift")}")
+    // Qini at depth 10 = total incremental conversions (control scaled):
+    // all conversions are treated responders, control arm converts zero
+    val convTotal = out.map(_.getAs[Long]("conv_treat")).sum
+    assert(convTotal > 300L) // ~half of the ~1000 responders are treated
+    val qiniFinal = out.last.getAs[Double]("qini")
+    assert(math.abs(qiniFinal - convTotal.toDouble) < 1e-9)
+  }
 }
