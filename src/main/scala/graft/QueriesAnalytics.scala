@@ -1381,8 +1381,8 @@ private[graft] object QueriesAnalytics {
         |, dw AS (
         |  SELECT *,
         |    CAST(floor(purchase_value * 1000000.0) AS BIGINT) AS vm,
-        |    CAST(floor(CAST(CAST(power(2.0, -(CAST(p_ts_us - t_ts_us AS DOUBLE)
-        |      / 21600000000.0)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS wm
+        |    greatest(CAST(floor(CAST(CAST(power(2.0, -(CAST(p_ts_us - t_ts_us AS DOUBLE)
+        |      / 21600000000.0)) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT), 1) AS wm
         |  FROM cred
         |), dc AS (
         |  SELECT *, (vm * wm) // sum(wm) OVER (PARTITION BY purchase_id) AS credit_micro

@@ -1358,10 +1358,11 @@ private[graft] object QueriesTextSim {
       (s, d) => text.Winnow.docSummary(Tables.documents(s, d)),
       Some(text.Winnow.docSummaryOracleSql)),
 
-    // Winnowing near-dup candidates: docs sharing ≥2 selected fingerprint
-    // hashes, behind the band-store occupancy governor (hot grams shared
-    // by half the corpus are dropped before the pair join) — the
-    // position-robust substring complement to q_neardup_pairs.
+    // Winnowing near-dup candidates: docs sharing ≥8 selected fingerprint
+    // hashes behind a 16-doc occupancy governor (hot grams shared across
+    // the corpus are dropped before the pair join; defaults tuned on the
+    // template-heavy synthetic corpus) — the position-robust substring
+    // complement to q_neardup_pairs.
     QueryDef("q_winnow_pairs",
       (s, d) => text.Winnow.candidatePairs(Tables.documents(s, d)),
       Some(text.Winnow.candidatePairsOracleSql())),

@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   * users convert; attribution says which touches paid for it.
   *
   * Scale shape: the purchase×touch pairing is the RangeJoin bin trick
-  * (operators/RangeJoin.scala), not an inequality join — a ≤24h lookback
-  * spans at most 2 calendar days, so each purchase explodes to exactly 2
-  * (user, day) keys and equi-joins touches on (user, day) before the
-  * exact interval filter. Pair volume is bounded by per-user daily
-  * activity, never corpus²; Catalyst plans a shuffled hash join, not the
-  * BroadcastNestedLoopJoin the raw interval predicate would get.
+  * (operators/RangeJoin.scala), not an inequality join — each purchase
+  * explodes to the ⌈lookback/24h⌉+1 calendar days its window touches
+  * (2 keys at the default 24h) and equi-joins touches on (user, day)
+  * before the exact interval filter. Pair volume is bounded by per-user
+  * daily activity, never corpus²; Catalyst plans a shuffled hash join,
+  * not the BroadcastNestedLoopJoin the raw interval predicate would get.
   * Credit windows partition by purchase — bounded by one user's window
   * activity.
   */
@@ -50,13 +50,13 @@ object Attribution {
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("value").as("purchase_value"), col("ts_us").as("p_ts_us"))
-      // array_distinct collapses the 2 bins to 1 when the lookback stays
-      // in-day — row-local, no dedup shuffle after the explode. Bins use
-      // exact integer `div` (µs magnitudes lose sub-unit precision as
-      // doubles).
-      .withColumn("_bin", explode(array_distinct(array(
-        expr(s"(p_ts_us - ${lookUs}L) div ${DayUs}L"),
-        expr(s"p_ts_us div ${DayUs}L")))))
+      // every calendar day the lookback window touches (⌈look/24h⌉+1 bins,
+      // row-local sequence — a 24h lookback emits its usual ≤2 bins, and
+      // longer lookbacks stay correct instead of silently missing the
+      // intermediate days). Bins use exact integer `div` (µs magnitudes
+      // lose sub-unit precision as doubles).
+      .withColumn("_bin", explode(expr(
+        s"sequence((p_ts_us - ${lookUs}L) div ${DayUs}L, p_ts_us div ${DayUs}L)")))
     val touches = base
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_id").as("touch_id"), col("user_id"),
@@ -138,10 +138,13 @@ object Attribution {
     val wP = Window.partitionBy(col("purchase_id"))
     multiTouch(events, lookbackHours)
       .withColumn("_vm", floor(col("purchase_value") * lit(1000000.0)).cast("long"))
-      // w = 2^(−Δt/h) ∈ (2^-(lookback/h), 1]; float32-round → micro ints
+      // w = 2^(−Δt/h) ∈ (2^-(lookback/h), 1]; float32-round → micro ints,
+      // clamped to ≥1µ so a short halflife can never floor EVERY weight
+      // of a purchase to 0 and divide its credits by a zero Σw (inert at
+      // the 6h/24h defaults, where the minimum weight is 62500µ)
       .withColumn("_wm", expr(
-        "CAST(floor(CAST(CAST(power(2.0D, -(CAST(p_ts_us - t_ts_us AS DOUBLE) " +
-          s"/ ${halfUs}D)) AS FLOAT) AS DOUBLE) * 1000000.0D) AS BIGINT)"))
+        "greatest(CAST(floor(CAST(CAST(power(2.0D, -(CAST(p_ts_us - t_ts_us AS DOUBLE) " +
+          s"/ ${halfUs}D)) AS FLOAT) AS DOUBLE) * 1000000.0D) AS BIGINT), 1L)"))
       .withColumn("_wsum", sum(col("_wm")).over(wP))
       .withColumn("_credit_micro", expr("(_vm * _wm) div _wsum"))
       .groupBy("touch_type")
@@ -195,9 +198,8 @@ object Attribution {
       .select(col("event_id").as("purchase_id"), col("user_id"),
         floor(col("value") * lit(1000000.0)).cast("long").as("value_micro"),
         col("ts_us").as("p_ts_us"))
-      .withColumn("_bin", explode(array_distinct(array(
-        expr(s"(p_ts_us - ${lookUs}L) div ${DayUs}L"),
-        expr(s"p_ts_us div ${DayUs}L")))))
+      .withColumn("_bin", explode(expr(
+        s"sequence((p_ts_us - ${lookUs}L) div ${DayUs}L, p_ts_us div ${DayUs}L)")))
     val chanIdx = ShapleyChannels.zipWithIndex
       .foldLeft(lit(null).cast("int")) { case (acc, (c, i)) =>
         when(col("event_type") === c, lit(i)).otherwise(acc) }

@@ -57,14 +57,11 @@ object RemovalEffect {
       .withColumn("p_rn",
         min(when(col("typ") === "purchase", col("rn"))).over(wAll))
       .filter(col("p_rn").isNull || col("rn") <= col("p_rn"))
-    val wOrd2 = Window.partitionBy("user_id", "day")
-      .orderBy("ts_us", "event_id")
-    val wAll2 = Window.partitionBy("user_id", "day")
     val marked = kept
-      .withColumn("from_s", coalesce(lag(col("typ"), 1).over(wOrd2), lit("start")))
+      .withColumn("from_s", coalesce(lag(col("typ"), 1).over(wOrd), lit("start")))
       .withColumn("to_s",
         when(col("typ") === "purchase", lit("conv")).otherwise(col("typ")))
-      .withColumn("max_rn", max(col("rn")).over(wAll2))
+      .withColumn("max_rn", max(col("rn")).over(wAll))
     val inner = marked.select(col("from_s"), col("to_s"), col("value"),
       (col("to_s") === "conv").as("is_conv"))
     // non-converting journeys absorb into 'null' after their last event
@@ -127,6 +124,18 @@ object RemovalEffect {
   def attribution(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     val (trans, totalMicro) = chainState(events)
+    val schema0 = StructType(Seq(
+      StructField("touch_type", StringType, nullable = false),
+      StructField("full_conv_q12", LongType, nullable = false),
+      StructField("removal_conv_q12", LongType, nullable = false),
+      StructField("removal_effect_q12", LongType, nullable = false),
+      StructField("share", DoubleType, nullable = true),
+      StructField("attributed_revenue", DoubleType, nullable = true)))
+    // degenerate corpus (no chain events at all): the oracle's empty
+    // trans CTE yields zero rows — mirror that instead of 4 zero rows
+    if (trans.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema0)
     val full = absorb(trans.map { case (f, t, c, out) => (f, t, c * Q6 / out) })
     val rows = Channels.map { ch =>
       val removed = absorb(removalEdges(trans, ch))
@@ -142,15 +151,8 @@ object RemovalEffect {
         if (totRe != 0L) share else null,
         if (totRe != 0L) attributed else null)
     }
-    val schema = StructType(Seq(
-      StructField("touch_type", StringType, nullable = false),
-      StructField("full_conv_q12", LongType, nullable = false),
-      StructField("removal_conv_q12", LongType, nullable = false),
-      StructField("removal_effect_q12", LongType, nullable = false),
-      StructField("share", DoubleType, nullable = true),
-      StructField("attributed_revenue", DoubleType, nullable = true)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1), schema)
+      spark.sparkContext.parallelize(out, 1), schema0)
       .orderBy("touch_type")
   }
 

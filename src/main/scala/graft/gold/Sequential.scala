@@ -38,8 +38,8 @@ object Sequential {
       .agg(min(col("d")).as("d_exp"),
         min(when(col("event_type") === "purchase", col("d"))).as("d_conv"))
       .withColumn("arm", when(
-        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10000")
-          < 5000, lit("A")).otherwise(lit("B")))
+        graft.operators.Sampling.hashBp(col("user_id")) < 5000,
+        lit("A")).otherwise(lit("B")))
     // calendar spine × 2 arms (tiny literal cross), day-grain increments,
     // arm-partitioned prefix sums = cumulative exposure/conversion counts
     val days = base.select(col("d")).distinct()

@@ -57,8 +57,7 @@ object Uplift {
           .otherwise(lit(0.0))).as("total_value"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
       .withColumn("treated",
-        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10000")
-          < 5000)
+        graft.operators.Sampling.hashBp(col("user_id")) < 5000)
 
   /** T-learner decile table: per predicted-uplift decile, arm sizes and
     * conversions, actual vs mean predicted uplift, and the cumulative

@@ -180,9 +180,14 @@ object Winnow {
     // recursive lookup: flat appends and keyed batch slices read as one.
     // The doc-grain distinct makes occupancy count DOCUMENTS per hash
     // (candidatePairs' fpd semantics) and armors the governor against
-    // duplicated rows from overlapping slices.
-    val store = spark.read.option("recursiveFileLookup", "true").parquet(path)
-      .select("doc_id", "fp_hash").distinct()
+    // duplicated rows from overlapping slices. Persisted: the hot set and
+    // both sides of the pair self-join would otherwise re-run the store
+    // scan + distinct shuffle three times (same reason candidatePairs
+    // persists its fp frame).
+    releaseCache()
+    val store = persisted(
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .select("doc_id", "fp_hash").distinct())
     val hot = store.groupBy("fp_hash")
       .agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") > maxBucket)

@@ -347,6 +347,26 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(out.values.map(_.getAs[Double]("phi_share")).sum - 1.0) < 1e-12)
   }
 
+  test("lookbacks beyond 24h keep intermediate-day touches (bin sequence)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val H = 3600L * 1000000L
+    // purchase at hour 73 (day 4, 01:00); click at hour 36 (day 2, 12:00)
+    // is 37h before — inside a 48h window but on a day NEITHER window
+    // endpoint lands on: the old 2-bin explode missed it entirely
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, 36L * H),
+      (2L, 1L, "purchase", 6.0, 73L * H)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_s_us")
+      .withColumn("ts", timestamp_micros(col("ts_s_us"))).drop("ts_s_us")
+    val phi = Attribution.shapley(ev, lookbackHours = 48).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("phi_revenue")).toMap
+    assert(phi("click") === 6.0)
+    val credit = Attribution.timeDecay(ev, lookbackHours = 48)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("decay_credit")).toMap
+    assert(credit("click") === 6.0) // sole touch takes the full value
+  }
+
   test("shapley rewards synergy that linear credit splits blindly") {
     val spark2 = spark
     import spark2.implicits._
