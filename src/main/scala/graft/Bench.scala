@@ -46,6 +46,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // inter-query isolation: sweep every operator-local persist + the
+      // session cache BEFORE timing, so a query's number reflects its own
+      // plan rather than the memory/GC pressure of the 100+ queries that
+      // ran before it in alphabet order (the r11 phantom-regression class:
+      // same plan 13.2s in-run vs 2.6s isolated)
+      util.CacheRegistry.releaseAll(spark)
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() would let
       // Catalyst prune expensive projections and undermeasure the query).

@@ -55,6 +55,10 @@ object Marts {
       // r11 wave 3: the attribution/experimentation/cohort marts.
       // (removal-effect attribution is NOT a view: its driver-side chain
       // iteration executes eagerly, and register() must stay job-free)
+      // NOTE: attribution_shapley shares Attribution's single-live-frame
+      // cache (a later direct shapley() call unpersists this view's
+      // maskAgg — results stay correct; only the compute-once persist
+      // property is scoped to the newest frame)
       "attribution_shapley" -> gold.Attribution.shapley(Tables.events(spark, sfDir)),
       "attribution_time_decay" -> gold.Attribution.timeDecay(Tables.events(spark, sfDir)),
       "msprt_daily" -> gold.Sequential.msprtDaily(Tables.events(spark, sfDir)),

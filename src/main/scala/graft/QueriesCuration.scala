@@ -752,6 +752,17 @@ private[graft] object QueriesCuration {
         .orderBy("doc_id"),
       Some(text.StupidBackoff.oracleSql)),
 
+    // Interpolated Kneser–Ney bigram LM (absolute discount D=0.75 +
+    // continuation counts): the quality rung above Stupid Backoff —
+    // integer-exact counts and count-distincts, one fixed-order IEEE
+    // score expression shared verbatim with the oracle, micro-nat
+    // quantization. Trains on the 80% hash split, scores held-out docs;
+    // per-doc tier counts (bi/cont/oov) ride along.
+    QueryDef("q_kneser_ney",
+      (s, d) => text.KneserNey.docLogProb(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.KneserNey.oracleSql)),
+
     // CCNet perplexity buckets: every document ranked by bigram-LM
     // fluency and cut into head/middle/tail terciles — the quality
     // stratification deciding which crawl slice trains at full weight.

@@ -27,7 +27,14 @@ object Attribution {
   // shapley's mask-grain frame (≤ 2^k − 1 rows) feeds THREE lattice
   // consumers (v(S) via s0 and s1, journeys_touched) — without a persist
   // each re-derives the corpus-sized purchase×touch pairing. Same
-  // cache-lifecycle contract as Basket.releaseCache.
+  // cache-lifecycle contract as Basket.releaseCache. SINGLE-LIVE-FRAME
+  // limitation: releaseCache() at the top of each shapley() call
+  // unpersists the PREVIOUS frame's maskAgg, so when two shapley frames
+  // coexist (e.g. the registered attribution_shapley mart view plus a
+  // later direct call) the older one silently recomputes the pairing on
+  // each consumer — correct results, just without the compute-once
+  // property. Callers needing coexisting frames should execute each
+  // frame fully before constructing the next.
   @volatile private var caches: List[DataFrame] = Nil
   def releaseCache(): Unit = synchronized {
     caches.foreach(_.unpersist(blocking = false))

@@ -104,11 +104,15 @@ object Uplift {
     val wCum = Window.partitionBy(lit(1)).orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perTile
+      // a leading decile with zero cumulative controls (skewed arms or a
+      // tiny corpus) has no defined control baseline — emit null like
+      // actual_uplift does, never NaN/Infinity from a 0-denominator
       .withColumn("qini",
-        sum(col("conv_treat")).over(wCum).cast("double") -
-          sum(col("conv_ctrl")).over(wCum).cast("double") *
-            (sum(col("n_treat")).over(wCum).cast("double") /
-              sum(col("n_ctrl")).over(wCum).cast("double")))
+        when(sum(col("n_ctrl")).over(wCum) > 0L,
+          sum(col("conv_treat")).over(wCum).cast("double") -
+            sum(col("conv_ctrl")).over(wCum).cast("double") *
+              (sum(col("n_treat")).over(wCum).cast("double") /
+                sum(col("n_ctrl")).over(wCum).cast("double"))))
       .select("decile", "n", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
         "predicted_uplift", "actual_uplift", "qini")
       .orderBy("decile")

@@ -498,4 +498,32 @@ object StreamOps {
         col("e_ts") <= col("p_ts"),
       "left_outer")
   }
+
+  /** FULL OUTER stream-stream interval join — the reconciliation shape
+    * where EITHER side can be absent (the reference analog: refunds ↔
+    * payments, where an unmatched refund and an unmatched payment are
+    * BOTH exceptions to surface): matched purchase/error rows emit as
+    * soon as both sides arrive; an unmatched purchase null-pads on the
+    * error side and an unmatched error null-pads on the purchase side,
+    * each only once its own watermark proves no in-window partner can
+    * still arrive. State stays bounded exactly as in the inner/left
+    * variants — the watermark + the time-range predicate let Spark evict
+    * both sides, and the two null-padded emissions ARE the evictions. */
+  def purchaseErrorFullJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("ts").as("e_ts"), col("user_id").as("e_user"),
+        col("event_id").as("e_event_id"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"),
+      "full_outer")
+  }
 }

@@ -82,11 +82,23 @@ object MinHash {
       .drop("b")
   }
 
-  /** Candidate near-dup pairs: docs sharing any band bucket. */
-  def candidatePairs(documents: DataFrame): DataFrame = {
+  /** Candidate near-dup pairs: docs sharing any band bucket, governed by
+    * the same `maxBucket` hot-bucket cap as [[nearDupPairsWithSizes]] (and
+    * as the oracle CTEs this object generates): an ungoverned boilerplate
+    * band bucket of m docs would emit m² pairs — the exact quadratic the
+    * governor exists to kill at 100 TB. The HOT set (buckets over the cap)
+    * is what is small — bounded by corpus/maxBucket — so it broadcasts
+    * into a left-anti join; the kept band rows stay distributed. */
+  def candidatePairs(documents: DataFrame,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val b = bands(signaturesArr(documents))
-    val l = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band_idx").as("r_band_idx"), col("band_hash").as("r_band_hash"),
+    val hot = b.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select("band_idx", "band_hash")
+    val cool = b.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val l = cool.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = cool.select(col("band_idx").as("r_band_idx"), col("band_hash").as("r_band_hash"),
       col("doc_id").as("doc_b"))
     l.join(r, col("band_idx") === col("r_band_idx") &&
         col("band_hash") === col("r_band_hash") && col("doc_a") < col("doc_b"))
@@ -147,7 +159,12 @@ object MinHash {
     * bucket-size governor (generated from the same DefaultMaxBucket
     * constant), so oracle parity holds even when a corpus has a hot
     * boilerplate bucket. */
-  def candidatePairsSqlCtes: String = {
+  def candidatePairsSqlCtes: String = candidatePairsSqlCtesAt(DefaultMaxBucket)
+
+  /** [[candidatePairsSqlCtes]] at an explicit governor cap — lets specs
+    * force a `maxBucket` small enough that the governor BINDS and still
+    * compare Spark against a same-constant oracle. */
+  def candidatePairsSqlCtesAt(maxBucket: Int): String = {
     val sigList = (0 until NumHashes).map(sigExpr).mkString(",\n    ")
     val bandSelects = (0 until Bands).map { bnd =>
       val cols = (bnd * RowsPerBand until (bnd + 1) * RowsPerBand)
@@ -163,7 +180,7 @@ object MinHash {
          |    $bandSelects
          |), hot AS (
          |  SELECT band_idx, band_hash FROM band_all
-         |  GROUP BY band_idx, band_hash HAVING count(*) > $DefaultMaxBucket
+         |  GROUP BY band_idx, band_hash HAVING count(*) > $maxBucket
          |), band AS (
          |  SELECT ba.* FROM band_all ba
          |  WHERE NOT EXISTS (SELECT 1 FROM hot h

@@ -57,12 +57,23 @@ object Winnow {
 
   /** Per-gram hashes: one row per (doc, pos) with the 28-bit md5-prefix
     * hash of the k-gram starting at pos (1-based). Docs shorter than K
-    * emit nothing. */
+    * emit nothing. Docs at or beyond PosBase chars FAIL LOUDLY: the
+    * packed key (h+1)·PosBase − pos is only injective below PosBase, and
+    * an oversized doc would silently decode wrong fp_hash/fp_pos in both
+    * engines (the oracle mirrors the packing, so the cross-engine compare
+    * could never catch the corruption). The guard lives inside the
+    * evaluated pos expression so column pruning cannot elide it. */
   def gramHashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .filter(length(col(textCol)) >= K)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col(textCol)) - (K - 1))).as("pos"),
+        explode(sequence(lit(1),
+          when(length(col(textCol)) < lit(PosBase),
+              length(col(textCol)) - (K - 1))
+            .otherwise(raise_error(concat(lit("winnowing fingerprint "
+              + s"position packing requires docs shorter than $PosBase "
+              + "chars; got "), length(col(textCol)), lit(" chars for "
+              + "doc_id "), col("doc_id"))).cast("int")))).as("pos"),
         col(textCol))
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(expr(s"substring($textCol, pos, $K)")), 1, 7),

@@ -749,6 +749,45 @@ class CurationSpec extends SparkSpec {
     assert(out(15L).getAs[Long]("sum_lp_micro") == micro(0.16 * (0.5 / 9.0)))
   }
 
+  test("Kneser-Ney interpolation matches hand math incl. the continuation-count edge") {
+    import graft.text.KneserNey
+    import spark.implicits._
+    // train = doc_id % 5 != 0. Train bigrams (one <s> pad):
+    //   (<s>,a):2 (a,b):2 (<s>,c):1 (c,b):1 (<s>,x):3 (x,franc):3
+    // → n_types=6; c_hist: <s>:6 a:2 c:1 x:3; N1+(v·): <s>:3 a:1 c:1 x:1;
+    //   N1+(·w): a:1 b:2 c:1 x:1 franc:1.
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "c b"),
+      (4L, "x franc"), (6L, "x franc"), (7L, "x franc"),
+      (5L, "a q"),     // bi tier + OOV floor
+      (10L, "b franc") // cont tier twice, incl. the Francisco edge
+    ).toDF("doc_id", "text")
+    val out = KneserNey.docLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L))
+    def micro(x: Double): Long = math.floor(math.log(x).toFloat.toDouble * 1e6).toLong
+
+    // doc 5 "a q": (<s>,a) seen bigram; (a,q) has seen history, OOV word.
+    assert(out(5L).getAs[Long]("n_bi") == 1L && out(5L).getAs[Long]("n_oov") == 1L)
+    val pSa = (2.0 - 0.75) / 6.0 + ((0.75 * 3.0) / 6.0) * (1.0 / 6.0) // 0.270833…
+    val pAq = 0.0 / 2.0 + ((0.75 * 1.0) / 2.0) * (0.5 / 6.0)          // 0.03125
+    assert(out(5L).getAs[Long]("sum_lp_micro") == micro(pSa) + micro(pAq))
+
+    // doc 10 "b franc": (<s>,b) unseen bigram → discounted mass × P_cont(b);
+    // (b,franc) unseen HISTORY → pure P_cont(franc).
+    assert(out(10L).getAs[Long]("n_cont") == 2L)
+    val pSb = 0.0 / 6.0 + ((0.75 * 3.0) / 6.0) * (2.0 / 6.0)  // 0.125
+    val pBf = 1.0 / 6.0                                        // 0.166667…
+    assert(out(10L).getAs[Long]("sum_lp_micro") == micro(pSb) + micro(pBf))
+
+    // THE KN edge: 'franc' occurs 3 times (raw unigram share 3/12 = 0.25)
+    // but always after the same history, so its continuation probability
+    // is only N1+(·franc)/n_types = 1/6 — the model scores it BELOW the
+    // twice-seen-but-two-histories 'b' (2/6), where raw-frequency backoff
+    // would rank them the other way around.
+    assert(pBf < 2.0 / 6.0 && pBf < 3.0 / 12.0)
+  }
+
   test("compression ratio orders repetitive < prose < random; flags and " +
        "determinism hold") {
     import graft.text.CompressRatio

@@ -87,6 +87,34 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a >= 10L && b >= 10L } == 20 * 19 / 2)
   }
 
+  test("candidatePairs applies the same hot-bucket governor as nearDupPairs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"w$i").mkString(" ")
+    // 20 identical boilerplate docs → one hot bucket per band; at
+    // maxBucket=5 the governor must BIND and drop all 190 boiler pairs.
+    val boiler = (10L to 29L).map(i => (i, (1 to 40).map(j => s"b$j").mkString(" ")))
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ boiler).toDF("doc_id", "text")
+    val capped = MinHash.candidatePairs(docs, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))                    // normal pair kept
+    assert(!capped.exists { case (a, _) => a >= 10L })   // hot bucket dropped
+    // Parity with the oracle-verified twin: the governed candidate set IS
+    // nearDupPairs' pair set at the same cap (nearDupPairs only adds the
+    // verification columns) — so candidatePairs inherits its oracle.
+    val twin = MinHash.nearDupPairs(docs, maxBucket = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == twin)
+    // Ungoverned default cap keeps the boiler family (bucket of 20 < 1000).
+    val open = MinHash.candidatePairs(docs).as[(Long, Long)].collect().toSet
+    assert(open.count { case (a, b) => a >= 10L && b >= 10L } == 20 * 19 / 2)
+    // The governed-oracle CTE builder emits the SAME cap constant the
+    // Spark path defaults to — the compare can't silently diverge.
+    assert(MinHash.candidatePairsSqlCtes
+      .contains(s"count(*) > ${MinHash.DefaultMaxBucket}"))
+    assert(MinHash.candidatePairsSqlCtesAt(5).contains("count(*) > 5"))
+  }
+
   test("connected components converge across a long chain") {
     import spark.implicits._
     // path graph 1-2-...-10 (diameter 9 forces multiple propagation rounds)

@@ -401,6 +401,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(!_.isNullAt(batch.head.fieldIndex("e_event_id"))))
   }
 
+  test("FULL OUTER stream-stream interval join null-pads BOTH unmatched " +
+    "sides on watermark expiry, matching the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, TinySf)
+      .select("ts", "user_id", "event_id", "event_type", "value")
+    val rows = events
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect().toSeq
+    val maxTs = rows.map(_._1.getTime).max
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    stream.addData(rows)
+    val q = StreamOps.purchaseErrorFullJoin(
+        stream.toDF.toDF("ts", "user_id", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ssj_full_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // far-future sentinels advance both watermarks so every unmatched
+    // real row on EITHER side is provably beyond late partners and must
+    // emit null-padded; the sentinels themselves are excluded below
+    val future = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    stream.addData(Seq(
+      (future, 999999L, 888888L, "purchase", 0.0),
+      (future, 999998L, 888889L, "error", 0.0)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssj_full_out")
+      .filter((col("p_event_id").isNull || col("p_event_id") =!= 888888L) &&
+        (col("e_event_id").isNull || col("e_event_id") =!= 888889L))
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    val batch = StreamOps.purchaseErrorFullJoin(events)
+      .orderBy("p_event_id", "e_event_id").collect().toSeq
+    assert(streamed == batch)
+    // all three row classes must actually exercise: matched pairs,
+    // error-side-null purchases, purchase-side-null errors
+    val pIdx = batch.head.fieldIndex("p_event_id")
+    val eIdx = batch.head.fieldIndex("e_event_id")
+    assert(batch.exists(r => !r.isNullAt(pIdx) && !r.isNullAt(eIdx)))
+    assert(batch.exists(r => !r.isNullAt(pIdx) && r.isNullAt(eIdx)),
+      "test corpus must contain error-free purchases")
+    assert(batch.exists(r => r.isNullAt(pIdx) && !r.isNullAt(eIdx)),
+      "test corpus must contain errors preceding no purchase")
+  }
+
   test("watermarked streaming dedup drops replayed events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
