@@ -76,6 +76,9 @@ object BloomDedup {
       .agg(bit_or(call_function("shiftleft", lit(1L), col("pos") % 64)).as("bits"))
       .withColumn("m_bits", lit(mBits))
       .withColumn("n_hashes", lit(nHashes))
+      // ≤ m_bits/64 tiny rows per slice: one file per write keeps the
+      // store's file count at the number of appends, not appends×partitions
+      .coalesce(1)
       .write.mode(mode).parquet(storePath)
   }
 
@@ -104,18 +107,51 @@ object BloomDedup {
     (g(0).getInt(0), g(0).getInt(1))
   }
 
-  /** OR-fold the store's word rows into ONE packed-bitset row — the
-    * merged filter over every slice ever appended. ≤ m_bits/64 rows in,
-    * 1 row out. */
+  /** OR-fold the store's word rows into one dense packed bitset on the
+    * DRIVER (one job: scan + word-grain partial agg + collect of
+    * ≤ m_bits/64 longs). Bounded state by geometry, and no NEW bound: the
+    * probe broadcasts this exact array to every executor anyway, so any
+    * geometry whose bitset fits an executor fits the driver. (The first
+    * cut assembled the dense array with per-word element_at over a Spark
+    * MAP — a linear scan per lookup, O(words²) ≈ 10⁸ comparisons in one
+    * task at the 2²⁰-bit default; measured ~15 s of wall time.) */
+  def foldedBitset(spark: SparkSession, storePath: String,
+                   mBits: Int): Array[Long] =
+    foldedBitsetWithGeometry(spark, storePath) match {
+      case (dense, gotBits, _) =>
+        require(gotBits == mBits,
+          s"bloom store $storePath geometry $gotBits != expected $mBits")
+        dense
+    }
+
+  /** One-pass fold + geometry read: scan the store once, OR-fold at word
+    * grain while checking geometry consistency per group (every row is in
+    * some group, so groupwise min==max ⇒ global consistency) — the probe
+    * pays ONE job for what geometry() + a separate fold would pay two. */
+  def foldedBitsetWithGeometry(spark: SparkSession,
+                               storePath: String): (Array[Long], Int, Int) = {
+    val rows = spark.read.parquet(storePath)
+      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"),
+        min(col("m_bits")).as("mb_min"), max(col("m_bits")).as("mb_max"),
+        min(col("n_hashes")).as("nh_min"), max(col("n_hashes")).as("nh_max"))
+      .collect()
+    require(rows.nonEmpty, s"bloom store $storePath is empty")
+    val mBits = rows(0).getInt(2)
+    val nHashes = rows(0).getInt(4)
+    require(rows.forall(r => r.getInt(2) == mBits && r.getInt(3) == mBits &&
+        r.getInt(4) == nHashes && r.getInt(5) == nHashes),
+      s"bloom store $storePath mixes geometries")
+    val dense = new Array[Long](mBits / 64)
+    rows.foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    (dense, mBits, nHashes)
+  }
+
+  /** [[foldedBitset]] as a 1-row DataFrame — the merged filter over every
+    * slice ever appended, for callers comparing stores frame-to-frame. */
   def mergedBitset(spark: SparkSession, storePath: String): DataFrame = {
     val (mBits, _) = geometry(spark, storePath)
-    val words = mBits / 64
-    spark.read.parquet(storePath)
-      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("wm"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+    spark.range(1).select(
+      typedlit(foldedBitset(spark, storePath, mBits).toSeq).as("bloom"))
   }
 
   /** "Might the store contain this hash?" — all n bits set, evaluated
@@ -136,15 +172,16 @@ object BloomDedup {
   def probedDeltaGroups(delta: DataFrame, storePath: String,
                         textCol: String = "text"): DataFrame = {
     val spark = delta.sparkSession
-    val (mBits, nHashes) = geometry(spark, storePath)
+    val (dense, mBits, nHashes) = foldedBitsetWithGeometry(spark, storePath)
+    // the bitset rides into the probe as a literal array (task-binary
+    // broadcast) — no crossJoin barrier, no extra job
+    val bloom = typedlit(dense.toSeq)
     contentHashes(delta, textCol)
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("doc_count"))
-      .crossJoin(broadcast(mergedBitset(spark, storePath)))
       .withColumn("might",
-        mightContain(col("bloom"), col("content_hash"), mBits, nHashes))
-      .drop("bloom")
+        mightContain(bloom, col("content_hash"), mBits, nHashes))
   }
 
   /** Ingest `delta` against a stored base summary (the exactDups frame of
