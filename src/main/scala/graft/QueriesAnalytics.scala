@@ -293,6 +293,55 @@ private[graft] object QueriesAnalytics {
         |  1.0 - var_y_adj / var_y AS var_reduction
         |FROM f ORDER BY arm""".stripMargin)),
 
+    // Difference-in-differences: two-period customer panel, parity arms,
+    // effect = mean(post−pre | A) − mean(post−pre | B). Exact decimal
+    // cell sums, milli-quantized second moments, one IEEE chain (sqrt is
+    // IEEE-exact) — hash-exact like q_cuped.
+    QueryDef("q_did",
+      (s, d) => gold.Experiment.diffInDiff(
+          Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("arm"),
+      Some(CleanOrdersCte +
+        """
+        |, pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN order_date < DATE '1997-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS pre,
+        |    CAST(sum(CASE WHEN order_date >= DATE '1997-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(18,2)) AS post,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM clean_orders GROUP BY o_custkey
+        |), pd AS (
+        |  SELECT arm, pre, post, CAST(post - pre AS DECIMAL(18,2)) AS d,
+        |    CAST(floor(CAST(post - pre AS DOUBLE) * CAST(post - pre AS DOUBLE) * 1000.0) AS BIGINT) AS d2_milli
+        |  FROM pc
+        |), ag AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pre) AS DECIMAL(38,2)) AS spre,
+        |    CAST(sum(post) AS DECIMAL(38,2)) AS spost,
+        |    CAST(sum(d) AS DECIMAL(38,2)) AS sd,
+        |    sum(CAST(d2_milli AS HUGEINT)) AS sd2
+        |  FROM pd GROUP BY 1
+        |), f AS (
+        |  SELECT arm, n,
+        |    CAST(spre AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre,
+        |    CAST(spost AS DOUBLE) / CAST(n AS DOUBLE) AS mean_post,
+        |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_diff,
+        |    CAST(sd2 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)
+        |      - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS var_diff
+        |  FROM ag
+        |), sc AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 'A' THEN mean_diff END)
+        |      - sum(CASE WHEN arm = 'B' THEN mean_diff END) AS did_estimate,
+        |    sqrt(sum(CASE WHEN arm = 'A' THEN var_diff / CAST(n AS DOUBLE) END)
+        |      + sum(CASE WHEN arm = 'B' THEN var_diff / CAST(n AS DOUBLE) END)) AS se_did
+        |  FROM f
+        |)
+        |SELECT arm, n, mean_pre, mean_post, mean_diff, var_diff,
+        |  did_estimate, se_did, did_estimate / se_did AS t_stat
+        |FROM f CROSS JOIN sc ORDER BY arm""".stripMargin)),
+
     // Isotonic (PAV) calibration map: distributed Spark-ML fit; the
     // bounded (boundary, calibrated_p) table serving broadcasts.
     // Rows-only (learned map, SURVEY section 4); MlSpec pins the PAV hand

@@ -763,6 +763,25 @@ private[graft] object QueriesCuration {
         .orderBy("doc_id"),
       Some(text.KneserNey.oracleSql)),
 
+    // Moore–Lewis cross-entropy-difference data selection: held-out docs
+    // scored by an in-domain ('en' train) vs general (all train) unigram
+    // LM pair with the 0.5/N OOV floor; per-token micro-nat quantization,
+    // integer deltas and sums — hash-exact. The exact-unigram ancestor of
+    // the hashed-n-gram DSIR weights (q_dsir_weights).
+    QueryDef("q_moore_lewis",
+      (s, d) => text.MooreLewis.docScores(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.MooreLewis.oracleSql)),
+
+    // BLEU-2 clipped n-gram precision over the bounded same-lang pair
+    // block (the contamination/near-dup VERIFICATION metric): integer
+    // clip counts, brevity penalty, float32-collapsed libm chain shared
+    // verbatim with the oracle.
+    QueryDef("q_bleu_pairs",
+      (s, d) => text.Bleu.bleuPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(text.Bleu.oracleSql())),
+
     // CCNet perplexity buckets: every document ranked by bigram-LM
     // fluency and cut into head/middle/tail terciles — the quality
     // stratification deciding which crawl slice trains at full weight.

@@ -493,6 +493,14 @@ private[graft] object QueriesTextSim {
         .orderBy("lang"),
       Some(graft.text.CorpusStats.zipfFitOracleSql)),
 
+    // Good–Turing frequency-of-frequencies: per-lang N_r table with the
+    // unsmoothed r* = (r+1)·N_{r+1}/N_r adjusted counts and the N₁/N
+    // unseen-mass estimate — integer counts, one IEEE chain per row.
+    QueryDef("q_good_turing",
+      (s, d) => graft.text.CorpusStats.goodTuring(Tables.documents(s, d))
+        .orderBy("lang", "r"),
+      Some(graft.text.CorpusStats.goodTuringOracleSql)),
+
     // Vocabulary-coverage crossing table: smallest frequency-ranked
     // vocab prefix reaching 50/90/95/99% of running tokens — integer
     // crossing tests on one global-rank + one prefix-sum exchange

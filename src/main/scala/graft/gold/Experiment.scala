@@ -88,4 +88,68 @@ object Experiment {
       .withColumn("var_reduction",
         lit(1.0) - col("var_y_adj") / col("var_y"))
   }
+
+  /** Difference-in-differences revenue estimator (Card & Krueger 1994
+    * two-period panel form): each customer contributes a pre-period and a
+    * post-period outcome (decimal sums, 0 when absent — the balanced-panel
+    * convention); with d_i = post_i − pre_i, the effect is
+    *   DiD = mean(d | treated) − mean(d | control),
+    * which nets out both the stable unit level (differencing) and the
+    * common time shock (the control arm). Arms by customer parity — the
+    * same deterministic stand-in as [[cuped]]. Reported per arm: n,
+    * mean_pre, mean_post, mean_diff, var_diff; the scalar did_estimate,
+    * se_did = sqrt(varA/nA + varB/nB) and t_stat repeat on both rows.
+    *
+    * Exactness (§4): pre/post/d are exact decimal sums; d² is
+    * milli-quantized per customer before the integer cell sum (the cuped
+    * second-moment contract); means/vars/se are one fixed-order IEEE
+    * chain (sqrt is IEEE-exact), so the output hash-matches the oracle.
+    * Scale: one customer-grain exchange, one 2-row arm rollup, a 1-row
+    * scalar broadcast back — same shape as cuped.
+    */
+  def diffInDiff(cleanOrders: DataFrame,
+                 cutoff: String = "1997-01-01"): DataFrame = {
+    val cutoffD = to_date(lit(cutoff))
+    val perCust = cleanOrders
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("order_date") < cutoffD,
+          col("o_totalprice").cast("decimal(18,2)")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("pre"),
+        sum(when(col("order_date") >= cutoffD,
+          col("o_totalprice").cast("decimal(18,2)")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("post"))
+      .withColumn("arm",
+        when(col("o_custkey") % 2 === 0, lit("A")).otherwise(lit("B")))
+      .withColumn("d", (col("post") - col("pre")).cast("decimal(18,2)"))
+      // d spans ±~1e6; d²·1e3 ≤ ~1e15 per row — safe in a long (the
+      // cuped milli-scale reasoning)
+      .withColumn("d2_milli",
+        floor(col("d").cast("double") * col("d").cast("double") * lit(1e3))
+          .cast("long"))
+    val sumDec = "decimal(38,0)"
+    val arms = perCust.groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("pre")).cast("decimal(38,2)").as("_spre"),
+        sum(col("post")).cast("decimal(38,2)").as("_spost"),
+        sum(col("d")).cast("decimal(38,2)").as("_sd"),
+        sum(col("d2_milli").cast(sumDec)).cast(sumDec).as("_sd2"))
+      .select(col("arm"), col("n"),
+        (col("_spre").cast("double") / col("n").cast("double")).as("mean_pre"),
+        (col("_spost").cast("double") / col("n").cast("double")).as("mean_post"),
+        (col("_sd").cast("double") / col("n").cast("double")).as("mean_diff"),
+        (col("_sd2").cast("double") / lit(1e3) / col("n").cast("double") -
+          (col("_sd").cast("double") / col("n").cast("double")) *
+            (col("_sd").cast("double") / col("n").cast("double")))
+          .as("var_diff"))
+    val scalars = arms.agg(
+        sum(when(col("arm") === "A", col("mean_diff"))).as("_mdA"),
+        sum(when(col("arm") === "B", col("mean_diff"))).as("_mdB"),
+        sum(when(col("arm") === "A", col("var_diff") / col("n").cast("double"))).as("_vnA"),
+        sum(when(col("arm") === "B", col("var_diff") / col("n").cast("double"))).as("_vnB"))
+      .select((col("_mdA") - col("_mdB")).as("did_estimate"),
+        sqrt(col("_vnA") + col("_vnB")).as("se_did"))
+      .withColumn("t_stat", col("did_estimate") / col("se_did"))
+    arms.crossJoin(broadcast(scalars))
+  }
 }

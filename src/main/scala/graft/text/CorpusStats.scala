@@ -457,4 +457,68 @@ object CorpusStats {
       |SELECT token, c, w_micro, cum_start, cum_start + w_micro AS cum_end,
       |  CAST(w_micro AS DOUBLE) / CAST(total_w AS DOUBLE) AS p
       |FROM cum CROSS JOIN t ORDER BY token""".stripMargin
+
+  /** Good–Turing frequency-of-frequencies table per language (Good 1953;
+    * Gale & Sampson 1995 framing): for each observed frequency r, the
+    * type count N_r, the unsmoothed GT adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (NULL at tail gaps where N_{r+1} = 0 — the
+    * classic estimator edge the smoothed variants exist to fill), the
+    * implied probability r* / N, and the unseen-mass estimate P₀ = N₁/N
+    * repeated per lang. The table is both a smoothing input and a corpus
+    * diagnostic: N₁/N is the expected rate of NOVEL tokens in the next
+    * sample — high P₀ means the corpus is too small for its vocabulary.
+    *
+    * Exactness: r, N_r, N are exact integers; r* is one integer product
+    * then one IEEE division, spelled identically in both engines.
+    * Scale: token explode + (lang, word) partial agg are the only
+    * corpus-scale stages; everything after lives at (lang, r) grain —
+    * O(√N) rows per lang, since Σ r·N_r = N bounds distinct r values. */
+  def goodTuring(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("r"))
+    val coc = vocab.groupBy("lang", "r").agg(count(lit(1)).as("n_r"))
+    val totals = coc.groupBy("lang").agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(lit(0L))).as("n1"))
+    val next = coc.select(col("lang"), (col("r") - 1L).as("r"),
+      col("n_r").as("n_r1"))
+    coc
+      .join(next, Seq("lang", "r"), "left")
+      .join(totals, Seq("lang"))
+      .withColumn("tokens_at_r", col("r") * col("n_r"))
+      .withColumn("r_star",
+        expr("CAST((r + 1) * n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)"))
+      .withColumn("p_gt", expr("r_star / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("p0_unseen",
+        expr("CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+      .select("lang", "r", "n_r", "tokens_at_r", "r_star", "p_gt", "p0_unseen")
+  }
+
+  /** DuckDB mirror of [[goodTuring]]. */
+  def goodTuringOracleSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), vocab AS (
+      |  SELECT lang, word, CAST(count(*) AS BIGINT) AS r FROM tok
+      |  WHERE word <> '' GROUP BY 1, 2
+      |), coc AS (
+      |  SELECT lang, r, CAST(count(*) AS BIGINT) AS n_r FROM vocab GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT lang, CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+      |  FROM coc GROUP BY 1
+      |), nxt AS (
+      |  SELECT lang, r - 1 AS r, n_r AS n_r1 FROM coc
+      |)
+      |SELECT c.lang, c.r, c.n_r, c.r * c.n_r AS tokens_at_r,
+      |  CAST((c.r + 1) * n.n_r1 AS DOUBLE) / CAST(c.n_r AS DOUBLE) AS r_star,
+      |  CAST((c.r + 1) * n.n_r1 AS DOUBLE) / CAST(c.n_r AS DOUBLE)
+      |    / CAST(t.n_tokens AS DOUBLE) AS p_gt,
+      |  CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS p0_unseen
+      |FROM coc c
+      |LEFT JOIN nxt n ON c.lang = n.lang AND c.r = n.r
+      |JOIN tot t ON c.lang = t.lang
+      |ORDER BY c.lang, c.r""".stripMargin
 }

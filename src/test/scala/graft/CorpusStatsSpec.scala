@@ -90,6 +90,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(slope < 0)
   }
 
+  test("Good-Turing counts-of-counts match hand math incl. the tail-gap NULL") {
+    import spark.implicits._
+    // "a a a b b c d e": freqs a:3 b:2 c,d,e:1 -> N_1=3, N_2=1, N_3=1; N=8
+    val docs = Seq((1L, "a a a b b c d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.CorpusStats.goodTuring(docs).orderBy("r").collect()
+    assert(out.map(_.getAs[Long]("r")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_r")).toSeq == Seq(3L, 1L, 1L))
+    assert(out.map(_.getAs[Long]("tokens_at_r")).toSeq == Seq(3L, 2L, 3L))
+    // r*=1: 2*N_2/N_1 = 2/3; r*=2: 3*N_3/N_2 = 3; r=3 has no N_4 -> NULL
+    assert(out(0).getAs[Double]("r_star") == 2.0 / 3.0)
+    assert(out(1).getAs[Double]("r_star") == 3.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("r_star")))
+    assert(out(0).getAs[Double]("p_gt") == 2.0 / 3.0 / 8.0)
+    // unseen mass P0 = N_1/N = 3/8 on every row
+    out.foreach(r => assert(r.getAs[Double]("p0_unseen") == 3.0 / 8.0))
+  }
+
   test("sourceKl is exactly zero for identically-distributed sources and " +
     "positive for a skewed one") {
     import spark.implicits._

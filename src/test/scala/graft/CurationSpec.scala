@@ -788,6 +788,79 @@ class CurationSpec extends SparkSpec {
     assert(pBf < 2.0 / 6.0 && pBf < 3.0 / 12.0)
   }
 
+  test("Moore-Lewis selects in-domain-looking held-out docs and rejects the rest") {
+    import graft.text.MooreLewis
+    import spark.implicits._
+    // train (doc_id % 5 != 0): en docs speak 'alpha beta', de docs speak
+    // 'zug bahn'. Held-out doc 5 is alpha-beta-like -> selected; doc 10
+    // is zug-bahn-like -> rejected (general LM covers both, in-domain
+    // only covers en).
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "beta alpha beta alpha", "en"),
+      (3L, "zug bahn zug bahn", "de"),
+      (4L, "bahn zug bahn zug", "de"),
+      (5L, "alpha beta beta", "en"),
+      (10L, "zug bahn bahn", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = MooreLewis.docScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L))
+    assert(out(5L).getAs[Boolean]("selected"),
+      s"in-domain doc rejected: ${out(5L)}")
+    assert(!out(10L).getAs[Boolean]("selected"),
+      s"out-of-domain doc selected: ${out(10L)}")
+    assert(out(5L).getAs[Long]("n_tokens") == 3L)
+    // hand math for one token: 'alpha' has c_in=4/N_in=8, c_gen=4/N_gen=16
+    // -> delta = ln(1/2) - ln(1/4) = +ln 2 per token; all of doc 5's
+    // tokens have the same 2x in-domain preference
+    def micro(x: Double): Long = math.floor(math.log(x).toFloat.toDouble * 1e6).toLong
+    assert(out(5L).getAs[Long]("sum_delta_micro") ==
+      3L * (micro(0.5) - micro(0.25)))
+    // doc 10's tokens are OOV in the in-domain LM (floor 0.5/8) but seen
+    // in the general LM (4/16) -> strongly negative
+    assert(out(10L).getAs[Long]("sum_delta_micro") ==
+      3L * (micro(0.5 / 8.0) - micro(0.25)))
+  }
+
+  test("BLEU-2 pairs match hand math: clipping, brevity penalty, zero-bigram floor") {
+    import graft.text.Bleu
+    import spark.implicits._
+    def f32(x: Double): Double = x.toFloat.toDouble
+    val docs = Seq(
+      // Papineni's clipping pathology: all-'the' candidate vs a normal ref
+      (1L, "the the the the the the the", "en"),
+      (2L, "the cat is on the mat", "en"),
+      // normal overlap pair (doc_a=11 is the candidate)
+      (11L, "the cat sat", "zh"),
+      (12L, "the cat is", "zh"),
+      // brevity-penalty pair: short candidate, perfect precision
+      (21L, "the cat", "de"),
+      (22L, "the cat is", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Bleu.bleuPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+
+    // clipped unigrams: min(7 'the', 2 'the') = 2; no shared bigram -> 0
+    val p12 = out((1L, 2L))
+    assert(p12.getAs[Long]("m1") == 2L && p12.getAs[Long]("m2") == 0L)
+    assert(p12.getAs[Double]("p1") == 2.0 / 7.0)
+    assert(p12.getAs[Double]("bleu2") == 0.0)
+
+    // m1=2 (the, cat), m2=1 ('the cat'); equal lengths -> BP=1;
+    // bleu = exp(0.5*(ln(2/3)+ln(1/2)))
+    val p1112 = out((11L, 12L))
+    assert(p1112.getAs[Long]("m1") == 2L && p1112.getAs[Long]("m2") == 1L)
+    assert(p1112.getAs[Double]("bleu2") ==
+      f32(math.exp(0.5 * (f32(math.log(2.0 / 3.0)) + f32(math.log(0.5))))))
+
+    // perfect precision but short: BP = exp(1 - 3/2) bites
+    val p2122 = out((21L, 22L))
+    assert(p2122.getAs[Double]("p1") == 1.0 && p2122.getAs[Double]("p2") == 1.0)
+    assert(p2122.getAs[Double]("bleu2") ==
+      f32(math.exp(1.0 - 3.0 / 2.0)) * f32(math.exp(0.0)))
+  }
+
   test("compression ratio orders repetitive < prose < random; flags and " +
        "determinism hold") {
     import graft.text.CompressRatio

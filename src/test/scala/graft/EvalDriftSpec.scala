@@ -472,6 +472,40 @@ class EvalDriftSpec extends SparkSpec {
       s"pooled mean moved: $pooledRaw vs $pooledAdj")
   }
 
+  test("difference-in-differences matches hand math on a planted 2x2 panel") {
+    import graft.gold.Experiment
+    // arm A (even custkeys): cust 2 d=+50, cust 4 d=-20 -> mean 15, var 1225
+    // arm B (odd):           cust 1 d=+10, cust 3 d=+30 -> mean 20, var 100
+    val rows = Seq(
+      (2L, 100.0, "1996-06-01"), (2L, 150.0, "1997-06-01"),
+      (4L, 200.0, "1996-06-01"), (4L, 180.0, "1997-06-01"),
+      (1L, 40.0, "1996-06-01"), (1L, 50.0, "1997-06-01"),
+      (3L, 70.0, "1996-06-01"), (3L, 100.0, "1997-06-01")
+    ).map { case (k, v, dt) => (k, v, java.sql.Date.valueOf(dt)) }
+      .toDF("o_custkey", "o_totalprice", "order_date")
+    val out = Experiment.diffInDiff(rows).orderBy("arm").collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(out("A").getAs[Long]("n") == 2L && out("B").getAs[Long]("n") == 2L)
+    assert(out("A").getAs[Double]("mean_diff") == 15.0)
+    assert(out("B").getAs[Double]("mean_diff") == 20.0)
+    assert(out("A").getAs[Double]("var_diff") == 1225.0)
+    assert(out("B").getAs[Double]("var_diff") == 100.0)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("did_estimate") == -5.0)
+      assert(r.getAs[Double]("se_did") == math.sqrt(1225.0 / 2.0 + 100.0 / 2.0))
+      assert(r.getAs[Double]("t_stat") ==
+        -5.0 / math.sqrt(1225.0 / 2.0 + 100.0 / 2.0))
+    }
+    // differencing nets out a common additive time shock: shifting EVERY
+    // post outcome by +1000 leaves the estimate unchanged
+    val shifted = rows.withColumn("o_totalprice",
+      when(col("order_date") >= to_date(lit("1997-01-01")),
+        col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    val did2 = Experiment.diffInDiff(shifted).collect()(0)
+      .getAs[Double]("did_estimate")
+    assert(did2 == -5.0, s"time shock leaked into the estimate: $did2")
+  }
+
   test("Mann-Whitney matches hand math with and without ties; all-tied goes NULL") {
     import graft.gold.Drift
     // no ties: A = {1,2}, B = {3,4} -> U = 0, tie term 0
