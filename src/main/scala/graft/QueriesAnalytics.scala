@@ -231,6 +231,84 @@ private[graft] object QueriesAnalytics {
         |  2.0 * (u / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) - 1.0 AS rank_biserial
         |FROM s2 ORDER BY m""".stripMargin)),
 
+    // Per-brand Mann-Whitney drift screen with Benjamini-Hochberg FDR
+    // control: one tie-corrected rank test per part brand (pre vs post
+    // cutoff price distribution), two-sided p via the A&S 26.2.17 normal
+    // CDF polynomial (pure arithmetic + one float32-collapsed exp — no
+    // erf builtin needed in either engine), BH step-up adjustment across
+    // the family. The multiple-testing correction a segment-grain
+    // monitoring screen needs before paging anyone.
+    QueryDef("q_drift_fdr",
+      (s, d) => gold.Drift.bhAdjust(
+          gold.Drift.mannWhitneyByGroup(
+            Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_shipdate")
+              .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+                col("l_partkey") === col("p_partkey")),
+            col("p_brand"), col("l_extendedprice"),
+            col("l_shipdate") < to_timestamp(lit("1997-06-01 00:00:00"))),
+          "grp", "z")
+        .withColumnRenamed("grp", "brand")
+        .orderBy("brand"),
+      Some(s"""WITH rows_mw AS (
+        |  SELECT p_brand AS grp, l_extendedprice AS v,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1997-06-01 00:00:00' THEN 1 ELSE 0 END AS a
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), g AS (
+        |  SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(a) AS BIGINT) AS ca
+        |  FROM rows_mw GROUP BY 1, 2
+        |), h AS (
+        |  SELECT grp, cnt, ca,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS h2
+        |  FROM g
+        |), agg AS (
+        |  SELECT grp, CAST(sum(ca) AS BIGINT) AS m,
+        |    CAST(sum(cnt - ca) AS BIGINT) AS n,
+        |    CAST(sum(ca * h2) AS BIGINT) AS r2a,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+        |  FROM h GROUP BY 1
+        |), s1 AS (
+        |  SELECT grp, m, n, r2a - m * (m + 1) AS u2, ties FROM agg
+        |), s2 AS (
+        |  SELECT grp, m, n,
+        |    CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |    CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 2.0 AS mu,
+        |    sqrt(CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 12.0 *
+        |      ((CAST(m + n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |        (CAST(m + n AS DOUBLE) * (CAST(m + n AS DOUBLE) - 1.0)))) AS sigma
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT grp, m, n, u,
+        |    CASE WHEN sigma > 0 THEN (u - mu) / sigma ELSE NULL END AS z
+        |  FROM s2
+        |), pz AS (
+        |  SELECT grp, m, n, u, z, abs(z) AS az,
+        |    ${gold.Drift.TSql} AS t
+        |  FROM s3
+        |), pv AS (
+        |  SELECT grp, m, n, u, z,
+        |    CASE WHEN z IS NOT NULL THEN ${gold.Drift.TwoSidedPSql} END AS p_two
+        |  FROM pz
+        |), rk AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN p_two IS NOT NULL THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m_tests,
+        |    CASE WHEN p_two IS NOT NULL THEN
+        |      CAST(row_number() OVER (ORDER BY p_two ASC NULLS LAST, grp ASC) AS BIGINT)
+        |    END AS bh_rank
+        |  FROM pv
+        |), adj AS (
+        |  SELECT *,
+        |    CASE WHEN p_two IS NOT NULL THEN
+        |      least(1.0, min(p_two * CAST(m_tests AS DOUBLE) / CAST(bh_rank AS DOUBLE))
+        |        OVER (ORDER BY bh_rank DESC NULLS LAST
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    END AS p_adj
+        |  FROM rk
+        |)
+        |SELECT grp AS brand, m, n, u, z, p_two, m_tests, bh_rank, p_adj,
+        |  coalesce(p_adj <= 0.05, false) AS discovery
+        |FROM adj ORDER BY brand""".stripMargin)),
+
     // CUPED variance reduction (Deng et al. 2013): per-customer pre/post
     // revenue, pooled theta from exact decimal power sums, adjusted
     // metric micro/milli-quantized before any cross-row sum. The

@@ -782,6 +782,14 @@ private[graft] object QueriesCuration {
         .orderBy("doc_a", "doc_b"),
       Some(text.Bleu.oracleSql())),
 
+    // N-gram novelty of held-out docs vs the train split (the Lee et al.
+    // 2022 memorization/leakage diagnostic): distinct 5-gram membership
+    // probe, integer counts, one IEEE division.
+    QueryDef("q_ngram_novelty",
+      (s, d) => text.Novelty.docNovelty(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(text.Novelty.oracleSql)),
+
     // CCNet perplexity buckets: every document ranked by bigram-LM
     // fluency and cut into head/middle/tail terciles — the quality
     // stratification deciding which crawl slice trains at full weight.

@@ -123,4 +123,95 @@ object Drift {
       .withColumn("rank_biserial", lit(2.0) * (col("u") / (mD * nD)) - lit(1.0))
       .select("m", "n", "u2", "u", "mu", "sigma", "z", "rank_biserial")
   }
+
+  /** Per-group [[mannWhitney]]: the same doubled-midrank machinery with
+    * every stage keyed by `key` — one (key, value)-grain partial-agged
+    * groupBy, grouped prefix sums, a key-grain rollup. The natural input
+    * to [[bhAdjust]]: a FAMILY of drift tests (one per segment) that
+    * multiple testing will otherwise flood with false alarms. */
+  def mannWhitneyByGroup(df: DataFrame, key: Column, value: Column,
+                         inA: Column): DataFrame = {
+    val rows = df.select(key.as("grp"), value.as("_v"),
+      inA.cast("long").as("_a"))
+    val g = rows.groupBy("grp", "_v")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_a")).cast("long").as("_ca"))
+    val c = graft.operators.ScalableRank.withGroupedPrefixSum(
+      g, col("grp"), Seq(col("_v").asc), col("_cnt"), "_cum")
+    val h = c.withColumn("h2", lit(2L) * col("_cum") + col("_cnt") + lit(1L))
+    val agg = h.groupBy("grp").agg(
+        sum(col("_ca")).cast("long").as("m"),
+        sum(col("_cnt") - col("_ca")).cast("long").as("n"),
+        sum(col("_ca") * col("h2")).cast("long").as("_r2a"),
+        sum((col("_cnt").cast("decimal(19,0)") * col("_cnt") * col("_cnt") -
+          col("_cnt")).cast("decimal(38,0)")).cast("decimal(38,0)").as("_ties"))
+      .select(col("grp"), col("m"), col("n"),
+        (col("_r2a") - col("m") * (col("m") + lit(1L))).as("u2"), col("_ties"))
+    val mD = col("m").cast("double")
+    val nD = col("n").cast("double")
+    val bigN = (col("m") + col("n")).cast("double")
+    agg
+      .withColumn("u", col("u2").cast("double") / lit(2.0))
+      .withColumn("mu", mD * nD / lit(2.0))
+      .withColumn("sigma", sqrt(mD * nD / lit(12.0) *
+        ((bigN + lit(1.0)) - col("_ties").cast("double") /
+          (bigN * (bigN - lit(1.0))))))
+      .withColumn("z", when(col("sigma") > 0.0,
+        (col("u") - col("mu")) / col("sigma"))
+        .otherwise(lit(null).cast("double")))
+      .select("grp", "m", "n", "u", "z")
+  }
+
+  /** Two-sided normal p-value from a z column, as an engine-portable SQL
+    * expression: Abramowitz & Stegun 26.2.17 (|ε| < 7.5e-8) — PURE
+    * arithmetic plus one float32-collapsed exp, so Spark and DuckDB agree
+    * bit-for-bit without either having an erf built-in. Expects `az` =
+    * abs(z) and `t` = 1/(1 + 0.2316419·az) as prior columns. */
+  val TwoSidedPSql: String =
+    """least(CAST(1.0 AS DOUBLE),
+      |  2.0 * (0.3989422804014327
+      |         * CAST(CAST(exp(-(az * az) / 2.0) AS FLOAT) AS DOUBLE))
+      |      * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+      |         + t * (-1.821255978 + t * 1.330274429))))))""".stripMargin
+
+  /** The `t` substitution feeding [[TwoSidedPSql]]. */
+  val TSql: String = "CAST(1.0 AS DOUBLE) / (1.0 + 0.2316419 * az)"
+
+  /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
+    * 1995) over a FAMILY of z-tests: rank two-sided p ascending,
+    * p_adj(i) = min_{j ≥ i} m·p(j)/j (the step-up monotonization),
+    * discovery = p_adj ≤ alpha. Controls the expected false-discovery
+    * RATE across the family — the correction a segment-grain drift
+    * screen needs before paging anyone.
+    *
+    * Tests with NULL z (degenerate segments) pass through with NULL
+    * p/rank and discovery = false. The family frame is segment-grain —
+    * bounded by the segment vocabulary, never the fact table — so its
+    * partition-less rank/suffix-min windows are bounded by construction
+    * (the binnedDrift contract). */
+  def bhAdjust(tests: DataFrame, keyCol: String, zCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    val withP = tests
+      .withColumn("az", abs(col(zCol)))
+      .withColumn("t", expr(TSql))
+      .withColumn("p_two", when(col(zCol).isNotNull, expr(TwoSidedPSql)))
+      .drop("az", "t")
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("p_two").asc_nulls_last, col(keyCol).asc)
+    // step-up: suffix min of m·p/rank, taken from the worst rank down
+    val wSuffix = Window.partitionBy(lit(1))
+      .orderBy(col("bh_rank").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP
+      .withColumn("m_tests",
+        sum(when(col("p_two").isNotNull, 1L).otherwise(0L)).over(wAll))
+      .withColumn("bh_rank",
+        when(col("p_two").isNotNull, row_number().over(wRank).cast("long")))
+      .withColumn("p_adj",
+        when(col("p_two").isNotNull, least(lit(1.0),
+          min(col("p_two") * col("m_tests").cast("double") /
+            col("bh_rank").cast("double")).over(wSuffix))))
+      .withColumn("discovery",
+        coalesce(col("p_adj") <= lit(alpha), lit(false)))
+  }
 }

@@ -861,6 +861,26 @@ class CurationSpec extends SparkSpec {
       f32(math.exp(1.0 - 3.0 / 2.0)) * f32(math.exp(0.0)))
   }
 
+  test("n-gram novelty counts seen vs novel grams against the train split") {
+    import graft.text.Novelty
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // train: grams "a b c d e", "b c d e f"
+      (5L, "a b c d e x"),   // eval: one seen, one novel -> rate 0.5
+      (10L, "a b c d e f"),  // eval: exact train copy -> rate 0
+      (15L, "a b")           // eval: too short for a 5-gram -> absent
+    ).toDF("doc_id", "text")
+    val out = Novelty.docNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 10L))
+    assert(out(5L).getAs[Long]("n_grams") == 2L &&
+      out(5L).getAs[Long]("n_seen") == 1L)
+    assert(out(5L).getAs[Double]("novelty_rate") == 0.5)
+    assert(!out(5L).getAs[Boolean]("mostly_seen")) // 0.5 < 0.5 is false
+    assert(out(10L).getAs[Long]("n_novel") == 0L &&
+      out(10L).getAs[Boolean]("mostly_seen"))
+  }
+
   test("compression ratio orders repetitive < prose < random; flags and " +
        "determinism hold") {
     import graft.text.CompressRatio

@@ -472,6 +472,64 @@ class EvalDriftSpec extends SparkSpec {
       s"pooled mean moved: $pooledRaw vs $pooledAdj")
   }
 
+  test("grouped Mann-Whitney matches the ungrouped test per segment") {
+    import graft.gold.Drift
+    // group g1 = the no-ties hand case (U = 0); g2 = a shifted copy
+    val rows = Seq(
+      ("g1", 1.0, true), ("g1", 2.0, true), ("g1", 3.0, false), ("g1", 4.0, false),
+      ("g2", 10.0, false), ("g2", 20.0, false), ("g2", 30.0, true), ("g2", 40.0, true)
+    ).toDF("grp", "v", "in_a")
+    val grouped = Drift.mannWhitneyByGroup(rows, col("grp"), col("v"), col("in_a"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    for (g <- Seq("g1", "g2")) {
+      val single = Drift.mannWhitney(rows.filter(col("grp") === g),
+        col("v"), col("in_a")).collect().head
+      assert(grouped(g).getAs[Double]("u") == single.getAs[Double]("u"))
+      assert(grouped(g).getAs[Double]("z") == single.getAs[Double]("z"))
+      assert(grouped(g).getAs[Long]("m") == single.getAs[Long]("m"))
+    }
+    assert(grouped("g1").getAs[Double]("u") == 0.0)
+    assert(grouped("g2").getAs[Double]("u") == 4.0) // A fully above B
+  }
+
+  test("BH step-up matches hand math: adjustment, monotonization, discoveries") {
+    import graft.gold.Drift
+    def f32exp(x: Double): Double = math.exp(x).toFloat.toDouble
+    def pTwo(z: Double): Double = {
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      math.min(1.0, 2.0 * (0.3989422804014327 * f32exp(-(az * az) / 2.0)) *
+        (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+          t * (-1.821255978 + t * 1.330274429))))))
+    }
+    val tests = Seq(("s1", Some(3.0)), ("s2", Some(2.0)), ("s3", Some(0.5)),
+      ("s4", Option.empty[Double])).toDF("grp", "z")
+    val out = Drift.bhAdjust(tests, "grp", "z").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    // A&S 26.2.17 accuracy sanity: p(2.0) ~ 0.0455, p(0.5) ~ 0.6171
+    assert(math.abs(out("s2").getAs[Double]("p_two") - 0.04550026) < 1e-6)
+    assert(math.abs(out("s3").getAs[Double]("p_two") - 0.61708) < 1e-4)
+    // exact engine-replication of the polynomial
+    for ((g, z) <- Seq(("s1", 3.0), ("s2", 2.0), ("s3", 0.5)))
+      assert(out(g).getAs[Double]("p_two") == pTwo(z), s"p mismatch at $g")
+    // hand BH at m=3: ranks (s1,s2,s3) = (1,2,3);
+    // p_adj(s3) = p3, p_adj(s2) = min(3p2/2, p3), p_adj(s1) = min(3p1, ...)
+    val (p1, p2, p3) = (pTwo(3.0), pTwo(2.0), pTwo(0.5))
+    val a3 = math.min(1.0, p3)
+    val a2 = math.min(math.min(1.0, p2 * 3.0 / 2.0), a3)
+    val a1 = math.min(math.min(1.0, p1 * 3.0), a2)
+    assert(out("s3").getAs[Double]("p_adj") == a3)
+    assert(out("s2").getAs[Double]("p_adj") == a2)
+    assert(out("s1").getAs[Double]("p_adj") == a1)
+    assert(out("s1").getAs[Boolean]("discovery") && !out("s2").getAs[Boolean]("discovery"))
+    // NULL z: no p, no rank, never a discovery; excluded from m_tests
+    assert(out("s4").isNullAt(out("s4").fieldIndex("p_two")))
+    assert(!out("s4").getAs[Boolean]("discovery"))
+    assert(out("s1").getAs[Long]("m_tests") == 3L)
+    // step-up monotonization: adjusted p is non-decreasing in rank
+    assert(a1 <= a2 && a2 <= a3)
+  }
+
   test("difference-in-differences matches hand math on a planted 2x2 panel") {
     import graft.gold.Experiment
     // arm A (even custkeys): cust 2 d=+50, cust 4 d=-20 -> mean 15, var 1225
