@@ -1321,6 +1321,15 @@ private[graft] object QueriesAnalytics {
       (s, d) => gold.Survival.kaplanMeier(Tables.orders(s, d), Tables.customer(s, d)),
       Some(gold.Survival.oracleSql)),
 
+    // Two-arm log-rank test on the same durations: observed vs expected
+    // arm-A events at each pooled event time, hypergeometric variance —
+    // per-time terms are exact micro integers via DECIMAL floor division
+    // (no IEEE divide), z/chi2/p one final mirrored chain with the shared
+    // A&S normal-CDF polynomial. "Do the arms' survival curves differ?"
+    QueryDef("q_logrank",
+      (s, d) => gold.Survival.logRank(Tables.orders(s, d)),
+      Some(gold.Survival.logRankOracleSql)),
+
     // Revenue concentration per region: rank-formula Gini + HHI +
     // top-decile share over exact integer cents; customer ranks ride the
     // grouped prefix-sum primitive, never a per-region window.

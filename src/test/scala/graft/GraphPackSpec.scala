@@ -597,6 +597,33 @@ class GraphPackSpec extends SparkSpec {
     assert(out.map(_.getString(0)).distinct.length == 3)
   }
 
+  test("log-rank test matches hand math: risk sets, micro terms, z") {
+    // arm A (even custkeys): cust 2 event t=2, cust 4 censored t=5;
+    // arm B (odd): cust 1 event t=2, cust 3 event t=4.
+    // t=2: n=(2,2), d=(1,1) -> E1 = 2*2/4 = 1, V = 2*2*2*2/(16*3) = 1/3
+    // t=4: n=(1,1), d=(0,1) -> E1 = 1*1/2 = 0.5, V = 1/(4*1) = 1/4
+    // O1 = 1, E1 = 1.5, V = 7/12 (micro-floored: 333333 + 250000)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"1996-01-${day + 1}%02d 00:00:00")
+    val ords = Seq(
+      (1L, 2L, ts(0)), (2L, 2L, ts(2)),
+      (3L, 4L, ts(0)),
+      (4L, 1L, ts(0)), (5L, 1L, ts(2)),
+      (6L, 3L, ts(1)), (7L, 3L, ts(5))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = graft.gold.Survival.logRank(ords).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_event_times") == 2L)
+    assert(r.getAs[Long]("o1") == 1L)
+    assert(r.getAs[Double]("e1") == 1.5)
+    assert(r.getAs[Double]("v") == 583333.0 / 1e6)
+    val z = (1.0 - 1.5) / math.sqrt(583333.0 / 1e6)
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[Double]("chi2") == z * z)
+    // identical arms would have z near 0; this slight imbalance is far
+    // from significant
+    assert(r.getAs[Double]("p_two") > 0.4)
+  }
+
   test("Kaplan-Meier matches hand math with censoring handled correctly") {
     // A,B: repeat after 2 days; C: after 5; D: single order, censored at
     // the day-5 horizon. KM: S(2) = 1 - 2/4 = 0.5;
