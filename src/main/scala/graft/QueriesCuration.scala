@@ -782,6 +782,13 @@ private[graft] object QueriesCuration {
         .orderBy("doc_a", "doc_b"),
       Some(text.Bleu.oracleSql())),
 
+    // Self-BLEU corpus-diversity rollup: avg pairwise BLEU-2 per lang
+    // (high = the corpus keeps saying the same thing); per-pair scores
+    // micro-quantized before the integer rollup.
+    QueryDef("q_self_bleu",
+      (s, d) => text.Bleu.selfBleu(Tables.documents(s, d)).orderBy("lang"),
+      Some(text.Bleu.selfBleuOracleSql())),
+
     // N-gram novelty of held-out docs vs the train split (the Lee et al.
     // 2022 memorization/leakage diagnostic): distinct 5-gram membership
     // probe, integer counts, one IEEE division.

@@ -527,6 +527,16 @@ private[graft] object QueriesTextSim {
         .orderBy("source"),
       Some(graft.text.CorpusStats.sourceKlOracleSql)),
 
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions: the SYMMETRIC, bounded companion to q_source_kl —
+    // which source PAIRS are interchangeable vs complementary. Integer
+    // ratios inside ln, micro-quantized weighted half-sums, one final
+    // IEEE chain.
+    QueryDef("q_js_divergence",
+      (s, d) => graft.text.CorpusStats.jsDivergence(Tables.documents(s, d))
+        .orderBy("source_a", "source_b"),
+      Some(graft.text.CorpusStats.jsDivergenceOracleSql)),
+
     // Temperature-scaled (α=1/2) source mixture weights — the
     // multilingual up-sampling rule; sqrt is IEEE-exact and the
     // cross-source sum runs on quantized integers, so weights hash-match.

@@ -89,8 +89,53 @@ object Bleu {
         "p1", "p2", "bleu2")
   }
 
+  /** Self-BLEU corpus-diversity rollup (Zhu et al. 2018, Texygen): the
+    * average pairwise BLEU-2 within each language — HIGH self-BLEU means
+    * the corpus keeps saying the same thing (mode collapse in generated
+    * data, boilerplate in crawled data); the share of pairs over 0.5 is
+    * the hot-spot indicator. Each pair's score micro-quantizes BEFORE the
+    * rollup so the per-lang sums are exact integers (never a raw double
+    * sum across rows). Same bounded pair universe as [[bleuPairs]]. */
+  def selfBleu(documents: DataFrame, maxDocId: Long = 40): DataFrame =
+    bleuPairs(documents, maxDocId)
+      .withColumn("bleu_micro",
+        floor(col("bleu2") * lit(1000000.0)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("bleu_micro")).as("_sum_micro"),
+        sum(when(col("bleu2") > 0.5, 1L).otherwise(0L)).as("n_high_overlap"))
+      .withColumn("self_bleu",
+        col("_sum_micro").cast("double") / lit(1000000.0) /
+          col("n_pairs").cast("double"))
+      .select("lang", "n_pairs", "self_bleu", "n_high_overlap")
+
+  /** DuckDB mirror of [[selfBleu]]: the shared CTE core + the quantized
+    * per-lang rollup. */
+  def selfBleuOracleSql(maxDocId: Long = 40): String =
+    coreCtes(maxDocId) +
+      s"""
+         |, scored AS (
+         |  SELECT lang, $BleuSql AS bleu2 FROM f
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(floor(bleu2 * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / CAST(count(*) AS DOUBLE) AS self_bleu,
+         |  CAST(sum(CASE WHEN bleu2 > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_overlap
+         |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** DuckDB mirror of [[bleuPairs]]. */
   def oracleSql(maxDocId: Long = 40): String =
+    coreCtes(maxDocId) +
+      s"""
+         |SELECT doc_a, doc_b, lang, len_a, len_b, m1, m2,
+         |  CAST(m1 AS DOUBLE) / CAST(len_a AS DOUBLE) AS p1,
+         |  CAST(m2 AS DOUBLE) / CAST(len_a - 1 AS DOUBLE) AS p2,
+         |  $BleuSql AS bleu2
+         |FROM f ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared oracle CTE chain ending in `f(doc_a, doc_b, lang, len_a,
+    * len_b, m1, m2)`. */
+  private def coreCtes(maxDocId: Long = 40): String =
     s"""WITH d AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -129,10 +174,5 @@ object Bleu {
        |  FROM pairs p
        |  LEFT JOIN m1t ON p.doc_a = m1t.doc_a AND p.doc_b = m1t.doc_b
        |  LEFT JOIN m2t ON p.doc_a = m2t.doc_a AND p.doc_b = m2t.doc_b
-       |)
-       |SELECT doc_a, doc_b, lang, len_a, len_b, m1, m2,
-       |  CAST(m1 AS DOUBLE) / CAST(len_a AS DOUBLE) AS p1,
-       |  CAST(m2 AS DOUBLE) / CAST(len_a - 1 AS DOUBLE) AS p2,
-       |  $BleuSql AS bleu2
-       |FROM f ORDER BY doc_a, doc_b""".stripMargin
+       |)""".stripMargin
 }

@@ -141,6 +141,106 @@ object CorpusStats {
       .select(col("source"), col("n_s").as("n_tokens"), col("n_types"), col("kl_nats"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions (Lin 1991) — the SYMMETRIC companion to [[sourceKl]]:
+    * KL against the corpus mixture says how far each source sits from
+    * the average; JS(s,t) says which PAIRS of sources are
+    * interchangeable (near 0) vs complementary (near ln 2 — JS is
+    * bounded, so the scale is absolute). The mixture-selection question
+    * "does adding source t change anything next to s" is a JS question.
+    *
+    * Exactness: the per-word term p·ln(p/m) is rewritten so the ln sees
+    * only an INTEGER ratio — p/m = 2·c_sw·n_t / (c_sw·n_t + c_tw·n_s) —
+    * then micro-quantized and weighted by the integer c_sw, so both
+    * half-sums are exact decimal sums and JS is one final IEEE chain
+    * (the sourceKl contract). Absent words contribute exactly ln 2.
+    *
+    * Scale: the (source, word) table is the only corpus-bound stage;
+    * the pair fan-out multiplies it by (#sources − 1) — sources are a
+    * bounded vocabulary (the mixtureWeights reasoning), never the
+    * corpus. */
+  def jsDivergence(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val csw = tok.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val ns = csw.groupBy("source").agg(sum(col("c")).as("n"))
+    val pairs = ns.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(ns.select(col("source").as("source_b"),
+        col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+
+    // one half-sum: Σ_w c_xw · micro(ln(2·c_xw·n_y / (c_xw·n_y + c_yw·n_x)))
+    def half(xSrc: String, ySrc: String, nX: String, nY: String): DataFrame = {
+      val cx = csw.select(col("source").as(xSrc), col("word"), col("c").as("c_x"))
+      val cy = csw.select(col("source").as("_ysrc"), col("word").as("word_y"),
+        col("c").as("c_y"))
+      pairs
+        .join(cx, xSrc)
+        .join(cy, col(ySrc) === col("_ysrc") && col("word") === col("word_y"), "left")
+        .withColumn("c_yz", coalesce(col("c_y"), lit(0L)))
+        .withColumn("term_micro", lnMicro(expr(
+          s"""CAST(CAST(ln((2.0 * CAST(c_x AS DOUBLE) * CAST($nY AS DOUBLE)) /
+             |  (CAST(c_x AS DOUBLE) * CAST($nY AS DOUBLE)
+             |   + CAST(c_yz AS DOUBLE) * CAST($nX AS DOUBLE))) AS FLOAT) AS DOUBLE)""".stripMargin)))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(sum(col("c_x").cast("decimal(18,0)") *
+          col("term_micro").cast("decimal(18,0)")).cast("double").as("_s"))
+    }
+    val h1 = half("source_a", "source_b", "n_a", "n_b")
+      .withColumnRenamed("_s", "_s1")
+    val h2 = half("source_b", "source_a", "n_b", "n_a")
+      .withColumnRenamed("_s", "_s2")
+    h1.join(h2, Seq("source_a", "source_b", "n_a", "n_b"))
+      .withColumn("js_nats",
+        lit(0.5) * (col("_s1") / col("n_a").cast("double") / lit(1000000.0) +
+          col("_s2") / col("n_b").cast("double") / lit(1000000.0)))
+      .withColumn("js_bits", col("js_nats") / lit(UnigramLm.Ln2Literal.toDouble))
+      .select("source_a", "source_b", "n_a", "n_b", "js_nats", "js_bits")
+  }
+
+  /** DuckDB mirror of [[jsDivergence]]. */
+  def jsDivergenceOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+       |), csw AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+       |), ns AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM csw GROUP BY 1
+       |), pr AS (
+       |  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+       |  FROM ns a JOIN ns b ON a.source < b.source
+       |), h1 AS (
+       |  SELECT pr.source_a, pr.source_b, pr.n_a, pr.n_b,
+       |    sum(CAST(cx.c AS HUGEINT) * CAST(floor(CAST(CAST(ln(
+       |      (2.0 * CAST(cx.c AS DOUBLE) * CAST(pr.n_b AS DOUBLE)) /
+       |      (CAST(cx.c AS DOUBLE) * CAST(pr.n_b AS DOUBLE)
+       |       + CAST(coalesce(cy.c, 0) AS DOUBLE) * CAST(pr.n_a AS DOUBLE))
+       |    ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS s1
+       |  FROM pr
+       |  JOIN csw cx ON cx.source = pr.source_a
+       |  LEFT JOIN csw cy ON cy.source = pr.source_b AND cy.word = cx.word
+       |  GROUP BY 1, 2, 3, 4
+       |), h2 AS (
+       |  SELECT pr.source_a, pr.source_b,
+       |    sum(CAST(cx.c AS HUGEINT) * CAST(floor(CAST(CAST(ln(
+       |      (2.0 * CAST(cx.c AS DOUBLE) * CAST(pr.n_a AS DOUBLE)) /
+       |      (CAST(cx.c AS DOUBLE) * CAST(pr.n_a AS DOUBLE)
+       |       + CAST(coalesce(cy.c, 0) AS DOUBLE) * CAST(pr.n_b AS DOUBLE))
+       |    ) AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT)) AS s2
+       |  FROM pr
+       |  JOIN csw cx ON cx.source = pr.source_b
+       |  LEFT JOIN csw cy ON cy.source = pr.source_a AND cy.word = cx.word
+       |  GROUP BY 1, 2
+       |)
+       |SELECT h1.source_a AS source_a, h1.source_b AS source_b, n_a, n_b,
+       |  0.5 * (CAST(s1 AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0
+       |       + CAST(s2 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0) AS js_nats,
+       |  0.5 * (CAST(s1 AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0
+       |       + CAST(s2 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0)
+       |    / ${UnigramLm.Ln2Literal} AS js_bits
+       |FROM h1 JOIN h2 ON h1.source_a = h2.source_a AND h1.source_b = h2.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** DuckDB mirror of [[sourceKl]]. */
   def sourceKlOracleSql: String =
     """WITH tok AS (

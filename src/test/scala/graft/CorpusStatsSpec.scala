@@ -108,6 +108,28 @@ class CorpusStatsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("p0_unseen") == 3.0 / 8.0))
   }
 
+  test("JS divergence is 0 for identical sources, ln 2 for disjoint ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "en", "srcA"),
+      (2L, "a b a b", "en", "srcB"),   // identical distribution to srcA
+      (3L, "x y x y", "en", "srcC")    // disjoint vocabulary
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.text.CorpusStats.jsDivergence(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r)
+      .toMap
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    // identical distributions: every per-word ratio is exactly 1 -> ln 1 = 0
+    assert(out(("srcA", "srcB")).getAs[Double]("js_nats") == 0.0)
+    // disjoint vocabularies: every term is ln 2 (micro-floored once)
+    val ln2micro = math.floor(math.log(2.0).toFloat.toDouble * 1e6)
+    val expected = ln2micro / 1e6
+    assert(out(("srcA", "srcC")).getAs[Double]("js_nats") == expected)
+    assert(out(("srcB", "srcC")).getAs[Double]("js_nats") == expected)
+    // bits view: disjoint pair sits at ~1 bit (the JS upper bound)
+    assert(math.abs(out(("srcA", "srcC")).getAs[Double]("js_bits") - 1.0) < 1e-6)
+  }
+
   test("sourceKl is exactly zero for identically-distributed sources and " +
     "positive for a skewed one") {
     import spark.implicits._

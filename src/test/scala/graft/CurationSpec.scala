@@ -861,6 +861,22 @@ class CurationSpec extends SparkSpec {
       f32(math.exp(1.0 - 3.0 / 2.0)) * f32(math.exp(0.0)))
   }
 
+  test("self-BLEU reads 1 for a duplicated corpus and 0 for a disjoint one") {
+    import graft.text.Bleu
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en"), (2L, "a b c d", "en"),   // identical pair
+      (21L, "a b c d", "de"), (22L, "w x y z", "de")  // zero overlap
+    ).toDF("doc_id", "text", "lang")
+    val out = Bleu.selfBleu(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("en").getAs[Long]("n_pairs") == 1L)
+    assert(out("en").getAs[Double]("self_bleu") == 1.0)
+    assert(out("en").getAs[Long]("n_high_overlap") == 1L)
+    assert(out("de").getAs[Double]("self_bleu") == 0.0)
+    assert(out("de").getAs[Long]("n_high_overlap") == 0L)
+  }
+
   test("n-gram novelty counts seen vs novel grams against the train split") {
     import graft.text.Novelty
     import spark.implicits._
