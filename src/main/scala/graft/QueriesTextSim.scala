@@ -182,6 +182,18 @@ private[graft] object QueriesTextSim {
         |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Multi-format round-trip matrix: the same lineitem slice written to
+    // ORC + CSV + JSON, read back through each native DataSource under an
+    // EXPLICIT schema (inferSchema would demote decimals — the silent
+    // corruption this guards), aggregated per format; the oracle derives
+    // the identical three rows from parquet alone.
+    QueryDef("q_format_matrix",
+      (s, d) => sources.FormatMatrix.roundTrip(
+          Tables.lineitem(s, d),
+          graft.util.Scratch.dir("graft-format-matrix"))
+        .orderBy("format"),
+      Some(sources.FormatMatrix.oracleSql)),
+
     // DataSource V2 media connector, driver-gated end to end: the corpus
     // materializes as real PPM FILES (distributed Hadoop-FS write, bytes
     // a pure function of the documents row), is read back through

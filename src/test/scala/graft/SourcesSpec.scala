@@ -88,4 +88,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3)
     assert(df.count() == nDocs)
   }
+
+  test("format matrix round-trips ORC/CSV/JSON losslessly; ORC pushdown binds") {
+    import graft.sources.FormatMatrix
+    val li = Tables.lineitem(spark, TinySf)
+    val root = graft.util.Scratch.dir("graft-fmt-spec")
+    val out = FormatMatrix.roundTrip(li, root).collect()
+      .map(r => r.getAs[String]("format") -> r).toMap
+    assert(out.keySet == Set("orc", "csv", "json"))
+    // truth from the parquet-backed frame itself
+    val truth = li.agg(
+      count(lit(1)), sum(col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(38,2)").cast("double"),
+      countDistinct(col("l_orderkey"))).collect().head
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == truth.getLong(0))
+      assert(r.getAs[Double]("sum_qty") == truth.getDouble(1),
+        s"decimal sum drifted through ${r.getAs[String]("format")}")
+      assert(r.getAs[Long]("n_orders") == truth.getLong(2))
+    }
+    // ORC predicate pushdown reaches the scan
+    val plan = spark.read.orc(s"$root/orc")
+      .filter(col("l_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+      s"ORC pushdown missing:\n$plan")
+  }
 }
