@@ -797,6 +797,23 @@ private[graft] object QueriesCuration {
         .orderBy("doc_id"),
       Some(text.Novelty.oracleSql)),
 
+    // Novelty served FROM the incremental gram store (base build + delta
+    // append covering the same train split) — shares q_ngram_novelty's
+    // oracle VERBATIM: the store answers the memorization question
+    // bit-identically to a from-scratch re-shingle.
+    QueryDef("q_novelty_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(text.Novelty.defaultTrainPred)
+        val root = graft.util.Scratch.dir("graft-gram-store") + "/grams"
+        text.Novelty.buildGramStore(train.filter(col("doc_id") % 2 === 0), root)
+        text.Novelty.appendGramStore(train.filter(col("doc_id") % 2 === 1), root)
+        text.Novelty.noveltyFromStore(s, root,
+            docs.filter(!text.Novelty.defaultTrainPred))
+          .orderBy("doc_id")
+      },
+      Some(text.Novelty.oracleSql)),
+
     // CCNet perplexity buckets: every document ranked by bigram-LM
     // fluency and cut into head/middle/tail terciles — the quality
     // stratification deciding which crawl slice trains at full weight.

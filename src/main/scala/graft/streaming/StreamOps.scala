@@ -451,6 +451,27 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the novelty gram store
+    * ([[graft.text.Novelty]]): each micro-batch's distinct 5-grams append
+    * to the store, and reads re-distinct — so the merge operator is SET
+    * UNION, which is idempotent/commutative/associative exactly like the
+    * bloom sink's bitwise OR: a re-delivered batch, a second checkpoint
+    * lineage, or a concurrent writer all converge to the set a
+    * from-scratch build would produce (at-least-once ≡ exactly-once by
+    * algebra). A continuous crawl keeps its memorization/novelty gate
+    * current at per-batch cost ∝ |batch| grams. */
+  def gramStoreSink(stream: DataFrame, storePath: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.Novelty.appendGramStore(batch, storePath)
+      }
+      .start()
+
   /** Stream-stream interval join: purchases enriched with any error by the
     * same user within the preceding hour. Watermarks on both sides + the
     * time-range predicate bound the join state — the Structured Streaming

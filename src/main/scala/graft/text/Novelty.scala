@@ -56,6 +56,38 @@ object Novelty {
       .withColumn("mostly_seen", col("novelty_rate") < 0.5)
   }
 
+  /** Build the distinct-gram store from a base corpus (overwrite): one
+    * parquet column of distinct 5-grams. The corpus-novelty ingest gate
+    * keeps this current instead of re-shingling everything ever crawled. */
+  def buildGramStore(docs: DataFrame, path: String): Unit =
+    grams(docs).select("gram").distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new slice's distinct grams (same-slice dedup only — the
+    * store may repeat grams across slices; reads re-distinct, so appends
+    * stay cheap and idempotent-by-union like the band store). */
+  def appendGramStore(delta: DataFrame, path: String): Unit =
+    grams(delta).select("gram").distinct()
+      .write.mode("append").parquet(path)
+
+  /** [[docNovelty]] served FROM the store: novelty of `evalDocs` against
+    * everything ever ingested — bit-identical to a from-scratch
+    * [[docNovelty]] when the store covers the same train corpus. */
+  def noveltyFromStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, evalDocs: DataFrame): DataFrame = {
+    val store = spark.read.parquet(path)
+      .select("gram").distinct().withColumn("_seen", lit(1L))
+    grams(evalDocs)
+      .join(store, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+      .withColumn("n_novel", col("n_grams") - col("n_seen"))
+      .withColumn("novelty_rate",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .withColumn("mostly_seen", col("novelty_rate") < 0.5)
+  }
+
   /** DuckDB mirror of [[docNovelty]] at the default split. */
   def oracleSql: String =
     s"""WITH tokd AS (

@@ -861,6 +861,31 @@ class CurationSpec extends SparkSpec {
       f32(math.exp(1.0 - 3.0 / 2.0)) * f32(math.exp(0.0)))
   }
 
+  test("incremental gram store serves novelty bit-identically to a from-scratch probe") {
+    import graft.text.Novelty
+    import spark.implicits._
+    val train = docs.filter(Novelty.defaultTrainPred)
+    val eval = docs.filter(!Novelty.defaultTrainPred)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gram-spec").toString + "/grams"
+    Novelty.buildGramStore(train.filter(col("doc_id") % 2 === 0), root)
+    Novelty.appendGramStore(train.filter(col("doc_id") % 2 === 1), root)
+    val incr = Novelty.noveltyFromStore(spark, root, eval)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"))).toMap
+    val direct = Novelty.docNovelty(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"))).toMap
+    assert(incr == direct, "store-served novelty diverged from from-scratch")
+    assert(incr.nonEmpty)
+    // re-appending an already-ingested slice is a no-op by set union
+    Novelty.appendGramStore(train.filter(col("doc_id") % 2 === 0), root)
+    val replay = Novelty.noveltyFromStore(spark, root, eval)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"))).toMap
+    assert(replay == direct, "replayed append changed the gram set")
+  }
+
   test("self-BLEU reads 1 for a duplicated corpus and 0 for a disjoint one") {
     import graft.text.Bleu
     import spark.implicits._

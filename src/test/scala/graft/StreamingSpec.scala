@@ -1256,6 +1256,28 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files
       .createTempDirectory("graft-stream-bloom").toString
+    // Streaming gram-store maintenance shares the sink's algebra story:
+    // set union is idempotent, so streamed == batch and replays are no-ops.
+    locally {
+      val gdocs = Tables.documents(spark, TinySf)
+        .select(col("doc_id"), col("text"))
+      val rows = gdocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val gs = MemoryStream[(Long, String)]
+      val gq = graft.streaming.StreamOps.gramStoreSink(
+        gs.toDF.toDF("doc_id", "text"), s"$root/grams", s"$root/gckpt")
+      try {
+        val (g1, g2) = rows.partition(_._1 % 2 == 0)
+        gs.addData(g1); gq.processAllAvailable()
+        gs.addData(g2); gq.processAllAvailable()
+        gs.addData(g1.take(20)); gq.processAllAvailable() // replay
+      } finally gq.stop()
+      val streamedGrams = spark.read.parquet(s"$root/grams")
+        .select("gram").distinct().count()
+      graft.text.Novelty.buildGramStore(gdocs, s"$root/grams_batch")
+      val batchGrams = spark.read.parquet(s"$root/grams_batch").count()
+      assert(streamedGrams == batchGrams,
+        "streamed gram set diverged from the batch build")
+    }
     val docs = Tables.documents(spark, TinySf)
       .select(col("doc_id"), col("text")).cache()
     try {
