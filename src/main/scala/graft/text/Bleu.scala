@@ -45,10 +45,15 @@ object Bleu {
     * len_a, len_b, m1, m2, p1, p2, bleu2). doc_a is the candidate,
     * doc_b the reference. */
   def bleuPairs(documents: DataFrame, maxDocId: Long = 40): DataFrame = {
+    // a candidate with no bigram (len < 2) cannot be BLEU-2 scored —
+    // excluding it HERE keeps p2 a real division in both engines (0/0
+    // would be NaN in Spark but engine-defined elsewhere: exactly the
+    // latent-divergence class the governor review flagged)
     val toks = documents.filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
+      .filter(col("len") >= 2L)
 
     def gramCounts(n: Int): DataFrame = {
       val gram =
@@ -142,6 +147,7 @@ object Bleu {
        |  FROM documents WHERE doc_id < $maxDocId
        |), dl AS (
        |  SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS len FROM d
+       |  WHERE len(toks) >= 2
        |), uni AS (
        |  SELECT doc_id, unnest(toks) AS gram FROM dl
        |), unic AS (

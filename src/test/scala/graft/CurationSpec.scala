@@ -836,7 +836,10 @@ class CurationSpec extends SparkSpec {
       (12L, "the cat is", "zh"),
       // brevity-penalty pair: short candidate, perfect precision
       (21L, "the cat", "de"),
-      (22L, "the cat is", "de")
+      (22L, "the cat is", "de"),
+      // single-token doc: no bigram -> excluded from the pair universe
+      // (0/0 in p2 would be NaN in Spark, engine-defined elsewhere)
+      (23L, "the", "de")
     ).toDF("doc_id", "text", "lang")
     val out = Bleu.bleuPairs(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
@@ -859,6 +862,9 @@ class CurationSpec extends SparkSpec {
     assert(p2122.getAs[Double]("p1") == 1.0 && p2122.getAs[Double]("p2") == 1.0)
     assert(p2122.getAs[Double]("bleu2") ==
       f32(math.exp(1.0 - 3.0 / 2.0)) * f32(math.exp(0.0)))
+
+    // the single-token doc appears in NO pair (unscoreable by BLEU-2)
+    assert(!out.keySet.exists { case (a, b) => a == 23L || b == 23L })
   }
 
   test("incremental gram store serves novelty bit-identically to a from-scratch probe") {
