@@ -1330,6 +1330,16 @@ private[graft] object QueriesAnalytics {
       (s, d) => gold.Survival.logRank(Tables.orders(s, d)),
       Some(gold.Survival.logRankOracleSql)),
 
+    // Nelson-Aalen cumulative hazard per segment: the additive dual of
+    // the KM product — per-step d/n micro-quantized by integer floor
+    // division BEFORE the packed prefix sum, so the running hazard and
+    // its variance are exact integer cumsums (harmonic bound keeps both
+    // lanes far under the 2^31 packing boundary at any corpus size).
+    QueryDef("q_nelson_aalen",
+      (s, d) => gold.Survival.nelsonAalen(Tables.orders(s, d),
+        Tables.customer(s, d)),
+      Some(gold.Survival.nelsonAalenOracleSql)),
+
     // Revenue concentration per region: rank-formula Gini + HHI +
     // top-decile share over exact integer cents; customer ranks ride the
     // grouped prefix-sum primitive, never a per-region window.

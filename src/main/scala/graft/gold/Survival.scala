@@ -85,6 +85,117 @@ object Survival {
       .orderBy("segment", "t_days")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen 1978)
+    * on the same repeat-purchase durations as [[kaplanMeier]]:
+    * H(t_i) = Σ_{j≤i} d_j/n_j with variance Σ d_j/n_j² — the additive
+    * dual of the KM product (S ≈ e^−H), preferred when hazard
+    * INCREMENTS are the business question ("how does reorder pressure
+    * evolve week over week") and the natural input to hazard-ratio
+    * eyeballing between segments.
+    *
+    * Exactness: each step d_j/n_j micro-quantizes by integer floor
+    * division BEFORE the cumulative sum, so the running hazard is an
+    * exact integer prefix sum (no IEEE accumulation); same for the
+    * variance steps at d_j/n_j². Both cumulative micro sums ride ONE
+    * packed prefix pass — safe at any corpus size because Σ d_j/n_j is
+    * harmonically bounded (≤ ln N + 1 ≈ 22 nats at N = 10⁹ ⇒ ≤ ~2·10⁷
+    * micro-units, far under the 2³¹ packing lane) and the variance sum
+    * is dominated by it. Scale: identical shape to KM's count
+    * stage — customer-grain collapse, (segment, t) counts, grouped
+    * prefix sums; no per-segment array fold is even needed (the NA
+    * recursion is additive). */
+  def nelsonAalen(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dated = orders.select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+    val firstTwo = ScalableRank.topKPerGroup(dated, Seq(col("o_custkey")),
+        Seq(col("d").asc, col("o_orderkey").asc), k = 2, rankCol = "rk")
+      .groupBy("o_custkey")
+      .agg(min(when(col("rk") === 1, col("d"))).as("d1"),
+        min(when(col("rk") === 2, col("d"))).as("d2"))
+    val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
+    val durations = firstTwo
+      .crossJoin(broadcast(horizon))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), "o_custkey")
+      .select(col("segment"),
+        when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+          .otherwise(datediff(col("h"), col("d1"))).cast("long").as("t"),
+        when(col("d2").isNotNull, lit(1L)).otherwise(lit(0L)).as("e"))
+    val counts = durations.groupBy("segment", "t")
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+    val withBefore = ScalableRank.withGroupedPrefixSum(
+      counts, col("segment"), Seq(col("t").asc), col("d") + col("c"),
+      "left_before")
+    val totals = counts.groupBy("segment")
+      .agg(sum(col("d") + col("c")).as("n_total"))
+    val steps = withBefore.join(broadcast(totals), "segment")
+      .withColumn("n", col("n_total") - col("left_before"))
+      .withColumn("h_micro", expr("(d * 1000000) div n"))
+      .withColumn("v_micro", expr("(d * 1000000) div (n * n)"))
+    ScalableRank.withGroupedPrefixSum(steps, col("segment"),
+        Seq(col("t").asc),
+        col("h_micro") * lit(1L << 31) + col("v_micro"), "_cum_packed")
+      .withColumn("cum_h",
+        shiftright(col("_cum_packed"), 31) + col("h_micro"))
+      .withColumn("cum_v",
+        col("_cum_packed").bitwiseAND(lit((1L << 31) - 1)) + col("v_micro"))
+      .filter(col("d") > 0)
+      .select(col("segment"), col("t").as("t_days"), col("n").as("n_risk"),
+        col("d").as("n_events"),
+        (col("cum_h").cast("double") / lit(1000000.0)).as("na_hazard"),
+        (col("cum_v").cast("double") / lit(1000000.0)).as("na_variance"))
+      .orderBy("segment", "t_days")
+  }
+
+  /** DuckDB mirror of [[nelsonAalen]]. */
+  def nelsonAalenOracleSql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC) AS rk
+      |  FROM orders
+      |), ft AS (
+      |  SELECT o_custkey,
+      |    min(CASE WHEN rk = 1 THEN d END) AS d1,
+      |    min(CASE WHEN rk = 2 THEN d END) AS d2
+      |  FROM ranked GROUP BY 1
+      |), hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders
+      |), dur AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+      |      ELSE date_diff('day', d1, h) END AS BIGINT) AS t,
+      |    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS e
+      |  FROM ft JOIN customer c ON ft.o_custkey = c.c_custkey CROSS JOIN hz
+      |), counts AS (
+      |  SELECT segment, t, CAST(sum(e) AS BIGINT) AS d,
+      |    CAST(sum(1 - e) AS BIGINT) AS c
+      |  FROM dur GROUP BY 1, 2
+      |), rowsn AS (
+      |  SELECT segment, t, d,
+      |    CAST(sum(d + c) OVER (PARTITION BY segment) AS BIGINT)
+      |      - CAST(COALESCE(sum(d + c) OVER (PARTITION BY segment ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n
+      |  FROM counts
+      |), steps AS (
+      |  SELECT segment, t, d, n,
+      |    (d * 1000000) // n AS h_micro,
+      |    (d * 1000000) // (n * n) AS v_micro
+      |  FROM rowsn
+      |), cum AS (
+      |  SELECT segment, t, d, n,
+      |    CAST(sum(h_micro) OVER (PARTITION BY segment ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_h,
+      |    CAST(sum(v_micro) OVER (PARTITION BY segment ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+      |  FROM steps
+      |)
+      |SELECT segment, t AS t_days, n AS n_risk, d AS n_events,
+      |  CAST(cum_h AS DOUBLE) / 1000000.0 AS na_hazard,
+      |  CAST(cum_v AS DOUBLE) / 1000000.0 AS na_variance
+      |FROM cum WHERE d > 0
+      |ORDER BY segment, t_days""".stripMargin
+
   /** Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) on the same
     * repeat-purchase durations as [[kaplanMeier]] — "do the two arms'
     * survival curves differ?", the inferential sibling of the KM plot.

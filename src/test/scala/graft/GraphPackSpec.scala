@@ -624,6 +624,38 @@ class GraphPackSpec extends SparkSpec {
     assert(r.getAs[Double]("p_two") > 0.4)
   }
 
+  test("Nelson-Aalen matches hand math and stays consistent with KM") {
+    // same planted cohort as the KM spec: events at t=2 (2 of 4) and
+    // t=5 (1 of 2, with one censored still at risk).
+    // H(2) = 2/4 = 0.5; H(5) = 0.5 + 1/2 = 1.0
+    // V(2) = 2/16 = 0.125; V(5) = 0.125 + 1/4 = 0.375
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    val ords = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(2)),
+      (3L, 2L, ts(0)), (4L, 2L, ts(2)),
+      (5L, 3L, ts(0)), (6L, 3L, ts(5)),
+      (7L, 4L, ts(0))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = (1 to 4).map(c => (c.toLong, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val out = graft.gold.Survival.nelsonAalen(ords, cust).collect()
+      .map(r => r.getAs[Long]("t_days") -> r).toMap
+    assert(out.keySet == Set(2L, 5L))
+    assert(out(2L).getAs[Long]("n_risk") == 4L)
+    assert(out(2L).getAs[Double]("na_hazard") == 0.5)
+    assert(out(2L).getAs[Double]("na_variance") == 0.125)
+    assert(out(5L).getAs[Long]("n_risk") == 2L)
+    assert(out(5L).getAs[Double]("na_hazard") == 1.0)
+    assert(out(5L).getAs[Double]("na_variance") == 0.375)
+    // consistency with the KM curve: e^-H >= S (strict product vs the
+    // exponential bound), and both step at the same event times
+    val km = graft.gold.Survival.kaplanMeier(ords, cust).collect()
+      .map(r => r.getAs[Long]("t_days") -> r.getAs[Double]("survival")).toMap
+    assert(km.keySet == out.keySet)
+    for ((t, s) <- km)
+      assert(math.exp(-out(t).getAs[Double]("na_hazard")) >= s - 1e-9,
+        s"e^-H < S at t=$t")
+  }
+
   test("Kaplan-Meier matches hand math with censoring handled correctly") {
     // A,B: repeat after 2 days; C: after 5; D: single order, censored at
     // the day-5 horizon. KM: S(2) = 1 - 2/4 = 0.5;
