@@ -782,6 +782,15 @@ private[graft] object QueriesCuration {
         .orderBy("doc_a", "doc_b"),
       Some(text.Bleu.oracleSql())),
 
+    // Deterministic per-epoch word-dropout augmentation (the denoising/
+    // contrastive view generator): md5 basis-point keep decision per
+    // (doc, epoch, position), entirely row-local — same corpus + epoch
+    // always yields the same view, no random state crosses executors.
+    QueryDef("q_word_dropout",
+      (s, d) => text.Augment.wordDropout(Tables.documents(s, d))
+        .orderBy("doc_id", "epoch"),
+      Some(text.Augment.oracleSql())),
+
     // Self-BLEU corpus-diversity rollup: avg pairwise BLEU-2 per lang
     // (high = the corpus keeps saying the same thing); per-pair scores
     // micro-quantized before the integer rollup.

@@ -867,6 +867,35 @@ class CurationSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 23L || b == 23L })
   }
 
+  test("word dropout is reproducible, epoch-independent, and mask-consistent") {
+    import graft.text.Augment
+    import spark.implicits._
+    val synth = (1L to 40L).map(i =>
+      (i, (1 to 50).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    def run() = Augment.wordDropout(synth, epochs = 2, keepBp = 8500)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")) -> r)
+      .toMap
+    val a = run(); val b = run()
+    // bit-reproducible across runs
+    assert(a.keySet == b.keySet && a.keySet.size == 80)
+    for (k <- a.keySet) {
+      assert(a(k).getAs[String]("view_text") == b(k).getAs[String]("view_text"))
+      val r = a(k)
+      val kept = r.getAs[String]("view_text").split(" ").filter(_.nonEmpty).length
+      assert(kept == r.getAs[Long]("n_kept"), s"mask/text mismatch at $k")
+      val dropped = r.getAs[String]("dropped_pos")
+      val nDropped = if (dropped.isEmpty) 0 else dropped.split(",").length
+      assert(r.getAs[Long]("n_tokens") - r.getAs[Long]("n_kept") == nDropped)
+    }
+    // epochs draw independently: the two views differ somewhere
+    assert(a.keys.exists(k => k._2 == 0L &&
+      a(k).getAs[String]("view_text") != a((k._1, 1L)).getAs[String]("view_text")))
+    // aggregate keep rate ~ 85% (binomial: 2000 draws per epoch)
+    val totKept = a.values.map(_.getAs[Long]("n_kept")).sum.toDouble
+    val tot = a.values.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(math.abs(totKept / tot - 0.85) < 0.03, s"keep rate ${totKept / tot}")
+  }
+
   test("incremental gram store serves novelty bit-identically to a from-scratch probe") {
     import graft.text.Novelty
     import spark.implicits._
