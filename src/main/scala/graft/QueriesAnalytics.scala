@@ -171,6 +171,17 @@ private[graft] object QueriesAnalytics {
     // materialized as ONE sorted struct array, the whole recursion a
     // row-local HOF fold (identical left fold in DuckDB list_reduce),
     // h-step forecasts + one-step-ahead SSE.
+    // EWMA control chart on daily revenue (Roberts 1959): recursive
+    // z-walk from the burn-in mean with time-varying 3-sigma control
+    // bands — the small-persistent-shift detector complementing CUSUM's
+    // change-point screen. Left-fold burn-in moments, one array-fold
+    // recursion vs the oracle's recursive CTE, per-day float32-collapsed
+    // power — hash-exact.
+    QueryDef("q_ewma_chart",
+      (s, d) => gold.Seasonal.ewmaChart(
+          Cleaning.cleanOrders(Tables.orders(s, d))),
+      Some(gold.Seasonal.ewmaChartOracleSql(CleanOrdersCte))),
+
     QueryDef("q_holt_forecast",
       (s, d) => gold.Seasonal.holtForecast(
           Cleaning.cleanOrders(Tables.orders(s, d))).orderBy("h"),

@@ -394,6 +394,101 @@ object Seasonal {
       |        JOIN da ON ms.event_type = da.event_type
       |ORDER BY ms.event_type""".stripMargin
 
+  // ---- EWMA control chart ------------------------------------------------
+  //   lambda = 0.2, L = 3 as shared literals; the burn-in (first 14 days)
+  //   estimates the in-control center/sigma by LEFT-FOLD sums (a plain SQL
+  //   SUM over doubles is order-arbitrary — exactly what the fold avoids).
+  private val EwLambda = "0.2"; private val EwOneMinus = "0.8"
+  private val EwBurn = 14; private val EwL = "3.0"
+
+  /** EWMA control chart (Roberts 1959; the SPC standard NIST/SEMATECH
+    * 6.3.2.4) on daily revenue: z_t = λ·y_t + (1−λ)·z_{t−1} from the
+    * burn-in mean, with the per-day control half-width
+    * L·σ̂·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})) — small persistent shifts that a
+    * Shewhart rule misses accumulate in z and cross the band (the batch
+    * sibling of streaming/StatefulDrift's per-user EWMA, at the
+    * fleet-monitoring grain, and the control-chart complement to CUSUM's
+    * change-POINT detector).
+    *
+    * Shape discipline (the Holt/KM lesson): the day series materializes
+    * once as a sorted struct array; burn-in μ̂/σ̂ are row-local LEFT
+    * folds; the whole recursion is ONE array-accumulator `aggregate`
+    * fold emitting per-day states (DuckDB mirrors with a recursive CTE
+    * running the same per-step arithmetic text, and list_reduce for the
+    * burn-in folds). Per-day (1−λ)^{2t} is one float32-collapsed power.
+    * Calendar-bounded, never an iterative job. */
+  def ewmaChart(cleanOrders: DataFrame): DataFrame = {
+    val daily = cleanOrders
+      .groupBy(col("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("y"))
+    daily
+      .agg(sort_array(collect_list(struct(col("order_date").as("d"),
+        col("y").as("y")))).as("s"))
+      .withColumn("ys", expr("transform(s, x -> x.y)"))
+      .filter(size(col("ys")) > lit(EwBurn))
+      .withColumn("mu", expr(
+        s"aggregate(slice(ys, 1, $EwBurn), CAST(0.0 AS DOUBLE), (a, y) -> a + y) / $EwBurn.0"))
+      .withColumn("sigma", expr(
+        s"sqrt(aggregate(slice(ys, 1, $EwBurn), CAST(0.0 AS DOUBLE), " +
+          s"(a, y) -> a + (y - mu) * (y - mu)) / ${EwBurn - 1}.0)"))
+      .withColumn("zs", expr(
+        """slice(aggregate(s,
+          |  array(named_struct('d', CAST(NULL AS DATE), 'y', CAST(0.0 AS DOUBLE), 'z', mu)),
+          |  (acc, x) -> concat(acc, array(named_struct('d', x.d, 'y', x.y,
+          |    'z', 0.2 * x.y + 0.8 * element_at(acc, -1).z)))), 2, size(s))""".stripMargin))
+      .select(col("mu"), col("sigma"), posexplode(col("zs")).as(Seq("p", "r")))
+      .withColumn("t", (col("p") + 1).cast("long"))
+      .withColumn("halfwidth", expr(
+        s"$EwL * sigma * sqrt((CAST($EwLambda AS DOUBLE) / (2.0D - CAST($EwLambda AS DOUBLE))) * " +
+          s"(1.0 - CAST(CAST(power(0.64, CAST(t AS DOUBLE)) AS FLOAT) AS DOUBLE)))"))
+      .select(col("r.d").as("day"), col("t"), col("r.y").as("y"),
+        col("r.z").as("ewma"), col("mu").as("center"), col("sigma"),
+        col("halfwidth"),
+        (abs(col("r.z") - col("mu")) > col("halfwidth")).as("out_of_control"))
+      .orderBy("day")
+  }
+
+  /** DuckDB mirror of [[ewmaChart]] — recursive CTE for the z walk,
+    * list_reduce left folds for the burn-in moments. */
+  def ewmaChartOracleSql(cleanOrdersCte: String): String =
+    cleanOrdersCte +
+      s"""
+         |, daily AS (
+         |  SELECT order_date AS d,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+         |  FROM clean_orders GROUP BY 1
+         |), lists AS (
+         |  SELECT list(y ORDER BY d) AS ys FROM daily
+         |), moments AS (
+         |  SELECT
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:$EwBurn]),
+         |      (a, y) -> a + y) / $EwBurn.0 AS mu, ys
+         |  FROM lists WHERE len(ys) > $EwBurn
+         |), moments2 AS (
+         |  SELECT mu,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:$EwBurn]),
+         |      (a, y) -> a + (y - mu) * (y - mu)) / ${EwBurn - 1}.0) AS sigma
+         |  FROM moments
+         |), ser AS (
+         |  SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+         |  FROM daily
+         |), walk AS (
+         |  WITH RECURSIVE ew(t, z) AS (
+         |    SELECT CAST(0 AS BIGINT), mu FROM moments2
+         |    UNION ALL
+         |    SELECT s.t, 0.2 * s.y + 0.8 * ew.z
+         |    FROM ew JOIN ser s ON s.t = ew.t + 1
+         |  ) SELECT * FROM ew WHERE t >= 1
+         |)
+         |SELECT s.d AS day, s.t, s.y, w.z AS ewma, m.mu AS center, m.sigma,
+         |  $EwL * m.sigma * sqrt((CAST($EwLambda AS DOUBLE) / (CAST(2.0 AS DOUBLE) - CAST($EwLambda AS DOUBLE))) *
+         |    (1.0 - CAST(CAST(power(0.64, CAST(s.t AS DOUBLE)) AS FLOAT) AS DOUBLE))) AS halfwidth,
+         |  abs(w.z - m.mu) > $EwL * m.sigma * sqrt((CAST($EwLambda AS DOUBLE) / (CAST(2.0 AS DOUBLE) - CAST($EwLambda AS DOUBLE))) *
+         |    (1.0 - CAST(CAST(power(0.64, CAST(s.t AS DOUBLE)) AS FLOAT) AS DOUBLE))) AS out_of_control
+         |FROM ser s JOIN walk w ON s.t = w.t CROSS JOIN moments2 m
+         |ORDER BY s.d""".stripMargin
+
   /** Holt double-exponential smoothing (Holt 1957): level + trend with
     * exponential discounting — the forecasting rung above the OLS trend
     * (q_revenue_trend fits one global slope; Holt adapts to slope

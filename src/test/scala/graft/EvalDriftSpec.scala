@@ -472,6 +472,39 @@ class EvalDriftSpec extends SparkSpec {
       s"pooled mean moved: $pooledRaw vs $pooledAdj")
   }
 
+  test("EWMA chart matches a hand walk and flags a planted sustained shift") {
+    import graft.gold.Seasonal
+    // burn-in: 14 days alternating 90/110 (mu=100, sigma^2=1400/13);
+    // then 10 in-control days at 100, then a sustained shift to 130.
+    val ys = (1 to 14).map(i => if (i % 2 == 1) 90.0 else 110.0) ++
+      Seq.fill(10)(100.0) ++ Seq.fill(12)(130.0)
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), y)
+    }.toDF("order_date", "o_totalprice")
+    val out = Seasonal.ewmaChart(rows).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.size == 36)
+    // replicate the exact chain
+    val mu = ys.take(14).foldLeft(0.0)(_ + _) / 14.0
+    val sigma = math.sqrt(
+      ys.take(14).foldLeft(0.0)((a, y) => a + (y - mu) * (y - mu)) / 13.0)
+    assert(out(1L).getAs[Double]("center") == mu)
+    assert(out(1L).getAs[Double]("sigma") == sigma)
+    var z = mu
+    for ((y, i) <- ys.zipWithIndex) {
+      z = 0.2 * y + 0.8 * z
+      val t = i + 1
+      assert(out(t.toLong).getAs[Double]("ewma") == z, s"z mismatch at t=$t")
+      val hw = 3.0 * sigma * math.sqrt((0.2 / 1.8) *
+        (1.0 - math.pow(0.64, t.toDouble).toFloat.toDouble))
+      assert(out(t.toLong).getAs[Double]("halfwidth") == hw, s"hw mismatch at t=$t")
+    }
+    // in-control region never flags; the sustained shift does
+    assert((1 to 24).forall(t => !out(t.toLong).getAs[Boolean]("out_of_control")))
+    assert((28 to 36).forall(t => out(t.toLong).getAs[Boolean]("out_of_control")),
+      "sustained +3-sigma-scale shift must push the EWMA out of the band")
+  }
+
   test("grouped Mann-Whitney matches the ungrouped test per segment") {
     import graft.gold.Drift
     // group g1 = the no-ties hand case (U = 0); g2 = a shifted copy
