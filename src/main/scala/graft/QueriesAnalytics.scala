@@ -1384,6 +1384,23 @@ private[graft] object QueriesAnalytics {
       (s, d) => Seasonal.dailyTrendRobust(Tables.events(s, d)),
       Some(Seasonal.robustTrendOracleSql)),
 
+    // Mann–Kendall nonparametric trend test: sign-only monotone-trend
+    // detection with tie-corrected variance and continuity-corrected z —
+    // the "is there a trend at all" gate in front of the OLS/Theil–Sen
+    // slope estimates. Exact integer S and variance numerator from the
+    // calendar-bounded pair join.
+    QueryDef("q_mann_kendall",
+      (s, d) => Seasonal.mannKendall(Tables.events(s, d)),
+      Some(Seasonal.mannKendallOracleSql)),
+
+    // Kendall τ-b between daily revenue and daily event volume per type:
+    // series-grain rank correlation (the customer-grain Spearman's
+    // companion) from exact concordant/discordant/tie counts over the
+    // same calendar-bounded pair join.
+    QueryDef("q_kendall_tau",
+      (s, d) => Seasonal.kendallTau(Tables.events(s, d)),
+      Some(Seasonal.kendallTauOracleSql)),
+
     QueryDef("q_revenue_trend",
       (s, d) => Seasonal.dailyTrend(Tables.events(s, d)),
       Some("""WITH daily AS (

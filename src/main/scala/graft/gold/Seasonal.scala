@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -654,6 +654,210 @@ object Seasonal {
        |FROM fit CROSS JOIN (SELECT unnest(range(1, ${horizon + 1})) AS h)
        |ORDER BY h""".stripMargin
   }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) on the daily
+    * revenue series per event type — the NONPARAMETRIC companion to
+    * [[dailyTrend]]'s OLS slope and [[dailyTrendRobust]]'s Theil–Sen
+    * estimate: is there a monotone trend AT ALL, judged only on the
+    * signs of pairwise differences (so a heavy-tailed day or a level
+    * spike cannot manufacture or hide a trend the way it bends OLS).
+    *
+    *   S  = Σ_{i<j} sgn(y_j − y_i)          (exact BIGINT)
+    *   Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (exact BIGINT,
+    *               t = size of each tied-value group)
+    *   z  = (S∓1)/√(Var S) with the continuity correction, 0 at S=0.
+    *
+    * Exactness: S and the variance numerator are pure integer sums;
+    * z is one division-and-sqrt chain (sqrt is IEEE exact-rounded, no
+    * float32 collapse needed — the Spearman contract). All-tied series
+    * (Var = 0) report NULL z / 'n/a' instead of a 0-division.
+    *
+    * Scale shape: the fact table collapses once to DAY grain; the pair
+    * join runs on calendar-bounded rows (≤366/yr per type — the
+    * Theil–Sen justification verbatim), and the tie table is a second
+    * partial agg of that same daily frame. Scan bound at any scale. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("y_cents"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+
+    val a = daily.select(col("event_type"), col("x").as("xi"), col("y_cents").as("yi"))
+    val b = daily.select(col("event_type").as("et_b"), col("x").as("xj"),
+      col("y_cents").as("yj"))
+    val sStat = a.join(b, col("event_type") === col("et_b") && col("xi") < col("xj"))
+      .groupBy("event_type")
+      .agg(sum(when(col("yj") > col("yi"), 1L)
+        .when(col("yj") < col("yi"), -1L).otherwise(0L)).cast("long").as("s_stat"))
+
+    val ties = daily.groupBy(col("event_type"), col("y_cents"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .cast("long").as("tie_term"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+
+    nDays.join(sStat, "event_type").join(ties, "event_type")
+      .withColumn("var_num18",
+        (col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+          - col("tie_term")).cast("long"))
+      .withColumn("z",
+        when(col("var_num18") > 0L,
+          when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double"))
+            .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var_num18").cast("double") / lit(18.0))))
+      .withColumn("trend",
+        when(col("z").isNull, "n/a")
+          .when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend"))
+      .select("event_type", "n_days", "s_stat", "var_num18", "z", "trend")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of [[mannKendall]]. */
+  def mannKendallOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2, 4
+      |), s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.y_cents > a.y_cents THEN 1
+      |                  WHEN b.y_cents < a.y_cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x
+      |  GROUP BY 1
+      |), ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, y_cents, CAST(count(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2) g
+      |  GROUP BY 1
+      |), nd AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+      |), fin AS (
+      |  SELECT nd.event_type, n_days, s_stat,
+      |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var_num18
+      |  FROM nd JOIN s ON nd.event_type = s.event_type
+      |  JOIN ties ON nd.event_type = ties.event_type
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN var_num18 > 0 THEN
+      |      (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |            ELSE CAST(0.0 AS DOUBLE) END)
+      |      / sqrt(CAST(var_num18 AS DOUBLE) / 18.0) END AS z
+      |  FROM fin
+      |)
+      |SELECT event_type, n_days, s_stat, var_num18, z,
+      |  CASE WHEN z IS NULL THEN 'n/a'
+      |       WHEN z > 1.96 THEN 'increasing'
+      |       WHEN z < -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM z ORDER BY event_type""".stripMargin
+
+  /** Kendall τ-b rank correlation (Kendall 1945) between daily revenue
+    * and daily event VOLUME per event type — "do busier days earn more,
+    * monotonically?" at the series grain, completing the rank-
+    * correlation family next to the customer-grain [[graft.operators
+    * .Profiling.spearman]]: τ judges only pairwise order agreement, so
+    * one whale day can't fake a volume→revenue link.
+    *
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),  n₀ = n(n−1)/2,
+    *   n₁/n₂ = Σ t(t−1)/2 over tied-value groups of each variable.
+    *
+    * Exactness: C, D and all tie counts are exact BIGINTs from the same
+    * calendar-bounded pair join as [[mannKendall]]; τ is one
+    * multiply/sqrt/divide chain on exact integers (sqrt exact-rounded).
+    * Degenerate series (either variable all-tied) report NULL.
+    *
+    * Scale shape: identical to [[mannKendall]] — day-grain collapse,
+    * calendar-bounded pair join, two tiny tie aggs. */
+  def kendallTau(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long").as("y_cents"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+
+    val a = daily.select(col("event_type"), col("x").as("xi"),
+      col("y_cents").as("yi"), col("n_ev").as("vi"))
+    val b = daily.select(col("event_type").as("et_b"), col("x").as("xj"),
+      col("y_cents").as("yj"), col("n_ev").as("vj"))
+    val sgnY = when(col("yj") > col("yi"), 1).when(col("yj") < col("yi"), -1).otherwise(0)
+    val sgnV = when(col("vj") > col("vi"), 1).when(col("vj") < col("vi"), -1).otherwise(0)
+    val pairAgg = a.join(b, col("event_type") === col("et_b") && col("xi") < col("xj"))
+      .groupBy("event_type")
+      .agg(sum(when(sgnY * sgnV === 1, 1L).otherwise(0L)).cast("long").as("concordant"),
+        sum(when(sgnY * sgnV === -1, 1L).otherwise(0L)).cast("long").as("discordant"))
+
+    def tiePairs(c: Column, out: String): DataFrame = daily
+      .groupBy(col("event_type"), c)
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg((sum(col("t") * (col("t") - 1L)) / lit(2)).cast("long").as(out))
+
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    nDays.join(pairAgg, "event_type")
+      .join(tiePairs(col("y_cents"), "ties_y"), "event_type")
+      .join(tiePairs(col("n_ev"), "ties_v"), "event_type")
+      .withColumn("n0", (col("n_days") * (col("n_days") - 1L) / lit(2)).cast("long"))
+      .withColumn("tau_b",
+        when((col("n0") - col("ties_y")) > 0L && (col("n0") - col("ties_v")) > 0L,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("ties_y")).cast("double") *
+              (col("n0") - col("ties_v")).cast("double"))))
+      .select("event_type", "n_days", "concordant", "discordant",
+        "ties_y", "ties_v", "tau_b")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of [[kendallTau]]. */
+  def kendallTauOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_cents,
+      |    CAST(count(*) AS BIGINT) AS n_ev,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2, 5
+      |), pr AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN (CASE WHEN b.y_cents > a.y_cents THEN 1
+      |                             WHEN b.y_cents < a.y_cents THEN -1 ELSE 0 END)
+      |                     * (CASE WHEN b.n_ev > a.n_ev THEN 1
+      |                             WHEN b.n_ev < a.n_ev THEN -1 ELSE 0 END) = 1
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(sum(CASE WHEN (CASE WHEN b.y_cents > a.y_cents THEN 1
+      |                             WHEN b.y_cents < a.y_cents THEN -1 ELSE 0 END)
+      |                     * (CASE WHEN b.n_ev > a.n_ev THEN 1
+      |                             WHEN b.n_ev < a.n_ev THEN -1 ELSE 0 END) = -1
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x
+      |  GROUP BY 1
+      |), ty AS (
+      |  SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_y
+      |  FROM (SELECT event_type, y_cents, CAST(count(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2) g GROUP BY 1
+      |), tv AS (
+      |  SELECT event_type, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_v
+      |  FROM (SELECT event_type, n_ev, CAST(count(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2) g GROUP BY 1
+      |), nd AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+      |), fin AS (
+      |  SELECT nd.event_type, n_days, concordant, discordant, ties_y, ties_v,
+      |    CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n0
+      |  FROM nd JOIN pr ON nd.event_type = pr.event_type
+      |  JOIN ty ON nd.event_type = ty.event_type
+      |  JOIN tv ON nd.event_type = tv.event_type
+      |)
+      |SELECT event_type, n_days, concordant, discordant, ties_y, ties_v,
+      |  CASE WHEN (n0 - ties_y) > 0 AND (n0 - ties_v) > 0 THEN
+      |    CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST(n0 - ties_y AS DOUBLE) * CAST(n0 - ties_v AS DOUBLE)) END AS tau_b
+      |FROM fin ORDER BY event_type""".stripMargin
 
   /** DuckDB mirror of [[holtForecast]] — the fold runs as a RECURSIVE CTE
     * with the (l, b, sse) state carried as plain columns: one row per

@@ -505,6 +505,63 @@ class EvalDriftSpec extends SparkSpec {
       "sustained +3-sigma-scale shift must push the EWMA out of the band")
   }
 
+  test("Mann-Kendall matches the hand-computed S, tie-corrected variance, z") {
+    import graft.gold.Seasonal
+    // one series, 5 days, day totals 10, 20, 15, 20, 30 (cents ×100):
+    // S = Σ sgn = +1+1+1+1 −1 +0 +1 +1 +1 +1 = 7; n=5 → n(n−1)(2n+5)=300;
+    // the tied value 2000 (t=2) subtracts 2·1·9=18 → var_num18 = 282;
+    // z = (7−1)/sqrt(282/18) = 6/sqrt(15.666…) ≈ 1.516 → no_trend.
+    val rows = Seq(10.0, 20.0, 15.0, 20.0, 30.0).zipWithIndex.map { case (v, i) =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("event_type", "ts", "value")
+    val r = Seasonal.mannKendall(rows).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("s_stat") === 7L)
+    assert(r.getAs[Long]("var_num18") === 282L)
+    assert(r.getAs[Double]("z") === 6.0 / math.sqrt(282.0 / 18.0))
+    assert(r.getAs[String]("trend") === "no_trend")
+  }
+
+  test("Mann-Kendall: strictly increasing series flags 'increasing'; " +
+    "all-tied series reports NULL z / n/a") {
+    import graft.gold.Seasonal
+    val up = (1 to 10).map(i =>
+      ("buy", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), i * 10.0))
+    val flat = (1 to 4).map(i =>
+      ("flat", java.sql.Timestamp.valueOf(f"2024-02-$i%02d 12:00:00"), 50.0))
+    val out = Seasonal.mannKendall((up ++ flat).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    // monotone n=10: S = 45, var_num18 = 10·9·25 = 2250,
+    // z = 44/sqrt(125) ≈ 3.936 > 1.96
+    assert(out("buy").getAs[Long]("s_stat") === 45L)
+    assert(out("buy").getAs[String]("trend") === "increasing")
+    // all-tied: every pairwise sgn = 0 and the tie term cancels the
+    // variance numerator entirely (4·3·13 − 4·3·13 = 0) → NULL z
+    assert(out("flat").getAs[Long]("s_stat") === 0L)
+    assert(out("flat").getAs[Long]("var_num18") === 0L)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("z")))
+    assert(out("flat").getAs[String]("trend") === "n/a")
+  }
+
+  test("Kendall tau-b matches the hand-computed concordance with ties") {
+    import graft.gold.Seasonal
+    // day totals y = (10, 20, 15, 20, 30), day volumes v = (1, 2, 2, 3, 4):
+    // C = 8, D = 0; ties_y = 1 (y=2000 twice), ties_v = 1 (v=2 twice),
+    // n0 = 10 → τ_b = 8/sqrt(9·9) = 8/9.
+    val perDay = Seq(
+      (1, Seq(10.0)), (2, Seq(12.0, 8.0)), (3, Seq(7.0, 8.0)),
+      (4, Seq(5.0, 5.0, 10.0)), (5, Seq(5.0, 5.0, 10.0, 10.0)))
+    val rows = perDay.flatMap { case (d, vs) =>
+      vs.map(v => ("click", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), v))
+    }.toDF("event_type", "ts", "value")
+    val r = Seasonal.kendallTau(rows).collect().head
+    assert(r.getAs[Long]("concordant") === 8L)
+    assert(r.getAs[Long]("discordant") === 0L)
+    assert(r.getAs[Long]("ties_y") === 1L)
+    assert(r.getAs[Long]("ties_v") === 1L)
+    assert(r.getAs[Double]("tau_b") === 8.0 / 9.0)
+  }
+
   test("grouped Mann-Whitney matches the ungrouped test per segment") {
     import graft.gold.Drift
     // group g1 = the no-ties hand case (U = 0); g2 = a shifted copy
