@@ -198,6 +198,18 @@ private[graft] object QueriesAnalytics {
       Some("WITH RECURSIVE " + CleanOrdersCte.stripPrefix("WITH ") +
         gold.Seasonal.holtWintersOracleSql())),
 
+    // Exact unbinned two-sample Kolmogorov-Smirnov drift test per
+    // priority segment: sup ECDF gap at every distinct amount as an
+    // exact integer ratio, distributed prefix sums (no one-partition
+    // window), truncated-Kolmogorov p with float32-collapsed exps.
+    QueryDef("q_ks_exact",
+      (s, d) => gold.Drift.ksExact(
+          Cleaning.cleanOrders(Tables.orders(s, d)),
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * lit(100)).cast("long"),
+          col("order_date") < to_date(lit("1998-01-01"))),
+      Some(CleanOrdersCte + gold.Drift.ksExactOracleSql("1998-01-01"))),
+
     // Mann-Whitney U two-sample drift test: exact-rank (unbinned) shift
     // detection on order amounts between periods — doubled midranks,
     // exact tie correction, one mirrored IEEE chain for u/mu/sigma/z.

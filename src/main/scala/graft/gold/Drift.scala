@@ -214,4 +214,121 @@ object Drift {
       .withColumn("discovery",
         coalesce(col("p_adj") <= lit(alpha), lit(false)))
   }
+
+  /** Exact (unbinned) two-sample Kolmogorov–Smirnov test per segment —
+    * the third drift lens next to [[binnedDrift]]'s bin-grid KS (which
+    * blurs anything between bin edges) and [[mannWhitney]] (which sees
+    * location shifts but is blind to equal-median shape changes): the
+    * supremum ECDF gap evaluated at EVERY distinct value, so a variance
+    * or tail change with an unmoved median still fires.
+    *
+    *   D = max_v |F_A(v) − F_B(v)|, exactly D_num / (n_A·n_B) with
+    *   D_num = max_v |cumA(v)·n_B − cumB(v)·n_A|  (exact BIGINT);
+    *   λ = √(n_A·n_B/(n_A+n_B))·D; p ≈ 2(e^{−2λ²} − e^{−8λ²} + e^{−18λ²})
+    *   (the asymptotic Kolmogorov series truncated at 3 terms — its
+    *   tail at the λ where anyone acts is < 1e-15 — clamped to [0,1]);
+    *   reject at α=0.05 ⇔ λ > 1.358.
+    *
+    * Exactness: D_num and the sample sizes are exact BIGINTs; the only
+    * libm calls (3 exps) are float32-collapsed; sqrt is exact-rounded.
+    * Degenerate segments (either side empty) report NULL stats.
+    *
+    * Scale shape: the fact table collapses once to (segment, value)
+    * grain — the Mann–Whitney contract — then BOTH cumulative counts
+    * come from [[graft.operators.ScalableRank.withGroupedPrefixSum]]
+    * (no single-partition window at any scale), and the sup is one
+    * segment-grain partial agg. */
+  def ksExact(df: DataFrame, seg: Column, value: Column, inA: Column): DataFrame = {
+    val rows = df.select(seg.as("segment"), value.as("_v"),
+      inA.cast("long").as("_a"))
+    val g = rows.groupBy("segment", "_v")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_a")).cast("long").as("_ca"))
+    val c1 = graft.operators.ScalableRank.withGroupedPrefixSum(
+      g, col("segment"), Seq(col("_v").asc), col("_ca"), "_cum_a_x")
+    val c2 = graft.operators.ScalableRank.withGroupedPrefixSum(
+      c1, col("segment"), Seq(col("_v").asc), col("_cnt"), "_cum_t_x")
+    val inc = c2
+      .withColumn("_ia", col("_cum_a_x") + col("_ca"))
+      .withColumn("_ib", col("_cum_t_x") + col("_cnt") - col("_ia"))
+    val tot = g.groupBy("segment").agg(
+      sum(col("_ca")).cast("long").as("n_a"),
+      sum(col("_cnt") - col("_ca")).cast("long").as("n_b"))
+    val sup = inc.join(tot, "segment")
+      .groupBy("segment", "n_a", "n_b")
+      .agg(max(abs(col("_ia") * col("n_b") - col("_ib") * col("n_a")))
+        .cast("long").as("d_num"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    def e(k: Int): Column =
+      expr(s"CAST(CAST(exp(${-2.0 * k * k} * lam * lam) AS FLOAT) AS DOUBLE)")
+    sup
+      .withColumn("ks_stat",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("d_num").cast("double") / (nA * nB)))
+      .withColumn("lam",
+        when(col("ks_stat").isNotNull,
+          sqrt(nA * nB / (nA + nB)) * col("ks_stat")))
+      .withColumn("p_approx",
+        when(col("lam").isNotNull, least(lit(1.0),
+          greatest(lit(0.0), lit(2.0) * (e(1) - e(2) + e(3))))))
+      .withColumn("reject_05", coalesce(col("lam") > 1.358, lit(false)))
+      .select("segment", "n_a", "n_b", "d_num", "ks_stat", "lam",
+        "p_approx", "reject_05")
+      .orderBy("segment")
+  }
+
+  /** DuckDB mirror of [[ksExact]] over `clean_orders` cents split at an
+    * order-date boundary, segmented by priority. The plain cumulative
+    * windows here stand in for the distributed prefix sums — same
+    * integers either way. */
+  def ksExactOracleSql(boundary: String): String =
+    s"""
+       |, kr AS (
+       |  SELECT o_orderpriority AS segment,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN order_date < DATE '$boundary' THEN 1 ELSE 0 END AS a
+       |  FROM clean_orders
+       |), kg AS (
+       |  SELECT segment, v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS ca
+       |  FROM kr GROUP BY 1, 2
+       |), kc AS (
+       |  SELECT segment, v, cnt, ca,
+       |    sum(ca) OVER (PARTITION BY segment ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ia,
+       |    sum(cnt - ca) OVER (PARTITION BY segment ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ib
+       |  FROM kg
+       |), kt AS (
+       |  SELECT segment, CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cnt - ca) AS BIGINT) AS n_b
+       |  FROM kg GROUP BY 1
+       |), ks AS (
+       |  SELECT kc.segment, n_a, n_b,
+       |    CAST(max(abs(ia * n_b - ib * n_a)) AS BIGINT) AS d_num
+       |  FROM kc JOIN kt ON kc.segment = kt.segment
+       |  GROUP BY 1, 2, 3
+       |), kf AS (
+       |  SELECT *,
+       |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |      CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |    END AS ks_stat
+       |  FROM ks
+       |), kl AS (
+       |  SELECT *,
+       |    CASE WHEN ks_stat IS NOT NULL THEN
+       |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * ks_stat
+       |    END AS lam
+       |  FROM kf
+       |)
+       |SELECT segment, n_a, n_b, d_num, ks_stat, lam,
+       |  CASE WHEN lam IS NOT NULL THEN least(CAST(1.0 AS DOUBLE),
+       |    greatest(CAST(0.0 AS DOUBLE), 2.0 *
+       |      (CAST(CAST(exp(-2.0 * lam * lam) AS FLOAT) AS DOUBLE)
+       |       - CAST(CAST(exp(-8.0 * lam * lam) AS FLOAT) AS DOUBLE)
+       |       + CAST(CAST(exp(-18.0 * lam * lam) AS FLOAT) AS DOUBLE))))
+       |  END AS p_approx,
+       |  coalesce(lam > 1.358, false) AS reject_05
+       |FROM kl ORDER BY segment""".stripMargin
 }

@@ -505,6 +505,49 @@ class EvalDriftSpec extends SparkSpec {
       "sustained +3-sigma-scale shift must push the EWMA out of the band")
   }
 
+  test("exact KS matches hand-computed sup gaps and handles degenerate segments") {
+    import graft.gold.Drift
+    // s1: A = {1,2,3}, B = {2,3,4} → inclusive gaps |ia·nB − ib·nA| over
+    // pooled values (1,2,3,4) = (3,3,3,0) → d_num = 3, D = 3/9 = 1/3,
+    // λ = sqrt(9/6)/3. s2: disjoint A = {1,2} < B = {10,20} → D = 1,
+    // λ = sqrt(4/4)·1 = 1 (still under the 1.358 cut: tiny samples
+    // cannot reject). s3: B empty → NULL stats, reject false.
+    val rows = Seq(
+      ("s1", 1L, true), ("s1", 2L, true), ("s1", 3L, true),
+      ("s1", 2L, false), ("s1", 3L, false), ("s1", 4L, false),
+      ("s2", 1L, true), ("s2", 2L, true), ("s2", 10L, false), ("s2", 20L, false),
+      ("s3", 5L, true), ("s3", 6L, true)
+    ).toDF("seg", "v", "a")
+    val out = Drift.ksExact(rows, col("seg"), col("v"), col("a"))
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    assert(out("s1").getAs[Long]("d_num") === 3L)
+    assert(out("s1").getAs[Double]("ks_stat") === 1.0 / 3.0)
+    assert(out("s1").getAs[Double]("lam") === math.sqrt(9.0 / 6.0) * (1.0 / 3.0))
+    assert(!out("s1").getAs[Boolean]("reject_05"))
+    assert(out("s2").getAs[Double]("ks_stat") === 1.0)
+    assert(out("s2").getAs[Double]("lam") === 1.0)
+    // truncated Kolmogorov p at λ=1 with the float32-collapsed exps
+    def c(x: Double) = x.toFloat.toDouble
+    val p1 = 2.0 * (c(math.exp(-2.0)) - c(math.exp(-8.0)) + c(math.exp(-18.0)))
+    assert(out("s2").getAs[Double]("p_approx") === p1)
+    assert(out("s3").isNullAt(out("s3").fieldIndex("ks_stat")))
+    assert(!out("s3").getAs[Boolean]("reject_05"))
+  }
+
+  test("exact KS fires on a planted variance change that leaves the median put") {
+    import graft.gold.Drift
+    // A: 400 points tightly packed around 0 (±1); B: 400 points at ±50.
+    // Medians identical; the ECDF gap at v = −2 is |200·400 − 0·400|
+    // = huge → D = 0.5, λ = sqrt(160000/800)·0.5 ≈ 7.07 → reject.
+    val a = (1 to 200).flatMap(i => Seq(("g", -1L, true), ("g", 1L, true)))
+    val b = (1 to 200).flatMap(i => Seq(("g", -50L, false), ("g", 50L, false)))
+    val r = Drift.ksExact((a ++ b).toDF("seg", "v", "a"),
+      col("seg"), col("v"), col("a")).collect().head
+    assert(r.getAs[Double]("ks_stat") === 0.5)
+    assert(r.getAs[Boolean]("reject_05"))
+    assert(r.getAs[Double]("p_approx") < 1e-10)
+  }
+
   test("Mann-Kendall matches the hand-computed S, tie-corrected variance, z") {
     import graft.gold.Seasonal
     // one series, 5 days, day totals 10, 20, 15, 20, 30 (cents ×100):
