@@ -782,6 +782,15 @@ private[graft] object QueriesCuration {
         .orderBy("doc_a", "doc_b"),
       Some(text.Bleu.oracleSql())),
 
+    // chrF character n-gram F-score over the same bounded pair block:
+    // the subword-robust overlap metric BLEU's token grain misses —
+    // pure integer clip counts + a libm-free rational F chain (β=2,
+    // n=1..3), IEEE-identical cross-engine with no collapse.
+    QueryDef("q_chrf_pairs",
+      (s, d) => text.ChrF.chrfPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some(text.ChrF.oracleSql())),
+
     // Deterministic per-epoch word-dropout augmentation (the denoising/
     // contrastive view generator): md5 basis-point keep decision per
     // (doc, epoch, position), entirely row-local — same corpus + epoch

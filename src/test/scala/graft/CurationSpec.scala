@@ -867,6 +867,38 @@ class CurationSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 23L || b == 23L })
   }
 
+  test("chrF pairs match hand math and are whitespace-reflow invariant") {
+    import graft.text.ChrF
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab", "en"), // despaced: "abab"
+      (2L, "aba", "en"),
+      (3L, "abab", "en"), // same despaced content as doc 1
+      (4L, "xyzw", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = ChrF.chrfPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+
+    // "abab" vs "aba": m1 = min(2,2)+min(2,1) = 3; m2 = ab:1 + ba:1 = 2;
+    // m3 = aba:1 → P = (3/4, 2/3, 1/2), R = (1, 1, 1)
+    val p12 = out((1L, 2L))
+    assert(p12.getAs[Long]("m1") == 3L && p12.getAs[Long]("m2") == 2L &&
+      p12.getAs[Long]("m3") == 1L)
+    def fOf(m: Double, ta: Double, tb: Double): Double =
+      5.0 * (m / ta) * (m / tb) / (4.0 * (m / ta) + (m / tb))
+    assert(p12.getAs[Double]("f1") == fOf(3.0, 4.0, 3.0))
+    assert(p12.getAs[Double]("f2") == fOf(2.0, 3.0, 2.0))
+    assert(p12.getAs[Double]("f3") == fOf(1.0, 2.0, 1.0))
+    assert(p12.getAs[Double]("chrf") ==
+      (fOf(3.0, 4.0, 3.0) + fOf(2.0, 3.0, 2.0) + fOf(1.0, 2.0, 1.0)) / 3.0)
+
+    // whitespace reflow is invisible: "ab ab" ≡ "abab" → perfect score
+    val p13 = out((1L, 3L))
+    assert(p13.getAs[Double]("chrf") == 1.0)
+    // disjoint alphabets: every order clips to zero → chrf = 0
+    assert(out((1L, 4L)).getAs[Double]("chrf") == 0.0)
+  }
+
   test("word dropout is reproducible, epoch-independent, and mask-consistent") {
     import graft.text.Augment
     import spark.implicits._
