@@ -260,7 +260,7 @@ object Evaluation {
       col(labelCol).cast("long").as("_l"))
     val g = rows.groupBy("_seg", "_s")
       .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
-    // packed (cnt, pos) prefix — see withMidranks: one exchange, not two
+    // packed (cnt, pos) prefix — see midrankTable: one exchange, not two
     val c2 = ScalableRank.withGroupedPrefixSum(
         g, col("_seg"), Seq(col("_s").asc),
         col("_cnt") * lit(1L << 31) + col("_pos"), "_cum_packed")
@@ -364,13 +364,20 @@ object Evaluation {
         .otherwise(lit(null).cast("double")))
   }
 
-  /** Midrank decoration for one scorer: collapse to score grain, exact
+  /** Score-grain midrank table for one scorer: (_sv_<prefix>,
+    * <prefix>_h2/h2p/h2n) — collapse to score grain, then exact
     * distributed exclusive prefix sums (ScalableRank — never a
-    * single-partition running total), then join the per-score doubled
-    * midranks back onto the rows. For a row at score v (cum = counts
+    * single-partition running total). For a row at score v (cum = counts
     * strictly below v): 2·midrank = 2·cum + cnt + 1, and likewise within
-    * the row's own class. */
-  private def withMidranks(rows: DataFrame, scoreCol: String,
+    * the row's own class.
+    *
+    * Derived from `rows` alone — independent of any other scorer's
+    * decoration, which is what lets delongCompare attach BOTH scorers'
+    * tables to the undecorated rows in one flat join chain instead of
+    * nesting decorations (the nested form embedded the whole scored
+    * lineage ~21× in the plan — 205 Exchange nodes / 84 scans at sf0.1 —
+    * and every planning/canonicalization pass walked all of it). */
+  private def midrankTable(rows: DataFrame, scoreCol: String,
                            prefix: String): DataFrame = {
     val g = rows.groupBy(col(scoreCol).as("_sv"))
       .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
@@ -383,13 +390,12 @@ object Evaluation {
         col("_cnt") * lit(1L << 31) + col("_pos"), "_cum_packed")
       .withColumn("_cum_all", shiftright(col("_cum_packed"), 31))
       .withColumn("_cum_pos", col("_cum_packed").bitwiseAND(lit((1L << 31) - 1)))
-    val enriched = cum2.select(
-      col("_sv"),
+    cum2.select(
+      col("_sv").as(s"_sv_$prefix"),
       (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as(s"${prefix}_h2"),
       (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as(s"${prefix}_h2p"),
       (lit(2L) * (col("_cum_all") - col("_cum_pos")) +
         (col("_cnt") - col("_pos")) + lit(1L)).as(s"${prefix}_h2n"))
-    rows.join(enriched, col(scoreCol) === col("_sv")).drop("_sv")
   }
 
   /** DeLong, DeLong & Clarke-Pearson (1988) comparison of two PAIRED
@@ -417,8 +423,15 @@ object Evaluation {
                     labelCol: String): DataFrame = {
     val rows = scored.select(col(scoreA).as("_sa"), col(scoreB).as("_sb"),
       col(labelCol).cast("long").as("_l"))
-    val ranked = ScalableRank.persistTracked(
-      withMidranks(withMidranks(rows, "_sa", "a"), "_sb", "b"))
+    // Both scorers' midrank tables derive from `rows` independently and
+    // attach in one FLAT join chain — the former nested decoration
+    // (withMidranks of withMidranks) replicated the scored lineage
+    // multiplicatively in the plan; flat attachment keeps it linear.
+    val ranked = ScalableRank.persistTracked(rows
+      .join(midrankTable(rows, "_sa", "a"), col("_sa") === col("_sv_a"))
+      .drop("_sv_a")
+      .join(midrankTable(rows, "_sb", "b"), col("_sb") === col("_sv_b"))
+      .drop("_sv_b"))
     // scalar frame: m, n, and the four rank-sum offsets
     val scalars = ranked.agg(
       sum(col("_l")).cast("long").as("m"),

@@ -72,12 +72,13 @@ object QualityClassifier {
     releaseCache()
     val labels = QualityRules.gopherQuality(documents)
       .select(col("doc_id"), col("passes_gopher").cast("double").as("label"))
-    val data = Sampling.hashSplit(
-        hashedFeatures(documents, dim).join(labels, "doc_id"),
-        col("doc_id"), trainBp = 8000, valBp = 0)
-      .withColumn("is_test", col("split") === "test")
-      .select("doc_id", "fv", "label", "is_test")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val data = graft.util.Partitioning.rightsizeForIteration(
+      Sampling.hashSplit(
+          hashedFeatures(documents, dim).join(labels, "doc_id"),
+          col("doc_id"), trainBp = 8000, valBp = 0)
+        .withColumn("is_test", col("split") === "test")
+        .select("doc_id", "fv", "label", "is_test")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     synchronized { lastData = Some(data) }
     val model = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")

@@ -51,10 +51,11 @@ object TrainedModel {
     val data = FraudScore.withSplit(fullFeatures)
       .select(col("o_orderkey") +: col("label").cast("double").as("label") +:
         col("is_test") +: FeatureCols.map(c => col(c).cast("double").as(c)): _*)
-    val assembled = new VectorAssembler()
-      .setInputCols(FeatureCols.toArray).setOutputCol("fv")
-      .transform(data)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assembled = graft.util.Partitioning.rightsizeForIteration(
+      new VectorAssembler()
+        .setInputCols(FeatureCols.toArray).setOutputCol("fv")
+        .transform(data)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     synchronized { lastAssembled = Some(assembled) }
     assembled
   }

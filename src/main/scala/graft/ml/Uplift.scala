@@ -65,11 +65,15 @@ object Uplift {
   def upliftDeciles(events: DataFrame, deciles: Int = 10): DataFrame = {
     releaseCache()
     val users = userFrame(events)
-    val assembled = persisted(new VectorAssembler()
+    val assembled0 = persisted(new VectorAssembler()
       .setInputCols(FeatCols.toArray).setOutputCol("fv")
       .transform(users.select(col("user_id") +: col("treated") +:
         col("converted").cast("double").as("label") +:
         FeatCols.map(c => col(c).cast("double").as(c)): _*)))
+    // two iterative LR fits read this frame ~20×: right-size partitions
+    // to the row count so each pass is not a fleet of near-empty tasks
+    val assembled = graft.util.Partitioning.rightsizeForIteration(assembled0)
+    if (assembled ne assembled0) synchronized { caches = assembled :: caches }
     val lr = new LogisticRegression()
       .setFeaturesCol("fv").setLabelCol("label")
       .setMaxIter(10).setRegParam(0.01).setStandardization(true)

@@ -197,15 +197,22 @@ object Profiling {
     * (zero rank variance) report NULL rho instead of trapping. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val rows = df.select(col(xCol).as("_sx"), col(yCol).as("_sy"))
-    def midranks(in: DataFrame, v: String, out: String): DataFrame = {
-      val g = in.groupBy(col(v).as("_mv")).agg(count(lit(1)).as("_cnt"))
+    // Each variable's value-grain midrank table derives from `rows` alone,
+    // so both attach to the undecorated rows in one FLAT join chain — the
+    // former nested decoration (midranks of midranks) embedded the rows
+    // lineage multiplicatively in the plan (89 Exchange nodes at sf0.1).
+    def midrankTable(v: String, out: String, key: String): DataFrame = {
+      val g = rows.groupBy(col(v).as("_mv")).agg(count(lit(1)).as("_cnt"))
       val c = ScalableRank.withGroupedPrefixSum(
         g, lit(0L), Seq(col("_mv").asc), col("_cnt"), "_cum")
-      val h = c.select(col("_mv"),
+      c.select(col("_mv").as(key),
         (lit(2L) * col("_cum") + col("_cnt") + lit(1L)).as(out))
-      in.join(h, col(v) === col("_mv")).drop("_mv")
     }
-    val ranked = midranks(midranks(rows, "_sx", "u2"), "_sy", "v2")
+    val ranked = rows
+      .join(midrankTable("_sx", "u2", "_mvx"), col("_sx") === col("_mvx"))
+      .drop("_mvx")
+      .join(midrankTable("_sy", "v2", "_mvy"), col("_sy") === col("_mvy"))
+      .drop("_mvy")
     val d19 = "decimal(19,0)"
     val d38 = "decimal(38,0)"
     val m = ranked.agg(

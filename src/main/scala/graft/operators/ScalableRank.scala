@@ -58,6 +58,15 @@ object ScalableRank {
     p
   }
 
+  // Optimization-round note (r12, measured at sf0.1): persisting the
+  // INPUT before the range exchange was tried and REVERTED — the range
+  // sampling pass and sibling consumers read from the child's already
+  // materialized AQE query stages (the expensive lineage sits below an
+  // exchange in every call site), so the extra materialization cost more
+  // than the recompute it saved (e.g. q_cycle_time 4.15→5.52 s WITH the
+  // persist). The nondeterministic-expression reuse hazard documented
+  // above applies to the RANGED frame, which is already persisted.
+
   /** Adds an exact global 1-based row number `out` under `order` (which
     * must be a total order — include a unique tiebreaker column). */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
@@ -175,9 +184,16 @@ object ScalableRank {
     val rn = persisted(withGlobalRowNumber(df, order, rowCol))
     val wVal = Window.partitionBy(value)
     val ranked = rn.withColumn(rankCol, min(col(rowCol)).over(wVal))
-    val groups = ranked.select(value.as("_grev"), col(rankCol).as("_grank")).distinct()
-    val groupIdx = withGlobalRowNumber(groups, Seq(col("_grank").asc), denseCol)
-    val dense = ranked.join(groupIdx, value === col("_grev")).drop("_grev", "_grank")
+    // dense_rank = index of the row's value among DISTINCT values in
+    // `value desc` order — identical to ranking tie-groups by their first
+    // row_number (rank asc ⇔ value desc), but derived from the INPUT's
+    // distinct values rather than from the ranked frame: nesting the
+    // ranked lineage inside a second global row-number embedded the whole
+    // input plan multiplicatively (87 Exchange nodes in q_gains_table's
+    // sf0.1 plan before this change).
+    val groups = df.select(value.as("_grev")).distinct()
+    val groupIdx = withGlobalRowNumber(groups, Seq(col("_grev").desc), denseCol)
+    val dense = ranked.join(groupIdx, value === col("_grev")).drop("_grev")
     val totals = df.agg(count(lit(1)).as("_total"))
     dense.crossJoin(broadcast(totals))
       .withColumn("_tbase", expr(s"_total div $ntiles"))

@@ -41,8 +41,14 @@ object BigramLm {
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
 
     val cbi = withBigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
-    val cleft = withBigrams.groupBy("prev").agg(count(lit(1)).as("c_left"))
-    val cuni = withBigrams.groupBy("cur").agg(count(lit(1)).as("c_uni"))
+    // The lower-order tables are exact integer rollups of the bigram
+    // table (c_left(prev) = Σ_cur c_bi, c_uni(cur) = Σ_prev c_bi): derive
+    // them from cbi instead of re-aggregating the exploded token stream —
+    // two fewer full corpus passes (guide §2.3), and the shared cbi
+    // exchange is reused across the rollups. Identical integers, so the
+    // hash-exact contract is untouched.
+    val cleft = cbi.groupBy("prev").agg(sum(col("c_bi")).as("c_left"))
+    val cuni = cbi.groupBy("cur").agg(sum(col("c_bi")).as("c_uni"))
     val total = cuni.agg(sum(col("c_uni")).as("total_tokens"))
 
     // Fixed-point micro-nat log-prob per bigram-vocabulary entry.

@@ -92,11 +92,16 @@ object KneserNey {
     val eval = bigrams(documents.filter(!trainPred))
 
     val cBi = train.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
-    // history grain: token count AND distinct-continuation count in one agg
-    val hist = train.groupBy("prev")
-      .agg(count(lit(1)).as("c_hist"), countDistinct(col("cur")).as("n1p_hist"))
-    val cont = train.groupBy("cur")
-      .agg(countDistinct(col("prev")).as("n1p_cont"))
+    // The history and continuation tables are exact rollups of the bigram
+    // table — c_hist(prev) = Σ_cur c_bi, n1p_hist(prev) = #cBi rows per
+    // prev, n1p_cont(cur) = #cBi rows per cur (that IS the
+    // distinct-continuation/history count) — so derive them from cBi
+    // instead of re-aggregating the exploded bigram stream: two fewer full
+    // corpus passes (guide §2.3), the cBi exchange reused across rollups,
+    // and countDistinct's expand disappears. Identical integers.
+    val hist = cBi.groupBy("prev")
+      .agg(sum(col("c_bi")).as("c_hist"), count(lit(1)).as("n1p_hist"))
+    val cont = cBi.groupBy("cur").agg(count(lit(1)).as("n1p_cont"))
     val types = cBi.agg(count(lit(1)).as("n_types"))
 
     eval

@@ -446,12 +446,20 @@ object MinHash {
     * dedup on the text hash, not by pairwise enumeration. */
   val DefaultMaxBucket = 1000
 
-  /** Unpersist the previous call's banded-signature cache (bounds cache
-    * growth when the library is embedded in a long-lived session). */
-  @volatile private var lastBanded: Option[DataFrame] = None
+  /** Unpersist the previous call's banded-signature caches (bounds cache
+    * growth when the library is embedded in a long-lived session). A list,
+    * not a single slot: one query can run BOTH pair generators (the
+    * ensemble), and a second call evicting the first's cache mid-query
+    * would silently re-pay the shingle+md5 subtree per consumer. */
+  @volatile private var lastBanded: List[DataFrame] = Nil
   def releaseCache(): Unit = synchronized {
     lastBanded.foreach(_.unpersist(blocking = false))
-    lastBanded = None
+    lastBanded = Nil
+  }
+  private def persistBanded(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastBanded = p :: lastBanded
+    p
   }
 
   // ---- incremental band-store maintenance --------------------------------
@@ -534,9 +542,7 @@ object MinHash {
     // twice and the shingle+md5 computation is the dominant cost — the
     // cached table is only (doc_id, sigs[16], band cols) per band row.
     releaseCache()
-    val bandedAll = bandsCarryingSigs(signaturesArr(documents))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { lastBanded = Some(bandedAll) }
+    val bandedAll = persistBanded(bandsCarryingSigs(signaturesArr(documents)))
     // Bucket-size governor: count members per band bucket, keep only
     // bounded buckets. The count also warms the cache, so the diagnostic
     // is not an extra pass over the expensive subtree.

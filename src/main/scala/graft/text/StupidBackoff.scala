@@ -73,10 +73,16 @@ object StupidBackoff {
     val eval = trigrams(documents.filter(!trainPred))
 
     val cTri = train.groupBy("p2", "p1", "cur").agg(count(lit(1)).as("c_tri"))
-    val cHist2 = train.groupBy("p2", "p1").agg(count(lit(1)).as("c_hist2"))
-    val cBi = train.groupBy("p1", "cur").agg(count(lit(1)).as("c_bi"))
-    val cHist1 = train.groupBy("p1").agg(count(lit(1)).as("c_hist1"))
-    val cUni = train.groupBy("cur").agg(count(lit(1)).as("c_uni"))
+    // Every lower-order table is an exact integer rollup of the trigram
+    // table (each train position contributes exactly one row to each
+    // grain): deriving them from cTri instead of re-aggregating the
+    // exploded trigram stream removes four full corpus passes (guide
+    // §2.3); the shared cTri exchange is reused across the rollups.
+    // Identical integers — the hash-exact contract is untouched.
+    val cHist2 = cTri.groupBy("p2", "p1").agg(sum(col("c_tri")).as("c_hist2"))
+    val cBi = cTri.groupBy("p1", "cur").agg(sum(col("c_tri")).as("c_bi"))
+    val cHist1 = cTri.groupBy("p1").agg(sum(col("c_tri")).as("c_hist1"))
+    val cUni = cTri.groupBy("cur").agg(sum(col("c_tri")).as("c_uni"))
     val total = cUni.agg(sum(col("c_uni")).as("n_total"))
 
     val scoreSql =

@@ -19,6 +19,7 @@ object CacheRegistry {
     () => graft.text.BloomDedup.releaseCache(),
     () => graft.text.Dsir.releaseCache(),
     () => graft.text.MinHash.releaseCache(),
+    () => graft.text.SetSimJoin.releaseCache(),
     () => graft.text.Winnow.releaseCache(),
     () => graft.gold.Rings.releaseCache(),
     () => graft.gold.Rfm.releaseCache(),
