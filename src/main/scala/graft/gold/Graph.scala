@@ -63,23 +63,28 @@ object Graph {
     // once so rounds never re-derive them from the upstream pair query
     // (which may itself be a multi-join subtree, e.g. Rings).
     releaseCache()
-    val edges = pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
-      .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Both caches are read 5-6× by the iteration chain; right-size their
+    // partition counts to the edge/node row counts (no-op at scale, where
+    // rows/floor exceeds any partition count) so each of the ~4 stages per
+    // iteration is not a fleet of near-empty tasks (measured: 1 137 tasks
+    // / 178 s of task time for a 5-round rank over a ~20 k-edge graph with
+    // 32-partition caches). rightsizeForIteration also materializes the
+    // cache up front (its count), which the old explicit count() did.
+    val edges = graft.util.Partitioning.rightsizeForIteration(
+      pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
+        .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
     val n = deg.agg(count(lit(1)).as("n"))
     // pr0 and the teleport term are integer functions of N alone.
-    val nodes = deg.crossJoin(broadcast(n))
-      .withColumn("pr0", expr(s"${MassUnits}L div n"))
-      .withColumn("tele", expr(s"(15 * (${MassUnits}L div n)) div 100"))
-      .select("node", "degree", "tele", "pr0")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = graft.util.Partitioning.rightsizeForIteration(
+      deg.crossJoin(broadcast(n))
+        .withColumn("pr0", expr(s"${MassUnits}L div n"))
+        .withColumn("tele", expr(s"(15 * (${MassUnits}L div n)) div 100"))
+        .select("node", "degree", "tele", "pr0")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     lastGraph = List(edges, nodes)
-    // Materialize both caches once, up front: the iteration chain below
-    // references edges 5× and nodes 6× — warm caches make those reads,
-    // not recomputes.
-    nodes.count()
 
     // Each round's rank frame is consumed exactly once (by the next
     // round's contribution join), so the rounds chain LAZILY into one
@@ -136,10 +141,14 @@ object Graph {
     * an undirected pair list (user_a < user_b, no duplicates). */
   def triangles(pairs: DataFrame): DataFrame = {
     // The pair list feeds the degree table AND the orientation join —
-    // persist it so the upstream pair query runs once.
+    // persist it so the upstream pair query runs once (right-sized: the
+    // wedge enumeration below reads the oriented cache from four
+    // consumers, and near-empty 32-partition caches of a ~20 k-edge graph
+    // cost more task launches than compute).
     releaseCache()
-    val p = pairs.select(col("user_a"), col("user_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = graft.util.Partitioning.rightsizeForIteration(
+      pairs.select(col("user_a"), col("user_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     lastGraph = List(p)
     val edges = p.select(col("user_a").as("src"), col("user_b").as("dst"))
       .union(p.select(col("user_b").as("src"), col("user_a").as("dst")))
@@ -160,19 +169,20 @@ object Graph {
           .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    lastOriented = Some(oriented)
+    val orientedRs = graft.util.Partitioning.rightsizeForIteration(oriented)
+    lastOriented = Some(orientedRs)
 
     // Wedge at the low corner: (lo, hi1), (lo, hi2) with hi1 "before" hi2
     // in the orientation order; closed iff the oriented edge hi1→hi2 or
     // hi2→hi1 exists — checking the ORIENTED closure edge keeps the probe
     // one equi-join against the oriented list itself.
-    val w1 = oriented.select(col("lo"), col("hi").as("x"))
-    val w2 = oriented.select(col("lo"), col("hi").as("y"))
+    val w1 = orientedRs.select(col("lo"), col("hi").as("x"))
+    val w2 = orientedRs.select(col("lo"), col("hi").as("y"))
     val wedges = w1.join(w2, Seq("lo")).filter(col("x") < col("y"))
     // Each undirected closure edge appears exactly once across the two
     // orientations for an (x < y) probe — no dedup shuffle needed.
-    val closureA = oriented.select(col("lo").as("x"), col("hi").as("y"))
-    val closureB = oriented.select(col("hi").as("x"), col("lo").as("y"))
+    val closureA = orientedRs.select(col("lo").as("x"), col("hi").as("y"))
+    val closureB = orientedRs.select(col("hi").as("x"), col("lo").as("y"))
     val tris = wedges.join(closureA.union(closureB), Seq("x", "y"))
       .select(col("lo").as("a"), col("x").as("b"), col("y").as("c"))
 

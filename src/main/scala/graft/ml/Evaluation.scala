@@ -339,7 +339,10 @@ object Evaluation {
     val calNeg = base.filter(col("_cal") && col("_l") === 0L)
     val ranked = ScalableRank.withGlobalRowNumber(calNeg,
       Seq(col("_s").asc, col("_id").asc), "_rn")
-    val nCal = calNeg.agg(count(lit(1)).cast("long").as("n_cal"))
+    // count over the RANKED frame (row count preserved by construction):
+    // it reads ScalableRank's persisted range exchange instead of
+    // recomputing the calNeg lineage from the source scans
+    val nCal = ranked.agg(count(lit(1)).cast("long").as("n_cal"))
     val ks = alphas.toDF("alpha").crossJoin(broadcast(nCal))
       .withColumn("k",
         ceil((col("n_cal") + lit(1L)) * (lit(1.0) - col("alpha"))).cast("long"))
@@ -376,26 +379,37 @@ object Evaluation {
     * tables to the undecorated rows in one flat join chain instead of
     * nesting decorations (the nested form embedded the whole scored
     * lineage ~21× in the plan — 205 Exchange nodes / 84 scans at sf0.1 —
-    * and every planning/canonicalization pass walked all of it). */
-  private def midrankTable(rows: DataFrame, scoreCol: String,
-                           prefix: String): DataFrame = {
-    val g = rows.groupBy(col(scoreCol).as("_sv"))
+    * and every planning/canonicalization pass walked all of it).
+    *
+    * BOTH scorers ride ONE grouped prefix pass: their score values stack
+    * under a `_side` tag and the prefix sum groups by side — per-side
+    * prefixes are independent, so the integers are identical to two
+    * separate passes, at half the range-exchange/persist/offset-broadcast
+    * machinery (and the side-tagged union costs the same two collapse
+    * aggregations the separate passes paid anyway). */
+  private def midrankTables(rows: DataFrame): (DataFrame, DataFrame) = {
+    val stacked = rows.select(lit("a").as("_side"), col("_sa").as("_sv"), col("_l"))
+      .unionByName(rows.select(lit("b").as("_side"), col("_sb").as("_sv"), col("_l")))
+    val g = stacked.groupBy("_side", "_sv")
       .agg(count(lit(1)).as("_cnt"), sum(col("_l")).cast("long").as("_pos"))
     // ONE prefix pass for both running counts: pack (cnt, pos) into a
     // single long (cnt·2³¹ + pos — exact while each stays < 2³¹, the same
     // ~10⁹-row bound the decimal components carry), prefix-sum the packed
     // value, unpack with shift/mask. Halves the range exchanges.
     val cum2 = ScalableRank.withGroupedPrefixSum(
-        g, lit(0L), Seq(col("_sv").asc),
+        g, col("_side"), Seq(col("_sv").asc),
         col("_cnt") * lit(1L << 31) + col("_pos"), "_cum_packed")
       .withColumn("_cum_all", shiftright(col("_cum_packed"), 31))
       .withColumn("_cum_pos", col("_cum_packed").bitwiseAND(lit((1L << 31) - 1)))
-    cum2.select(
-      col("_sv").as(s"_sv_$prefix"),
-      (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as(s"${prefix}_h2"),
-      (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as(s"${prefix}_h2p"),
-      (lit(2L) * (col("_cum_all") - col("_cum_pos")) +
-        (col("_cnt") - col("_pos")) + lit(1L)).as(s"${prefix}_h2n"))
+    def table(prefix: String): DataFrame = cum2
+      .filter(col("_side") === prefix)
+      .select(
+        col("_sv").as(s"_sv_$prefix"),
+        (lit(2L) * col("_cum_all") + col("_cnt") + lit(1L)).as(s"${prefix}_h2"),
+        (lit(2L) * col("_cum_pos") + col("_pos") + lit(1L)).as(s"${prefix}_h2p"),
+        (lit(2L) * (col("_cum_all") - col("_cum_pos")) +
+          (col("_cnt") - col("_pos")) + lit(1L)).as(s"${prefix}_h2n"))
+    (table("a"), table("b"))
   }
 
   /** DeLong, DeLong & Clarke-Pearson (1988) comparison of two PAIRED
@@ -426,12 +440,12 @@ object Evaluation {
     // Both scorers' midrank tables derive from `rows` independently and
     // attach in one FLAT join chain — the former nested decoration
     // (withMidranks of withMidranks) replicated the scored lineage
-    // multiplicatively in the plan; flat attachment keeps it linear.
+    // multiplicatively in the plan; flat attachment keeps it linear, and
+    // one side-tagged prefix pass serves both tables (midrankTables).
+    val (encA, encB) = midrankTables(rows)
     val ranked = ScalableRank.persistTracked(rows
-      .join(midrankTable(rows, "_sa", "a"), col("_sa") === col("_sv_a"))
-      .drop("_sv_a")
-      .join(midrankTable(rows, "_sb", "b"), col("_sb") === col("_sv_b"))
-      .drop("_sv_b"))
+      .join(encA, col("_sa") === col("_sv_a")).drop("_sv_a")
+      .join(encB, col("_sb") === col("_sv_b")).drop("_sv_b"))
     // scalar frame: m, n, and the four rank-sum offsets
     val scalars = ranked.agg(
       sum(col("_l")).cast("long").as("m"),

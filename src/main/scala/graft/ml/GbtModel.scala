@@ -131,7 +131,11 @@ object GbtModel {
         .setLabelCol("label").setMetricName("areaUnderROC"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(3)
-      .setParallelism(8)
+      // scheduling-only: all 12 seeded fits (4 grid points × 3 folds) are
+      // independent, so let them all be in flight — each GBT fit is a
+      // latency-bound chain of small jobs, and overlap is what hides that
+      // latency (guide §2.6); selection/metrics are unaffected
+      .setParallelism(12)
       .setSeed(42L)
     val cvModel = cv.fit(train)
     val best = cvModel.bestModel.asInstanceOf[GBTClassificationModel]

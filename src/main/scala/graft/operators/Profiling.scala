@@ -201,6 +201,11 @@ object Profiling {
     // so both attach to the undecorated rows in one FLAT join chain — the
     // former nested decoration (midranks of midranks) embedded the rows
     // lineage multiplicatively in the plan (89 Exchange nodes at sf0.1).
+    // (The delongCompare side-tagged single-prefix-pass trick does NOT
+    // apply here: x and y can be different SQL types — double balance vs
+    // decimal spend — and the union's type coercion could merge decimal
+    // values that a double cannot distinguish, silently changing tie
+    // groups relative to the oracle's native-type ranking.)
     def midrankTable(v: String, out: String, key: String): DataFrame = {
       val g = rows.groupBy(col(v).as("_mv")).agg(count(lit(1)).as("_cnt"))
       val c = ScalableRank.withGroupedPrefixSum(

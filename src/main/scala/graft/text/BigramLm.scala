@@ -88,9 +88,13 @@ object BigramLm {
     * single-partition window); the 1-row corpus count broadcasts. */
   def pplBuckets(documents: DataFrame): DataFrame = {
     val scored = docLogProb(documents)
-    val total = scored.agg(count(lit(1)).as("n_docs"))
-    graft.operators.ScalableRank.withGlobalRowNumber(
-        scored, Seq(col("avg_logprob").desc, col("doc_id").asc), "ppl_rank")
+    val rankedDocs = graft.operators.ScalableRank.withGlobalRowNumber(
+      scored, Seq(col("avg_logprob").desc, col("doc_id").asc), "ppl_rank")
+    // corpus size counted over the RANKED frame (row count preserved by
+    // construction): reads ScalableRank's persisted range exchange instead
+    // of recomputing the whole LM scoring chain a second time
+    val total = rankedDocs.agg(count(lit(1)).as("n_docs"))
+    rankedDocs
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("sum_lp_micro"),
         col("ppl_rank"),

@@ -323,8 +323,17 @@ object MinHash {
     * broadcasts |thresholds| literal rows over the pair-grain frame. */
   def detectorEval(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val sh = documents.select(col("doc_id"), col("lang"),
-      array_sort(array_distinct(shingles(col("text")))).as("sh"))
+    // Detector side FIRST: nearDupPairsWithSizes releases this object's
+    // cache registry at its start, which would evict the sh persist below
+    // if it ran after it.
+    val detected = nearDupPairsWithSizes(documents)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    // The sorted-distinct shingle arrays are pure per-doc CPU (tokenize +
+    // distinct + sort) recomputed by every consumer (the inverted truth
+    // index and both sides of the exact-verify join): persist once in the
+    // same bounded registry as the banded signatures.
+    val sh = persistBanded(documents.select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(shingles(col("text")))).as("sh")))
     val inv = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
     val hot = inv.groupBy("shingle").agg(count(lit(1)).as("n"))
       .filter(col("n") > EvalMaxPostings).select("shingle")
@@ -343,8 +352,6 @@ object MinHash {
           - col("inter_size")))
       .select("doc_a", "doc_b", "jaccard")
 
-    val detected = nearDupPairsWithSizes(documents)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     val thresholds = documents.sparkSession.range(1)
       .select(explode(expr(
         s"array(${EvalThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")})"))
