@@ -164,6 +164,27 @@ object GraftFunctions {
       Cast(exprs(1), org.apache.spark.sql.types.LongType), k)
   }
 
+  // k must be a literal int (the sketch size is a plan-time property);
+  // pri/key cast to long and v to double so integral/decimal inputs work
+  val bottomkQskBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 4)
+      throw new IllegalArgumentException(
+        s"bottomk_qsk expects 4 arguments (pri, key, v, k), got ${exprs.length}")
+    val kExpr = exprs(3)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"bottomk_qsk k must be a literal int, got non-literal ${kExpr.sql}")
+    val k = kExpr.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"bottomk_qsk k must be a literal int, got $other")
+    }
+    BottomKQsk(
+      Cast(exprs(0), org.apache.spark.sql.types.LongType),
+      Cast(exprs(1), org.apache.spark.sql.types.LongType),
+      Cast(exprs(2), org.apache.spark.sql.types.DoubleType), k)
+  }
+
   val bandedLevBuilder: Seq[Expression] => Expression = exprs => {
     if (exprs.length != 3)
       throw new IllegalArgumentException(
@@ -231,6 +252,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottomk_sample", bottomkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_qsk", bottomkQskBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", kmvBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_merge_agg", kmvMergeBuilder, "built-in")
@@ -294,6 +317,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSample].getName, "bottomk_sample"),
       GraftFunctions.bottomkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bottomk_qsk"),
+      new ExpressionInfo(classOf[BottomKQsk].getName, "bottomk_qsk"),
+      GraftFunctions.bottomkQskBuilder))
     ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),

@@ -2,7 +2,6 @@ package graft.gold
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over the shared-device fraud-ring graph ([[Rings]]
   * pairs as the edge list): PageRank centrality ("which account is the
@@ -50,40 +49,47 @@ object Graph {
   @volatile private var lastOriented: Option[DataFrame] = None
   @volatile private var lastGraph: List[DataFrame] = Nil
   def releaseCache(): Unit = {
-    lastOriented.foreach(_.unpersist(blocking = false))
+    lastOriented.foreach(graft.util.Lineage.release)
     lastOriented = None
-    lastGraph.foreach(_.unpersist(blocking = false))
+    lastGraph.foreach(graft.util.Lineage.release)
     lastGraph = Nil
   }
 
   /** Integer-exact PageRank over an undirected pair list (user_a < user_b).
     * Returns (user_id, degree, pr_units BIGINT, pr_score DOUBLE). */
   def pageRank(pairs: DataFrame, iterations: Int = Iterations): DataFrame = {
-    // Edges and the node table are re-read every iteration — persist both
-    // once so rounds never re-derive them from the upstream pair query
-    // (which may itself be a multi-join subtree, e.g. Rings).
+    // The graph frames are re-read every iteration — materialize each once
+    // AND truncate its logical lineage (Lineage.checkpointRightsized): a
+    // plain persist keeps the full upstream pair plan (Rings is a
+    // multi-join subtree) inside every reference, and the 5-round chain
+    // embeds those references multiplicatively — measured 27 787 plan
+    // lines / 4 435 Exchange nodes at sf0.1, making every AQE stage
+    // materialization re-walk a ~30 k-node tree. Truncation keeps the
+    // static plan linear in the round count. Partition width still derives
+    // from row counts (rightsize semantics), never from the machine.
     releaseCache()
-    // Both caches are read 5-6× by the iteration chain; right-size their
-    // partition counts to the edge/node row counts (no-op at scale, where
-    // rows/floor exceeds any partition count) so each of the ~4 stages per
-    // iteration is not a fleet of near-empty tasks (measured: 1 137 tasks
-    // / 178 s of task time for a 5-round rank over a ~20 k-edge graph with
-    // 32-partition caches). rightsizeForIteration also materializes the
-    // cache up front (its count), which the old explicit count() did.
-    val edges = graft.util.Partitioning.rightsizeForIteration(
+    val edges0 = graft.util.Lineage.checkpointRightsized(
       pairs.select(col("user_a").as("src"), col("user_b").as("dst"))
-        .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("degree"))
+        .union(pairs.select(col("user_b").as("src"), col("user_a").as("dst"))))
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("s_degree"))
     val n = deg.agg(count(lit(1)).as("n"))
     // pr0 and the teleport term are integer functions of N alone.
-    val nodes = graft.util.Partitioning.rightsizeForIteration(
+    val nodes = graft.util.Lineage.checkpointRightsized(
       deg.crossJoin(broadcast(n))
         .withColumn("pr0", expr(s"${MassUnits}L div n"))
         .withColumn("tele", expr(s"(15 * (${MassUnits}L div n)) div 100"))
-        .select("node", "degree", "tele", "pr0")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .select(col("src").as("node"), col("s_degree").as("degree"),
+          col("tele"), col("pr0")))
+    // Destination attributes ride the edge list (guide §2.4, remove a
+    // shuffle outright): every node of an undirected graph appears as a
+    // dst (edges carry both orientations), so the per-round
+    // nodes⋈contrib join — one exchange per iteration — is redundant;
+    // grouping by (dst, degree, tele) off the enriched edges yields the
+    // identical integer state.
+    val edges = graft.util.Lineage.checkpointRightsized(
+      edges0.join(nodes.select(col("node").as("dst"),
+          col("degree").as("d_degree"), col("tele").as("d_tele")), Seq("dst")))
+    graft.util.Lineage.release(edges0)
     lastGraph = List(edges, nodes)
 
     // Each round's rank frame is consumed exactly once (by the next
@@ -94,15 +100,15 @@ object Graph {
     var pr = nodes.select(col("node"), col("degree"), col("tele"),
       col("pr0").as("pr"))
     for (_ <- 1 to iterations) {
-      val contrib = pr
+      pr = pr
         .withColumn("c", expr("pr div degree"))
         .select(col("node").as("src"), col("c"))
         .join(edges, Seq("src"))
-        .groupBy(col("dst").as("node"))
+        .groupBy(col("dst").as("node"), col("d_degree").as("degree"),
+          col("d_tele").as("tele"))
         .agg(sum(col("c")).as("in_mass"))
-      pr = nodes.join(contrib, Seq("node"), "left")
         .withColumn("pr",
-          col("tele") + expr(s"($Damping * coalesce(in_mass, 0L)) div 100"))
+          col("tele") + expr(s"($Damping * in_mass) div 100"))
         .select("node", "degree", "tele", "pr")
     }
     pr.select(
@@ -123,8 +129,12 @@ object Graph {
     * propagation handles poorly. */
   def ringClusters(pairs: DataFrame): DataFrame = {
     releaseCache()
+    // Plain persist here (NOT checkpointRightsized): the CC rounds below
+    // localCheckpoint per round anyway, so the static plan never compounds;
+    // a checkpoint of p was measured WORSE (+1.5 s — it only added
+    // materialization copies, q_ring_clusters 5.2→6.7 s profiled).
     val p = pairs.select(col("user_a"), col("user_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastGraph = List(p)
     val nodes = p.select(col("user_a").as("id"))
       .union(p.select(col("user_b").as("id"))).distinct()
@@ -146,9 +156,13 @@ object Graph {
     // consumers, and near-empty 32-partition caches of a ~20 k-edge graph
     // cost more task launches than compute).
     releaseCache()
-    val p = graft.util.Partitioning.rightsizeForIteration(
-      pairs.select(col("user_a"), col("user_b"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // checkpointRightsized (not a plain persist): the wedge/closure
+    // consumers below reference these frames 4-6× and a persisted frame
+    // still carries the full Rings lineage per reference — the static plan
+    // measured 58 166 lines / 9 330 Exchange nodes at sf0.1 before
+    // truncation, and AQE re-walked it per stage materialization.
+    val p = graft.util.Lineage.checkpointRightsized(
+      pairs.select(col("user_a"), col("user_b")))
     lastGraph = List(p)
     val edges = p.select(col("user_a").as("src"), col("user_b").as("dst"))
       .union(p.select(col("user_b").as("src"), col("user_a").as("dst")))
@@ -168,8 +182,7 @@ object Graph {
           .otherwise(struct(col("user_b").as("lo"), col("user_a").as("hi")))
           .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val orientedRs = graft.util.Partitioning.rightsizeForIteration(oriented)
+    val orientedRs = graft.util.Lineage.checkpointRightsized(oriented)
     lastOriented = Some(orientedRs)
 
     // Wedge at the low corner: (lo, hi1), (lo, hi2) with hi1 "before" hi2

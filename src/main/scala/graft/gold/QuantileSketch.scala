@@ -37,20 +37,26 @@ object QuantileSketch {
     * sample describe the same population. */
   def sketch(df: DataFrame, groups: Seq[String], value: Column,
              rowKey: Column, k: Int = DefaultK): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val prioritized = df.select(groups.map(col) ++ Seq(
         xxhash64(rowKey).as("_pri"), hash(rowKey).cast("long").as("_key"),
         value.cast("double").as("_v")): _*)
       .filter(col("_v").isNotNull)
-    val kept = ScalableRank.topKPerGroup(prioritized, groups.map(col),
-      Seq(col("_pri").asc, col("_key").asc), k, "_qsr")
-    // counts come from the pre-cut frame: one extra partial agg sharing the
-    // same grouping, joined back at group grain (tiny)
-    val counts = prioritized.groupBy(groups.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
-    kept.groupBy(groups.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("_pri"), col("_key"), col("_v"))))
-        .as("qsk"))
-      .join(counts, groups)
+    // ONE partial-agged aggregation builds the whole state: the bounded
+    // bottom-k aggregate (bottomk_qsk, a TypedImperativeAggregate) keeps
+    // the k smallest (pri, key, v) triples per group map-side, so at most
+    // k triples per group per task cross the exchange, and n_rows shares
+    // the same exchange. Replaces two grouped-top-k window passes plus a
+    // separate count aggregate joined back at group grain (guide §2.3
+    // "aggregate before you shuffle"; measured 6.1 s → see
+    // OPTIMIZATION_r13.md) — identical state bit for bit: the aggregate's
+    // (pri, key, v) ordering is the same lexicographic struct order the
+    // old sort_array emitted, and the old window path's (pri, key) cut
+    // selects the same triples (a (pri, key) tie needs an xxhash64 AND a
+    // murmur3 collision at once).
+    prioritized.groupBy(groups.map(col): _*)
+      .agg(expr(s"bottomk_qsk(_pri, _key, _v, $k)").as("qsk"),
+        count(lit(1)).as("n_rows"))
   }
 
   /** Merge sketch states to a coarser grain: flatten member arrays, keep
@@ -59,14 +65,20 @@ object QuantileSketch {
   def merge(sketches: DataFrame, groups: Seq[String],
             k: Int = DefaultK): DataFrame =
     sketches.groupBy(groups.map(col): _*)
-      .agg(
-        // array_distinct: a (pri, key) entry identifies one source row, so
-        // dropping exact duplicates makes the sample side of merge
-        // idempotent under re-delivered inputs (no-op for disjoint row
-        // sets, which never share a key)
-        slice(array_sort(array_distinct(flatten(collect_list(col("qsk"))))), 1, k)
-          .as("qsk"),
+      .agg(array_sort(flatten(collect_list(col("qsk")))).as("_qsk_all"),
         sum(col("n_rows")).as("n_rows"))
+      // adjacent-dedup on the SORTED array replaces array_distinct, which
+      // is O(n²) struct compares and measured ~2 s of the q_quantile_sketch
+      // wall at sf0.1 (84 months × ~1.9 k structs); same result — sorting
+      // makes duplicates adjacent, so keeping each element whose
+      // predecessor differs IS distinct-preserving-order. The dedup keeps
+      // the sample side of merge idempotent under re-delivered inputs: a
+      // (pri, key) entry identifies one source row (no-op for disjoint row
+      // sets, which never share a key).
+      .withColumn("qsk", slice(expr(
+        "filter(_qsk_all, (x, i) -> i = 0 OR NOT (x <=> element_at(_qsk_all, i)))"),
+        1, k))
+      .select(groups.map(col) ++ Seq(col("qsk"), col("n_rows")): _*)
 
   /** Type-1 (inverse-ECDF) quantile estimates from a sketch state: the
     * ceil(q·m)-th smallest sampled value. Deterministic; exact when

@@ -360,4 +360,40 @@ class SketchesSpec extends SparkSpec {
         assert(math.abs(p50 - ex50) / ex50 < 0.5, s"$month: p50 $p50 vs $ex50")
     }
   }
+
+  test("bottomk_qsk fused sketch state == two-pass window reference, bit for bit") {
+    // the pre-r13 sketch build, inlined as the reference: grouped top-k by
+    // (pri, key) via ScalableRank + sort_array(collect_list) + a count
+    // aggregate joined back — the fused aggregate must reproduce it exactly
+    val co = Cleaning.cleanOrders(Tables.orders(spark, TinySf))
+      .withColumn("order_month", date_trunc("month", col("order_date")).cast("date"))
+    def reference(df: org.apache.spark.sql.DataFrame, groups: Seq[String],
+                  value: org.apache.spark.sql.Column,
+                  rowKey: org.apache.spark.sql.Column, k: Int) = {
+      val prioritized = df.select(groups.map(col) ++ Seq(
+          xxhash64(rowKey).as("_pri"), hash(rowKey).cast("long").as("_key"),
+          value.cast("double").as("_v")): _*)
+        .filter(col("_v").isNotNull)
+      val kept = graft.operators.ScalableRank.topKPerGroup(prioritized,
+        groups.map(col), Seq(col("_pri").asc, col("_key").asc), k, "_qsr")
+      val counts = prioritized.groupBy(groups.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"))
+      kept.groupBy(groups.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("_pri"), col("_key"), col("_v"))))
+          .as("qsk"))
+        .join(counts, groups)
+    }
+    // small k (17) forces the evict path; day grain exercises many groups
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("order_date", "qsk", "n_rows").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Seq[org.apache.spark.sql.Row]]("qsk").toList,
+          r.getAs[Long]("n_rows"))).toMap
+    val fused = toMap(graft.gold.QuantileSketch.sketch(
+      co, Seq("order_date"), col("o_totalprice"), col("o_orderkey"), k = 17))
+    val ref = toMap(reference(
+      co, Seq("order_date"), col("o_totalprice"), col("o_orderkey"), k = 17))
+    assert(fused.keySet == ref.keySet && fused.nonEmpty)
+    fused.foreach { case (k0, v) => assert(v == ref(k0), s"day $k0 state mismatch") }
+  }
 }
