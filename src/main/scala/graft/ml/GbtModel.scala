@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.ml.tuning.ParamGridBuilder
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +36,7 @@ object GbtModel {
   /** scale_pos_weight analog: weight column up-weighting positives by the
     * train split's neg/pos ratio. The ratio is ONE driver-side scalar read
     * (the reference logs the same class distribution before fitting). */
-  private def withClassWeight(train: DataFrame): DataFrame = {
+  private[graft] def withClassWeight(train: DataFrame): DataFrame = {
     val row = train.agg(
       sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos"),
       sum(when(col("label") =!= 1.0, 1L).otherwise(0L)).as("neg")).collect()(0)
@@ -86,7 +86,7 @@ object GbtModel {
     (model, assembled)
   }
 
-  private def baseEstimator(maxIter: Int): GBTClassifier =
+  private[graft] def baseEstimator(maxIter: Int): GBTClassifier =
     new GBTClassifier()
       .setFeaturesCol("fv").setLabelCol("label").setWeightCol("w")
       .setMaxDepth(6).setStepSize(0.05)
@@ -125,25 +125,81 @@ object GbtModel {
       .addGrid(gbt.maxDepth, Array(3, 6))       // suggest_int("max_depth", 3, 9)
       .addGrid(gbt.stepSize, Array(0.05, 0.1))  // suggest_float("learning_rate", ...)
       .build()
-    val cv = new CrossValidator()
-      .setEstimator(gbt)
-      .setEvaluator(new BinaryClassificationEvaluator()
-        .setLabelCol("label").setMetricName("areaUnderROC"))
-      .setEstimatorParamMaps(grid)
-      .setNumFolds(3)
-      // scheduling-only: all 12 seeded fits (4 grid points × 3 folds) are
-      // independent, so let them all be in flight — each GBT fit is a
-      // latency-bound chain of small jobs, and overlap is what hides that
-      // latency (guide §2.6); selection/metrics are unaffected
-      .setParallelism(12)
-      .setSeed(42L)
-    val cvModel = cv.fit(train)
-    val best = cvModel.bestModel.asInstanceOf[GBTClassificationModel]
-    val bestAuc = cvModel.avgMetrics.max
+    val (bestIndex, bestAuc) = seededCvSelect(gbt, train, grid,
+      numFolds = 3, seed = 42L)
+    // re-fit the winning grid point on the whole train split — exactly
+    // CrossValidator's bestModel
+    val best = gbt.fit(train, grid(bestIndex))
     TrainedModel.metrics(predictions(best, assembled.filter(col("is_test"))))
       .withColumn("best_max_depth", lit(best.getMaxDepth.toLong))
       .withColumn("best_step_size", lit(best.getStepSize))
       .withColumn("cv_auc", lit(bestAuc))
+  }
+
+  /** Seeded k-fold CV selection over a param grid — selection-identical to
+    * `CrossValidator.fit` (same `MLUtils.kFold` splits from the same seed,
+    * same per-fold estimator fits and evaluator calls, fold-order metric
+    * sums, same first-max argmax) but with EVERY (fold × grid) fit in
+    * flight at once. CrossValidator iterates folds SEQUENTIALLY and only
+    * parallelizes within a fold, so its wall is ≥ numFolds × slowest-fit
+    * (measured 12-13 s for the 12 seeded GBT fits here); full overlap cuts
+    * that to ~slowest-chain + refit (guide §2.6 — independent latency-bound
+    * job chains). Costs all fold caches live at once instead of one pair —
+    * fold frames are train-split-sized intermediates, the standard
+    * memory-for-wall trade, and the pool size only schedules (results are
+    * per-fit deterministic: seeded fits on deterministic splits).
+    * GbtModelSpec pins output equality against a literal CrossValidator
+    * run. Returns (bestParamIndex, best mean CV metric). */
+  private[graft] def seededCvSelect(
+      est: GBTClassifier, train: DataFrame,
+      grid: Array[org.apache.spark.ml.param.ParamMap],
+      numFolds: Int, seed: Long): (Int, Double) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val spark = train.sparkSession
+    val schema = train.schema
+    val eval = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setMetricName("areaUnderROC")
+    val splits = org.apache.spark.mllib.util.MLUtils.kFold(
+      train.toDF.rdd, numFolds, seed)
+    val folds = splits.map { case (tr, va) =>
+      (spark.createDataFrame(tr, schema).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        spark.createDataFrame(va, schema).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      numFolds * grid.length,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-cv-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // all numFolds×|grid| futures start before any await
+      val futures = folds.map { case (trD, vaD) =>
+        grid.map { pm =>
+          Future {
+            val model = est.fit(trD, pm)
+            // paramMap passed to transform too — the CrossValidator call
+            eval.evaluate(model.transform(vaD, pm))
+          }
+        }
+      }
+      val perFold = futures.map(_.map(Await.result(_, Duration.Inf)))
+      folds.foreach { case (a, b) =>
+        a.unpersist(blocking = false); b.unpersist(blocking = false)
+      }
+      // mean in FOLD ORDER per grid point, then CrossValidator's
+      // first-max argmax (maxBy keeps the earliest index on ties)
+      val avg = perFold.transpose.map(_.sum / numFolds)
+      val (bestMetric, bestIdx) = avg.zipWithIndex.maxBy(_._1)
+      (bestIdx, bestMetric)
+    } finally pool.shutdown()
   }
 
   /** Train → save to the registry → reload "latest" → score held-out with

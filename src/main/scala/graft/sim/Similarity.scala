@@ -520,6 +520,12 @@ object Similarity {
     * engine-local); FunctionsSpec asserts the ordering invariants. */
   def knnRecallSummary(embeddings: DataFrame, numQueries: Int = 5,
                        k: Int = 10, cacheKey: Option[String] = None): DataFrame = {
+    // Optimization-round note (r13, measured at sf0.1): persisting `golden`
+    // for its 8 arm consumers was tried and REVERTED (6.6-7.3 s → 7.9-8.1 s
+    // steady-state). The arms union into ONE plan, so AQE's ReuseExchange
+    // already executes golden's canonical-identical exchange subtrees once
+    // across all arms; the persist only added a materialization (the same
+    // mechanism as the reverted ScalableRank-input persists, r12).
     val golden = knnBrute(embeddings, numQueries, k).select("query_id", "vec_id")
     def summarize(method: String, res: DataFrame): DataFrame =
       golden.join(

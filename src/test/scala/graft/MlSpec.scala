@@ -82,6 +82,34 @@ class MlSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("seededCvSelect reproduces CrossValidator's selection and CV metric exactly") {
+    val feats = fullFeatures.cache()
+    try {
+      val assembled = TrainedModel.assembleSplit(feats)
+      val train = GbtModel.withClassWeight(assembled.filter(!col("is_test")))
+      val gbt = GbtModel.baseEstimator(5)
+      val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+        .addGrid(gbt.maxDepth, Array(3, 6))
+        .addGrid(gbt.stepSize, Array(0.05, 0.1))
+        .build()
+      val cv = new org.apache.spark.ml.tuning.CrossValidator()
+        .setEstimator(gbt)
+        .setEvaluator(new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+          .setLabelCol("label").setMetricName("areaUnderROC"))
+        .setEstimatorParamMaps(grid).setNumFolds(3).setParallelism(4).setSeed(42L)
+      val cvModel = cv.fit(train)
+      val cvBest = cvModel.bestModel
+        .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+      val (idx, auc) = GbtModel.seededCvSelect(gbt, train, grid, numFolds = 3, seed = 42L)
+      assert(auc == cvModel.avgMetrics.max,
+        s"CV metric diverged: manual $auc vs CrossValidator ${cvModel.avgMetrics.max}")
+      assert(grid(idx)(gbt.maxDepth) == cvBest.getMaxDepth,
+        s"selected maxDepth diverged: ${grid(idx)(gbt.maxDepth)} vs ${cvBest.getMaxDepth}")
+      assert(grid(idx)(gbt.stepSize) == cvBest.getStepSize,
+        s"selected stepSize diverged: ${grid(idx)(gbt.stepSize)} vs ${cvBest.getStepSize}")
+    } finally feats.unpersist()
+  }
+
   test("registry round trip: reloaded model scores identically and versions advance") {
     val feats = fullFeatures.cache()
     val root = java.nio.file.Files.createTempDirectory("graft-registry-spec").toString
